@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Central SparkSession configuration for the graft engine.
+  *
+  * Every entry point (Verify, Bench, tests, streaming runtime) goes through
+  * here so the engine behaves identically everywhere:
+  *  - `spark.sql.shuffle.partitions` sized for local[32] (not the 200 default);
+  *    on a real cluster this is overridden by AQE coalescing anyway.
+  *  - AQE on: runtime shuffle-partition coalescing, skew-join splitting —
+  *    the knobs that make the same plan survive a 100x scale-up.
+  *  - `nanosAsLong`: the driver fixtures carry TIMESTAMP(NANOS) parquet
+  *    columns (events.ts) which Spark does not natively read; we read them
+  *    as long and convert at the source layer (see [[graft.sources.Tables]]).
+  *  - UTC session timezone for oracle (DuckDB) parity.
+  */
+object GraftSession {
+
+  /** Apply graft defaults onto an existing builder. */
+  def configure(b: SparkSession.Builder): SparkSession.Builder = b
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.adaptive.enabled", "true")
+    .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    .config("spark.sql.adaptive.skewJoin.enabled", "true")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.sql.parquet.filterPushdown", "true")
+    .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
+    .config("spark.ui.enabled", "false")
+
+  /** Standalone local session (tests / ad-hoc). */
+  def local(cores: Int = Runtime.getRuntime.availableProcessors()): SparkSession = {
+    val s = configure(
+      SparkSession.builder()
+        .master(s"local[$cores]")
+        .appName("graft")
+        .config("spark.sql.shuffle.partitions", math.max(cores, 4).toString))
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}

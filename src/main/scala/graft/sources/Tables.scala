@@ -1,0 +1,39 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Source layer: the driver's deterministic parquet fixtures (TESTDATA.md).
+  *
+  * The reference engine has no storage layer at all — data arrives through a
+  * pluggable receiver (`/root/reference/src/main/scala/com/yahoo/bullet/spark/DataProducer.scala:47-58`).
+  * Our Spark-native equivalent is the DataSource V2 parquet reader: scans get
+  * predicate pushdown, column pruning and vectorized decoding for free, which
+  * is what makes the same query viable at 100 TB.
+  *
+  * `events.ts` is TIMESTAMP(NANOS) in parquet; Spark reads it as long (with
+  * `spark.sql.legacy.parquet.nanosAsLong=true`) and we normalize to
+  * TimestampType (microseconds, truncating) here so the rest of the engine
+  * never sees the raw nanos. Integer division (`div`) is deliberate: ns epoch
+  * values exceed 2^53 so a double-division would lose precision.
+  */
+object Tables {
+  val all: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def path(sfDir: String, name: String): String = s"$sfDir/$name.parquet"
+
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    // Defensive: entry points set this at build time; setting it again at
+    // runtime is a no-op but protects ad-hoc sessions (it is a runtime conf).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = spark.read.parquet(path(sfDir, name))
+    if (name == "events") df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    else df
+  }
+
+  /** Register every fixture table as a temp view (for spark.sql paths). */
+  def registerAll(spark: SparkSession, sfDir: String): Unit =
+    all.foreach(n => load(spark, sfDir, n).createOrReplaceTempView(n))
+}
