@@ -13,7 +13,9 @@ import graft.queries._
   */
 object SparkEntry {
 
-  private val allDefs: Seq[QueryDef] = CoreQueries.defs
+  private val allDefs: Seq[QueryDef] =
+    CoreQueries.defs ++ SketchQueries.defs ++ TextQueries.defs ++
+      DedupQueries.defs ++ SimilarityQueries.defs
 
   private val (queryMap, oracleMap) = QueryDef.toMaps(allDefs)
 

@@ -1,0 +1,154 @@
+package graft.functions
+
+import java.util.SplittableRandom
+
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Single-pass per-row text fingerprinting expressions for the dedup suite.
+  *
+  * Design: each document's signature is computed row-locally (no explode, no
+  * shuffle) inside whole-stage codegen via one static helper call; only the
+  * tiny signatures then participate in the LSH band shuffle. At 100 TB this
+  * means the wide `text` column is read once, never materialized into
+  * |docs| x |shingles| exploded rows.
+  *
+  * Hashing is FNV-1a 64-bit over UTF-8 bytes — self-contained, stable across
+  * JVMs/partitionings, and cheap enough to be memory-bound.
+  */
+private[functions] object TextHash {
+  final val FnvOffset = 0xcbf29ce484222325L
+  final val FnvPrime = 0x100000001b3L
+
+  def fnv1a(bytes: Array[Byte], seed: Long): Long = {
+    var h = FnvOffset ^ seed
+    var i = 0
+    while (i < bytes.length) {
+      h ^= (bytes(i) & 0xffL)
+      h *= FnvPrime
+      i += 1
+    }
+    h
+  }
+
+  /** Hash of the w-token shingle tokens[i, i+w), with a separator byte
+    * folded in between tokens. */
+  def shingleHash(tokens: ArrayData, i: Int, w: Int): Long = {
+    var h = FnvOffset
+    var j = 0
+    while (j < w) {
+      val t = tokens.getUTF8String(i + j)
+      val b = t.getBytes
+      var k = 0
+      while (k < b.length) {
+        h ^= (b(k) & 0xffL)
+        h *= FnvPrime
+        k += 1
+      }
+      // token separator so ("ab","c") != ("a","bc")
+      h ^= 0x1fL
+      h *= FnvPrime
+      j += 1
+    }
+    h
+  }
+}
+
+object MinHashSig {
+  /** Fixed affine transforms (a_i * h + b_i) of the single shingle hash —
+    * the standard one-hash MinHash family. Deterministic: seeded generator,
+    * odd multipliers. */
+  private val MaxK = 128
+  private val (as, bs) = {
+    val r = new SplittableRandom(42L)
+    val a = Array.fill(MaxK)(r.nextLong() | 1L)
+    val b = Array.fill(MaxK)(r.nextLong())
+    (a, b)
+  }
+
+  def compute(tokens: ArrayData, shingleWidth: Int, k: Int): ArrayData = {
+    val n = tokens.numElements()
+    val sig = Array.fill(k)(Long.MaxValue)
+    val nShingles = math.max(n - shingleWidth + 1, 0)
+    var i = 0
+    while (i < nShingles) {
+      val h = TextHash.shingleHash(tokens, i, shingleWidth)
+      var j = 0
+      while (j < k) {
+        val v = as(j) * h + bs(j)
+        if (v < sig(j)) sig(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(sig)
+  }
+}
+
+/** MinHash signature of a token array: `array<bigint>` of length k over
+  * w-token shingles. Jaccard(doc_a, doc_b) ≈ fraction of equal signature
+  * slots (property of the min-wise hash family). */
+case class MinHashSig(child: Expression, shingleWidth: Int, k: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(shingleWidth >= 1 && k >= 1 && k <= 128)
+
+  override def inputTypes = Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_sig"
+
+  override def nullSafeEval(input: Any): Any =
+    MinHashSig.compute(input.asInstanceOf[ArrayData], shingleWidth, k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.MinHashSig.compute($c, $shingleWidth, $k);")
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+    copy(child = newChild)
+}
+
+object SimHash64 {
+  /** 64-bit SimHash: per-token 64-bit hash votes per bit; sign of the vote
+    * sum forms the fingerprint. Near-dup docs differ in few bits. */
+  def compute(tokens: ArrayData): Long = {
+    val votes = new Array[Int](64)
+    val n = tokens.numElements()
+    var i = 0
+    while (i < n) {
+      val t = tokens.getUTF8String(i)
+      val h = TextHash.fnv1a(t.getBytes, 0L)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 64) {
+      if (votes(b) > 0) sig |= (1L << b)
+      b += 1
+    }
+    sig
+  }
+}
+
+/** SimHash fingerprint (`bigint`) of a token array. */
+case class SimHash(child: Expression) extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes = Seq(ArrayType(StringType))
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash64"
+
+  override def nullSafeEval(input: Any): Any =
+    SimHash64.compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = graft.functions.SimHash64.compute($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash =
+    copy(child = newChild)
+}

@@ -1,0 +1,29 @@
+package graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.graftshim.ColumnBridge
+
+/** Column-API surface for graft's custom Catalyst expressions. */
+package object functions {
+
+  private def col(e: org.apache.spark.sql.catalyst.expressions.Expression): Column =
+    ColumnBridge.column(e)
+
+  /** Cosine similarity of two `array<float>` columns (codegen'd, one pass). */
+  def cosine_sim(a: Column, b: Column): Column =
+    col(CosineSimilarity(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** MinHash signature (`array<bigint>`, length k) of a token array over
+    * w-token shingles. */
+  def minhash_sig(tokens: Column, shingleWidth: Int = 3, k: Int = 64): Column =
+    col(MinHashSig(ColumnBridge.expression(tokens), shingleWidth, k))
+
+  /** 64-bit SimHash fingerprint of a token array. */
+  def simhash64(tokens: Column): Column =
+    col(SimHash(ColumnBridge.expression(tokens)))
+
+  /** Random-hyperplane LSH bucket (int, nBits sign bits) of an
+    * `array<float>` embedding. */
+  def lsh_bucket(vec: Column, seed: Long = 7L, nBits: Int = 8): Column =
+    col(HyperplaneLshBucket(ColumnBridge.expression(vec), seed, nBits))
+}

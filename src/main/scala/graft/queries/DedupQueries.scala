@@ -1,0 +1,151 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.functions.{cosine_sim, minhash_sig, simhash64}
+import graft.sources.Tables
+
+/** Deduplication suite over `documents` / `embeddings` — exact, MinHash+LSH,
+  * SimHash, n-gram Jaccard, and embedding-cosine near-dup.
+  *
+  * Scale design: every variant follows the signature → band → bucket-join →
+  * verify shape. Signatures are computed per row inside codegen (custom
+  * expressions, graft.functions) so the wide text/vector columns never get
+  * exploded or shuffled; only (id, small signature) pairs enter the
+  * candidate join, and the verify step touches original content for
+  * candidate pairs only. The one exception is `dd_ngram_jaccard`, the exact
+  * shingle-join baseline the approximate variants are tested against (its
+  * oracle is the ground truth for the MinHash/SimHash recall specs).
+  */
+object DedupQueries {
+
+  private def docs(s: SparkSession, d: String): DataFrame = Tables.load(s, d, "documents")
+  private def emb(s: SparkSession, d: String): DataFrame = Tables.load(s, d, "embeddings")
+
+  private val toks: Column = split(col("text"), " ")
+
+  /** 3-token shingles as strings (the exact baseline joins on these; the
+    * scale path hashes them inside MinHashSig instead). */
+  private val shingles: Column = {
+    val t = toks
+    array_distinct(transform(
+      sequence(lit(0), size(t) - 3),
+      i => concat_ws(" ", slice(t, i + 1, lit(3)))))
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // Exact dedup: content-hash groupBy, keep lowest doc_id per group.
+    QueryDef("dd_exact", Some(
+      """SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS n_copies
+        |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin)) { (s, d) =>
+      docs(s, d)
+        .groupBy(md5(col("text")).as("h"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+        .orderBy(col("keep_id"))
+    },
+
+    // Exact n-gram Jaccard near-dup pairs (the ground-truth baseline):
+    // explode distinct shingles, self-join on shingle, count intersections,
+    // Jaccard = inter / (|A| + |B| - inter) >= 0.5. Output keeps integer
+    // evidence columns (inter/na/nb) instead of a float — hash-stable.
+    QueryDef("dd_ngram_jaccard", Some(
+      """WITH sh AS (
+        |  SELECT doc_id,
+        |    unnest(list_distinct([array_to_string(t[i:i+2],' ') FOR i IN range(1, len(t)-1)])) AS shingle,
+        |    len(list_distinct([array_to_string(t[i:i+2],' ') FOR i IN range(1, len(t)-1)])) AS nsh
+        |  FROM (SELECT doc_id, string_split(text,' ') AS t FROM documents))
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  count(*) AS inter, any_value(a.nsh) AS na, any_value(b.nsh) AS nb
+        |FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2
+        |HAVING count(*) * 1.0 / (any_value(a.nsh) + any_value(b.nsh) - count(*)) >= 0.5
+        |ORDER BY doc_a, doc_b""".stripMargin)) { (s, d) =>
+      val sh = docs(s, d)
+        .select(col("doc_id"), shingles.as("shs"))
+        .select(col("doc_id"), size(col("shs")).cast(LongType).as("nsh"),
+          explode(col("shs")).as("shingle"))
+      val a = sh.select(col("doc_id").as("doc_a"), col("nsh").as("na"), col("shingle").as("sh_a"))
+      val b = sh.select(col("doc_id").as("doc_b"), col("nsh").as("nb"), col("shingle").as("sh_b"))
+      a.join(b, col("sh_a") === col("sh_b") && col("doc_a") < col("doc_b"))
+        .groupBy(col("doc_a"), col("doc_b"))
+        .agg(count(lit(1)).as("inter"), first(col("na")).as("na"), first(col("nb")).as("nb"))
+        .filter(col("inter") * lit(1.0) / (col("na") + col("nb") - col("inter")) >= 0.5)
+        .orderBy(col("doc_a"), col("doc_b"))
+    },
+
+    // MinHash + LSH banding: 64-slot signature per doc (one codegen pass),
+    // 16 bands x 4 rows; docs sharing any band bucket become candidates;
+    // verify by estimated Jaccard (matching slots / 64) >= 0.5.
+    // Not SQL-expressible → rows-only driver check; recall vs the exact
+    // baseline is asserted in DedupSpec.
+    QueryDef("dd_minhash_lsh", None) { (s, d) =>
+      val bands = 16
+      val rowsPerBand = 4
+      val sig = docs(s, d).select(col("doc_id"), minhash_sig(toks, 3, bands * rowsPerBand).as("sig"))
+      val banded = sig.select(
+        col("doc_id"), col("sig"),
+        explode(array((0 until bands).map(bnd =>
+          struct(lit(bnd).as("band"),
+            slice(col("sig"), bnd * rowsPerBand + 1, rowsPerBand).as("key"))): _*)).as("bk"))
+        .select(col("doc_id"), col("sig"), col("bk.band").as("band"), col("bk.key").as("key"))
+      val a = banded.select(col("band").as("band_a"), col("key").as("key_a"),
+        col("doc_id").as("doc_a"), col("sig").as("sig_a"))
+      val b = banded.select(col("band").as("band_b"), col("key").as("key_b"),
+        col("doc_id").as("doc_b"), col("sig").as("sig_b"))
+      a.join(b, col("band_a") === col("band_b") && col("key_a") === col("key_b")
+          && col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b"),
+          (size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), b => b))
+            .cast(DoubleType) / (bands * rowsPerBand)).as("est_jaccard"))
+        .distinct()
+        .filter(col("est_jaccard") >= 0.5)
+        .orderBy(col("doc_a"), col("doc_b"))
+    },
+
+    // SimHash near-dup: 64-bit fingerprint per doc; candidates share one of
+    // four 16-bit chunks (pigeonhole: hamming<=3 pairs always collide);
+    // verify hamming distance via bit_count(xor) <= 3.
+    QueryDef("dd_simhash", None) { (s, d) =>
+      val fp = docs(s, d).select(col("doc_id"), simhash64(toks).as("fp"))
+      val chunked = fp.select(col("doc_id"), col("fp"),
+        explode(array((0 until 4).map(c =>
+          struct(lit(c).as("chunk"),
+            shiftrightunsigned(col("fp"), c * 16).bitwiseAND(0xffffL).as("key"))): _*)).as("ck"))
+        .select(col("doc_id"), col("fp"), col("ck.chunk").as("chunk"), col("ck.key").as("key"))
+      val a = chunked.select(col("chunk").as("chunk_a"), col("key").as("key_a"),
+        col("doc_id").as("doc_a"), col("fp").as("fp_a"))
+      val b = chunked.select(col("chunk").as("chunk_b"), col("key").as("key_b"),
+        col("doc_id").as("doc_b"), col("fp").as("fp_b"))
+      a.join(b, col("chunk_a") === col("chunk_b") && col("key_a") === col("key_b")
+          && col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b"),
+          bit_count(col("fp_a").bitwiseXOR(col("fp_b"))).as("hamming"))
+        .distinct()
+        .filter(col("hamming") <= 3)
+        .orderBy(col("doc_a"), col("doc_b"))
+    },
+
+    // Embedding-cosine near-dup pairs: brute-force at fixture scale (the
+    // LSH-bucketed scale path is ann_lsh_topk in SimilarityQueries).
+    // Integer ids only in the output — float-free, hash-stable.
+    QueryDef("dd_embed_cosine", Some(
+      """SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE list_sum(list_transform(list_zip(a.embedding, b.embedding),
+        |        x -> CAST(x[1] AS DOUBLE) * x[2]))
+        |  / sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * x))
+        |       * list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * x))) >= 0.4
+        |ORDER BY vec_a, vec_b""".stripMargin)) { (s, d) =>
+      val e = emb(s, d)
+      val a = e.select(col("vec_id").as("vec_a"), col("embedding").as("ea"))
+      val b = e.select(col("vec_id").as("vec_b"), col("embedding").as("eb"))
+      a.join(b, col("vec_a") < col("vec_b"))
+        .filter(cosine_sim(col("ea"), col("eb")) >= 0.4)
+        .select(col("vec_a"), col("vec_b"))
+        .orderBy(col("vec_a"), col("vec_b"))
+    }
+  )
+}

@@ -1,0 +1,105 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.sources.Tables
+
+/** Sketch-backed aggregations (SURVEY.md §2.B B6–B8).
+  *
+  * The reference's COUNT DISTINCT / DISTRIBUTION / TOP K are DataSketches
+  * Theta/KLL/FrequentItems aggregates, mergeable across partitions with
+  * O(sketch) state (reference exercises them via `makeCountDistinctQuery`,
+  * `/root/reference/src/test/scala/com/yahoo/bullet/spark/FilterStreamingTest.scala:203`;
+  * merge path `JoinStreaming.scala:126`). Spark 4.1 ships the same sketch
+  * family natively (`theta_sketch_agg`, `kll_sketch_agg_double`,
+  * `approx_top_k` — Catalyst TypedImperativeAggregates with partial/final
+  * merge), so we use the built-ins: identical semantics (exact below the
+  * sketch's capacity, approximate with bounded state above — Bullet's exact
+  * behavior) and they stay inside Spark's codegen'd aggregation paths.
+  *
+  * Sketch sizes are chosen so results are EXACT at oracle scale (sf0.01)
+  * while remaining O(sketch)-bounded and mergeable at 100 TB — which is
+  * precisely Bullet's "exact until cap, then approximate" contract.
+  */
+object SketchQueries {
+
+  private def t = Tables.load _
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // B6: COUNT DISTINCT via Theta sketch (+ HLL cross-check), global.
+    QueryDef("b6_theta_distinct", Some(
+      """SELECT count(DISTINCT user_id) AS theta_users,
+        |       count(DISTINCT user_id) AS hll_users,
+        |       count(DISTINCT user_id) AS exact_users
+        |FROM events""".stripMargin)) { (s, d) =>
+      t(s, d, "events").agg(
+        expr("theta_sketch_estimate(theta_sketch_agg(user_id))").as("theta_users"),
+        expr("hll_sketch_estimate(hll_sketch_agg(user_id))").as("hll_users"),
+        countDistinct(col("user_id")).as("exact_users"))
+    },
+
+    // B6 grouped: per-key Theta sketches, merged across partitions.
+    QueryDef("b6_theta_grouped", Some(
+      """SELECT event_type, count(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)) { (s, d) =>
+      t(s, d, "events")
+        .groupBy(col("event_type"))
+        .agg(expr("theta_sketch_estimate(theta_sketch_agg(user_id))").as("n_users"))
+        .orderBy(col("event_type"))
+    },
+
+    // B7: DISTRIBUTION/QUANTILE via KLL sketch. k=65535 → exact (no
+    // compaction) below 65k rows; the datasketches INCLUSIVE-rank
+    // convention = the ceil(p*n)-th smallest order statistic, which the
+    // oracle reproduces relationally.
+    QueryDef("b7_kll_quantile", Some(
+      """WITH s AS (SELECT l_extendedprice AS v,
+        |    row_number() OVER (ORDER BY l_extendedprice) AS rn,
+        |    count(*) OVER () AS n FROM lineitem),
+        |  p AS (SELECT unnest([0.01,0.1,0.25,0.5,0.75,0.9,0.99]) AS p)
+        |SELECT CAST(p.p AS DOUBLE) AS p, min(s.v) AS v
+        |FROM p, s WHERE s.rn >= ceil(p.p * s.n)
+        |GROUP BY p.p ORDER BY p""".stripMargin)) { (s, d) =>
+      val probs = Seq(0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99)
+      t(s, d, "lineitem")
+        .agg(expr(
+          s"kll_sketch_get_quantile_double(kll_sketch_agg_double(l_extendedprice, 65535)," +
+            s" array(${probs.mkString(",")}))").as("vs"))
+        .select(posexplode(col("vs")).as(Seq("i", "v")))
+        .select(element_at(lit(probs.toArray), col("i") + 1).as("p"), col("v"))
+        .orderBy(col("p"))
+    },
+
+    // B8: TOP K via frequent-items sketch. maxItemsTracked=4096 ≥ the
+    // fixture cardinality → exact counts; deterministic re-rank
+    // (count DESC, item) before the final limit.
+    QueryDef("b8_freq_topk", Some(
+      """SELECT user_id, count(*) AS cnt FROM events
+        |GROUP BY user_id ORDER BY cnt DESC, user_id LIMIT 10""".stripMargin)) { (s, d) =>
+      t(s, d, "events")
+        .agg(expr("approx_top_k(user_id, 2000, 4096)").as("tk"))
+        .select(explode(col("tk")).as("e"))
+        .select(col("e.item").as("user_id"), col("e.count").as("cnt"))
+        .orderBy(col("cnt").desc, col("user_id"))
+        .limit(10)
+    },
+
+    // B5 cardinality-cap guard (Bullet caps GROUP cardinality at
+    // bullet.query.aggregation.max.size=500 via a sketch over group keys):
+    // report the would-be group count cheaply with a Theta sketch over the
+    // encoded key tuple — the pre-flight a planner runs before a huge
+    // groupBy. lgk=17 (131072 nominal entries) keeps the sketch exact at
+    // oracle scale while staying O(1 MB) mergeable state at 100 TB.
+    QueryDef("b5_group_cap_probe", Some(
+      """SELECT count(DISTINCT (l_partkey, l_suppkey)) AS n_groups,
+        |  count(DISTINCT (l_partkey, l_suppkey)) <= 500 AS under_cap
+        |FROM lineitem""".stripMargin)) { (s, d) =>
+      t(s, d, "lineitem")
+        .agg(expr("theta_sketch_estimate(theta_sketch_agg(concat_ws('|', l_partkey, l_suppkey), 17))")
+          .as("n_groups"))
+        .select(col("n_groups"), (col("n_groups") <= 500).as("under_cap"))
+    }
+  )
+}

@@ -1,0 +1,126 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.sources.Tables
+
+/** Text analysis over the `documents` table — the training-data-pipeline
+  * surface (language-ID, quality scoring, token counting, fingerprinting).
+  *
+  * The reference has no text operators (its expression set tops out at
+  * TRIM/LOWER/UPPER/RLIKE, SURVEY.md §2.B B3); these extend the engine the
+  * way a 100 TB corpus pipeline needs. Everything here is per-row Catalyst
+  * expression work (codegen'd, no shuffle except the final ORDER BY, which
+  * exists only for oracle determinism) — the shape that scales linearly.
+  *
+  * Oracle parity notes: token separator in the fixtures is a single space,
+  * so `split(text, ' ')` (Spark) == `string_split(text, ' ')` (DuckDB);
+  * ratios are computed as BIGINT-ratio double divisions (deterministic IEEE
+  * ops, no order-dependent float summation).
+  */
+object TextQueries {
+
+  private def docs(s: SparkSession, d: String): DataFrame = Tables.load(s, d, "documents")
+
+  private val toks: Column = split(col("text"), " ")
+
+  /** Tiny per-language lexicons over the fixture vocabulary; scoring =
+    * lexicon-hit count, argmax with fixed tie order (en,es,de,fr,zh). */
+  private val lex = Seq(
+    "en" -> Seq("the", "a", "fast", "slow"),
+    "es" -> Seq("data", "value", "row"),
+    "de" -> Seq("merge", "join", "group"),
+    "fr" -> Seq("table", "column", "line"),
+    "zh" -> Seq("spark", "query", "stream"))
+
+  private def hitCount(lexicon: Seq[String]): Column =
+    size(filter(toks, t => t.isInCollection(lexicon)))
+
+  private def sqlHitCount(lexicon: Seq[String]): String =
+    s"len(list_filter(string_split(text,' '), t -> list_contains([${lexicon.map("'" + _ + "'").mkString(",")}], t)))"
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // Token counting: whitespace tokens, distinct tokens, BPE-ish regex
+    // token count, mean token length (exact integer formula: single-space
+    // separators make len(text) = sum(len(tok)) + n - 1).
+    QueryDef("tx_tokens", Some(
+      """SELECT doc_id,
+        |  len(string_split(text,' ')) AS n_tokens,
+        |  len(list_distinct(string_split(text,' '))) AS n_uniq,
+        |  len(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS n_bpe,
+        |  CAST(length(text) - len(string_split(text,' ')) + 1 AS DOUBLE)
+        |    / len(string_split(text,' ')) AS mean_tok_len
+        |FROM documents ORDER BY doc_id""".stripMargin)) { (s, d) =>
+      docs(s, d).select(
+        col("doc_id"),
+        size(toks).cast(LongType).as("n_tokens"),
+        size(array_distinct(toks)).cast(LongType).as("n_uniq"),
+        size(expr("regexp_extract_all(text, '[a-z]+|[0-9]+', 0)")).cast(LongType).as("n_bpe"),
+        ((length(col("text")) - size(toks) + 1).cast(DoubleType) / size(toks))
+          .as("mean_tok_len"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Quality scoring: length/stopword/uniqueness ratios + a composite
+    // score — the standard pre-training corpus filters.
+    QueryDef("tx_quality", Some(
+      """SELECT doc_id, n_chars,
+        |  len(string_split(text,' ')) AS n_tokens,
+        |  CAST(len(list_filter(string_split(text,' '), t -> list_contains(['the','a'], t))) AS DOUBLE)
+        |    / len(string_split(text,' ')) AS stop_ratio,
+        |  CAST(len(list_distinct(string_split(text,' '))) AS DOUBLE)
+        |    / len(string_split(text,' ')) AS uniq_ratio,
+        |  (CASE WHEN n_chars BETWEEN 100 AND 5000 THEN 1 ELSE 0 END
+        |   + CASE WHEN len(list_distinct(string_split(text,' '))) * 2 >= len(string_split(text,' ')) THEN 1 ELSE 0 END
+        |   + CASE WHEN len(list_filter(string_split(text,' '), t -> list_contains(['the','a'], t))) > 0 THEN 1 ELSE 0 END) AS quality
+        |FROM documents ORDER BY doc_id""".stripMargin)) { (s, d) =>
+      val stops = size(filter(toks, t => t.isInCollection(Seq("the", "a"))))
+      docs(s, d).select(
+        col("doc_id"), col("n_chars"),
+        size(toks).cast(LongType).as("n_tokens"),
+        (stops.cast(DoubleType) / size(toks)).as("stop_ratio"),
+        (size(array_distinct(toks)).cast(DoubleType) / size(toks)).as("uniq_ratio"),
+        (when(col("n_chars").between(100, 5000), 1).otherwise(0)
+          + when(size(array_distinct(toks)) * 2 >= size(toks), 1).otherwise(0)
+          + when(stops > 0, 1).otherwise(0)).as("quality"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Language-ID: lexicon-hit scoring with deterministic argmax.
+    QueryDef("tx_langid", Some({
+      val scores = lex.map { case (l, ws) => s"${sqlHitCount(ws)} AS s_$l" }.mkString(",\n  ")
+      val gt = s"greatest(${lex.map(l => s"s_${l._1}").mkString(",")})"
+      val pred = lex.map(l => s"WHEN s_${l._1} = $gt THEN '${l._1}'").mkString(" ")
+      s"""SELECT doc_id, s_en, s_es, s_de, s_fr, s_zh,
+         |  CASE $pred END AS pred_lang
+         |FROM (SELECT doc_id, $scores FROM documents)
+         |ORDER BY doc_id""".stripMargin
+    })) { (s, d) =>
+      val scored = docs(s, d).select(
+        col("doc_id") +: lex.map { case (l, ws) => hitCount(ws).cast(LongType).as(s"s_$l") }: _*)
+      val gt = greatest(lex.map(l => col(s"s_${l._1}")): _*)
+      val pred = lex.tail.foldLeft(when(col("s_en") === gt, "en")) { case (w, (l, _)) =>
+        w.when(col(s"s_$l") === gt, l)
+      }
+      scored.withColumn("pred_lang", pred).orderBy(col("doc_id"))
+    },
+
+    // Document fingerprinting: md5 over the sorted distinct token set —
+    // an order-insensitive content fingerprint (catches shuffled
+    // near-duplicates that byte-hashing misses).
+    QueryDef("tx_fingerprint", Some(
+      """SELECT doc_id,
+        |  md5(array_to_string(list_sort(list_distinct(string_split(text,' '))),' ')) AS fp,
+        |  md5(text) AS exact_fp
+        |FROM documents ORDER BY doc_id""".stripMargin)) { (s, d) =>
+      docs(s, d).select(
+        col("doc_id"),
+        md5(concat_ws(" ", array_sort(array_distinct(toks)))).as("fp"),
+        md5(col("text")).as("exact_fp"))
+        .orderBy(col("doc_id"))
+    }
+  )
+}

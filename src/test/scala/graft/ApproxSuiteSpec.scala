@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Quality gates for the approximate (non-oracle) operators: each is
+  * measured against its exact counterpart on the sf0.01 fixtures.
+  * Everything is deterministic (seeded hashes, fixed data), so these are
+  * exact assertions, not flaky statistical ones. */
+class ApproxSuiteSpec extends AnyFunSuite {
+  private val sfDir = "/root/testdata/sf0.01"
+  private lazy val spark: SparkSession = GraftSession.local(4)
+
+  private def run(name: String) = SparkEntry.queries(name)(spark, sfDir)
+
+  test("minhash-lsh recall vs exact ngram jaccard") {
+    val exact = run("dd_ngram_jaccard").select("doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = run("dd_minhash_lsh").select("doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "exact baseline found no near-dup pairs")
+    val recall = (exact & lsh).size.toDouble / exact.size
+    info(s"exact=${exact.size} lsh=${lsh.size} recall=$recall")
+    assert(recall >= 0.8, s"LSH recall $recall below 0.8 (found ${lsh.size}, exact ${exact.size})")
+  }
+
+  test("simhash finds the shuffled/mutated near-dup pairs") {
+    val sim = run("dd_simhash").select("doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = run("dd_ngram_jaccard").select("doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    info(s"simhash=${sim.size} exact=${exact.size} overlap=${(sim & exact).size}")
+    assert(sim.nonEmpty, "simhash found no candidate pairs")
+    // simhash (token-multiset signal) must recover a majority of the
+    // high-jaccard pairs the shingle baseline finds
+    assert((sim & exact).size.toDouble / exact.size >= 0.5)
+  }
+
+  test("lsh ann recall@10 vs brute force") {
+    val brute = run("ann_brute_topk").select("qid", "vec_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = run("ann_lsh_topk").select("qid", "vec_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute & lsh).size.toDouble / brute.size
+    info(s"recall@10 = $recall")
+    assert(recall >= 0.5, s"LSH ANN recall@10 $recall below 0.5")
+  }
+
+  test("kll default-k quantiles within rank tolerance of exact") {
+    import org.apache.spark.sql.functions._
+    val li = graft.sources.Tables.load(spark, sfDir, "lineitem")
+    val approx = li.agg(expr(
+      "kll_sketch_get_quantile_double(kll_sketch_agg_double(l_extendedprice), array(0.5))"))
+      .head().getSeq[Double](0).head
+    // normalized rank of the approximate median must be within KLL's
+    // default-k error bound (~1.65% at k=200, we allow 3%)
+    val n = li.count().toDouble
+    val rank = li.filter(col("l_extendedprice") <= approx).count() / n
+    info(s"approx median=$approx rank=$rank")
+    assert(math.abs(rank - 0.5) < 0.03)
+  }
+
+  test("custom expressions are deterministic across partitionings") {
+    import org.apache.spark.sql.functions._
+    import graft.functions._
+    val docs = graft.sources.Tables.load(spark, sfDir, "documents")
+    val a = docs.repartition(1).select(col("doc_id"), simhash64(split(col("text"), " ")).as("f"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val b = docs.repartition(7).select(col("doc_id"), simhash64(split(col("text"), " ")).as("f"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(a == b)
+  }
+}
