@@ -15,7 +15,7 @@ object SparkEntry {
 
   private val allDefs: Seq[QueryDef] =
     CoreQueries.defs ++ SketchQueries.defs ++ TextQueries.defs ++
-      DedupQueries.defs ++ SimilarityQueries.defs
+      DedupQueries.defs ++ SimilarityQueries.defs ++ BqlQueries.defs
 
   private val (queryMap, oracleMap) = QueryDef.toMaps(allDefs)
 

@@ -1,0 +1,64 @@
+package graft.bql
+
+/** BQL abstract syntax — the query surface of the reference engine.
+  *
+  * The reference receives pre-built bullet-core `Query` ASTs over PubSub
+  * (`/root/reference/src/main/scala/com/yahoo/bullet/spark/utils/BulletSparkUtils.scala:36-38`
+  * deserializes them; the textual BQL→AST step lives in Bullet's web
+  * service, outside the repo). Our engine owns the whole path, so the AST
+  * mirrors the bullet-core query model (SURVEY.md §2.B): filter →
+  * projection → aggregation → window → post-aggregations, plus duration.
+  */
+object Ast {
+
+  // ---- expressions (B3) ----
+  sealed trait Expr
+  final case class FieldRef(path: String) extends Expr
+  final case class Lit(value: Any) extends Expr
+  final case class ListLit(items: Seq[Expr]) extends Expr
+  final case class Unary(op: String, e: Expr) extends Expr // NOT, -, SIZEOF, ISNULL, ISNOTNULL, ABS, LOWER, UPPER, TRIM
+  final case class Binary(op: String, l: Expr, r: Expr) extends Expr // + - * / % == != > >= < <= AND OR XOR LIKE RLIKE IN
+  final case class If(cond: Expr, t: Expr, f: Expr) extends Expr
+  final case class Between(e: Expr, lo: Expr, hi: Expr) extends Expr
+  final case class Cast(e: Expr, to: String) extends Expr
+  /** Parser-internal: aggregate call in a select list; resolved into an
+    * [[Agg]] before the Query is built and never reaches the compiler. */
+  private[bql] final case class AggCall(fn: String, arg0: Option[Int], distinct: Boolean,
+      fields: Seq[String], probs: Seq[Double], arg: Option[Expr]) extends Expr
+
+  // ---- select list (B2) ----
+  final case class SelectItem(expr: Expr, alias: Option[String])
+
+  // ---- aggregations (B4-B8) ----
+  sealed trait Agg
+  case object RawAll extends Agg // SELECT * / plain projection (RAW)
+  final case class GroupAgg(keys: Seq[SelectItem], ops: Seq[AggOp]) extends Agg // GROUP BY (or GroupAll when keys empty)
+  final case class CountDistinctAgg(fields: Seq[String], name: String) extends Agg
+  final case class TopKAgg(k: Int, fields: Seq[String], countName: String) extends Agg
+  final case class QuantileAgg(field: String, probs: Seq[Double], name: String) extends Agg
+
+  final case class AggOp(fn: String, arg: Option[Expr], name: String) // COUNT SUM MIN MAX AVG
+
+  // ---- windows (B13) ----
+  sealed trait WindowUnit
+  case object TimeUnit extends WindowUnit
+  case object RecordUnit extends WindowUnit
+  /** includeAll=true = `ALL` (cumulative since query start); false =
+    * `WINDOW` (reset after each emit — tumbling). */
+  final case class WindowSpec(every: Long, unit: WindowUnit, includeAll: Boolean)
+
+  // ---- post-aggregations (B9-B12) ----
+  final case class OrderItem(expr: Expr, desc: Boolean)
+
+  /** A complete query (B14: durationMs; limit doubles as RAW size). */
+  final case class Query(
+      select: Seq[SelectItem], // empty = SELECT *
+      where: Option[Expr],
+      agg: Agg,
+      having: Option[Expr],
+      orderBy: Seq[OrderItem],
+      limit: Option[Int],
+      window: Option[WindowSpec],
+      durationMs: Option[Long],
+      culling: Seq[String])
+}

@@ -1,0 +1,147 @@
+package graft.bql
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import Ast._
+
+/** BQL AST → Catalyst translation.
+  *
+  * Pure declarative mapping (SURVEY.md §2.B B3 table): every Bullet
+  * expression/op maps 1:1 to a `Column` operation, so Catalyst gets the
+  * whole tree — predicate pushdown, constant folding and codegen apply to
+  * BQL queries exactly as to hand-written DataFrame code. No custom
+  * Expression is needed for any B3 op.
+  */
+object Compiler {
+
+  def column(e: Expr): Column = e match {
+    case FieldRef(p) => col(p)
+    case Lit(null) => lit(null)
+    case Lit(v) => lit(v)
+    case ListLit(items) => array(items.map(column): _*)
+    case If(c, t, f) => when(column(c), column(t)).otherwise(column(f))
+    case Between(e1, lo, hi) => column(e1).between(column(lo), column(hi))
+    case Cast(e1, to) =>
+      val dt = to match {
+        case "INTEGER" | "INT" => IntegerType
+        case "LONG" | "BIGINT" => LongType
+        case "FLOAT" => FloatType
+        case "DOUBLE" => DoubleType
+        case "STRING" => StringType
+        case "BOOLEAN" => BooleanType
+        case other => throw new BqlParseException(s"bad cast target $other")
+      }
+      column(e1).cast(dt)
+    case Unary(op, e1) =>
+      val c = column(e1)
+      op match {
+        case "NOT" => !c
+        case "-" => -c
+        case "ABS" => abs(c)
+        case "LOWER" => lower(c)
+        case "UPPER" => upper(c)
+        case "TRIM" => trim(c)
+        case "SIZEOF" => size(c)
+        case "ISNULL" => c.isNull
+        case "ISNOTNULL" => c.isNotNull
+        case other => throw new BqlParseException(s"bad unary op $other")
+      }
+    case Binary(op, l, r) =>
+      val (cl, cr) = (column(l), column(r))
+      op match {
+        case "+" => cl + cr
+        case "-" => cl - cr
+        case "*" => cl * cr
+        case "/" => cl / cr
+        case "%" => cl % cr
+        case "==" => cl === cr
+        case "!=" => cl =!= cr
+        case ">" => cl > cr
+        case ">=" => cl >= cr
+        case "<" => cl < cr
+        case "<=" => cl <= cr
+        case "AND" => cl && cr
+        case "OR" => cl || cr
+        case "XOR" => cl =!= cr
+        case "LIKE" => cl.like(r.asInstanceOf[Lit].value.toString)
+        case "RLIKE" => cl.rlike(r.asInstanceOf[Lit].value.toString)
+        case "IN" => cl.isin(r.asInstanceOf[ListLit].items.map(_.asInstanceOf[Lit].value): _*)
+        case other => throw new BqlParseException(s"bad binary op $other")
+      }
+    case other => throw new BqlParseException(s"unsupported expression $other")
+  }
+
+  private def aggColumn(op: AggOp): Column = {
+    val c = op.arg.map(column)
+    val a = op.fn match {
+      case "COUNT" => c.map(count).getOrElse(count(lit(1)))
+      case "SUM" => sum(c.get)
+      case "MIN" => min(c.get)
+      case "MAX" => max(c.get)
+      case "AVG" => avg(c.get)
+      case other => throw new BqlParseException(s"bad aggregate $other")
+    }
+    a.as(op.name)
+  }
+
+  private def selectItemCol(s: SelectItem, i: Int): Column = {
+    val c = column(s.expr)
+    s.alias.orElse(s.expr match {
+      case FieldRef(p) => Some(p)
+      case _ => None
+    }).map(c.as).getOrElse(c.as(s"expr_$i"))
+  }
+
+  /** Compile to a batch plan `DataFrame => DataFrame` — the same plan runs
+    * the DuckDB-checked batch path and each micro-batch of the streaming
+    * engine (partials; the window/duration semantics live in the runtime). */
+  def batchPlan(q: Query): DataFrame => DataFrame = { df0 =>
+    var df = df0
+    q.where.foreach(w => df = df.filter(column(w)))
+    df = q.agg match {
+      case RawAll =>
+        val projected =
+          if (q.select.isEmpty) df
+          else df.select(q.select.zipWithIndex.map { case (s, i) => selectItemCol(s, i) }: _*)
+        projected
+      case GroupAgg(keys, ops) =>
+        val keyCols = keys.zipWithIndex.map { case (s, i) => selectItemCol(s, i) }
+        val aggCols = ops.map(aggColumn)
+        if (keyCols.isEmpty) df.agg(aggCols.head, aggCols.tail: _*)
+        else df.groupBy(keyCols: _*).agg(aggCols.head, aggCols.tail: _*)
+      case CountDistinctAgg(fields, name) =>
+        // Theta-sketch estimate — mergeable partial state (B6)
+        df.agg(expr(s"theta_sketch_estimate(theta_sketch_agg(${compositeKey(fields)}))").as(name))
+      case TopKAgg(k, fields, countName) =>
+        df.groupBy(fields.map(col): _*)
+          .agg(count(lit(1)).as(countName))
+          .orderBy(col(countName).desc +: fields.map(col): _*)
+          .limit(k)
+      case QuantileAgg(field, probs, name) =>
+        val ps = if (probs.nonEmpty) probs else Seq(0.25, 0.5, 0.75)
+        df.agg(expr(s"kll_sketch_get_quantile_double(kll_sketch_agg_double($field, 65535)," +
+            s" array(${ps.mkString(",")}))").as("__qv"))
+          .select(posexplode(col("__qv")).as(Seq("__i", name)))
+          .select(element_at(lit(ps.toArray), col("__i") + 1).as("quantile"), col(name))
+    }
+    q.having.foreach(h => df = df.filter(column(h)))
+    if (q.orderBy.nonEmpty)
+      df = df.orderBy(q.orderBy.map(o =>
+        if (o.desc) column(o.expr).desc else column(o.expr).asc): _*)
+    if (q.culling.nonEmpty) df = df.drop(q.culling: _*)
+    q.limit.foreach(n => df = df.limit(n))
+    df
+  }
+
+  def compositeKey(fields: Seq[String]): String =
+    if (fields.size == 1) fields.head
+    else s"concat_ws('|', ${fields.mkString(", ")})"
+
+  /** Parse + compile in one step. */
+  def compile(bql: String): (Query, DataFrame => DataFrame) = {
+    val q = Parser.parse(bql)
+    (q, batchPlan(q))
+  }
+}

@@ -1,0 +1,307 @@
+package graft.bql
+
+import scala.util.matching.Regex
+
+import Ast._
+
+/** Hand-rolled recursive-descent BQL parser (no parser-combinator
+  * dependency — the classpath is frozen). Grammar subset:
+  *
+  * {{{
+  * SELECT <*|items> FROM STREAM
+  *   [WHERE expr] [GROUP BY items] [HAVING expr]
+  *   [ORDER BY expr [ASC|DESC], ...]
+  *   [WINDOWING EVERY(n, TIME|RECORD, ALL|WINDOW) | TUMBLING(n, TIME|RECORD)]
+  *   [LIMIT n] [DURATION n] [CULL f, ...]
+  * }}}
+  *
+  * Aggregate select items: COUNT(*), COUNT(DISTINCT f,...), SUM/MIN/MAX/AVG,
+  * TOP(k, f,...), QUANTILE(f, p,...). Expression ops per SURVEY.md §2.B B3.
+  * Parse errors throw [[BqlParseException]] — the engine turns them into the
+  * error channel (B16), never a crash.
+  */
+final class BqlParseException(msg: String) extends Exception(msg)
+
+object Parser {
+
+  private val TokenRe: Regex =
+    """\s*(?:(>=|<=|!=|==|<>|[(),*+\-/%<>=\[\]])|('(?:[^'\\]|\\.)*')|([A-Za-z_][A-Za-z0-9_.$]*)|(-?\d+\.\d+(?:[eE][+-]?\d+)?|-?\d+))""".r
+
+  private def tokenize(s: String): Vector[String] = {
+    var rest = s.trim
+    val out = Vector.newBuilder[String]
+    while (rest.nonEmpty) {
+      TokenRe.findPrefixMatchOf(rest) match {
+        case Some(m) =>
+          out += m.group(0).trim
+          rest = rest.substring(m.end)
+        case None => throw new BqlParseException(s"unrecognized input at: '${rest.take(20)}'")
+      }
+      rest = rest.dropWhile(_.isWhitespace)
+    }
+    out.result()
+  }
+
+  def parse(bql: String): Query = new P(tokenize(bql)).query()
+
+  private final class P(toks: Vector[String]) {
+    private var pos = 0
+    private def peek: String = if (pos < toks.length) toks(pos) else ""
+    private def peekUp: String = peek.toUpperCase
+    private def next(): String = { val t = peek; pos += 1; t }
+    private def expect(t: String): Unit = {
+      if (peekUp != t.toUpperCase)
+        throw new BqlParseException(s"expected $t but found '${peek}'")
+      pos += 1
+    }
+    private def accept(t: String): Boolean =
+      if (peekUp == t.toUpperCase) { pos += 1; true } else false
+
+    private val aggFns = Set("COUNT", "SUM", "MIN", "MAX", "AVG", "TOP", "QUANTILE")
+    private val scalarFns = Set("ABS", "LOWER", "UPPER", "TRIM", "SIZEOF", "ISNULL", "ISNOTNULL", "IF", "CAST")
+
+    def query(): Query = {
+      expect("SELECT")
+      val star = accept("*")
+      val items = if (star) Nil else selectList()
+      expect("FROM"); expect("STREAM")
+      val where = if (accept("WHERE")) Some(expr()) else None
+      val groupKeys =
+        if (accept("GROUP")) { expect("BY"); selectList() } else Nil
+      val having = if (accept("HAVING")) Some(expr()) else None
+      val order =
+        if (accept("ORDER")) {
+          expect("BY")
+          val b = Vector.newBuilder[OrderItem]
+          do {
+            val e = expr()
+            val desc = if (accept("DESC")) true else { accept("ASC"); false }
+            b += OrderItem(e, desc)
+          } while (accept(","))
+          b.result()
+        } else Nil
+      val window = if (accept("WINDOWING")) Some(windowSpec()) else None
+      val limit = if (accept("LIMIT")) Some(next().toInt) else None
+      val duration = if (accept("DURATION")) Some(next().toLong) else None
+      val culling =
+        if (accept("CULL")) {
+          val b = Vector.newBuilder[String]
+          do b += next() while (accept(","))
+          b.result()
+        } else Nil
+      if (pos < toks.length)
+        throw new BqlParseException(s"trailing input at '${peek}'")
+
+      val aggItems = items.collect { case s @ SelectItem(a: AggCall, _) => (s, a) }
+      val agg: Agg =
+        if (aggItems.isEmpty && groupKeys.isEmpty) RawAll
+        else aggItems match {
+          case Seq((SelectItem(_, alias), AggCall("COUNT", _, true, fields, _, _)))
+              if groupKeys.isEmpty =>
+            CountDistinctAgg(fields, alias.getOrElse("count_distinct"))
+          case Seq((SelectItem(_, alias), AggCall("TOP", Some(k), _, fields, _, _)))
+              if groupKeys.isEmpty =>
+            TopKAgg(k, fields, alias.getOrElse("count"))
+          case Seq((SelectItem(_, alias), AggCall("QUANTILE", _, _, fields, probs, _)))
+              if groupKeys.isEmpty =>
+            QuantileAgg(fields.head, probs, alias.getOrElse("quantile"))
+          case _ =>
+            val ops = aggItems.zipWithIndex.map { case ((SelectItem(_, alias), a), i) =>
+              if (a.distinct || a.fn == "TOP" || a.fn == "QUANTILE")
+                throw new BqlParseException(
+                  s"${a.fn}${if (a.distinct) " DISTINCT" else ""} cannot mix with GROUP BY / other aggregates")
+              AggOp(a.fn, a.arg, alias.getOrElse(s"${a.fn.toLowerCase}_$i"))
+            }
+            GroupAgg(groupKeys, ops)
+        }
+      val plainSelect = items.filterNot(_.expr.isInstanceOf[AggCall])
+      Query(plainSelect, where, agg, having, order, limit, window, duration, culling)
+    }
+
+    private def windowSpec(): WindowSpec = {
+      val kind = next().toUpperCase
+      expect("(")
+      val n = next().toLong
+      expect(",")
+      val unit = next().toUpperCase match {
+        case "TIME" => TimeUnit
+        case "RECORD" => RecordUnit
+        case u => throw new BqlParseException(s"bad window unit $u")
+      }
+      val includeAll = kind match {
+        case "EVERY" =>
+          expect(",")
+          next().toUpperCase match {
+            case "ALL" => true
+            case "WINDOW" => false
+            case i => throw new BqlParseException(s"bad window include $i")
+          }
+        case "TUMBLING" => false
+        case k => throw new BqlParseException(s"bad window kind $k")
+      }
+      expect(")")
+      WindowSpec(n, unit, includeAll)
+    }
+
+    private def selectList(): Seq[SelectItem] = {
+      val b = Vector.newBuilder[SelectItem]
+      do {
+        val e = expr()
+        val alias = if (accept("AS")) Some(next()) else None
+        b += SelectItem(e, alias)
+      } while (accept(","))
+      b.result()
+    }
+
+    private type AggCall = Ast.AggCall
+    private val AggCall = Ast.AggCall
+
+    // precedence: OR < XOR < AND < NOT < cmp/IN/LIKE/BETWEEN < add < mul < unary < primary
+    def expr(): Expr = orExpr()
+
+    private def orExpr(): Expr = {
+      var l = xorExpr()
+      while (accept("OR")) l = Binary("OR", l, xorExpr())
+      l
+    }
+    private def xorExpr(): Expr = {
+      var l = andExpr()
+      while (accept("XOR")) l = Binary("XOR", l, andExpr())
+      l
+    }
+    private def andExpr(): Expr = {
+      var l = notExpr()
+      while (accept("AND")) l = Binary("AND", l, notExpr())
+      l
+    }
+    private def notExpr(): Expr =
+      if (accept("NOT")) Unary("NOT", notExpr()) else cmpExpr()
+
+    private def cmpExpr(): Expr = {
+      val l = addExpr()
+      peekUp match {
+        case "==" | "=" | "!=" | "<>" | ">" | ">=" | "<" | "<=" =>
+          val op = next() match {
+            case "=" | "==" => "=="
+            case "<>" | "!=" => "!="
+            case o => o
+          }
+          Binary(op, l, addExpr())
+        case "IN" =>
+          next(); Binary("IN", l, listLit())
+        case "LIKE" =>
+          next(); Binary("LIKE", l, addExpr())
+        case "RLIKE" =>
+          next(); Binary("RLIKE", l, addExpr())
+        case "IS" =>
+          next()
+          if (accept("NOT")) { expect("NULL"); Unary("ISNOTNULL", l) }
+          else { expect("NULL"); Unary("ISNULL", l) }
+        case "BETWEEN" =>
+          next()
+          val lo = addExpr(); expect("AND"); Between(l, lo, addExpr())
+        case _ => l
+      }
+    }
+
+    private def listLit(): Expr = {
+      expect("(")
+      val b = Vector.newBuilder[Expr]
+      do b += expr() while (accept(","))
+      expect(")")
+      ListLit(b.result())
+    }
+
+    private def addExpr(): Expr = {
+      var l = mulExpr()
+      while (peek == "+" || peek == "-") {
+        val op = next()
+        l = Binary(op, l, mulExpr())
+      }
+      l
+    }
+    private def mulExpr(): Expr = {
+      var l = unaryExpr()
+      while (peek == "*" || peek == "/" || peek == "%") {
+        val op = next()
+        l = Binary(op, l, unaryExpr())
+      }
+      l
+    }
+    private def unaryExpr(): Expr =
+      if (peek == "-") { next(); Unary("-", unaryExpr()) } else primary()
+
+    private def primary(): Expr = {
+      val t = peek
+      if (t == "(") { next(); val e = expr(); expect(")"); return e }
+      if (t.startsWith("'")) {
+        next()
+        return Lit(t.substring(1, t.length - 1).replace("\\'", "'"))
+      }
+      if (t.nonEmpty && (t(0).isDigit || (t(0) == '-' && t.length > 1))) {
+        next()
+        return if (t.contains('.') || t.toLowerCase.contains('e')) Lit(t.toDouble)
+        else Lit(t.toLong)
+      }
+      val up = t.toUpperCase
+      if (up == "TRUE") { next(); return Lit(true) }
+      if (up == "FALSE") { next(); return Lit(false) }
+      if (up == "NULL") { next(); return Lit(null) }
+      if (aggFns.contains(up)) return aggCall()
+      if (scalarFns.contains(up)) return scalarCall()
+      // plain field path
+      next()
+      FieldRef(t)
+    }
+
+    private def aggCall(): Expr = {
+      val fn = next().toUpperCase
+      expect("(")
+      fn match {
+        case "COUNT" =>
+          if (accept("*")) { expect(")"); AggCall("COUNT", None, distinct = false, Nil, Nil, None) }
+          else if (accept("DISTINCT")) {
+            val fs = Vector.newBuilder[String]
+            do fs += next() while (accept(","))
+            expect(")")
+            AggCall("COUNT", None, distinct = true, fs.result(), Nil, None)
+          } else {
+            val e = expr(); expect(")")
+            AggCall("COUNT", None, distinct = false, Nil, Nil, Some(e))
+          }
+        case "TOP" =>
+          val k = next().toInt
+          expect(",")
+          val fs = Vector.newBuilder[String]
+          do fs += next() while (accept(","))
+          expect(")")
+          AggCall("TOP", Some(k), distinct = false, fs.result(), Nil, None)
+        case "QUANTILE" =>
+          val f = next()
+          val ps = Vector.newBuilder[Double]
+          while (accept(",")) ps += next().toDouble
+          expect(")")
+          AggCall("QUANTILE", None, distinct = false, Seq(f), ps.result(), None)
+        case _ =>
+          val e = expr(); expect(")")
+          AggCall(fn, None, distinct = false, Nil, Nil, Some(e))
+      }
+    }
+
+    private def scalarCall(): Expr = {
+      val fn = next().toUpperCase
+      expect("(")
+      fn match {
+        case "IF" =>
+          val c = expr(); expect(","); val a = expr(); expect(","); val b = expr(); expect(")")
+          If(c, a, b)
+        case "CAST" =>
+          val e = expr(); expect(","); val ty = next(); expect(")")
+          Cast(e, ty.toUpperCase)
+        case _ =>
+          val e = expr(); expect(")")
+          Unary(fn, e)
+      }
+    }
+  }
+}

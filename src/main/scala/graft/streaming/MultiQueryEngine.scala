@@ -1,0 +1,195 @@
+package graft.streaming
+
+import java.util.concurrent.ConcurrentLinkedQueue
+
+import scala.collection.concurrent.TrieMap
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.bql.{Ast, BqlParseException, Compiler, Parser}
+
+/** The multi-query streaming runtime — Bullet's defining capability,
+  * re-expressed Spark-first.
+  *
+  * The reference maintains the live query set with `updateStateByKey`, then
+  * per batch collects it to the driver and broadcasts it into a
+  * mapPartitions nested-loop over records
+  * (`/root/reference/src/main/scala/com/yahoo/bullet/spark/QueryDataUnioning.scala:38-58`,
+  * `FilterStreaming.scala:43-67`). Our design collapses that: the registry
+  * IS driver state (queries attach/detach between micro-batches, same
+  * batch-boundary admission semantics, SURVEY.md §3.2), and each active
+  * query's *compiled Catalyst plan* runs over the shared micro-batch
+  * DataFrame — so per-record work is whole-stage-codegen'd filter/agg
+  * instead of interpreted per-record Querier calls, and each query's
+  * executor→driver traffic is a bounded partial (see [[QueryState]]).
+  *
+  * Lifecycle semantics implemented here (SURVEY.md §2.B):
+  *  - B13 windows: TIME (processing-time, closed at batch boundaries — the
+  *    reference's exact behavior) and RECORD count windows; `ALL`
+  *    (cumulative) vs `WINDOW` (reset) include modes.
+  *  - B14 duration: wall-clock query lifetime; final result + COMPLETE.
+  *  - B15 rate limiting: max emits per interval; breach → FAIL + KILL.
+  *  - B16 error channel: parse/validation errors emit a FAIL clip, never
+  *    execute.
+  *  - B17 signals: external kill() tears down state and emits KILL.
+  */
+final class MultiQueryEngine(
+    spark: SparkSession,
+    clock: () => Long = () => System.currentTimeMillis(),
+    rateLimitMaxEmits: Int = Int.MaxValue,
+    rateLimitIntervalMs: Long = 1000L) {
+
+  private final class Live(
+      val id: String,
+      val query: Ast.Query,
+      val state: QueryState,
+      val submittedAt: Long) {
+    val filter: Option[org.apache.spark.sql.Column] = query.where.map(Compiler.column)
+    var windowStart: Long = submittedAt
+    var windowRecords: Long = 0L
+    var emitsInInterval: Int = 0
+    var intervalStart: Long = submittedAt
+    var batchesSeen: Long = 0L
+  }
+
+  private val live = TrieMap.empty[String, Live]
+  val results = new ConcurrentLinkedQueue[ResultMessage]()
+
+  def activeQueryIds: Seq[String] = live.keys.toSeq.sorted
+
+  /** Submit a BQL query (A1/A4: admission is effective at the next batch
+    * boundary, like the reference's two-batch admission). Parse errors go
+    * to the result channel (B16) and return Left. */
+  def submit(id: String, bql: String): Either[String, Unit] =
+    try {
+      val q = Parser.parse(bql)
+      val now = clock()
+      live.put(id, new Live(id, q, QueryState.forQuery(q), now))
+      Right(())
+    } catch {
+      case e: BqlParseException =>
+        emit(id, ResultKind.Fail, Clip(
+          Map("query_id" -> id, "errors" -> Seq(e.getMessage)), Seq.empty))
+        Left(e.getMessage)
+    }
+
+  /** External KILL signal (B17). */
+  def kill(id: String): Unit =
+    live.remove(id).foreach { _ =>
+      emit(id, ResultKind.Kill, Clip(Map("query_id" -> id, "signal" -> "KILL"), Seq.empty))
+    }
+
+  private def emit(id: String, kind: ResultKind.Value, clip: Clip): Unit =
+    results.add(ResultMessage(id, kind, clip))
+
+  private def presentClip(l: Live, kind: ResultKind.Value, extraMeta: Map[String, Any]): Unit = {
+    val rows = l.state.present(spark)
+    emit(l.id, kind, Clip.ofRows(
+      Map("query_id" -> l.id, "emitted_at" -> clock()) ++ extraMeta, rows))
+  }
+
+  /** Rate-limit check (B15): emits counted per interval. Returns true if
+    * the query must be killed. */
+  private def noteEmitAndCheckRate(l: Live): Boolean = {
+    val now = clock()
+    if (now - l.intervalStart >= rateLimitIntervalMs) {
+      l.intervalStart = now
+      l.emitsInInterval = 0
+    }
+    l.emitsInInterval += 1
+    l.emitsInInterval > rateLimitMaxEmits
+  }
+
+  /** Process one micro-batch for every live query. Called from
+    * `foreachBatch` (streaming) or directly (tests / batch replay). */
+  def processBatch(batch: DataFrame): Unit = {
+    if (live.isEmpty) return
+    val cached = batch.persist()
+    try {
+      live.values.toSeq.sortBy(_.id).foreach { l =>
+        try processOne(l, cached)
+        catch {
+          case e: Exception =>
+            live.remove(l.id)
+            emit(l.id, ResultKind.Fail, Clip(
+              Map("query_id" -> l.id, "errors" -> Seq(String.valueOf(e.getMessage))), Seq.empty))
+        }
+      }
+    } finally {
+      cached.unpersist()
+    }
+  }
+
+  private def processOne(l: Live, batch: DataFrame): Unit = {
+    val now = clock()
+    l.batchesSeen += 1
+    val filtered = l.filter.map(batch.filter).getOrElse(batch)
+    val consumed = l.state.update(filtered)
+    l.windowRecords += consumed
+
+    // RAW completion (B4): limit reached → final result + COMPLETE.
+    if (l.state.isDone) {
+      finish(l, now); return
+    }
+    // duration (B14)
+    val expired = l.query.durationMs.exists(d => now - l.submittedAt >= d)
+    if (expired) {
+      finish(l, now); return
+    }
+    // windows (B13): closed at batch boundaries, like the reference.
+    l.query.window.foreach { w =>
+      val shouldEmit = w.unit match {
+        case Ast.TimeUnit => now - l.windowStart >= w.every
+        case Ast.RecordUnit => l.windowRecords >= w.every
+      }
+      if (shouldEmit) {
+        presentClip(l, ResultKind.Window, Map("window_start" -> l.windowStart, "records" -> l.windowRecords))
+        l.windowStart = now
+        l.windowRecords = 0L
+        if (!w.includeAll) l.state.reset()
+        if (noteEmitAndCheckRate(l)) {
+          live.remove(l.id)
+          emit(l.id, ResultKind.Fail, Clip(
+            Map("query_id" -> l.id, "errors" -> Seq("rate limit exceeded"), "signal" -> "KILL"),
+            Seq.empty))
+        }
+      }
+    }
+  }
+
+  private def finish(l: Live, now: Long): Unit = {
+    live.remove(l.id)
+    presentClip(l, ResultKind.Complete, Map("signal" -> "COMPLETE", "finished_at" -> now))
+  }
+
+  /** Close out expired queries even when no data arrives (the reference's
+    * timeout path runs in the state stage each batch regardless of data,
+    * `QueryDataUnioning.scala:71-73`). */
+  def tick(): Unit = {
+    val now = clock()
+    live.values.toSeq.sortBy(_.id)
+      .filter(l => l.query.durationMs.exists(d => now - l.submittedAt >= d))
+      .foreach(finish(_, now))
+  }
+
+  /** Attach to a streaming Dataset (A2/A7): one shared stream consumed by
+    * every registered query via foreachBatch. */
+  def attach(stream: DataFrame, triggerMs: Long = 1000L): StreamingQuery =
+    stream.writeStream
+      .trigger(Trigger.ProcessingTime(triggerMs))
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        processBatch(df)
+        tick()
+      }
+      .start()
+
+  /** Drain accumulated results (test/driver convenience). */
+  def drainResults(): Seq[ResultMessage] = {
+    val out = Vector.newBuilder[ResultMessage]
+    var m = results.poll()
+    while (m != null) { out += m; m = results.poll() }
+    out.result()
+  }
+}

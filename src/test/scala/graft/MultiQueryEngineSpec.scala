@@ -1,0 +1,210 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.Tables
+import graft.streaming.{MultiQueryEngine, ResultKind}
+
+/** Streaming multi-query runtime semantics (SURVEY.md §2.B B13–B17):
+  * batch-replay of the events fixture through processBatch with an
+  * injected clock — the Structured-Streaming analog of the reference's
+  * FixedClock harness (BulletSparkTest.scala:58). */
+class MultiQueryEngineSpec extends AnyFunSuite {
+  private val sfDir = "/root/testdata/sf0.001"
+  private lazy val spark: SparkSession = GraftSession.local(4)
+
+  private var now: Long = 0L
+  private def newEngine(maxEmits: Int = Int.MaxValue, intervalMs: Long = 1000L) = {
+    now = 1000000L
+    new MultiQueryEngine(spark, () => now, maxEmits, intervalMs)
+  }
+
+  private def events: DataFrame = Tables.load(spark, sfDir, "events")
+  private def batches(n: Int): Seq[DataFrame] = {
+    val total = 1000
+    val per = total / n
+    (0 until n).map(i => events.filter(
+      col("event_id") >= i * per && col("event_id") < (i + 1) * per))
+  }
+
+  test("RAW limit-k completes at k (B4)") {
+    val e = newEngine()
+    assert(e.submit("q1", "SELECT event_id, event_type FROM STREAM LIMIT 5").isRight)
+    e.processBatch(batches(4).head)
+    val rs = e.drainResults()
+    assert(rs.map(_.kind) == Seq(ResultKind.Complete))
+    assert(rs.head.clip.records.size == 5)
+    assert(e.activeQueryIds.isEmpty)
+  }
+
+  test("cumulative GROUP ALL count across batches (B5 + ALL window)") {
+    val e = newEngine()
+    e.submit("q2", "SELECT COUNT(*) AS cnt FROM STREAM WINDOWING EVERY(1, RECORD, ALL)")
+    val bs = batches(4)
+    bs.foreach { b => e.processBatch(b); now += 10 }
+    val rs = e.drainResults()
+    assert(rs.size == 4)
+    val counts = rs.map(_.clip.records.head("cnt").asInstanceOf[Long])
+    assert(counts == Seq(250L, 500L, 750L, 1000L), s"got $counts")
+  }
+
+  test("tumbling RECORD window resets state (B13 WINDOW include)") {
+    val e = newEngine()
+    e.submit("q3", "SELECT COUNT(*) AS cnt FROM STREAM WINDOWING EVERY(250, RECORD, WINDOW)")
+    batches(4).foreach { b => e.processBatch(b); now += 10 }
+    val counts = e.drainResults().map(_.clip.records.head("cnt").asInstanceOf[Long])
+    assert(counts == Seq(250L, 250L, 250L, 250L), s"got $counts")
+  }
+
+  test("TIME window closes at batch boundary after interval (B13)") {
+    val e = newEngine()
+    e.submit("q4", "SELECT COUNT(*) AS cnt FROM STREAM WINDOWING EVERY(30, TIME, ALL)")
+    val bs = batches(4)
+    e.processBatch(bs(0)) // t=0: window open
+    now += 35
+    e.processBatch(bs(1)) // t=35: >= 30ms → emit
+    val rs = e.drainResults()
+    assert(rs.size == 1)
+    assert(rs.head.clip.records.head("cnt").asInstanceOf[Long] == 500L)
+  }
+
+  test("duration timeout emits final + COMPLETE (B14)") {
+    val e = newEngine()
+    e.submit("q5", "SELECT COUNT(*) AS cnt FROM STREAM DURATION 50")
+    e.processBatch(batches(4).head)
+    assert(e.drainResults().isEmpty)
+    now += 60
+    e.processBatch(batches(4)(1))
+    val rs = e.drainResults()
+    assert(rs.map(_.kind) == Seq(ResultKind.Complete))
+    assert(rs.head.clip.records.head("cnt").asInstanceOf[Long] == 500L)
+    assert(e.activeQueryIds.isEmpty)
+  }
+
+  test("tick() times out queries with no data flowing (B14)") {
+    val e = newEngine()
+    e.submit("q6", "SELECT COUNT(*) AS cnt FROM STREAM DURATION 50")
+    now += 100
+    e.tick()
+    assert(e.drainResults().map(_.kind) == Seq(ResultKind.Complete))
+  }
+
+  test("external KILL signal (B17)") {
+    val e = newEngine()
+    e.submit("q7", "SELECT COUNT(*) AS cnt FROM STREAM")
+    e.kill("q7")
+    val rs = e.drainResults()
+    assert(rs.map(_.kind) == Seq(ResultKind.Kill))
+    assert(e.activeQueryIds.isEmpty)
+  }
+
+  test("parse error goes to the error channel (B16)") {
+    val e = newEngine()
+    assert(e.submit("q8", "SELEKT broken FROM").isLeft)
+    val rs = e.drainResults()
+    assert(rs.map(_.kind) == Seq(ResultKind.Fail))
+    assert(e.activeQueryIds.isEmpty)
+  }
+
+  test("rate limit kills the query (B15)") {
+    val e = newEngine(maxEmits = 1, intervalMs = 1000000L)
+    e.submit("q9", "SELECT COUNT(*) AS cnt FROM STREAM WINDOWING EVERY(1, RECORD, ALL)")
+    val bs = batches(4)
+    e.processBatch(bs(0)) // emit 1: ok
+    e.processBatch(bs(1)) // emit 2: breach → FAIL + removed
+    val kinds = e.drainResults().map(_.kind)
+    assert(kinds == Seq(ResultKind.Window, ResultKind.Window, ResultKind.Fail))
+    assert(e.activeQueryIds.isEmpty)
+  }
+
+  test("COUNT DISTINCT merges theta sketches across batches (B6)") {
+    val e = newEngine()
+    e.submit("q10", "SELECT COUNT(DISTINCT user_id) AS nu FROM STREAM DURATION 1000")
+    batches(4).foreach(e.processBatch)
+    now += 2000
+    e.tick()
+    val rs = e.drainResults()
+    val exact = events.select(countDistinct(col("user_id"))).head().getLong(0)
+    assert(rs.head.clip.records.head("nu").asInstanceOf[Long] == exact)
+  }
+
+  test("TOP K merges counts across batches (B8)") {
+    val e = newEngine()
+    e.submit("q11", "SELECT TOP(3, event_type) AS cnt FROM STREAM DURATION 1000")
+    batches(4).foreach(e.processBatch)
+    now += 2000
+    e.tick()
+    val got = e.drainResults().head.clip.records
+      .map(r => (r("event_type").toString, r("cnt").asInstanceOf[Long]))
+    val exact = events.groupBy(col("event_type")).count()
+      .orderBy(col("count").desc, col("event_type")).limit(3).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == exact)
+  }
+
+  test("QUANTILE merges KLL sketches across batches (B7)") {
+    val e = newEngine()
+    e.submit("q12", "SELECT QUANTILE(value, 0.5) AS med FROM STREAM DURATION 1000")
+    batches(4).foreach(e.processBatch)
+    now += 2000
+    e.tick()
+    val med = e.drainResults().head.clip.records
+      .find(_("quantile") == 0.5).get("med").asInstanceOf[Double]
+    val exact = events.agg(expr("percentile(value, 0.5)")).head().getDouble(0)
+    assert(math.abs(med - exact) / math.abs(exact) < 0.05, s"median $med vs exact $exact")
+  }
+
+  test("GROUP BY with HAVING/ORDER through the streaming state (B5+B9+B11)") {
+    val e = newEngine()
+    e.submit("q13",
+      "SELECT event_type, COUNT(*) AS cnt, AVG(user_id) AS au FROM STREAM " +
+        "GROUP BY event_type HAVING cnt > 150 ORDER BY cnt DESC, event_type DURATION 1000")
+    batches(4).foreach(e.processBatch)
+    now += 2000
+    e.tick()
+    val got = e.drainResults().head.clip.records
+      .map(r => (r("event_type").toString, r("cnt").asInstanceOf[Long], r("au").asInstanceOf[Double]))
+    val exact = events.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("cnt"), avg(col("user_id")).as("au"))
+      .filter(col("cnt") > 150)
+      .orderBy(col("cnt").desc, col("event_type"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got == exact)
+  }
+
+  test("concurrent queries over one shared batch stream (A5 multi-query)") {
+    val e = newEngine()
+    e.submit("qa", "SELECT COUNT(*) AS cnt FROM STREAM WHERE event_type == 'click' WINDOWING EVERY(1, RECORD, ALL)")
+    e.submit("qb", "SELECT COUNT(*) AS cnt FROM STREAM WHERE event_type == 'view' WINDOWING EVERY(1, RECORD, ALL)")
+    e.submit("qc", "SELECT event_id FROM STREAM WHERE value > 499 LIMIT 3")
+    batches(2).foreach { b => e.processBatch(b); now += 10 }
+    val rs = e.drainResults()
+    val clicks = events.filter(col("event_type") === "click").count()
+    val views = events.filter(col("event_type") === "view").count()
+    val qaLast = rs.filter(_.queryId == "qa").last.clip.records.head("cnt")
+    val qbLast = rs.filter(_.queryId == "qb").last.clip.records.head("cnt")
+    assert(qaLast == clicks && qbLast == views)
+  }
+
+  test("structured streaming attach via MemoryStream (A2/A7)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, String, Double)]
+    val e = new MultiQueryEngine(spark) // real clock for the streaming path
+    e.submit("sq1", "SELECT COUNT(*) AS cnt FROM STREAM WINDOWING EVERY(1, RECORD, ALL)")
+    val df = mem.toDF().toDF("event_id", "event_type", "value")
+    val q = e.attach(df, triggerMs = 50L)
+    try {
+      mem.addData((1L, "click", 1.0), (2L, "view", 2.0))
+      q.processAllAvailable()
+      mem.addData((3L, "click", 3.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val counts = e.drainResults().filter(_.kind == ResultKind.Window)
+      .map(_.clip.records.head("cnt").asInstanceOf[Long])
+    assert(counts.nonEmpty && counts.last == 3L, s"got $counts")
+  }
+}
