@@ -15,7 +15,8 @@ object SparkEntry {
 
   private val allDefs: Seq[QueryDef] =
     CoreQueries.defs ++ SketchQueries.defs ++ TextQueries.defs ++
-      DedupQueries.defs ++ SimilarityQueries.defs ++ BqlQueries.defs
+      DedupQueries.defs ++ SimilarityQueries.defs ++ BqlQueries.defs ++
+      MultimodalQueries.defs
 
   private val (queryMap, oracleMap) = QueryDef.toMaps(allDefs)
 
