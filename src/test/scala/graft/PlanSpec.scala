@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.debug
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan discipline gates: the properties that carry these plans
+  * to 100 TB, asserted against the actual executed plans so a regression
+  * (lost pushdown, join strategy flip, codegen fallback) fails CI rather
+  * than a future bench run. */
+class PlanSpec extends AnyFunSuite {
+  private val sfDir = "/root/testdata/sf0.001"
+  private lazy val spark: SparkSession = GraftSession.local(4)
+
+  /** Execute (so AQE finalizes) and return the final physical plan. */
+  private def finalPlan(df: DataFrame): SparkPlan = {
+    df.write.format("noop").mode("overwrite").save()
+    df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+  }
+
+  private def planStr(name: String): String =
+    finalPlan(SparkEntry.queries(name)(spark, sfDir)).toString
+
+  test("filters are pushed to the parquet scan") {
+    val p = planStr("b1_filter_eq")
+    assert(p.contains("PushedFilters: [IsNotNull(event_type), EqualTo(event_type,click)]"), p)
+  }
+
+  test("scans are column-pruned to the projection") {
+    val p = planStr("b1_filter_eq")
+    val scan = p.linesIterator.find(_.contains("FileScan parquet")).getOrElse(fail("no scan"))
+    // scan attribute list must not include the unused ts/props columns
+    assert(!scan.contains("props#") && !scan.contains("ts#"), scan)
+  }
+
+  test("star join broadcasts every dimension") {
+    val p = planStr("j_multiway_star")
+    assert("BroadcastHashJoin".r.findAllIn(p).size == 3, p)
+    assert(!p.contains("SortMergeJoin"), "fact side must not shuffle for dims")
+  }
+
+  test("semi/anti subqueries stay semi/anti joins") {
+    assert(planStr("j_semi").contains("LeftSemi"))
+    assert(planStr("j_anti").contains("LeftAnti"))
+  }
+
+  test("top-n compiles to TakeOrderedAndProject, not global sort") {
+    val p = planStr("topn_orders")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("group aggregation is partial+final hash aggregate") {
+    val p = planStr("b5_group_agg")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+  }
+
+  /** AQE hides subtrees behind QueryStageExec leaves; disable it while
+    * rendering generated code so codegenString can traverse the plan. */
+  private def codegenOf(name: String): String = {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try debug.codegenString(
+      SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan)
+    finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("custom cosine expression stays inside whole-stage codegen") {
+    assert(codegenOf("ann_brute_topk").contains("graft.functions.CosineSimilarity.compute"),
+      "cosine must be compiled into generated code, not interpreted fallback")
+  }
+
+  test("minhash/simhash expressions stay inside whole-stage codegen") {
+    assert(codegenOf("dd_minhash_lsh").contains("graft.functions.MinHashSig.compute"),
+      "minhash in codegen")
+    assert(codegenOf("dd_simhash").contains("graft.functions.SimHash64.compute"),
+      "simhash in codegen")
+  }
+
+  test("ngram join exchanges hashed longs, not shingle strings") {
+    val p = planStr("dd_ngram_jaccard")
+    val exchanges = p.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(exchanges.nonEmpty, p)
+    assert(!exchanges.exists(_.contains("shingle#")),
+      s"shingle strings must be hashed before the exchange:\n${exchanges.mkString("\n")}")
+  }
+
+  test("bql-compiled plans get the same pushdown as hand-written ones") {
+    val df = graft.bql.Compiler.compile(
+      "SELECT event_id FROM STREAM WHERE event_type == 'click'")._2(
+      graft.sources.Tables.load(spark, sfDir, "events"))
+    val p = finalPlan(df).toString
+    assert(p.contains("PushedFilters: [IsNotNull(event_type), EqualTo(event_type,click)]"), p)
+  }
+}
