@@ -56,8 +56,14 @@ final class MultiQueryEngine(
 
   private val live = TrieMap.empty[String, Live]
   val results = new ConcurrentLinkedQueue[ResultMessage]()
+  val metrics = new EngineMetrics
+  private var sinks: List[ResultSink] = Nil
 
   def activeQueryIds: Seq[String] = live.keys.toSeq.sorted
+
+  /** Register a result sink (A7): every emitted message is published to
+    * each sink from the driver emit path. */
+  def addSink(sink: ResultSink): Unit = synchronized { sinks ::= sink }
 
   /** Submit a BQL query (A1/A4: admission is effective at the next batch
     * boundary, like the reference's two-batch admission). Parse errors go
@@ -67,9 +73,13 @@ final class MultiQueryEngine(
       val q = Parser.parse(bql)
       val now = clock()
       live.put(id, new Live(id, q, QueryState.forQuery(q), now))
+      metrics.queriesReceived.incrementAndGet()
+      metrics.queriesRunning.incrementAndGet()
       Right(())
     } catch {
       case e: BqlParseException =>
+        metrics.queriesReceived.incrementAndGet()
+        metrics.queriesFailed.incrementAndGet()
         emit(id, ResultKind.Fail, Clip(
           Map("query_id" -> id, "errors" -> Seq(e.getMessage)), Seq.empty))
         Left(e.getMessage)
@@ -78,11 +88,19 @@ final class MultiQueryEngine(
   /** External KILL signal (B17). */
   def kill(id: String): Unit =
     live.remove(id).foreach { _ =>
+      metrics.queriesRunning.decrementAndGet()
+      metrics.queriesKilled.incrementAndGet()
       emit(id, ResultKind.Kill, Clip(Map("query_id" -> id, "signal" -> "KILL"), Seq.empty))
     }
 
-  private def emit(id: String, kind: ResultKind.Value, clip: Clip): Unit =
-    results.add(ResultMessage(id, kind, clip))
+  private def emit(id: String, kind: ResultKind.Value, clip: Clip): Unit = {
+    val m = ResultMessage(id, kind, clip)
+    results.add(m)
+    metrics.resultsEmitted.incrementAndGet()
+    sinks.foreach { s =>
+      try s.publish(m) catch { case _: Exception => () } // sink failure must not kill the DAG
+    }
+  }
 
   private def presentClip(l: Live, kind: ResultKind.Value, extraMeta: Map[String, Any]): Unit = {
     val rows = l.state.present(spark)
@@ -113,6 +131,8 @@ final class MultiQueryEngine(
         catch {
           case e: Exception =>
             live.remove(l.id)
+            metrics.queriesRunning.decrementAndGet()
+            metrics.queriesFailed.incrementAndGet()
             emit(l.id, ResultKind.Fail, Clip(
               Map("query_id" -> l.id, "errors" -> Seq(String.valueOf(e.getMessage))), Seq.empty))
         }
@@ -128,6 +148,7 @@ final class MultiQueryEngine(
     val filtered = l.filter.map(batch.filter).getOrElse(batch)
     val consumed = l.state.update(filtered)
     l.windowRecords += consumed
+    metrics.recordsProcessed.addAndGet(consumed)
 
     // RAW completion (B4): limit reached → final result + COMPLETE.
     if (l.state.isDone) {
@@ -151,6 +172,8 @@ final class MultiQueryEngine(
         if (!w.includeAll) l.state.reset()
         if (noteEmitAndCheckRate(l)) {
           live.remove(l.id)
+          metrics.queriesRunning.decrementAndGet()
+          metrics.queriesKilled.incrementAndGet()
           emit(l.id, ResultKind.Fail, Clip(
             Map("query_id" -> l.id, "errors" -> Seq("rate limit exceeded"), "signal" -> "KILL"),
             Seq.empty))
@@ -161,17 +184,28 @@ final class MultiQueryEngine(
 
   private def finish(l: Live, now: Long): Unit = {
     live.remove(l.id)
+    metrics.queriesRunning.decrementAndGet()
+    metrics.queriesDone.incrementAndGet()
     presentClip(l, ResultKind.Complete, Map("signal" -> "COMPLETE", "finished_at" -> now))
   }
 
-  /** Close out expired queries even when no data arrives (the reference's
-    * timeout path runs in the state stage each batch regardless of data,
-    * `QueryDataUnioning.scala:71-73`). */
+  /** Close out expired queries and due TIME windows even when no data
+    * arrives (the reference's timeout path runs in the state stage each
+    * batch regardless of data, `QueryDataUnioning.scala:71-73`). */
   def tick(): Unit = {
     val now = clock()
-    live.values.toSeq.sortBy(_.id)
-      .filter(l => l.query.durationMs.exists(d => now - l.submittedAt >= d))
-      .foreach(finish(_, now))
+    live.values.toSeq.sortBy(_.id).foreach { l =>
+      if (l.query.durationMs.exists(d => now - l.submittedAt >= d)) finish(l, now)
+      else l.query.window.foreach { w =>
+        if (w.unit == Ast.TimeUnit && now - l.windowStart >= w.every) {
+          presentClip(l, ResultKind.Window,
+            Map("window_start" -> l.windowStart, "records" -> l.windowRecords))
+          l.windowStart = now
+          l.windowRecords = 0L
+          if (!w.includeAll) l.state.reset()
+        }
+      }
+    }
   }
 
   /** Attach to a streaming Dataset (A2/A7): one shared stream consumed by
@@ -182,6 +216,26 @@ final class MultiQueryEngine(
       .foreachBatch { (df: DataFrame, _: Long) =>
         processBatch(df)
         tick()
+      }
+      .start()
+
+  /** Control-plane stream (A1/A4/A8): `(action, query_id, bql)` records
+    * arriving over any transport-backed source; `action` ∈ submit|kill.
+    * Control volume is tiny (the reference coalesces it to ≤10 partitions
+    * for the same reason, `QueryDataUnioning.scala:29-32`), so a driver
+    * collect per batch is the right shape; admission takes effect at the
+    * next data batch — the reference's batch-boundary semantics. */
+  def attachControl(control: DataFrame, triggerMs: Long = 1000L): StreamingQuery =
+    control.writeStream
+      .trigger(Trigger.ProcessingTime(triggerMs))
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        df.select("action", "query_id", "bql").coalesce(1).collect().foreach { r =>
+          Option(r.getString(0)).map(_.toLowerCase) match {
+            case Some("submit") => submit(r.getString(1), r.getString(2))
+            case Some("kill") => kill(r.getString(1))
+            case _ => ()
+          }
+        }
       }
       .start()
 

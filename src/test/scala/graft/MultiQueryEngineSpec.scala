@@ -188,6 +188,61 @@ class MultiQueryEngineSpec extends AnyFunSuite {
     assert(qaLast == clicks && qbLast == views)
   }
 
+  test("metrics track the query lifecycle (A10)") {
+    val e = newEngine()
+    e.submit("m1", "SELECT COUNT(*) AS cnt FROM STREAM DURATION 50")
+    e.submit("m2", "SELECT COUNT(*) AS cnt FROM STREAM")
+    e.submit("m3", "not bql at all")
+    e.kill("m2")
+    now += 100
+    e.tick()
+    val m = e.metrics.snapshot
+    assert(m("queries_received") == 3L)
+    assert(m("queries_done") == 1L)
+    assert(m("queries_killed") == 1L)
+    assert(m("queries_failed") == 1L)
+    assert(m("queries_running") == 0L)
+  }
+
+  test("result sinks receive every published message (A7)") {
+    val e = newEngine()
+    val sink = new graft.streaming.MemoryResultSink
+    e.addSink(sink)
+    e.submit("s1", "SELECT event_id FROM STREAM LIMIT 3")
+    e.processBatch(batches(4).head)
+    assert(sink.messages.map(_.kind) == Seq(ResultKind.Complete))
+    assert(sink.messages.head.clip.asJson.contains("\"records\""))
+  }
+
+  test("TIME window emits on tick with no data flowing (B13)") {
+    val e = newEngine()
+    e.submit("t1", "SELECT COUNT(*) AS cnt FROM STREAM WINDOWING EVERY(30, TIME, ALL)")
+    e.processBatch(batches(4).head)
+    now += 50
+    e.tick() // no data batch, but the window is due
+    val rs = e.drainResults()
+    assert(rs.map(_.kind) == Seq(ResultKind.Window))
+    assert(rs.head.clip.records.head("cnt").asInstanceOf[Long] == 250L)
+  }
+
+  test("control-plane stream submits and kills queries (A1/A4)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ctrl = MemoryStream[(String, String, String)]
+    val e = new MultiQueryEngine(spark)
+    val q = e.attachControl(ctrl.toDF().toDF("action", "query_id", "bql"), triggerMs = 50L)
+    try {
+      ctrl.addData(("submit", "c1", "SELECT COUNT(*) AS cnt FROM STREAM"))
+      q.processAllAvailable()
+      assert(e.activeQueryIds == Seq("c1"))
+      ctrl.addData(("kill", "c1", ""))
+      q.processAllAvailable()
+      assert(e.activeQueryIds.isEmpty)
+      assert(e.drainResults().map(_.kind) == Seq(ResultKind.Kill))
+    } finally q.stop()
+  }
+
   test("structured streaming attach via MemoryStream (A2/A7)") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
