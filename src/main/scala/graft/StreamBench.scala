@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+import graft.streaming.MultiQueryEngine
+
+/** Streaming-throughput bench (not driver-run; feeds BASELINE.md):
+  * batch-replay of sf0.1 events through the multi-query engine with
+  * 1 / 10 / 100 concurrent queries, reporting sustained records/s and
+  * per-batch latency. */
+object StreamBench {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = GraftSession.configure(SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus))
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val events = Tables.load(spark, sfDir, "events").cache()
+    val total = events.count()
+    val nBatches = 10
+    val per = total / nBatches
+
+    def queriesFor(n: Int): Seq[(String, String)] = (0 until n).map { i =>
+      val bql = i % 3 match {
+        case 0 => s"SELECT COUNT(*) AS cnt FROM STREAM WHERE user_id % 50 == ${i % 50} " +
+          "WINDOWING EVERY(1000000000, RECORD, ALL)"
+        case 1 => s"SELECT event_type, COUNT(*) AS cnt, AVG(value) AS av FROM STREAM " +
+          s"WHERE value > ${i % 100} GROUP BY event_type"
+        case 2 => "SELECT COUNT(DISTINCT user_id) AS nu FROM STREAM"
+      }
+      (s"q$i", bql)
+    }
+
+    val results = Seq(1, 10, 100).map { n =>
+      val engine = new MultiQueryEngine(spark)
+      queriesFor(n).foreach { case (id, bql) => engine.submit(id, bql) }
+      val batches = (0 until nBatches).map(b => events.filter(
+        col("event_id") >= b * per && col("event_id") < (b + 1) * per))
+      batches.head.count() // warm
+      val t0 = System.nanoTime()
+      batches.foreach(engine.processBatch)
+      val sec = (System.nanoTime() - t0) / 1e9
+      val recsPerSec = total / sec
+      (n, sec, recsPerSec, sec / nBatches)
+    }
+    results.foreach { case (n, sec, rps, perBatch) =>
+      println(f"""{"queries":$n,"total_sec":$sec%.2f,"records_per_sec":$rps%.0f,"sec_per_batch":$perBatch%.3f}""")
+    }
+    spark.stop()
+  }
+}

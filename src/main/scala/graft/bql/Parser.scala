@@ -42,7 +42,13 @@ object Parser {
     out.result()
   }
 
-  def parse(bql: String): Query = new P(tokenize(bql)).query()
+  def parse(bql: String): Query =
+    try new P(tokenize(bql)).query()
+    catch {
+      case e: BqlParseException => throw e
+      case e: NumberFormatException => throw new BqlParseException(s"bad number: ${e.getMessage}")
+      case e: Exception => throw new BqlParseException(s"parse error: ${e.getMessage}")
+    }
 
   private final class P(toks: Vector[String]) {
     private var pos = 0
@@ -233,6 +239,7 @@ object Parser {
 
     private def primary(): Expr = {
       val t = peek
+      if (t.isEmpty) throw new BqlParseException("unexpected end of input in expression")
       if (t == "(") { next(); val e = expr(); expect(")"); return e }
       if (t.startsWith("'")) {
         next()

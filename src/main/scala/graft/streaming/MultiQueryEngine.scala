@@ -121,32 +121,97 @@ final class MultiQueryEngine(
   }
 
   /** Process one micro-batch for every live query. Called from
-    * `foreachBatch` (streaming) or directly (tests / batch replay). */
+    * `foreachBatch` (streaming) or directly (tests / batch replay).
+    *
+    * Queries whose state is [[GlobalCombinable]] (GROUP ALL, COUNT
+    * DISTINCT, QUANTILE — filters included) are FUSED into one Spark
+    * aggregate job over the shared batch: each query contributes
+    * `when(pred, …)`-conditioned aggregate columns, so 1000 such queries
+    * cost one scan + 1000 aggregate columns instead of 1000 jobs. The
+    * rest (RAW collects, keyed group-bys) run per query. */
   def processBatch(batch: DataFrame): Unit = {
     if (live.isEmpty) return
     val cached = batch.persist()
     try {
-      live.values.toSeq.sortBy(_.id).foreach { l =>
-        try processOne(l, cached)
-        catch {
-          case e: Exception =>
-            live.remove(l.id)
-            metrics.queriesRunning.decrementAndGet()
-            metrics.queriesFailed.incrementAndGet()
-            emit(l.id, ResultKind.Fail, Clip(
-              Map("query_id" -> l.id, "errors" -> Seq(String.valueOf(e.getMessage))), Seq.empty))
-        }
-      }
+      val all = live.values.toSeq.sortBy(_.id)
+      val (globalFusable, rest) = all.partition(_.state match {
+        case gs: GroupState => gs.isGlobal
+        case _: ThetaState | _: KllState => true
+        case _ => false
+      })
+      // keyed group-bys sharing identical key expressions fuse per signature
+      val (keyedGroups, solo) = rest.partition(_.state.isInstanceOf[GroupState])
+      val bySig = keyedGroups.groupBy(_.state.asInstanceOf[GroupState].keySignature)
+      val (fusedKeyed, soloKeyed) = bySig.values.toSeq.partition(_.size >= 2)
+
+      if (globalFusable.size >= 2) fuseGlobal(globalFusable, cached)
+      else globalFusable.foreach(l => guarded(l)(processOne(l, cached)))
+      fusedKeyed.foreach(group => fuseKeyed(group, cached))
+      (soloKeyed.flatten ++ solo).sortBy(_.id).foreach(l => guarded(l)(processOne(l, cached)))
     } finally {
       cached.unpersist()
     }
   }
 
+  /** One aggregate job for all global-combinable queries. */
+  private def fuseGlobal(ls: Seq[Live], cached: DataFrame): Unit =
+    try {
+      val offsets = ls.scanLeft(0)(_ + _.state.asInstanceOf[GlobalCombinable].partialWidth)
+      val cols = ls.flatMap(l =>
+        l.state.asInstanceOf[GlobalCombinable].partialAggCols(l.filter))
+      val row = cached.agg(cols.head, cols.tail: _*).head()
+      ls.zip(offsets).foreach { case (l, off) =>
+        guarded(l) {
+          lifecycle(l, l.state.asInstanceOf[GlobalCombinable].mergeCombined(row, off))
+        }
+      }
+    } catch {
+      // fused job failed as a whole (e.g. one bad column): fall back to
+      // per-query processing so one query's error stays its own
+      case _: Exception => ls.foreach(l => guarded(l)(processOne(l, cached)))
+    }
+
+  /** One groupBy job for queries sharing a GROUP BY key signature. */
+  private def fuseKeyed(ls: Seq[Live], cached: DataFrame): Unit =
+    try {
+      val states = ls.map(_.state.asInstanceOf[GroupState])
+      val keyCols = states.head.keyColumns
+      val nKeys = keyCols.size
+      val offsets = ls.scanLeft(nKeys)(_ + _.state.asInstanceOf[GlobalCombinable].partialWidth)
+      val cols = ls.flatMap(l =>
+        l.state.asInstanceOf[GlobalCombinable].partialAggCols(l.filter))
+      val rows = cached.groupBy(keyCols: _*).agg(cols.head, cols.tail: _*)
+        .limit(QueryState.MaxGroups * 4).collect().toSeq
+      ls.zip(offsets).foreach { case (l, off) =>
+        guarded(l) {
+          lifecycle(l, l.state.asInstanceOf[GroupState].mergeCombinedKeyed(rows, nKeys, off))
+        }
+      }
+    } catch {
+      case _: Exception => ls.foreach(l => guarded(l)(processOne(l, cached)))
+    }
+
+  private def guarded(l: Live)(body: => Unit): Unit =
+    try body
+    catch {
+      case e: Exception =>
+        if (live.remove(l.id).isDefined) {
+          metrics.queriesRunning.decrementAndGet()
+          metrics.queriesFailed.incrementAndGet()
+          emit(l.id, ResultKind.Fail, Clip(
+            Map("query_id" -> l.id, "errors" -> Seq(String.valueOf(e.getMessage))), Seq.empty))
+        }
+    }
+
   private def processOne(l: Live, batch: DataFrame): Unit = {
-    val now = clock()
-    l.batchesSeen += 1
     val filtered = l.filter.map(batch.filter).getOrElse(batch)
     val consumed = l.state.update(filtered)
+    lifecycle(l, consumed)
+  }
+
+  private def lifecycle(l: Live, consumed: Long): Unit = {
+    val now = clock()
+    l.batchesSeen += 1
     l.windowRecords += consumed
     metrics.recordsProcessed.addAndGet(consumed)
 

@@ -35,6 +35,23 @@ sealed trait QueryState {
   def isDone: Boolean = false
 }
 
+/** States whose per-batch partial is a fixed set of global aggregate
+  * columns. The engine fuses every such query into ONE Spark job per
+  * micro-batch (each query's filter becomes a `when(pred, …)` conditional
+  * inside its aggregate columns), so concurrent-query cost is one shared
+  * scan + n cheap aggregate columns instead of n jobs — the scalability
+  * property that lets thousands of queries ride one 100 TB stream. */
+trait GlobalCombinable {
+  /** Aggregate columns for this query over the UNFILTERED batch; the
+    * query's own predicate must be folded into each column. The last
+    * column must be the consumed-record count. */
+  def partialAggCols(pred: Option[Column]): Seq[Column]
+  /** Merge one combined-row slice [start, start+width); returns consumed
+    * record count. */
+  def mergeCombined(row: Row, start: Int): Long
+  def partialWidth: Int
+}
+
 object QueryState {
   /** Bullet defaults: RAW max 100 records, aggregations capped at 500
     * groups (bullet-core 1.5.2 defaults, SURVEY.md §6). */
@@ -76,8 +93,9 @@ final class RawState(q: Query, limit: Int) extends QueryState {
 }
 
 /** GROUP BY / GROUP ALL (B5): capped hash map of group → partial values,
-  * merged from per-batch Catalyst partial aggregates. */
-final class GroupState(q: Query, g: GroupAgg) extends QueryState {
+  * merged from per-batch Catalyst partial aggregates. Keyless (GROUP ALL)
+  * instances are [[GlobalCombinable]]. */
+final class GroupState(q: Query, g: GroupAgg) extends QueryState with GlobalCombinable {
   // partial schema: one column per key, then per-op partial columns
   private val keyNames = g.keys.zipWithIndex.map { case (s, i) =>
     s.alias.orElse(s.expr match { case FieldRef(p) => Some(p); case _ => None })
@@ -86,17 +104,48 @@ final class GroupState(q: Query, g: GroupAgg) extends QueryState {
   private val groups = mutable.LinkedHashMap.empty[Seq[Any], Array[Any]]
   private var partialSchema: StructType = _
 
-  private def partialCols: Seq[Column] = g.ops.flatMap { op =>
-    val c = op.arg.map(Compiler.column)
-    op.fn match {
-      case "COUNT" => Seq(c.map(count).getOrElse(count(lit(1))).as(op.name))
-      case "SUM" => Seq(sum(c.get).as(op.name))
-      case "MIN" => Seq(min(c.get).as(op.name))
-      case "MAX" => Seq(max(c.get).as(op.name))
-      case "AVG" => Seq(sum(c.get).as(s"__sum_${op.name}"), count(c.get).as(s"__cnt_${op.name}"))
-      case other => throw new IllegalArgumentException(s"bad agg $other")
+  private def partialCols: Seq[Column] = partialColsWith(None)
+
+  /** Partial columns with the query predicate folded in (for the fused
+    * multi-query job the predicate cannot be a DataFrame filter). */
+  private def partialColsWith(pred: Option[Column]): Seq[Column] = {
+    def w(c: Column): Column = pred.map(p => when(p, c)).getOrElse(c)
+    g.ops.flatMap { op =>
+      val c = op.arg.map(Compiler.column)
+      op.fn match {
+        case "COUNT" => Seq(count(w(c.getOrElse(lit(1)))).as(op.name))
+        case "SUM" => Seq(sum(w(c.get)).as(op.name))
+        case "MIN" => Seq(min(w(c.get)).as(op.name))
+        case "MAX" => Seq(max(w(c.get)).as(op.name))
+        case "AVG" => Seq(sum(w(c.get)).as(s"__sum_${op.name}"), count(w(c.get)).as(s"__cnt_${op.name}"))
+        case other => throw new IllegalArgumentException(s"bad agg $other")
+      }
     }
   }
+
+  /** Value-column names in partial order (after the keys). */
+  private def valueNames: Seq[String] = g.ops.flatMap { op =>
+    if (op.fn == "AVG") Seq(s"__sum_${op.name}", s"__cnt_${op.name}") else Seq(op.name)
+  }
+
+  /** Merge one partial group row into the capped map. */
+  private def mergeGroup(key: Seq[Any], values: IndexedSeq[Any]): Unit =
+    groups.get(key) match {
+      case Some(acc) =>
+        var i = 0
+        g.ops.foreach { op =>
+          val width = if (op.fn == "AVG") 2 else 1
+          (0 until width).foreach { w =>
+            val fn = if (op.fn == "AVG") (if (w == 0) "SUM" else "COUNT") else op.fn
+            acc(i) = mergeValue(fn, acc(i), values(i))
+            i += 1
+          }
+        }
+      case None =>
+        if (groups.size < QueryState.MaxGroups)
+          groups(key) = values.toArray
+      // over cap: group dropped (Bullet drops over-cardinality groups)
+    }
 
   private def mergeValue(fn: String, a: Any, b: Any): Any =
     if (a == null) b
@@ -141,25 +190,49 @@ final class GroupState(q: Query, g: GroupAgg) extends QueryState {
     rows.foreach { r =>
       val key = (0 until nKeys).map(r.get)
       n += r.getLong(partialSchema.size - 1)
-      groups.get(key) match {
-        case Some(acc) =>
-          var i = 0
-          var opIdx = 0
-          g.ops.foreach { op =>
-            val width = if (op.fn == "AVG") 2 else 1
-            (0 until width).foreach { w =>
-              val fn = if (op.fn == "AVG") (if (w == 0) "SUM" else "COUNT") else op.fn
-              acc(i) = mergeValue(fn, acc(i), r.get(nKeys + i))
-              i += 1
-            }
-            opIdx += 1
-          }
-        case None =>
-          if (groups.size < QueryState.MaxGroups) {
-            val acc = new Array[Any](nVals)
-            (0 until nVals).foreach(i => acc(i) = r.get(nKeys + i))
-            groups(key) = acc
-          } // over cap: group dropped (Bullet drops over-cardinality groups)
+      mergeGroup(key, (0 until nVals).map(i => r.get(nKeys + i)))
+    }
+    n
+  }
+
+  // ---- GlobalCombinable (GROUP ALL; keyed fusion shares the same cols) ----
+  def isGlobal: Boolean = g.keys.isEmpty
+  override def partialWidth: Int = valueNames.size + 1
+  override def partialAggCols(pred: Option[Column]): Seq[Column] =
+    partialColsWith(pred) :+
+      count(pred.map(p => when(p, lit(1))).getOrElse(lit(1))).as("__n")
+  override def mergeCombined(row: Row, start: Int): Long = {
+    val nVals = valueNames.size
+    if (partialSchema == null)
+      partialSchema = StructType(
+        valueNames.zipWithIndex.map { case (nm, i) =>
+          row.schema.fields(start + i).copy(name = nm)
+        } :+ StructField("__n", LongType))
+    mergeGroup(Seq.empty, (0 until nVals).map(i => row.get(start + i)))
+    row.getLong(start + nVals)
+  }
+
+  // ---- keyed fusion: queries sharing the same GROUP BY key expressions
+  // ride one groupBy job; a group a query's filter never matched has
+  // __n == 0 for that query and is skipped (not a real group of it).
+  def keySignature: String = g.keys.map(_.expr.toString).mkString("|")
+  def keyColumns: Seq[Column] = g.keys.zipWithIndex.map { case (s, i) =>
+    Compiler.column(s.expr).as(keyNames(i))
+  }
+  def mergeCombinedKeyed(rows: Seq[Row], nKeys: Int, start: Int): Long = {
+    val nVals = valueNames.size
+    var n = 0L
+    rows.foreach { r =>
+      if (partialSchema == null)
+        partialSchema = StructType(
+          keyNames.zipWithIndex.map { case (nm, i) => r.schema.fields(i).copy(name = nm) } ++
+            valueNames.zipWithIndex.map { case (nm, i) =>
+              r.schema.fields(start + i).copy(name = nm)
+            } :+ StructField("__n", LongType))
+      val cnt = r.getLong(start + nVals)
+      if (cnt > 0) {
+        mergeGroup((0 until nKeys).map(r.get), (0 until nVals).map(i => r.get(start + i)))
+        n += cnt
       }
     }
     n
@@ -198,15 +271,25 @@ final class GroupState(q: Query, g: GroupAgg) extends QueryState {
 
 /** COUNT DISTINCT (B6): per-batch Theta sketch binaries from the
   * executors, merged on the driver with the DataSketches union. */
-final class ThetaState(cd: CountDistinctAgg) extends QueryState {
+final class ThetaState(cd: CountDistinctAgg) extends QueryState with GlobalCombinable {
   private var union: Union = SetOperation.builder().buildUnion()
 
   override def update(batch: DataFrame): Long = {
-    val r = batch.agg(
-      expr(s"theta_sketch_agg(${Compiler.compositeKey(cd.fields)})").as("sk"),
-      count(lit(1)).as("__n")).head()
-    Option(r.get(0)).foreach(b => union.union(Memory.wrap(r.getAs[Array[Byte]](0))))
-    r.getLong(1)
+    val cs = partialAggCols(None)
+    mergeCombined(batch.agg(cs.head, cs.tail: _*).head(), 0)
+  }
+
+  override def partialWidth: Int = 2
+  override def partialAggCols(pred: Option[Column]): Seq[Column] = {
+    val key = expr(Compiler.compositeKey(cd.fields))
+    val k = pred.map(p => when(p, key)).getOrElse(key)
+    Seq(call_function("theta_sketch_agg", k).as("sk"),
+      count(pred.map(p => when(p, lit(1))).getOrElse(lit(1))).as("__n"))
+  }
+  override def mergeCombined(row: Row, start: Int): Long = {
+    Option(row.get(start)).foreach(b =>
+      union.union(Memory.wrap(b.asInstanceOf[Array[Byte]])))
+    row.getLong(start + 1)
   }
 
   override def present(spark: SparkSession): Seq[Row] = {
@@ -262,18 +345,26 @@ final class TopKState(tk: TopKAgg) extends QueryState {
 
 /** DISTRIBUTION/QUANTILE (B7): per-batch KLL sketch binaries merged on the
   * driver. */
-final class KllState(qa: QuantileAgg) extends QueryState {
+final class KllState(qa: QuantileAgg) extends QueryState with GlobalCombinable {
   private var sketch: KllDoublesSketch = KllDoublesSketch.newHeapInstance(2048)
   private val probs = if (qa.probs.nonEmpty) qa.probs else Seq(0.25, 0.5, 0.75)
 
   override def update(batch: DataFrame): Long = {
-    val r = batch.agg(
-      expr(s"kll_sketch_agg_double(${qa.field}, 2048)").as("sk"),
-      count(col(qa.field)).as("__n")).head()
-    Option(r.get(0)).foreach { _ =>
-      sketch.merge(KllDoublesSketch.heapify(Memory.wrap(r.getAs[Array[Byte]](0))))
+    val cs = partialAggCols(None)
+    mergeCombined(batch.agg(cs.head, cs.tail: _*).head(), 0)
+  }
+
+  override def partialWidth: Int = 2
+  override def partialAggCols(pred: Option[Column]): Seq[Column] = {
+    val v = pred.map(p => when(p, col(qa.field))).getOrElse(col(qa.field))
+    Seq(call_function("kll_sketch_agg_double", v, lit(2048)).as("sk"),
+      count(v).as("__n"))
+  }
+  override def mergeCombined(row: Row, start: Int): Long = {
+    Option(row.get(start)).foreach { b =>
+      sketch.merge(KllDoublesSketch.heapify(Memory.wrap(b.asInstanceOf[Array[Byte]])))
     }
-    r.getLong(1)
+    row.getLong(start + 1)
   }
 
   override def present(spark: SparkSession): Seq[Row] = {
