@@ -43,6 +43,7 @@ final class MultiQueryEngine(
 
   private final class Live(
       val id: String,
+      val bql: String,
       val query: Ast.Query,
       val state: QueryState,
       val submittedAt: Long) {
@@ -72,7 +73,7 @@ final class MultiQueryEngine(
     try {
       val q = Parser.parse(bql)
       val now = clock()
-      live.put(id, new Live(id, q, QueryState.forQuery(q), now))
+      live.put(id, new Live(id, bql, q, QueryState.forQuery(q), now))
       metrics.queriesReceived.incrementAndGet()
       metrics.queriesRunning.incrementAndGet()
       Right(())
@@ -303,6 +304,34 @@ final class MultiQueryEngine(
         }
       }
       .start()
+
+  /** Checkpoint the whole engine (A9): every live query's BQL, lifecycle
+    * clocks and incremental state. The reference restarts from Spark
+    * checkpoints (`BulletSparkStreamingBaseJob.scala:30-38`); our state is
+    * driver-held and O(sketch) per query, so a snapshot is a small blob a
+    * deployment writes wherever it keeps checkpoints. */
+  def checkpoint(): Array[Byte] =
+    SerUtil.write(live.values.toList.sortBy(_.id).map { l =>
+      (l.id, l.bql, l.submittedAt, l.windowStart, l.windowRecords,
+        l.emitsInInterval, l.intervalStart, l.batchesSeen, l.state.snapshot())
+    })
+
+  /** Restore queries + state from [[checkpoint]] bytes (replaces any
+    * currently-registered queries with the same ids). */
+  def restore(bytes: Array[Byte]): Unit =
+    SerUtil.read[List[(String, String, Long, Long, Long, Int, Long, Long, Array[Byte])]](bytes)
+      .foreach { case (id, bql, submittedAt, wStart, wRecs, emits, iStart, batches, stateBytes) =>
+        val q = Parser.parse(bql)
+        val l = new Live(id, bql, q, QueryState.forQuery(q), submittedAt)
+        l.windowStart = wStart
+        l.windowRecords = wRecs
+        l.emitsInInterval = emits
+        l.intervalStart = iStart
+        l.batchesSeen = batches
+        l.state.restore(stateBytes)
+        live.put(id, l)
+        metrics.queriesRunning.incrementAndGet()
+      }
 
   /** Drain accumulated results (test/driver convenience). */
   def drainResults(): Seq[ResultMessage] = {

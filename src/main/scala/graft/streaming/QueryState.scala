@@ -33,6 +33,24 @@ sealed trait QueryState {
   def reset(): Unit
   /** RAW completion: collected enough records to finish the query. */
   def isDone: Boolean = false
+  /** Serialize incremental state for checkpointing (A9). */
+  def snapshot(): Array[Byte]
+  /** Restore from a [[snapshot]] taken by the same query shape. */
+  def restore(bytes: Array[Byte]): Unit
+}
+
+private[streaming] object SerUtil {
+  def write(v: Any): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val oos = new java.io.ObjectOutputStream(bos)
+    oos.writeObject(v)
+    oos.close()
+    bos.toByteArray
+  }
+  def read[T](b: Array[Byte]): T = {
+    val ois = new java.io.ObjectInputStream(new java.io.ByteArrayInputStream(b))
+    try ois.readObject().asInstanceOf[T] finally ois.close()
+  }
 }
 
 /** States whose per-batch partial is a fixed set of global aggregate
@@ -90,6 +108,10 @@ final class RawState(q: Query, limit: Int) extends QueryState {
   override def present(spark: SparkSession): Seq[Row] = buf.toSeq
   override def reset(): Unit = buf.clear()
   override def isDone: Boolean = buf.size >= limit
+  override def snapshot(): Array[Byte] = SerUtil.write(buf.toList)
+  override def restore(bytes: Array[Byte]): Unit = {
+    buf.clear(); buf ++= SerUtil.read[List[Row]](bytes)
+  }
 }
 
 /** GROUP BY / GROUP ALL (B5): capped hash map of group → partial values,
@@ -267,6 +289,14 @@ final class GroupState(q: Query, g: GroupAgg) extends QueryState with GlobalComb
   }
 
   override def reset(): Unit = groups.clear()
+  override def snapshot(): Array[Byte] =
+    SerUtil.write((groups.toList.map { case (k, v) => (k.toList, v.toList) }, partialSchema))
+  override def restore(bytes: Array[Byte]): Unit = {
+    val (gs, schema) = SerUtil.read[(List[(List[Any], List[Any])], StructType)](bytes)
+    groups.clear()
+    gs.foreach { case (k, v) => groups(k) = v.toArray }
+    partialSchema = schema
+  }
 }
 
 /** COUNT DISTINCT (B6): per-batch Theta sketch binaries from the
@@ -299,6 +329,11 @@ final class ThetaState(cd: CountDistinctAgg) extends QueryState with GlobalCombi
   }
 
   override def reset(): Unit = union = SetOperation.builder().buildUnion()
+  override def snapshot(): Array[Byte] = union.getResult.toByteArray
+  override def restore(bytes: Array[Byte]): Unit = {
+    union = SetOperation.builder().buildUnion()
+    if (bytes.nonEmpty) union.union(Memory.wrap(bytes))
+  }
 }
 
 /** TOP K (B8): per-batch grouped counts (top candidates only leave the
@@ -341,6 +376,14 @@ final class TopKState(tk: TopKAgg) extends QueryState {
   }
 
   override def reset(): Unit = { counts.clear() }
+  override def snapshot(): Array[Byte] =
+    SerUtil.write((counts.toList.map { case (k, v) => (k.toList, v) }, keySchema))
+  override def restore(bytes: Array[Byte]): Unit = {
+    val (cs, schema) = SerUtil.read[(List[(List[Any], Long)], StructType)](bytes)
+    counts.clear()
+    cs.foreach { case (k, v) => counts(k) = v }
+    keySchema = schema
+  }
 }
 
 /** DISTRIBUTION/QUANTILE (B7): per-batch KLL sketch binaries merged on the
@@ -378,4 +421,9 @@ final class KllState(qa: QuantileAgg) extends QueryState with GlobalCombinable {
   }
 
   override def reset(): Unit = { sketch = KllDoublesSketch.newHeapInstance(2048) }
+  override def snapshot(): Array[Byte] = sketch.toByteArray
+  override def restore(bytes: Array[Byte]): Unit = {
+    sketch = if (bytes.isEmpty) KllDoublesSketch.newHeapInstance(2048)
+    else KllDoublesSketch.heapify(Memory.wrap(bytes))
+  }
 }

@@ -243,6 +243,36 @@ class MultiQueryEngineSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("checkpoint/restore resumes mid-query with identical results (A9)") {
+    val bs = batches(4)
+    // continuous run for reference
+    val ref = newEngine()
+    ref.submit("ck1", "SELECT COUNT(DISTINCT user_id) AS nu FROM STREAM DURATION 1000")
+    ref.submit("ck2", "SELECT event_type, COUNT(*) AS cnt FROM STREAM GROUP BY event_type " +
+      "ORDER BY event_type DURATION 1000")
+    bs.foreach(ref.processBatch)
+    now += 2000
+    ref.tick()
+    val want = ref.drainResults().map(m => (m.queryId, m.clip.records)).toMap
+
+    // checkpointed run: 2 batches, snapshot, new engine, restore, 2 batches
+    val e1 = newEngine()
+    e1.submit("ck1", "SELECT COUNT(DISTINCT user_id) AS nu FROM STREAM DURATION 1000")
+    e1.submit("ck2", "SELECT event_type, COUNT(*) AS cnt FROM STREAM GROUP BY event_type " +
+      "ORDER BY event_type DURATION 1000")
+    bs.take(2).foreach(e1.processBatch)
+    val ckpt = e1.checkpoint()
+    val e2 = new MultiQueryEngine(spark, () => now)
+    e2.restore(ckpt)
+    assert(e2.activeQueryIds == Seq("ck1", "ck2"))
+    bs.drop(2).foreach(e2.processBatch)
+    now += 2000
+    e2.tick()
+    val got = e2.drainResults().map(m => (m.queryId, m.clip.records)).toMap
+    assert(got("ck1") == want("ck1"))
+    assert(got("ck2") == want("ck2"))
+  }
+
   test("structured streaming attach via MemoryStream (A2/A7)") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
