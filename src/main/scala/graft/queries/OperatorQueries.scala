@@ -1,0 +1,101 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.sources.Tables
+
+/** Operators Spark has no single built-in for, composed Spark-first
+  * (SURVEY.md §2.C is "absent from the reference; ours from Spark" — these
+  * three go beyond it: the temporal/range alignment ops a training-data
+  * pipeline needs).
+  *
+  * Scale notes: all three are one-shuffle shapes. The as-of join and
+  * sessionization are a single hash-partition by key + in-partition sort
+  * (Spark's SortMergeJoin layout), never an all-pairs product; the range
+  * join broadcasts the tiny bucket table.
+  */
+object OperatorQueries {
+
+  private def ev(s: SparkSession, d: String): DataFrame = Tables.load(s, d, "events")
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // AS-OF JOIN: for each click, the most recent view of the same user at
+    // or before the click (DuckDB has native ASOF JOIN as the oracle).
+    // Spark-first: one window pass — partition by user, order by time,
+    // running last-non-null view id. One shuffle, no join materialized.
+    QueryDef("op_asof_join", Some(
+      """SELECT c.event_id, v.event_id AS prev_view_id
+        |FROM (SELECT * FROM events WHERE event_type = 'click') c
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+        |  ON c.user_id = v.user_id AND v.ts <= c.ts
+        |ORDER BY c.event_id""".stripMargin)) { (s, d) =>
+      val e = ev(s, d).filter(col("event_type").isin("click", "view"))
+      // order views before clicks at identical ts: ASOF v.ts <= c.ts is
+      // inclusive, so a same-timestamp view must precede the click.
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), when(col("event_type") === "view", 0).otherwise(1), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      e.withColumn("prev_view_id",
+          last(when(col("event_type") === "view", col("event_id")), ignoreNulls = true).over(w))
+        .filter(col("event_type") === "click")
+        .select(col("event_id"), col("prev_view_id"))
+        .orderBy(col("event_id"))
+    },
+
+    // RANGE JOIN: events banded into value ranges from a small bucket dim
+    // (broadcast nested-loop on a non-equi predicate — the small side
+    // ships to every executor, the fact side streams through).
+    QueryDef("op_range_join", Some(
+      """WITH buckets AS (
+        |  SELECT 0 AS b_id, 0.0 AS lo, 100.0 AS hi UNION ALL
+        |  SELECT 1, 100.0, 250.0 UNION ALL
+        |  SELECT 2, 250.0, 400.0 UNION ALL
+        |  SELECT 3, 400.0, 1e9)
+        |SELECT b_id, count(*) AS cnt,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_v
+        |FROM events JOIN buckets ON value >= lo AND value < hi
+        |GROUP BY b_id ORDER BY b_id""".stripMargin)) { (s, d) =>
+      val buckets = s.createDataFrame(Seq(
+        (0, 0.0, 100.0), (1, 100.0, 250.0), (2, 250.0, 400.0), (3, 400.0, 1e9)))
+        .toDF("b_id", "lo", "hi")
+      ev(s, d)
+        .join(broadcast(buckets), col("value") >= col("lo") && col("value") < col("hi"))
+        .groupBy(col("b_id"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("value").cast(DecimalType(18, 2))).cast(DoubleType).as("sum_v"))
+        .orderBy(col("b_id"))
+    },
+
+    // SESSIONIZATION: gap-based sessions per user (new session when > 2
+    // days since the previous event — sized to the fixture's inter-event
+    // gaps). Two window passes over one key-partitioned sort; session
+    // stats per (user, session).
+    QueryDef("op_sessionize", Some(
+      """WITH g AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN ts - lag(ts) OVER w <= INTERVAL 2 DAY THEN 0 ELSE 1 END AS new_s
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |  s AS (
+        |  SELECT user_id,
+        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_id
+        |  FROM g)
+        |SELECT user_id, CAST(session_id AS BIGINT) AS session_id, count(*) AS n_events
+        |FROM s GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin)) { (s, d) =>
+      val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val cum = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      ev(s, d)
+        .withColumn("new_s",
+          when(col("ts").cast(LongType) - lag(col("ts"), 1).over(byUser).cast(LongType) <= 172800, 0)
+            .otherwise(1))
+        .withColumn("session_id", sum(col("new_s")).over(cum).cast(LongType))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(count(lit(1)).as("n_events"))
+        .orderBy(col("user_id"), col("session_id"))
+    }
+  )
+}
