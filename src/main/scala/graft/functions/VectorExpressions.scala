@@ -41,6 +41,44 @@ case class CosineSimilarity(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Codegen'd dot product over two `array<float>` columns (doubles,
+  * sequential accumulation — same fold order as [[CosineSimilarity]], so
+  * `dot(a,b)/sqrt(dot(a,a)*dot(b,b))` is bit-identical to
+  * `cosine_similarity(a,b)`). Lets pairwise plans precompute each side's
+  * squared norm ONCE per vector instead of once per pair — at n² pairs
+  * that cuts the inner loop from 3 fused sums to 1. */
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes = Seq(ArrayType(FloatType), ArrayType(FloatType))
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "dot_product"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    DotProduct.compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.DotProduct.compute($a, $b);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotProduct =
+    copy(left = newLeft, right = newRight)
+}
+
+object DotProduct {
+  def compute(x: ArrayData, y: ArrayData): Double = {
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0.0
+    var i = 0
+    while (i < n) {
+      dot += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+      i += 1
+    }
+    dot
+  }
+}
+
 object CosineSimilarity {
   /** Shared by interpreted eval and generated code (a single static call
     * keeps the surrounding operator inside whole-stage codegen). */

@@ -13,6 +13,12 @@ package object functions {
   def cosine_sim(a: Column, b: Column): Column =
     col(CosineSimilarity(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
+  /** Dot product of two `array<float>` columns (codegen'd). `dot(v,v)` is
+    * the squared norm; `dot(a,b)/sqrt(dot(a,a)*dot(b,b))` is bit-identical
+    * to [[cosine_sim]]. */
+  def dot_product(a: Column, b: Column): Column =
+    col(DotProduct(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
   /** MinHash signature (`array<bigint>`, length k) of a token array over
     * w-token shingles. */
   def minhash_sig(tokens: Column, shingleWidth: Int = 3, k: Int = 64): Column =

@@ -25,12 +25,27 @@ object CoreQueries {
     * aggregation order. (Plain double sums are order-dependent in the last
     * ulp; decimal outputs above precision 18 degrade to float in the
     * driver's pandas bridge — this pattern avoids both.) */
-  private def sumDec(c: Column, scale: Int = 2): Column =
+  private def sumDec(c: Column, scale: Int = 2): Column = {
+    // scaled-long fast path: round to the same HALF_UP integer the decimal
+    // cast would produce, sum exactly in longs (fits: |x|*10^s * 600k rows
+    // << 2^63), convert once. Bit-identical to the decimal sum for values
+    // carrying <= `scale` true decimal digits; computed expressions with
+    // longer expansions keep the decimal path (see sumDecExact).
+    val f = math.pow(10, scale)
+    sum(round(c * f, 0).cast(LongType)).cast(DoubleType) / f
+  }
+
+  /** Decimal-cast sum for computed expressions whose exact decimal
+    * expansion exceeds `scale` digits (rounding must happen on the exact
+    * double expansion, as DuckDB does). */
+  private def sumDecExact(c: Column, scale: Int): Column =
     sum(c.cast(DecimalType(18, scale))).cast(DoubleType)
 
   /** Deterministic average: exact decimal sum as double, divided by count. */
-  private def avgDec(c: Column, scale: Int = 4): Column =
-    sum(c.cast(DecimalType(18, scale))).cast(DoubleType) / count(c)
+  private def avgDec(c: Column, scale: Int = 4): Column = {
+    val f = math.pow(10, scale)
+    sum(round(c * f, 0).cast(LongType)).cast(DoubleType) / f / count(c)
+  }
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -128,7 +143,7 @@ object CoreQueries {
         .agg(
           sumDec(col("l_quantity")).as("sum_qty"),
           sumDec(col("l_extendedprice")).as("sum_price"),
-          sumDec(col("l_extendedprice") * (lit(1) - col("l_discount")), 4).as("sum_disc_price"),
+          sumDecExact(col("l_extendedprice") * (lit(1) - col("l_discount")), 4).as("sum_disc_price"),
           avgDec(col("l_quantity")).as("avg_qty"),
           avgDec(col("l_extendedprice")).as("avg_price"),
           count(lit(1)).as("cnt"))

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.functions.{cosine_sim, minhash_sig, simhash64}
+import graft.functions.{dot_product, minhash_sig, simhash64}
 import graft.sources.Tables
 
 /** Deduplication suite over `documents` / `embeddings` — exact, MinHash+LSH,
@@ -148,11 +148,16 @@ object DedupQueries {
         |  / sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * x))
         |       * list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * x))) >= 0.4
         |ORDER BY vec_a, vec_b""".stripMargin)) { (s, d) =>
-      val e = emb(s, d)
-      val a = e.select(col("vec_id").as("vec_a"), col("embedding").as("ea"))
-      val b = e.select(col("vec_id").as("vec_b"), col("embedding").as("eb"))
+      // squared norms precomputed once per vector (dot(v,v) uses the same
+      // fold order as the fused cosine, so dot/sqrt(na*nb) stays
+      // bit-identical to cosine_sim) — the n² inner loop runs one fused
+      // sum instead of three.
+      val e = emb(s, d).select(col("vec_id"), col("embedding"),
+        dot_product(col("embedding"), col("embedding")).as("nsq"))
+      val a = e.select(col("vec_id").as("vec_a"), col("embedding").as("ea"), col("nsq").as("na"))
+      val b = e.select(col("vec_id").as("vec_b"), col("embedding").as("eb"), col("nsq").as("nb"))
       a.join(b, col("vec_a") < col("vec_b"))
-        .filter(cosine_sim(col("ea"), col("eb")) >= 0.4)
+        .filter(dot_product(col("ea"), col("eb")) / sqrt(col("na") * col("nb")) >= 0.4)
         .select(col("vec_a"), col("vec_b"))
         .orderBy(col("vec_a"), col("vec_b"))
     }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.{cosine_sim, lsh_bucket}
+import graft.functions.{cosine_sim, dot_product, lsh_bucket}
 import graft.sources.Tables
 
 /** Approximate-nearest-neighbor search over the `embeddings` table.
@@ -41,12 +41,14 @@ object SimilarityQueries {
          |SELECT qid, rank, vec_id FROM (
          |  SELECT qid, vec_id, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rank
          |  FROM c) WHERE rank <= $K ORDER BY qid, rank""".stripMargin)) { (s, d) =>
-      val e = emb(s, d)
-      val q = e.filter(col("vec_id") < NQueries)
-        .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      val e = emb(s, d).select(col("vec_id"), col("embedding"),
+        dot_product(col("embedding"), col("embedding")).as("nsq"))
+      val q = e.select(col("vec_id").as("qid"), col("embedding").as("qe"), col("nsq").as("qn"))
+        .filter(col("qid") < NQueries)
       val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
       e.join(broadcast(q), col("vec_id") =!= col("qid"))
-        .select(col("qid"), col("vec_id"), cosine_sim(col("qe"), col("embedding")).as("cos"))
+        .select(col("qid"), col("vec_id"),
+          (dot_product(col("qe"), col("embedding")) / sqrt(col("qn") * col("nsq"))).as("cos"))
         .withColumn("rank", row_number().over(w))
         .filter(col("rank") <= K)
         .select(col("qid"), col("rank"), col("vec_id"))

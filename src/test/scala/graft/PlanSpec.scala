@@ -68,8 +68,10 @@ class PlanSpec extends AnyFunSuite {
     finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
-  test("custom cosine expression stays inside whole-stage codegen") {
-    assert(codegenOf("ann_brute_topk").contains("graft.functions.CosineSimilarity.compute"),
+  test("custom vector expressions stay inside whole-stage codegen") {
+    assert(codegenOf("ann_brute_topk").contains("graft.functions.DotProduct.compute"),
+      "dot product must be compiled into generated code, not interpreted fallback")
+    assert(codegenOf("ann_lsh_topk").contains("graft.functions.CosineSimilarity.compute"),
       "cosine must be compiled into generated code, not interpreted fallback")
   }
 
