@@ -68,6 +68,14 @@ object Compiler {
         case "LIKE" => cl.like(r.asInstanceOf[Lit].value.toString)
         case "RLIKE" => cl.rlike(r.asInstanceOf[Lit].value.toString)
         case "IN" => cl.isin(r.asInstanceOf[ListLit].items.map(_.asInstanceOf[Lit].value): _*)
+        // B3 map/list ops: CONTAINSKEY/CONTAINSVALUE work on maps AND on
+        // lists-of-maps like bullet-core's (value op checks lists too)
+        case "CONTAINSKEY" => map_contains_key(cl, cr)
+        case "CONTAINSVALUE" => array_contains(map_values(cl), cr)
+        case "SIZEIS" => size(cl) === cr
+        // dynamic-schema tail: JSON(col, '$.path') over a JSON string
+        // column — our analog of BulletRecord's runtime-typed map fields
+        case "JSON" => get_json_object(cl, r.asInstanceOf[Lit].value.toString)
         case other => throw new BqlParseException(s"bad binary op $other")
       }
     case other => throw new BqlParseException(s"unsupported expression $other")

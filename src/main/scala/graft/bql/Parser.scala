@@ -64,7 +64,8 @@ object Parser {
       if (peekUp == t.toUpperCase) { pos += 1; true } else false
 
     private val aggFns = Set("COUNT", "SUM", "MIN", "MAX", "AVG", "TOP", "QUANTILE")
-    private val scalarFns = Set("ABS", "LOWER", "UPPER", "TRIM", "SIZEOF", "ISNULL", "ISNOTNULL", "IF", "CAST")
+    private val scalarFns = Set("ABS", "LOWER", "UPPER", "TRIM", "SIZEOF", "ISNULL", "ISNOTNULL",
+      "IF", "CAST", "CONTAINSKEY", "CONTAINSVALUE", "SIZEIS", "JSON")
 
     def query(): Query = {
       expect("SELECT")
@@ -305,6 +306,9 @@ object Parser {
         case "CAST" =>
           val e = expr(); expect(","); val ty = next(); expect(")")
           Cast(e, ty.toUpperCase)
+        case "CONTAINSKEY" | "CONTAINSVALUE" | "SIZEIS" | "JSON" =>
+          val e = expr(); expect(","); val a = expr(); expect(")")
+          Binary(fn, e, a)
         case _ =>
           val e = expr(); expect(")")
           Unary(fn, e)

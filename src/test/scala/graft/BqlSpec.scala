@@ -98,6 +98,26 @@ class BqlSpec extends AnyFunSuite {
           col("value").cast("long").as("v")))
   }
 
+  test("map/list/json ops: CONTAINSKEY, CONTAINSVALUE, SIZEIS, JSON") {
+    import scala.jdk.CollectionConverters._
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("m", org.apache.spark.sql.types.MapType(
+        org.apache.spark.sql.types.StringType, org.apache.spark.sql.types.LongType)),
+      org.apache.spark.sql.types.StructField("arr", org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.StringType)),
+      org.apache.spark.sql.types.StructField("js", org.apache.spark.sql.types.StringType)))
+    val rows = Seq(
+      org.apache.spark.sql.Row(1L, Map("a" -> 1L, "b" -> 2L), Seq("x", "y"), """{"k": 7}"""),
+      org.apache.spark.sql.Row(2L, Map("c" -> 3L), Seq("x"), """{"k": 9}"""))
+    val df = spark.createDataFrame(rows.asJava, schema)
+    val got = Compiler.compile(
+      "SELECT id, CONTAINSKEY(m, 'a') AS ck, CONTAINSVALUE(m, 3) AS cv, " +
+        "SIZEIS(arr, 2) AS s2, CAST(JSON(js, '$.k'), LONG) AS k FROM STREAM ORDER BY id")._2(df)
+      .collect().map(r => (r.getLong(0), r.getBoolean(1), r.getBoolean(2), r.getBoolean(3), r.getLong(4))).toSeq
+    assert(got == Seq((1L, true, false, true, 7L), (2L, false, true, false, 9L)))
+  }
+
   // property: numeric comparison predicates agree with Spark on random thresholds
   test("property: filter thresholds agree with Spark for any threshold") {
     val cached = events.select("event_id", "value").cache()
