@@ -134,6 +134,30 @@ object Compiler {
           .select(posexplode(col("__qv")).as(Seq("__i", name)))
           .select(element_at(lit(ps.toArray), col("__i") + 1).as("quantile"), col(name))
     }
+    postAgg(q, df)
+  }
+
+  /** Post-aggregation chain (B9–B12): COMPUTATION → HAVING → ORDER BY →
+    * CULLING → LIMIT. Shared by the batch plan and the streaming state's
+    * present() so the two paths cannot drift. */
+  def postAgg(q: Query, df0: DataFrame): DataFrame = {
+    var df = df0
+    // B10 COMPUTATION: non-aggregate select items over aggregate output
+    // (e.g. `cnt * 2 AS double_cnt` after COUNT(*) AS cnt). Plain field
+    // references to existing columns are already present — skip them.
+    if (q.agg != RawAll) {
+      q.select.zipWithIndex.foreach { case (s, i) =>
+        s.expr match {
+          case FieldRef(p) if s.alias.isEmpty && df.columns.contains(p) => ()
+          case _ =>
+            val name = s.alias.getOrElse(s.expr match {
+              case FieldRef(p) => p
+              case _ => s"expr_$i"
+            })
+            if (!df.columns.contains(name)) df = df.withColumn(name, column(s.expr))
+        }
+      }
+    }
     q.having.foreach(h => df = df.filter(column(h)))
     if (q.orderBy.nonEmpty)
       df = df.orderBy(q.orderBy.map(o =>

@@ -279,13 +279,7 @@ final class GroupState(q: Query, g: GroupAgg) extends QueryState with GlobalComb
         else col(op.name)
       }
     df = df.select(finalCols: _*)
-    q.having.foreach(h => df = df.filter(Compiler.column(h)))
-    if (q.orderBy.nonEmpty)
-      df = df.orderBy(q.orderBy.map(o =>
-        if (o.desc) Compiler.column(o.expr).desc else Compiler.column(o.expr).asc): _*)
-    if (q.culling.nonEmpty) df = df.drop(q.culling: _*)
-    q.limit.foreach(n => df = df.limit(n))
-    df.collect().toSeq
+    Compiler.postAgg(q, df).collect().toSeq
   }
 
   override def reset(): Unit = groups.clear()

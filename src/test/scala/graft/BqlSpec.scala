@@ -118,6 +118,21 @@ class BqlSpec extends AnyFunSuite {
     assert(got == Seq((1L, true, false, true, 7L), (2L, false, true, false, 9L)))
   }
 
+  test("B10 COMPUTATION: computed columns over aggregate output") {
+    val got = Compiler.compile(
+      "SELECT event_type, COUNT(*) AS cnt, cnt * 2 AS double_cnt FROM STREAM " +
+        "GROUP BY event_type HAVING cnt > 0 ORDER BY event_type")._2(events)
+    val ref = events.groupBy(col("event_type")).agg(count(lit(1)).as("cnt"))
+      .withColumn("double_cnt", col("cnt") * 2)
+      .orderBy(col("event_type"))
+    assert(got.collect().toSeq == ref.collect().toSeq)
+    // culling the intermediate: computation + CULL drops the helper column
+    val culled = Compiler.compile(
+      "SELECT event_type, COUNT(*) AS cnt, cnt * 2 AS double_cnt FROM STREAM " +
+        "GROUP BY event_type ORDER BY event_type CULL cnt")._2(events)
+    assert(culled.columns.toSeq == Seq("event_type", "double_cnt"))
+  }
+
   // property: numeric comparison predicates agree with Spark on random thresholds
   test("property: filter thresholds agree with Spark for any threshold") {
     val cached = events.select("event_id", "value").cache()

@@ -243,6 +243,19 @@ class MultiQueryEngineSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("COMPUTATION post-agg flows through streaming present (B10)") {
+    val e = newEngine()
+    e.submit("cp1", "SELECT event_type, COUNT(*) AS cnt, cnt * 2 AS double_cnt FROM STREAM " +
+      "GROUP BY event_type ORDER BY event_type DURATION 10")
+    e.processBatch(batches(2).head)
+    now += 100
+    e.tick()
+    val recs = e.drainResults().head.clip.records
+    assert(recs.nonEmpty)
+    assert(recs.forall(r =>
+      r("double_cnt").asInstanceOf[Long] == 2 * r("cnt").asInstanceOf[Long]))
+  }
+
   test("checkpoint/restore resumes mid-query with identical results (A9)") {
     val bs = batches(4)
     // continuous run for reference
