@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions._
+
+/** SparkSessionExtensions entry point: registers graft's custom Catalyst
+  * expressions as SQL functions, so `spark.sql("SELECT cosine_sim(a, b)")`
+  * works next to the Column API. Install with
+  * `SparkSession.builder().withExtensions(new GraftExtensions)` or
+  * `spark.sql.extensions=graft.GraftExtensions`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
+
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction((FunctionIdentifier("cosine_sim"),
+      info("cosine_sim", "cosine_sim(a, b) - cosine similarity of two float arrays"),
+      (args: Seq[Expression]) => CosineSimilarity(args(0), args(1))))
+    e.injectFunction((FunctionIdentifier("dot_product"),
+      info("dot_product", "dot_product(a, b) - dot product of two float arrays"),
+      (args: Seq[Expression]) => DotProduct(args(0), args(1))))
+    e.injectFunction((FunctionIdentifier("minhash_sig"),
+      info("minhash_sig", "minhash_sig(tokens[, w, k]) - MinHash signature of a token array"),
+      (args: Seq[Expression]) => args match {
+        case Seq(t) => MinHashSig(t, 3, 64)
+        case Seq(t, w, k) => MinHashSig(t,
+          w.eval().asInstanceOf[Number].intValue(), k.eval().asInstanceOf[Number].intValue())
+        case _ => throw new IllegalArgumentException("minhash_sig(tokens[, w, k])")
+      }))
+    e.injectFunction((FunctionIdentifier("simhash64"),
+      info("simhash64", "simhash64(tokens) - 64-bit SimHash of a token array"),
+      (args: Seq[Expression]) => SimHash(args.head)))
+    e.injectFunction((FunctionIdentifier("lsh_bucket"),
+      info("lsh_bucket", "lsh_bucket(vec[, seed, bits]) - hyperplane LSH bucket"),
+      (args: Seq[Expression]) => args match {
+        case Seq(v) => HyperplaneLshBucket(v, 7L, 8)
+        case Seq(v, s, b) => HyperplaneLshBucket(v,
+          s.eval().asInstanceOf[Number].longValue(), b.eval().asInstanceOf[Number].intValue())
+        case _ => throw new IllegalArgumentException("lsh_bucket(vec[, seed, bits])")
+      }))
+  }
+}

@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The SQL surface of graft's custom expressions, registered through
+  * SparkSessionExtensions. */
+class GraftExtensionsSpec extends AnyFunSuite {
+
+  // withExtensions only applies at session CREATION, and suites share the
+  // forked JVM — stop any live session first (suites run sequentially in
+  // forked mode; later suites' getOrCreate will just reuse this one, the
+  // extra functions are harmless there).
+  private lazy val spark: SparkSession = {
+    SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession).foreach(_.stop())
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s = GraftSession.configure(
+      SparkSession.builder()
+        .master("local[4]")
+        .appName("graft-ext")
+        .config("spark.sql.shuffle.partitions", "4")
+        .withExtensions(new GraftExtensions))
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  test("custom expressions are callable from SQL") {
+    val r = spark.sql(
+      """SELECT
+        |  cosine_sim(array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)),
+        |             array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT))) AS cs,
+        |  dot_product(array(CAST(2.0 AS FLOAT)), array(CAST(3.0 AS FLOAT))) AS dp,
+        |  simhash64(array('a','b')) AS sh,
+        |  size(minhash_sig(array('a','b','c','d'))) AS msize,
+        |  lsh_bucket(array(CAST(1.0 AS FLOAT), CAST(-1.0 AS FLOAT)), 7, 4) AS bkt
+        |""".stripMargin).head()
+    assert(r.getDouble(0) == 1.0)
+    assert(r.getDouble(1) == 6.0)
+    assert(r.getLong(2) != 0L)
+    assert(r.getInt(3) == 64)
+    assert(r.getInt(4) >= 0 && r.getInt(4) < 16)
+  }
+}
