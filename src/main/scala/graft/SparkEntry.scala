@@ -16,7 +16,7 @@ object SparkEntry {
   private val allDefs: Seq[QueryDef] =
     CoreQueries.defs ++ SketchQueries.defs ++ TextQueries.defs ++
       DedupQueries.defs ++ SimilarityQueries.defs ++ BqlQueries.defs ++
-      MultimodalQueries.defs ++ OperatorQueries.defs
+      MultimodalQueries.defs ++ OperatorQueries.defs ++ FunctionQueries.defs
 
   private val (queryMap, oracleMap) = QueryDef.toMaps(allDefs)
 
