@@ -204,7 +204,12 @@ final class GroupState(q: Query, g: GroupAgg) extends QueryState with GlobalComb
     val partial =
       if (keyCols.isEmpty) batch.agg(pcs.head, pcs.tail: _*)
       else batch.groupBy(keyCols: _*).agg(pcs.head, pcs.tail: _*)
-    val rows = partial.limit(QueryState.MaxGroups * 4).collect()
+    // over-cap batches keep their LARGEST groups (TakeOrdered — a
+    // deterministic choice, vs an arbitrary limit()), mirroring Bullet's
+    // drop-over-cardinality behavior with a sane survivor set
+    val rows =
+      if (keyNames.isEmpty) partial.collect()
+      else partial.orderBy(col("__n").desc).limit(QueryState.MaxGroups * 4).collect()
     if (partialSchema == null) partialSchema = partial.schema
     var n = 0L
     val nKeys = keyNames.size
