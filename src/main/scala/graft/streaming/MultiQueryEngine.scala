@@ -140,9 +140,10 @@ final class MultiQueryEngine(
         case _: ThetaState | _: KllState => true
         case _ => false
       })
-      // keyed group-bys sharing identical key expressions fuse per signature
-      val (keyedGroups, solo) = rest.partition(_.state.isInstanceOf[GroupState])
-      val bySig = keyedGroups.groupBy(_.state.asInstanceOf[GroupState].keySignature)
+      // keyed queries (group-bys, top-k) sharing identical key
+      // expressions fuse per signature
+      val (keyedGroups, solo) = rest.partition(_.state.isInstanceOf[KeyedCombinable])
+      val bySig = keyedGroups.groupBy(_.state.asInstanceOf[KeyedCombinable].keySignature)
       val (fusedKeyed, soloKeyed) = bySig.values.toSeq.partition(_.size >= 2)
 
       if (globalFusable.size >= 2) fuseGlobal(globalFusable, cached)
@@ -175,17 +176,17 @@ final class MultiQueryEngine(
   /** One groupBy job for queries sharing a GROUP BY key signature. */
   private def fuseKeyed(ls: Seq[Live], cached: DataFrame): Unit =
     try {
-      val states = ls.map(_.state.asInstanceOf[GroupState])
+      val states = ls.map(_.state.asInstanceOf[KeyedCombinable])
       val keyCols = states.head.keyColumns
       val nKeys = keyCols.size
-      val offsets = ls.scanLeft(nKeys)(_ + _.state.asInstanceOf[GlobalCombinable].partialWidth)
+      val offsets = ls.scanLeft(nKeys)(_ + _.state.asInstanceOf[KeyedCombinable].partialWidth)
       val cols = ls.flatMap(l =>
-        l.state.asInstanceOf[GlobalCombinable].partialAggCols(l.filter))
+        l.state.asInstanceOf[KeyedCombinable].partialAggCols(l.filter))
       val rows = cached.groupBy(keyCols: _*).agg(cols.head, cols.tail: _*)
         .limit(QueryState.MaxGroups * 4).collect().toSeq
       ls.zip(offsets).foreach { case (l, off) =>
         guarded(l) {
-          lifecycle(l, l.state.asInstanceOf[GroupState].mergeCombinedKeyed(rows, nKeys, off))
+          lifecycle(l, l.state.asInstanceOf[KeyedCombinable].mergeCombinedKeyed(rows, nKeys, off))
         }
       }
     } catch {

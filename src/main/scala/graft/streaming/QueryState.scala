@@ -70,6 +70,16 @@ trait GlobalCombinable {
   def partialWidth: Int
 }
 
+/** Keyed variant: queries sharing identical GROUP BY key expressions ride
+  * one groupBy job per batch (GroupState with keys, TopKState). */
+trait KeyedCombinable extends GlobalCombinable {
+  def keySignature: String
+  def keyColumns: Seq[Column]
+  /** Merge combined groupBy rows; slice columns at [start, start+width),
+    * keys at [0, nKeys). Returns consumed record count. */
+  def mergeCombinedKeyed(rows: Seq[Row], nKeys: Int, start: Int): Long
+}
+
 object QueryState {
   /** Bullet defaults: RAW max 100 records, aggregations capped at 500
     * groups (bullet-core 1.5.2 defaults, SURVEY.md §6). */
@@ -117,7 +127,7 @@ final class RawState(q: Query, limit: Int) extends QueryState {
 /** GROUP BY / GROUP ALL (B5): capped hash map of group → partial values,
   * merged from per-batch Catalyst partial aggregates. Keyless (GROUP ALL)
   * instances are [[GlobalCombinable]]. */
-final class GroupState(q: Query, g: GroupAgg) extends QueryState with GlobalCombinable {
+final class GroupState(q: Query, g: GroupAgg) extends QueryState with KeyedCombinable {
   // partial schema: one column per key, then per-op partial columns
   private val keyNames = g.keys.zipWithIndex.map { case (s, i) =>
     s.alias.orElse(s.expr match { case FieldRef(p) => Some(p); case _ => None })
@@ -242,11 +252,11 @@ final class GroupState(q: Query, g: GroupAgg) extends QueryState with GlobalComb
   // ---- keyed fusion: queries sharing the same GROUP BY key expressions
   // ride one groupBy job; a group a query's filter never matched has
   // __n == 0 for that query and is skipped (not a real group of it).
-  def keySignature: String = g.keys.map(_.expr.toString).mkString("|")
-  def keyColumns: Seq[Column] = g.keys.zipWithIndex.map { case (s, i) =>
+  override def keySignature: String = g.keys.map(_.expr.toString).mkString("|")
+  override def keyColumns: Seq[Column] = g.keys.zipWithIndex.map { case (s, i) =>
     Compiler.column(s.expr).as(keyNames(i))
   }
-  def mergeCombinedKeyed(rows: Seq[Row], nKeys: Int, start: Int): Long = {
+  override def mergeCombinedKeyed(rows: Seq[Row], nKeys: Int, start: Int): Long = {
     val nVals = valueNames.size
     var n = 0L
     rows.foreach { r =>
@@ -339,7 +349,7 @@ final class ThetaState(cd: CountDistinctAgg) extends QueryState with GlobalCombi
   * executors), merged into a capped driver map — the same
   * bounded-state/approximate-tail contract as Bullet's FrequentItems
   * sketch. */
-final class TopKState(tk: TopKAgg) extends QueryState {
+final class TopKState(tk: TopKAgg) extends QueryState with KeyedCombinable {
   private val counts = mutable.HashMap.empty[Seq[Any], Long]
   private var keySchema: StructType = _
   /** candidates kept per batch: generous multiple of k bounds the error */
@@ -375,6 +385,32 @@ final class TopKState(tk: TopKAgg) extends QueryState {
   }
 
   override def reset(): Unit = { counts.clear() }
+
+  // ---- keyed fusion: TOP K shares a groupBy job with same-key GROUP BYs.
+  override def keySignature: String = tk.fields.mkString("|")
+  override def keyColumns: Seq[Column] = tk.fields.map(col)
+  override def partialWidth: Int = 2
+  override def partialAggCols(pred: Option[Column]): Seq[Column] = {
+    val one = pred.map(p => when(p, lit(1))).getOrElse(lit(1))
+    Seq(count(one).as("__c"), count(one).as("__n"))
+  }
+  override def mergeCombined(row: Row, start: Int): Long =
+    throw new UnsupportedOperationException("TopK is keyed-combinable only")
+  override def mergeCombinedKeyed(rows: Seq[Row], nKeys: Int, start: Int): Long = {
+    var n = 0L
+    rows.foreach { r =>
+      if (keySchema == null)
+        keySchema = StructType((0 until nKeys).map(i => r.schema.fields(i)))
+      val c = r.getLong(start)
+      if (c > 0) {
+        val key = (0 until nKeys).map(r.get)
+        counts(key) = counts.getOrElse(key, 0L) + c
+        n += c
+      }
+    }
+    n
+  }
+
   override def snapshot(): Array[Byte] =
     SerUtil.write((counts.toList.map { case (k, v) => (k.toList, v) }, keySchema))
   override def restore(bytes: Array[Byte]): Unit = {

@@ -243,6 +243,26 @@ class MultiQueryEngineSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("TOP K fuses with a same-key GROUP BY and stays exact (B8 fusion)") {
+    val e = newEngine()
+    e.submit("f1", "SELECT TOP(3, event_type) AS cnt FROM STREAM DURATION 1000")
+    e.submit("f2", "SELECT event_type, COUNT(*) AS cnt FROM STREAM " +
+      "WHERE value > 250 GROUP BY event_type ORDER BY event_type DURATION 1000")
+    batches(4).foreach(e.processBatch)
+    now += 2000
+    e.tick()
+    val rs = e.drainResults().map(m => m.queryId -> m.clip.records).toMap
+    val topExact = events.groupBy(col("event_type")).count()
+      .orderBy(col("count").desc, col("event_type")).limit(3).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(rs("f1").map(r => (r("event_type").toString, r("cnt").asInstanceOf[Long])) == topExact)
+    val grpExact = events.filter(col("value") > 250)
+      .groupBy(col("event_type")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("event_type")).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(rs("f2").map(r => (r("event_type").toString, r("cnt").asInstanceOf[Long])) == grpExact)
+  }
+
   test("COMPUTATION post-agg flows through streaming present (B10)") {
     val e = newEngine()
     e.submit("cp1", "SELECT event_type, COUNT(*) AS cnt, cnt * 2 AS double_cnt FROM STREAM " +
