@@ -106,10 +106,12 @@ object DedupQueries {
         col("doc_id").as("doc_b"), col("sig").as("sig_b"))
       a.join(b, col("band_a") === col("band_b") && col("key_a") === col("key_b")
           && col("doc_a") < col("doc_b"))
+        // dedupe pairs BEFORE the signature comparison: a pair colliding in
+        // k bands would otherwise pay the 64-slot zip k times
+        .dropDuplicates("doc_a", "doc_b")
         .select(col("doc_a"), col("doc_b"),
           (size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), b => b))
             .cast(DoubleType) / (bands * rowsPerBand)).as("est_jaccard"))
-        .distinct()
         .filter(col("est_jaccard") >= 0.5)
         .orderBy(col("doc_a"), col("doc_b"))
     },
