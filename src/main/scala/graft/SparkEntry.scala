@@ -16,7 +16,8 @@ object SparkEntry {
   private val allDefs: Seq[QueryDef] =
     CoreQueries.defs ++ SketchQueries.defs ++ TextQueries.defs ++
       DedupQueries.defs ++ SimilarityQueries.defs ++ BqlQueries.defs ++
-      MultimodalQueries.defs ++ OperatorQueries.defs ++ FunctionQueries.defs
+      MultimodalQueries.defs ++ OperatorQueries.defs ++ FunctionQueries.defs ++
+      SamplingQueries.defs
 
   private val (queryMap, oracleMap) = QueryDef.toMaps(allDefs)
 
