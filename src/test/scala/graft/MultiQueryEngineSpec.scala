@@ -243,6 +243,21 @@ class MultiQueryEngineSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("empty batches are harmless for every state type") {
+    val e = newEngine()
+    e.submit("e1", "SELECT COUNT(*) AS cnt FROM STREAM WINDOWING EVERY(1, RECORD, ALL)")
+    e.submit("e2", "SELECT COUNT(DISTINCT user_id) AS nu FROM STREAM")
+    e.submit("e3", "SELECT QUANTILE(value, 0.5) AS m FROM STREAM")
+    e.submit("e4", "SELECT TOP(3, event_type) AS cnt FROM STREAM")
+    e.submit("e5", "SELECT event_id FROM STREAM LIMIT 5")
+    val empty = events.filter(col("event_id") < 0)
+    e.processBatch(empty)
+    assert(e.drainResults().isEmpty) // no records -> no RECORD-window emits
+    assert(e.activeQueryIds.size == 5)
+    e.processBatch(batches(4).head) // engine still healthy afterwards
+    assert(e.drainResults().nonEmpty)
+  }
+
   test("TOP K fuses with a same-key GROUP BY and stays exact (B8 fusion)") {
     val e = newEngine()
     e.submit("f1", "SELECT TOP(3, event_type) AS cnt FROM STREAM DURATION 1000")
