@@ -50,7 +50,9 @@ object Ast {
   // ---- post-aggregations (B9-B12) ----
   final case class OrderItem(expr: Expr, desc: Boolean)
 
-  /** A complete query (B14: durationMs; limit doubles as RAW size). */
+  /** A complete query (B14: durationMs; limit doubles as RAW size).
+    * `copyAll` = the reference's Projection COPY mode (`SELECT *, expr`):
+    * keep every original field and add the computed items. */
   final case class Query(
       select: Seq[SelectItem], // empty = SELECT *
       where: Option[Expr],
@@ -60,5 +62,6 @@ object Ast {
       limit: Option[Int],
       window: Option[WindowSpec],
       durationMs: Option[Long],
-      culling: Seq[String])
+      culling: Seq[String],
+      copyAll: Boolean = false)
 }

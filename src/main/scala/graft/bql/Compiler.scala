@@ -44,6 +44,7 @@ object Compiler {
         case "UPPER" => upper(c)
         case "TRIM" => trim(c)
         case "SIZEOF" => size(c)
+        case "LENGTH" => length(c) // Bullet's SIZEOF also covers strings; Spark splits them
         case "ISNULL" => c.isNull
         case "ISNOTNULL" => c.isNotNull
         case other => throw new BqlParseException(s"bad unary op $other")
@@ -109,11 +110,7 @@ object Compiler {
     var df = df0
     q.where.foreach(w => df = df.filter(column(w)))
     df = q.agg match {
-      case RawAll =>
-        val projected =
-          if (q.select.isEmpty) df
-          else df.select(q.select.zipWithIndex.map { case (s, i) => selectItemCol(s, i) }: _*)
-        projected
+      case RawAll => rawProjection(q, df)
       case GroupAgg(keys, ops) =>
         val keyCols = keys.zipWithIndex.map { case (s, i) => selectItemCol(s, i) }
         val aggCols = ops.map(aggColumn)
@@ -166,6 +163,21 @@ object Compiler {
     q.limit.foreach(n => df = df.limit(n))
     df
   }
+
+  /** RAW projection incl. the reference's three Projection modes (B2):
+    * PASSTHROUGH (`SELECT *`), NO_COPY (explicit list), COPY
+    * (`SELECT *, computed`). Shared by the batch plan and RawState. */
+  def rawProjection(q: Query, df: DataFrame): DataFrame =
+    if (q.select.isEmpty) df
+    else if (q.copyAll)
+      q.select.zipWithIndex.foldLeft(df) { case (d, (s, i)) =>
+        val name = s.alias.getOrElse(s.expr match {
+          case FieldRef(p) => p
+          case _ => s"expr_$i"
+        })
+        d.withColumn(name, column(s.expr))
+      }
+    else df.select(q.select.zipWithIndex.map { case (s, i) => selectItemCol(s, i) }: _*)
 
   def compositeKey(fields: Seq[String]): String =
     if (fields.size == 1) fields.head

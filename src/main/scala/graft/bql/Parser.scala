@@ -64,13 +64,15 @@ object Parser {
       if (peekUp == t.toUpperCase) { pos += 1; true } else false
 
     private val aggFns = Set("COUNT", "SUM", "MIN", "MAX", "AVG", "TOP", "QUANTILE")
-    private val scalarFns = Set("ABS", "LOWER", "UPPER", "TRIM", "SIZEOF", "ISNULL", "ISNOTNULL",
-      "IF", "CAST", "CONTAINSKEY", "CONTAINSVALUE", "SIZEIS", "JSON")
+    private val scalarFns = Set("ABS", "LOWER", "UPPER", "TRIM", "SIZEOF", "LENGTH",
+      "ISNULL", "ISNOTNULL", "IF", "CAST", "CONTAINSKEY", "CONTAINSVALUE", "SIZEIS", "JSON")
 
     def query(): Query = {
       expect("SELECT")
       val star = accept("*")
-      val items = if (star) Nil else selectList()
+      // `SELECT *, expr AS x` = Projection COPY mode (B2)
+      val copyAll = star && accept(",")
+      val items = if (star && !copyAll) Nil else selectList()
       expect("FROM"); expect("STREAM")
       val where = if (accept("WHERE")) Some(expr()) else None
       val groupKeys =
@@ -122,7 +124,7 @@ object Parser {
             GroupAgg(groupKeys, ops)
         }
       val plainSelect = items.filterNot(_.expr.isInstanceOf[AggCall])
-      Query(plainSelect, where, agg, having, order, limit, window, duration, culling)
+      Query(plainSelect, where, agg, having, order, limit, window, duration, culling, copyAll)
     }
 
     private def windowSpec(): WindowSpec = {

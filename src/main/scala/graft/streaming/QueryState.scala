@@ -100,15 +100,7 @@ final class RawState(q: Query, limit: Int) extends QueryState {
   private val buf = mutable.ArrayBuffer.empty[Row]
 
   override def update(batch: DataFrame): Long = {
-    val projected = q.agg match {
-      case RawAll if q.select.nonEmpty =>
-        batch.select(q.select.zipWithIndex.map { case (s, i) =>
-          val c = Compiler.column(s.expr)
-          s.alias.orElse(s.expr match { case FieldRef(p) => Some(p); case _ => None })
-            .map(c.as).getOrElse(c.as(s"expr_$i"))
-        }: _*)
-      case _ => batch
-    }
+    val projected = Compiler.rawProjection(q, batch)
     val take = limit - buf.size
     val got = if (take > 0) projected.limit(take).collect() else Array.empty[Row]
     buf ++= got

@@ -118,6 +118,15 @@ class BqlSpec extends AnyFunSuite {
     assert(got == Seq((1L, true, false, true, 7L), (2L, false, true, false, 9L)))
   }
 
+  test("B2 COPY projection: SELECT *, computed keeps originals") {
+    val got = Compiler.compile(
+      "SELECT *, LENGTH(event_type) AS tlen FROM STREAM WHERE event_id < 10 ORDER BY event_id")._2(events)
+    assert(got.columns.toSeq == events.columns.toSeq :+ "tlen")
+    val ref = events.filter(col("event_id") < 10)
+      .withColumn("tlen", length(col("event_type"))).orderBy(col("event_id"))
+    assert(got.collect().toSeq == ref.collect().toSeq)
+  }
+
   test("B10 COMPUTATION: computed columns over aggregate output") {
     val got = Compiler.compile(
       "SELECT event_type, COUNT(*) AS cnt, cnt * 2 AS double_cnt FROM STREAM " +
