@@ -29,7 +29,11 @@ object Tables {
     // runtime is a no-op but protects ad-hoc sessions (it is a runtime conf).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(path(sfDir, name))
-    if (name == "events") df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    // nanos->micros only when ts actually arrives as a raw long (the
+    // driver fixtures); re-written copies already carry TimestampType
+    if (name == "events" &&
+        df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
     else df
   }
 
