@@ -39,6 +39,11 @@ object Ingest {
     }
   }
 
+  /** Fan-in of N parallel producers (the reference unions its producer
+    * streams, `QueryDataUnioning.scala:85-91`); schemas must match. */
+  def unionAll(sources: Seq[DataFrame]): DataFrame =
+    sources.reduce(_.union(_))
+
   /** Rate source: the built-in load generator (the analog of the
     * reference's test DataProducer). */
   def rateStream(spark: SparkSession, rowsPerSecond: Int): DataFrame =

@@ -142,6 +142,37 @@ class BqlSpec extends AnyFunSuite {
     assert(culled.columns.toSeq == Seq("event_type", "double_cnt"))
   }
 
+  test("null semantics: comparisons propagate null, ISNULL/IF recover (B3)") {
+    import scala.jdk.CollectionConverters._
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("v", org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("s", org.apache.spark.sql.types.StringType)))
+    val rows = Seq(
+      org.apache.spark.sql.Row(1L, 10.0, "a"),
+      org.apache.spark.sql.Row(2L, null, "b"),
+      org.apache.spark.sql.Row(3L, 30.0, null))
+    val df = spark.createDataFrame(rows.asJava, schema)
+    // null comparison is not-true → row 2 dropped by v > 5 (Bullet's
+    // NULL/UNKNOWN never matches a filter, same as SQL three-valued logic)
+    assert(Compiler.compile("SELECT id FROM STREAM WHERE v > 5")._2(df)
+      .collect().map(_.getLong(0)).toSet == Set(1L, 3L))
+    // NOT(null) is still null → row 2 dropped on both sides of the NOT
+    assert(Compiler.compile("SELECT id FROM STREAM WHERE NOT (v > 5)")._2(df)
+      .collect().isEmpty)
+    // ISNULL selects it; IF recovers a default
+    assert(Compiler.compile("SELECT id FROM STREAM WHERE v IS NULL")._2(df)
+      .collect().map(_.getLong(0)).toSeq == Seq(2L))
+    val recovered = Compiler.compile(
+      "SELECT id, IF(ISNULL(v), 0.0, v) AS v2 FROM STREAM ORDER BY id")._2(df)
+      .collect().map(_.getDouble(1)).toSeq
+    assert(recovered == Seq(10.0, 0.0, 30.0))
+    // null string in grouping forms its own group (SQL GROUP BY semantics)
+    val grouped = Compiler.compile(
+      "SELECT s, COUNT(*) AS c FROM STREAM GROUP BY s ORDER BY c DESC, s")._2(df)
+    assert(grouped.count() == 3)
+  }
+
   // property: numeric comparison predicates agree with Spark on random thresholds
   test("property: filter thresholds agree with Spark for any threshold") {
     val cached = events.select("event_id", "value").cache()

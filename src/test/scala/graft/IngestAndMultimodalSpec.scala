@@ -64,6 +64,15 @@ class IngestAndMultimodalSpec extends AnyFunSuite {
     assert(counts.lastOption.contains(ev.count()), s"got $counts")
   }
 
+  test("N parallel producers union into one stream (A2)") {
+    val ev = Tables.load(spark, sfDir, "events").select("event_id", "event_type")
+    val parts = (0 until 3).map(i => ev.filter(col("event_id") % 3 === i))
+    val unioned = Ingest.unionAll(parts)
+    assert(unioned.count() == ev.count())
+    assert(unioned.agg(sum("event_id")).head().getLong(0) ==
+      ev.agg(sum("event_id")).head().getLong(0))
+  }
+
   test("decode kernel: deterministic, normalized, fixed dim") {
     val f1 = Multimodal.decodeToFeatures("hello world".getBytes)
     val f2 = Multimodal.decodeToFeatures("hello world".getBytes)
