@@ -36,6 +36,9 @@ object Ast {
   final case class CountDistinctAgg(fields: Seq[String], name: String) extends Agg
   final case class TopKAgg(k: Int, fields: Seq[String], countName: String) extends Agg
   final case class QuantileAgg(field: String, probs: Seq[Double], name: String) extends Agg
+  /** DISTRIBUTION PMF/CDF (B7): bin counts / cumulative probabilities at
+    * the given split points. */
+  final case class PmfAgg(field: String, points: Seq[Double], cdf: Boolean, name: String) extends Agg
 
   final case class AggOp(fn: String, arg: Option[Expr], name: String) // COUNT SUM MIN MAX AVG
 

@@ -130,6 +130,27 @@ object Compiler {
             s" array(${ps.mkString(",")}))").as("__qv"))
           .select(posexplode(col("__qv")).as(Seq("__i", name)))
           .select(element_at(lit(ps.toArray), col("__i") + 1).as("quantile"), col(name))
+      case PmfAgg(field, points, isCdf, name) =>
+        // batch path is exact: conditional counts per interval
+        // (bin 0 = (-inf, p0), bin i = [p_{i-1}, p_i), last = [p_n, inf));
+        // CDF = count(v <= p_i). The streaming path estimates the same
+        // shape from the KLL sketch (KllState.present).
+        val v = col(field)
+        val aggs: Seq[Column] =
+          if (isCdf) points.map(p => count(when(v <= p, 1)))
+          else {
+            val lowest = count(when(v < points.head, 1))
+            val mids = points.sliding(2).collect { case Seq(lo, hi) =>
+              count(when(v >= lo && v < hi, 1))
+            }.toSeq
+            val highest = count(when(v >= points.last, 1))
+            lowest +: mids :+ highest
+          }
+        val binned = df.agg(array(aggs: _*).as("__bins"))
+          .select(posexplode(col("__bins")).as(Seq("bin", name)))
+        if (isCdf)
+          binned.select(element_at(lit(points.toArray), col("bin") + 1).as("point"), col(name))
+        else binned
     }
     postAgg(q, df)
   }

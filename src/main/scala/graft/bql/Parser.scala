@@ -63,7 +63,7 @@ object Parser {
     private def accept(t: String): Boolean =
       if (peekUp == t.toUpperCase) { pos += 1; true } else false
 
-    private val aggFns = Set("COUNT", "SUM", "MIN", "MAX", "AVG", "TOP", "QUANTILE")
+    private val aggFns = Set("COUNT", "SUM", "MIN", "MAX", "AVG", "TOP", "QUANTILE", "PMF", "CDF")
     private val scalarFns = Set("ABS", "LOWER", "UPPER", "TRIM", "SIZEOF", "LENGTH",
       "ISNULL", "ISNOTNULL", "IF", "CAST", "CONTAINSKEY", "CONTAINSVALUE", "SIZEIS", "JSON")
 
@@ -114,9 +114,12 @@ object Parser {
           case Seq((SelectItem(_, alias), AggCall("QUANTILE", _, _, fields, probs, _)))
               if groupKeys.isEmpty =>
             QuantileAgg(fields.head, probs, alias.getOrElse("quantile"))
+          case Seq((SelectItem(_, alias), AggCall(k @ ("PMF" | "CDF"), _, _, fields, points, _)))
+              if groupKeys.isEmpty && points.nonEmpty =>
+            PmfAgg(fields.head, points, k == "CDF", alias.getOrElse(k.toLowerCase))
           case _ =>
             val ops = aggItems.zipWithIndex.map { case ((SelectItem(_, alias), a), i) =>
-              if (a.distinct || a.fn == "TOP" || a.fn == "QUANTILE")
+              if (a.distinct || a.fn == "TOP" || a.fn == "QUANTILE" || a.fn == "PMF" || a.fn == "CDF")
                 throw new BqlParseException(
                   s"${a.fn}${if (a.distinct) " DISTINCT" else ""} cannot mix with GROUP BY / other aggregates")
               AggOp(a.fn, a.arg, alias.getOrElse(s"${a.fn.toLowerCase}_$i"))
@@ -286,12 +289,12 @@ object Parser {
           do fs += next() while (accept(","))
           expect(")")
           AggCall("TOP", Some(k), distinct = false, fs.result(), Nil, None)
-        case "QUANTILE" =>
+        case "QUANTILE" | "PMF" | "CDF" =>
           val f = next()
           val ps = Vector.newBuilder[Double]
           while (accept(",")) ps += next().toDouble
           expect(")")
-          AggCall("QUANTILE", None, distinct = false, Seq(f), ps.result(), None)
+          AggCall(fn, None, distinct = false, Seq(f), ps.result(), None)
         case _ =>
           val e = expr(); expect(")")
           AggCall(fn, None, distinct = false, Nil, Nil, Some(e))

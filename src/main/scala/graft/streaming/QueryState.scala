@@ -91,7 +91,10 @@ object QueryState {
     case g: GroupAgg => new GroupState(q, g)
     case cd: CountDistinctAgg => new ThetaState(cd)
     case tk: TopKAgg => new TopKState(tk)
-    case qa: QuantileAgg => new KllState(qa)
+    case qa: QuantileAgg => new KllState(qa.field, KllPresent.Quantiles(
+      if (qa.probs.nonEmpty) qa.probs else Seq(0.25, 0.5, 0.75), qa.name))
+    case pa: PmfAgg => new KllState(pa.field, KllPresent.Distribution(
+      pa.points, pa.cdf, pa.name))
   }
 }
 
@@ -413,11 +416,19 @@ final class TopKState(tk: TopKAgg) extends QueryState with KeyedCombinable {
   }
 }
 
-/** DISTRIBUTION/QUANTILE (B7): per-batch KLL sketch binaries merged on the
-  * driver. */
-final class KllState(qa: QuantileAgg) extends QueryState with GlobalCombinable {
+/** What a KLL-backed query presents: quantile values, or a PMF/CDF over
+  * split points. */
+sealed trait KllPresent
+object KllPresent {
+  final case class Quantiles(probs: Seq[Double], name: String) extends KllPresent
+  final case class Distribution(points: Seq[Double], cdf: Boolean, name: String) extends KllPresent
+}
+
+/** DISTRIBUTION (B7, all three forms: QUANTILE/PMF/CDF): per-batch KLL
+  * sketch binaries merged on the driver. */
+final class KllState(field: String, presentAs: KllPresent)
+    extends QueryState with GlobalCombinable {
   private var sketch: KllDoublesSketch = KllDoublesSketch.newHeapInstance(2048)
-  private val probs = if (qa.probs.nonEmpty) qa.probs else Seq(0.25, 0.5, 0.75)
 
   override def update(batch: DataFrame): Long = {
     val cs = partialAggCols(None)
@@ -426,7 +437,7 @@ final class KllState(qa: QuantileAgg) extends QueryState with GlobalCombinable {
 
   override def partialWidth: Int = 2
   override def partialAggCols(pred: Option[Column]): Seq[Column] = {
-    val v = pred.map(p => when(p, col(qa.field))).getOrElse(col(qa.field))
+    val v = pred.map(p => when(p, col(field))).getOrElse(col(field))
     Seq(call_function("kll_sketch_agg_double", v, lit(2048)).as("sk"),
       count(v).as("__n"))
   }
@@ -438,12 +449,33 @@ final class KllState(qa: QuantileAgg) extends QueryState with GlobalCombinable {
   }
 
   override def present(spark: SparkSession): Seq[Row] = {
-    val schema = StructType(Seq(
-      StructField("quantile", DoubleType), StructField(qa.name, DoubleType)))
-    if (sketch.isEmpty) Seq.empty
-    else probs.map { p =>
-      new org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema(
-        Array(p, sketch.getQuantile(p)), schema)
+    if (sketch.isEmpty) return Seq.empty
+    def row(schema: StructType, vs: Any*) =
+      new org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema(vs.toArray, schema)
+    presentAs match {
+      case KllPresent.Quantiles(probs, name) =>
+        val schema = StructType(Seq(
+          StructField("quantile", DoubleType), StructField(name, DoubleType)))
+        probs.map(p => row(schema, p, sketch.getQuantile(p)))
+      case KllPresent.Distribution(points, isCdf, name) =>
+        val n = sketch.getN
+        if (isCdf) {
+          // estimated count of values <= point (matches the batch path's
+          // count(v <= p) up to sketch error)
+          val schema = StructType(Seq(
+            StructField("point", DoubleType), StructField(name, LongType)))
+          val cdf = sketch.getCDF(points.toArray)
+          points.zipWithIndex.map { case (p, i) =>
+            row(schema, p, Math.round(cdf(i) * n))
+          }
+        } else {
+          val schema = StructType(Seq(
+            StructField("bin", IntegerType), StructField(name, LongType)))
+          val pmf = sketch.getPMF(points.toArray)
+          pmf.zipWithIndex.map { case (mass, i) =>
+            row(schema, i, Math.round(mass * n))
+          }.toSeq
+        }
     }
   }
 

@@ -156,6 +156,31 @@ class MultiQueryEngineSpec extends AnyFunSuite {
     assert(math.abs(med - exact) / math.abs(exact) < 0.05, s"median $med vs exact $exact")
   }
 
+  test("PMF/CDF distribution across batches matches exact bins (B7)") {
+    val e = newEngine()
+    e.submit("pm1", "SELECT PMF(value, 100, 250, 400) AS mass FROM STREAM DURATION 1000")
+    e.submit("pm2", "SELECT CDF(value, 100, 250, 400) AS cum FROM STREAM DURATION 1000")
+    batches(4).foreach(e.processBatch)
+    now += 2000
+    e.tick()
+    val rs = e.drainResults().map(m => m.queryId -> m.clip.records).toMap
+    val vs = events.select("value").collect().map(_.getDouble(0))
+    val exactPmf = Seq(
+      vs.count(_ < 100).toLong, vs.count(v => v >= 100 && v < 250).toLong,
+      vs.count(v => v >= 250 && v < 400).toLong, vs.count(_ >= 400).toLong)
+    val gotPmf = rs("pm1").sortBy(_("bin").asInstanceOf[Int]).map(_("mass").asInstanceOf[Long])
+    // sketch estimates: within 2% of n per bin (n=1000, sketch is exact
+    // at this size in practice; allow slack for the interval convention)
+    gotPmf.zip(exactPmf).foreach { case (g, x) =>
+      assert(math.abs(g - x) <= 20, s"pmf got $gotPmf want $exactPmf")
+    }
+    val exactCdf = Seq(100.0, 250.0, 400.0).map(p => vs.count(_ <= p).toLong)
+    val gotCdf = rs("pm2").sortBy(_("point").asInstanceOf[Double]).map(_("cum").asInstanceOf[Long])
+    gotCdf.zip(exactCdf).foreach { case (g, x) =>
+      assert(math.abs(g - x) <= 20, s"cdf got $gotCdf want $exactCdf")
+    }
+  }
+
   test("GROUP BY with HAVING/ORDER through the streaming state (B5+B9+B11)") {
     val e = newEngine()
     e.submit("q13",
