@@ -36,7 +36,8 @@ object StreamBench {
       (s"q$i", bql)
     }
 
-    val results = Seq(1, 10, 100).map { n =>
+    val counts = if (args.nonEmpty) args.map(_.toInt).toSeq else Seq(1, 10, 100)
+    val results = counts.map { n =>
       val engine = new MultiQueryEngine(spark)
       queriesFor(n).foreach { case (id, bql) => engine.submit(id, bql) }
       val batches = (0 until nBatches).map(b => events.filter(
