@@ -108,6 +108,29 @@ object TextQueries {
       scored.withColumn("pred_lang", pred).orderBy(col("doc_id"))
     },
 
+    // Corpus n-gram statistics: top bigrams by document frequency — the
+    // vocabulary/contamination scan a corpus pipeline runs; counts are
+    // per-document-distinct so hot documents cannot dominate.
+    QueryDef("tx_ngram_freq", Some(
+      """WITH bg AS (
+        |  SELECT doc_id,
+        |    unnest(list_distinct([array_to_string(t[i:i+1],' ')
+        |      FOR i IN range(1, len(t))])) AS bigram
+        |  FROM (SELECT doc_id, string_split(text,' ') AS t FROM documents))
+        |SELECT bigram, count(*) AS df FROM bg
+        |GROUP BY bigram ORDER BY df DESC, bigram LIMIT 20""".stripMargin)) { (s, d) =>
+      val t = toks
+      val bigrams = array_distinct(transform(
+        sequence(lit(0), size(t) - 2),
+        i => concat_ws(" ", slice(t, i + 1, lit(2)))))
+      docs(s, d)
+        .select(col("doc_id"), explode(bigrams).as("bigram"))
+        .groupBy(col("bigram"))
+        .agg(count(lit(1)).as("df"))
+        .orderBy(col("df").desc, col("bigram"))
+        .limit(20)
+    },
+
     // Document fingerprinting: md5 over the sorted distinct token set —
     // an order-insensitive content fingerprint (catches shuffled
     // near-duplicates that byte-hashing misses).
