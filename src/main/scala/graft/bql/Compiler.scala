@@ -17,6 +17,11 @@ import Ast._
 object Compiler {
 
   def column(e: Expr): Column = e match {
+    // dotted paths resolve type-aware (struct field OR map key — Bullet's
+    // `a.b` reads map subfields; UnresolvedExtractValue handles both)
+    case FieldRef(p) if p.contains('.') =>
+      val parts = p.split('.')
+      parts.tail.foldLeft(col(parts.head))((c, seg) => c.getItem(seg))
     case FieldRef(p) => col(p)
     case Lit(null) => lit(null)
     case Lit(v) => lit(v)
@@ -69,6 +74,12 @@ object Compiler {
         case "LIKE" => cl.like(r.asInstanceOf[Lit].value.toString)
         case "RLIKE" => cl.rlike(r.asInstanceOf[Lit].value.toString)
         case "IN" => cl.isin(r.asInstanceOf[ListLit].items.map(_.asInstanceOf[Lit].value): _*)
+        // element access m['k'] / list[0] / x.k — type-aware at analysis.
+        // getItem on an int literal is 0-based for arrays (Bullet list[i]).
+        case "[]" => r match {
+          case Lit(v) => cl.getItem(v)
+          case _ => cl.getItem(cr)
+        }
         // B3 map/list ops: CONTAINSKEY/CONTAINSVALUE work on maps AND on
         // lists-of-maps like bullet-core's (value op checks lists too)
         case "CONTAINSKEY" => map_contains_key(cl, cr)

@@ -25,7 +25,7 @@ final class BqlParseException(msg: String) extends Exception(msg)
 object Parser {
 
   private val TokenRe: Regex =
-    """\s*(?:(>=|<=|!=|==|<>|[(),*+\-/%<>=\[\]])|('(?:[^'\\]|\\.)*')|([A-Za-z_][A-Za-z0-9_.$]*)|(-?\d+\.\d+(?:[eE][+-]?\d+)?|-?\d+))""".r
+    """\s*(?:(>=|<=|!=|==|<>|[(),*+\-/%<>=\[\].])|('(?:[^'\\]|\\.)*')|([A-Za-z_][A-Za-z0-9_.$]*)|(-?\d+\.\d+(?:[eE][+-]?\d+)?|-?\d+))""".r
 
   private def tokenize(s: String): Vector[String] = {
     var rest = s.trim
@@ -241,7 +241,26 @@ object Parser {
       l
     }
     private def unaryExpr(): Expr =
-      if (peek == "-") { next(); Unary("-", unaryExpr()) } else primary()
+      if (peek == "-") { next(); Unary("-", unaryExpr()) } else postfix(primary())
+
+    /** Bullet-style typed element access: `m['k']`, `list[0]`, `list[0].k`
+      * (SURVEY §1.2 field paths). Resolved type-aware at analysis via
+      * UnresolvedExtractValue — works on maps, arrays and structs alike.
+      * Array indices are 0-based like Bullet's `list[i]`. */
+    private def postfix(base: Expr): Expr = {
+      var e = base
+      var more = true
+      while (more) {
+        if (accept("[")) {
+          val idx = expr()
+          expect("]")
+          e = Binary("[]", e, idx)
+        } else if (accept(".")) {
+          e = Binary("[]", e, Lit(next()))
+        } else more = false
+      }
+      e
+    }
 
     private def primary(): Expr = {
       val t = peek
