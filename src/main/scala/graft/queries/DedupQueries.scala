@@ -73,9 +73,17 @@ object DedupQueries {
       val nsh = base.select(col("doc_id"), size(col("shs")).cast(LongType).as("nsh"))
       val sh = base.select(col("doc_id"), explode(col("shs")).as("shingle"))
         .select(col("doc_id"), xxhash64(col("shingle")).as("h"))
-      val a = sh.select(col("doc_id").as("doc_a"), col("h").as("h_a"))
-      val b = sh.select(col("doc_id").as("doc_b"), col("h").as("h_b"))
-      a.join(b, col("h_a") === col("h_b") && col("doc_a") < col("doc_b"))
+      // postings-list pair expansion: ONE shuffle (group by shingle hash)
+      // instead of a two-sided shuffle join; the quadratic pair expansion
+      // happens post-shuffle in the same stage as the (doc_a, doc_b)
+      // partial count, so only combined pair counts hit the second
+      // exchange. df-1 shingles cannot produce pairs and are dropped.
+      val postings = sh.groupBy(col("h")).agg(collect_list(col("doc_id")).as("ds"))
+        .filter(size(col("ds")) > 1)
+      postings
+        .select(explode(col("ds")).as("doc_a"), col("ds"))
+        .select(col("doc_a"), explode(col("ds")).as("doc_b"))
+        .filter(col("doc_a") < col("doc_b"))
         .groupBy(col("doc_a"), col("doc_b"))
         .agg(count(lit(1)).as("inter"))
         .join(broadcast(nsh.select(col("doc_id").as("doc_a"), col("nsh").as("na"))), "doc_a")
