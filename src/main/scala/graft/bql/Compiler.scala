@@ -211,9 +211,18 @@ object Compiler {
       }
     else df.select(q.select.zipWithIndex.map { case (s, i) => selectItemCol(s, i) }: _*)
 
+  /** Distinct key for multi-field COUNT DISTINCT. Hashing the field tuple
+    * as a struct is null-safe and unambiguous — unlike `concat_ws`, which
+    * skips nulls (collapsing `('a', NULL)` with `(NULL, 'a')`) and aliases
+    * across fields when values contain the separator. All-null tuples map
+    * to SQL NULL so the sketch ignores them, matching single-field null
+    * semantics. */
   def compositeKey(fields: Seq[String]): String =
     if (fields.size == 1) fields.head
-    else s"concat_ws('|', ${fields.mkString(", ")})"
+    else {
+      val anyNonNull = fields.map(f => s"$f IS NOT NULL").mkString(" OR ")
+      s"CASE WHEN $anyNonNull THEN xxhash64(struct(${fields.mkString(", ")})) ELSE NULL END"
+    }
 
   /** Parse + compile in one step. */
   def compile(bql: String): (Query, DataFrame => DataFrame) = {

@@ -27,12 +27,17 @@ object DedupQueries {
   private val toks: Column = split(col("text"), " ")
 
   /** 3-token shingles as strings (the exact baseline joins on these; the
-    * scale path hashes them inside MinHashSig instead). */
+    * scale path hashes them inside MinHashSig instead). Docs with fewer
+    * than 3 tokens yield an empty array — without the guard,
+    * `sequence(0, size-3)` turns DESCENDING for size<3 and the `slice`
+    * inside throws (array indices are 1-based). */
   private val shingles: Column = {
     val t = toks
-    array_distinct(transform(
-      sequence(lit(0), size(t) - 3),
-      i => concat_ws(" ", slice(t, i + 1, lit(3)))))
+    when(size(t) >= 3,
+      array_distinct(transform(
+        sequence(lit(0), size(t) - 3),
+        i => concat_ws(" ", slice(t, i + 1, lit(3))))))
+      .otherwise(array().cast(ArrayType(StringType)))
   }
 
   val defs: Seq[QueryDef] = Seq(
