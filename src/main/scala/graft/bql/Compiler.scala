@@ -212,16 +212,21 @@ object Compiler {
     else df.select(q.select.zipWithIndex.map { case (s, i) => selectItemCol(s, i) }: _*)
 
   /** Distinct key for multi-field COUNT DISTINCT. Hashing the field tuple
-    * as a struct is null-safe and unambiguous — unlike `concat_ws`, which
-    * skips nulls (collapsing `('a', NULL)` with `(NULL, 'a')`) and aliases
-    * across fields when values contain the separator. All-null tuples map
-    * to SQL NULL so the sketch ignores them, matching single-field null
-    * semantics. */
+    * as a struct alone is NOT null-safe: Spark's hash expressions skip
+    * null children entirely (seed passthrough), so
+    * `xxhash64(struct('a', NULL)) == xxhash64(struct(NULL, 'a'))` — the
+    * positional collapse `concat_ws` has. Interleaving an `IS NULL`
+    * marker after each field perturbs the running hash at that position
+    * even when the value itself is skipped, so `('a', NULL)` hashes as
+    * [a, false, true] and `(NULL, 'a')` as [true, a, false] — distinct
+    * mix sequences. All-null tuples map to SQL NULL so the sketch ignores
+    * them, matching single-field null semantics. */
   def compositeKey(fields: Seq[String]): String =
     if (fields.size == 1) fields.head
     else {
       val anyNonNull = fields.map(f => s"$f IS NOT NULL").mkString(" OR ")
-      s"CASE WHEN $anyNonNull THEN xxhash64(struct(${fields.mkString(", ")})) ELSE NULL END"
+      val marked = fields.map(f => s"$f, $f IS NULL").mkString(", ")
+      s"CASE WHEN $anyNonNull THEN xxhash64(struct($marked)) ELSE NULL END"
     }
 
   /** Parse + compile in one step. */

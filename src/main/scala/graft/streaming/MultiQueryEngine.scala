@@ -176,32 +176,75 @@ final class MultiQueryEngine(
 
   /** One groupBy job for queries sharing a GROUP BY key signature.
     *
-    * Over-cap survivor selection must be DETERMINISTIC and must keep the
-    * hottest groups, exactly like the solo paths
-    * ([[GroupState.update]]/[[TopKState.update]] TakeOrdered by count desc):
-    * the partial is ordered by the summed per-query matched-record count
-    * before the limit, so fused queries keep the same heavy hitters they
-    * would keep running solo instead of an arbitrary `limit()` subset. */
+    * Over-cap survivor selection must match the solo path EXACTLY — per
+    * query, not in aggregate. The solo path ([[GroupState.update]] /
+    * [[TopKState.update]]) takes each batch's groups ordered by the
+    * query's OWN matched count (group key as deterministic tiebreaker),
+    * and insertion order decides which groups enter the capped driver map.
+    * A shared cut ordered by any cross-query total can evict a quiet
+    * query's heavy groups when it is fused with a hotter query whose hot
+    * keys are disjoint. So: one shared scan+groupBy job computes every
+    * query's partial columns; if the batch stays under the group cap the
+    * single collected result feeds every query (merge is commutative under
+    * the cap); over the cap, each query takes its own TakeOrdered slice of
+    * the persisted fused aggregate — N tiny sorts over one shared
+    * aggregation instead of N scans of the raw batch.
+    *
+    * Value columns are re-aliased to generated `__graft_q<i>_<j>` names so
+    * a user alias can never collide with engine columns (merging is
+    * positional; [[KeyedCombinable.mergeCombinedKeyed]] renames to its own
+    * schema). */
   private def fuseKeyed(ls: Seq[Live], cached: DataFrame): Unit =
     try {
       val states = ls.map(_.state.asInstanceOf[KeyedCombinable])
       val keyCols = states.head.keyColumns
       val nKeys = keyCols.size
-      val offsets = ls.scanLeft(nKeys)(_ + _.state.asInstanceOf[KeyedCombinable].partialWidth)
-      val cols = ls.flatMap(l =>
-        l.state.asInstanceOf[KeyedCombinable].partialAggCols(l.filter))
-      // summed per-query __n, as one aggregate column (sum of each query's
-      // predicate indicator) — the judge-visible total weight of the group
-      val totalWeight = sum(
-        ls.map(_.filter.map(p => when(p, lit(1L)).otherwise(lit(0L))).getOrElse(lit(1L)))
-          .reduce(_ + _)).as("__fused_total")
-      val rows = cached.groupBy(keyCols: _*).agg(cols.head, (cols.tail :+ totalWeight): _*)
-        .orderBy(col("__fused_total").desc)
-        .limit(QueryState.MaxGroups * 4).collect().toSeq
-      ls.zip(offsets).foreach { case (l, off) =>
-        guarded(l) {
-          lifecycle(l, l.state.asInstanceOf[KeyedCombinable].mergeCombinedKeyed(rows, nKeys, off))
+      val widths = states.map(_.partialWidth)
+      val offsets = widths.scanLeft(nKeys)(_ + _)
+      val cols = ls.zipWithIndex.flatMap { case (l, qi) =>
+        l.state.asInstanceOf[KeyedCombinable].partialAggCols(l.filter).zipWithIndex
+          .map { case (c, ci) => c.as(s"__graft_q${qi}_$ci") }
+      }
+      val agg = cached.groupBy(keyCols: _*).agg(cols.head, cols.tail: _*)
+      val cap = QueryState.MaxGroups * 4
+      val persisted = agg.persist()
+      try {
+        // fast path: at or under MaxGroups every group enters every
+        // query's map regardless of order — one collect feeds all
+        val probe = persisted.limit(QueryState.MaxGroups + 1).collect().toSeq
+        if (probe.size <= QueryState.MaxGroups) {
+          ls.zip(offsets).foreach { case (l, off) =>
+            guarded(l) {
+              lifecycle(l,
+                l.state.asInstanceOf[KeyedCombinable].mergeCombinedKeyed(probe, nKeys, off))
+            }
+          }
+        } else {
+          // over the cap: per-query survivor selection, identical to solo
+          // (own count desc, group key asc; zero-count groups sort last
+          // and are skipped at merge — same survivor set as the solo
+          // groupBy over the pre-filtered batch). A per-query sort failure
+          // falls back to that query's solo path — it must NOT escalate to
+          // the outer catch, which would double-merge already-fed queries.
+          val keyTiebreak = (0 until nKeys).map(i => col(persisted.columns(i)))
+          ls.zipWithIndex.zip(offsets).foreach { case ((l, qi), off) =>
+            val collected =
+              try {
+                val ownN = col(s"__graft_q${qi}_${widths(qi) - 1}")
+                Some(persisted.orderBy(ownN.desc +: keyTiebreak: _*)
+                  .limit(cap).collect().toSeq)
+              } catch { case _: Exception => None }
+            collected match {
+              case Some(rows) => guarded(l) {
+                lifecycle(l,
+                  l.state.asInstanceOf[KeyedCombinable].mergeCombinedKeyed(rows, nKeys, off))
+              }
+              case None => guarded(l)(processOne(l, cached))
+            }
+          }
         }
+      } finally {
+        persisted.unpersist()
       }
     } catch {
       case _: Exception => ls.foreach(l => guarded(l)(processOne(l, cached)))

@@ -211,10 +211,13 @@ final class GroupState(q: Query, g: GroupAgg) extends QueryState with KeyedCombi
       else batch.groupBy(keyCols: _*).agg(pcs.head, pcs.tail: _*)
     // over-cap batches keep their LARGEST groups (TakeOrdered — a
     // deterministic choice, vs an arbitrary limit()), mirroring Bullet's
-    // drop-over-cardinality behavior with a sane survivor set
+    // drop-over-cardinality behavior with a sane survivor set; the group
+    // key breaks count ties so the cut line itself is deterministic (Spark
+    // sort is not stable across partitions)
     val rows =
       if (keyNames.isEmpty) partial.collect()
-      else partial.orderBy(col("__n").desc).limit(QueryState.MaxGroups * 4).collect()
+      else partial.orderBy(col("__n").desc +: keyNames.map(col): _*)
+        .limit(QueryState.MaxGroups * 4).collect()
     if (partialSchema == null) partialSchema = partial.schema
     var n = 0L
     val nKeys = keyNames.size
@@ -353,7 +356,7 @@ final class TopKState(tk: TopKAgg) extends QueryState with KeyedCombinable {
   override def update(batch: DataFrame): Long = {
     val partial = batch.groupBy(tk.fields.map(col): _*)
       .agg(count(lit(1)).as("__c"))
-      .orderBy(col("__c").desc)
+      .orderBy(col("__c").desc +: tk.fields.map(col): _*)
       .limit(candidatesPerBatch)
     val rows = partial.collect()
     if (keySchema == null) keySchema = StructType(partial.schema.dropRight(1))

@@ -346,6 +346,71 @@ class MultiQueryEngineSpec extends AnyFunSuite {
     assert(got("ck2") == want("ck2"))
   }
 
+  /** >MaxGroups*4 distinct keys with heavy count ties: the fused keyed job
+    * must keep each query the exact survivor set it would keep solo
+    * (own-count-desc, key-asc TakeOrdered into the capped map). */
+  test("fused keyed GROUP BY == solo beyond the group cap (B5 fusion)") {
+    // 2500 groups (> MaxGroups*4 = 2000); key i occurs 1 + (i % 10) times
+    // so ties abound and the deterministic tiebreaker is load-bearing
+    val df = spark.range(2500).select(
+      col("id").as("grp"),
+      explode(sequence(lit(1), lit(1) + (col("id") % 10).cast("int"))).as("x"))
+    val bql = "SELECT grp, COUNT(*) AS cnt FROM STREAM GROUP BY grp " +
+      "ORDER BY cnt DESC, grp DURATION 1000"
+    def run(ids: String*): Map[String, Seq[Map[String, Any]]] = {
+      val e = newEngine()
+      ids.foreach(id => assert(e.submit(id, bql).isRight))
+      e.processBatch(df)
+      now += 2000
+      e.tick()
+      e.drainResults().map(m => m.queryId -> m.clip.records).toMap
+    }
+    val solo = run("s1")("s1")
+    val fused = run("f1", "f2")
+    assert(fused("f1") == solo, "fused f1 != solo")
+    assert(fused("f2") == solo, "fused f2 != solo")
+    // and both match the exact top-MaxGroups survivor contract
+    val exact = df.groupBy(col("grp")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("grp")).limit(500).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(solo.map(r => (r("grp").asInstanceOf[Long], r("cnt").asInstanceOf[Long])) == exact)
+  }
+
+  /** Adversarial round-2 case: two fused queries with DISJOINT hot keys.
+    * A sum-ordered shared cut would let the hot query's groups evict the
+    * quiet query's heavy groups; per-query selection must not. */
+  test("fused keyed GROUP BY with disjoint hot keys stays per-query exact") {
+    // side a: 1250 groups with counts 1..10; side b: 1250 disjoint groups
+    // with count 40 each — b's groups dominate any cross-query total
+    val a = spark.range(1250).select(
+      col("id").as("grp"), lit("a").as("side"),
+      explode(sequence(lit(1), lit(1) + (col("id") % 10).cast("int"))).as("x"))
+    val b = spark.range(1250).select(
+      (col("id") + 10000).as("grp"), lit("b").as("side"),
+      explode(sequence(lit(1), lit(40))).as("x"))
+    val df = a.unionByName(b)
+    val bqlA = "SELECT grp, COUNT(*) AS cnt FROM STREAM WHERE side == 'a' " +
+      "GROUP BY grp ORDER BY cnt DESC, grp DURATION 1000"
+    val bqlB = "SELECT grp, COUNT(*) AS cnt FROM STREAM WHERE side == 'b' " +
+      "GROUP BY grp ORDER BY cnt DESC, grp DURATION 1000"
+    def run(qs: (String, String)*): Map[String, Seq[Map[String, Any]]] = {
+      val e = newEngine()
+      qs.foreach { case (id, q) => assert(e.submit(id, q).isRight) }
+      e.processBatch(df)
+      now += 2000
+      e.tick()
+      e.drainResults().map(m => m.queryId -> m.clip.records).toMap
+    }
+    val soloA = run("sa" -> bqlA)("sa")
+    val soloB = run("sb" -> bqlB)("sb")
+    val fused = run("fa" -> bqlA, "fb" -> bqlB)
+    assert(fused("fa") == soloA, "quiet query lost groups to the hot query")
+    assert(fused("fb") == soloB, "hot query drifted under fusion")
+    // the quiet query keeps its own top groups: counts 10 and 9 present
+    val counts = fused("fa").map(_("cnt").asInstanceOf[Long])
+    assert(counts.take(125).forall(_ == 10L), s"expected count-10 head, got ${counts.take(5)}")
+  }
+
   test("structured streaming attach via MemoryStream (A2/A7)") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
