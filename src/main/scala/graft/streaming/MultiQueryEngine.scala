@@ -122,6 +122,24 @@ final class MultiQueryEngine(
     l.emitsInInterval > rateLimitMaxEmits
   }
 
+  /** Emit one Window clip and enforce the B15 rate contract — shared by
+    * the data path and [[tick]] so an empty-batch-only emitter cannot
+    * evade the kill. Returns false if the query was killed. */
+  private def emitWindowChecked(l: Live, records: Seq[org.apache.spark.sql.Row],
+      meta: Map[String, Any]): Boolean = {
+    emit(l.id, ResultKind.Window, Clip.ofRows(
+      Map("query_id" -> l.id, "emitted_at" -> clock()) ++ meta, records))
+    if (noteEmitAndCheckRate(l)) {
+      live.remove(l.id)
+      metrics.queriesRunning.decrementAndGet()
+      metrics.queriesKilled.incrementAndGet()
+      emit(l.id, ResultKind.Fail, Clip(
+        Map("query_id" -> l.id, "errors" -> Seq("rate limit exceeded"), "signal" -> "KILL"),
+        Seq.empty))
+      false
+    } else true
+  }
+
   /** Process one micro-batch for every live query. Called from
     * `foreachBatch` (streaming) or directly (tests / batch replay).
     *
@@ -283,25 +301,38 @@ final class MultiQueryEngine(
     if (expired) {
       finish(l, now); return
     }
-    // windows (B13): closed at batch boundaries, like the reference.
+    // windows (B13). Reactive RECORD windows on RAW queries emit one clip
+    // PER window-sized chunk of records — a batch carrying 3N records
+    // produces 3 Window clips, each with its own N records, matching the
+    // reference's per-record reactive emission
+    // (`FilterStreamingTest.scala:241-275`). Aggregate states close
+    // windows at batch boundaries (their content cannot be split
+    // retroactively): one emit per batch, like the reference's
+    // batch-granular non-reactive windows.
     l.query.window.foreach { w =>
-      val shouldEmit = w.unit match {
-        case Ast.TimeUnit => now - l.windowStart >= w.every
-        case Ast.RecordUnit => l.windowRecords >= w.every
-      }
-      if (shouldEmit) {
-        presentClip(l, ResultKind.Window, Map("window_start" -> l.windowStart, "records" -> l.windowRecords))
-        l.windowStart = now
-        l.windowRecords = 0L
-        if (!w.includeAll) l.state.reset()
-        if (noteEmitAndCheckRate(l)) {
-          live.remove(l.id)
-          metrics.queriesRunning.decrementAndGet()
-          metrics.queriesKilled.incrementAndGet()
-          emit(l.id, ResultKind.Fail, Clip(
-            Map("query_id" -> l.id, "errors" -> Seq("rate limit exceeded"), "signal" -> "KILL"),
-            Seq.empty))
-        }
+      (l.state, w.unit) match {
+        case (rs: RawState, Ast.RecordUnit) if rs.isReactive =>
+          var alive = true
+          while (alive && rs.buffered >= w.every) {
+            val chunk = rs.drainWindow(w.every.toInt)
+            l.windowRecords = rs.buffered.toLong
+            l.windowStart = now
+            alive = emitWindowChecked(l, chunk,
+              Map("window_start" -> l.windowStart, "records" -> chunk.size))
+          }
+        case _ =>
+          val shouldEmit = w.unit match {
+            case Ast.TimeUnit => now - l.windowStart >= w.every
+            case Ast.RecordUnit => l.windowRecords >= w.every
+          }
+          if (shouldEmit) {
+            val rows = l.state.present(spark)
+            l.windowStart = now
+            l.windowRecords = 0L
+            if (!w.includeAll) l.state.reset()
+            emitWindowChecked(l, rows,
+              Map("window_start" -> l.windowStart, "records" -> l.windowRecords))
+          }
       }
     }
   }

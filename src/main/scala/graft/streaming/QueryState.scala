@@ -87,7 +87,16 @@ object QueryState {
   val MaxGroups = 500
 
   def forQuery(q: Query): QueryState = q.agg match {
-    case RawAll => new RawState(q, q.limit.getOrElse(DefaultRawMax))
+    // RAW with a tumbling RECORD window is the reference's "reactive"
+    // query (`FilterStreamingTest.scala:241-275`): it emits a window per N
+    // records — each window carrying exactly those records — and never
+    // completes on the RAW max (duration ends it). All other RAW queries
+    // buffer to the limit and COMPLETE there.
+    case RawAll =>
+      val reactive = q.window.collect {
+        case WindowSpec(every, RecordUnit, false) => every.toInt
+      }
+      new RawState(q, q.limit.getOrElse(DefaultRawMax), reactive)
     case g: GroupAgg => new GroupState(q, g)
     case cd: CountDistinctAgg => new ThetaState(cd)
     case tk: TopKAgg => new TopKState(tk)
@@ -98,21 +107,42 @@ object QueryState {
   }
 }
 
-/** RAW (B4): collect up to `limit` projected records; done at limit. */
-final class RawState(q: Query, limit: Int) extends QueryState {
+/** RAW (B4): collect up to `limit` projected records; done at limit.
+  *
+  * With `windowEvery` set (reactive RECORD window), the buffer is drained
+  * in window-sized chunks by the engine instead of completing at the
+  * limit; the per-batch collect is then capped at a safety multiple of the
+  * window size so one hot batch cannot flood the driver (records beyond
+  * the cap are dropped for that batch — bounded-state backpressure). */
+final class RawState(q: Query, limit: Int, windowEvery: Option[Int] = None) extends QueryState {
   private val buf = mutable.ArrayBuffer.empty[Row]
+
+  def isReactive: Boolean = windowEvery.isDefined
+  def buffered: Int = buf.size
+
+  private def takeBudget: Int = windowEvery match {
+    case Some(n) => math.max(n * 64, 1024) - buf.size
+    case None => limit - buf.size
+  }
 
   override def update(batch: DataFrame): Long = {
     val projected = Compiler.rawProjection(q, batch)
-    val take = limit - buf.size
+    val take = takeBudget
     val got = if (take > 0) projected.limit(take).collect() else Array.empty[Row]
     buf ++= got
     got.length.toLong
   }
 
+  /** Remove and return the first `n` buffered records (reactive windows). */
+  def drainWindow(n: Int): Seq[Row] = {
+    val chunk = buf.take(n).toSeq
+    buf.remove(0, chunk.size)
+    chunk
+  }
+
   override def present(spark: SparkSession): Seq[Row] = buf.toSeq
   override def reset(): Unit = buf.clear()
-  override def isDone: Boolean = buf.size >= limit
+  override def isDone: Boolean = windowEvery.isEmpty && buf.size >= limit
   override def snapshot(): Array[Byte] = SerUtil.write(buf.toList)
   override def restore(bytes: Array[Byte]): Unit = {
     buf.clear(); buf ++= SerUtil.read[List[Row]](bytes)
