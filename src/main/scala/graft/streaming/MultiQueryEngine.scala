@@ -224,39 +224,37 @@ final class MultiQueryEngine(
           .map { case (c, ci) => c.as(s"__graft_q${qi}_$ci") }
       }
       val agg = cached.groupBy(keyCols: _*).agg(cols.head, cols.tail: _*)
-      val cap = QueryState.MaxGroups * 4
       val persisted = agg.persist()
       try {
-        // fast path: at or under MaxGroups every group enters every
-        // query's map regardless of order — one collect feeds all
+        // fast-path probe: ONE unordered collect can feed every query
+        // whose state can absorb all probe groups order-independently
+        // (uncapped TopK maps always; capped group maps only with room
+        // for every probe group — limit() row order is nondeterministic,
+        // so a near-cap map must not let it pick the survivors)
         val probe = persisted.limit(QueryState.MaxGroups + 1).collect().toSeq
-        if (probe.size <= QueryState.MaxGroups) {
-          ls.zip(offsets).foreach { case (l, off) =>
-            guarded(l) {
-              lifecycle(l,
-                l.state.asInstanceOf[KeyedCombinable].mergeCombinedKeyed(probe, nKeys, off))
-            }
-          }
-        } else {
-          // over the cap: per-query survivor selection, identical to solo
-          // (own count desc, group key asc; zero-count groups sort last
-          // and are skipped at merge — same survivor set as the solo
-          // groupBy over the pre-filtered batch). A per-query sort failure
-          // falls back to that query's solo path — it must NOT escalate to
-          // the outer catch, which would double-merge already-fed queries.
-          val keyTiebreak = (0 until nKeys).map(i => col(persisted.columns(i)))
-          ls.zipWithIndex.zip(offsets).foreach { case ((l, qi), off) =>
+        val underCap = probe.size <= QueryState.MaxGroups
+        val keyTiebreak = (0 until nKeys).map(i => col(persisted.columns(i)))
+        ls.zipWithIndex.zip(offsets).foreach { case ((l, qi), off) =>
+          val st = l.state.asInstanceOf[KeyedCombinable]
+          if (underCap && st.canAbsorbUnordered(probe.size)) {
+            guarded(l)(lifecycle(l, st.mergeCombinedKeyed(probe, nKeys, off)))
+          } else {
+            // ordered per-query slice, identical to solo: own count desc,
+            // group key asc, cut at the state's OWN per-batch candidate
+            // cap; zero-count groups sort last and are skipped at merge —
+            // same survivor set as the solo groupBy over the pre-filtered
+            // batch. A per-query sort failure falls back to that query's
+            // solo path — it must NOT escalate to the outer catch, which
+            // would double-merge already-fed queries.
             val collected =
               try {
                 val ownN = col(s"__graft_q${qi}_${widths(qi) - 1}")
                 Some(persisted.orderBy(ownN.desc +: keyTiebreak: _*)
-                  .limit(cap).collect().toSeq)
+                  .limit(st.batchCandidateCap).collect().toSeq)
               } catch { case _: Exception => None }
             collected match {
-              case Some(rows) => guarded(l) {
-                lifecycle(l,
-                  l.state.asInstanceOf[KeyedCombinable].mergeCombinedKeyed(rows, nKeys, off))
-              }
+              case Some(rows) =>
+                guarded(l)(lifecycle(l, st.mergeCombinedKeyed(rows, nKeys, off)))
               case None => guarded(l)(processOne(l, cached))
             }
           }
@@ -315,26 +313,34 @@ final class MultiQueryEngine(
           var alive = true
           while (alive && rs.buffered >= w.every) {
             val chunk = rs.drainWindow(w.every.toInt)
-            l.windowRecords = rs.buffered.toLong
+            // meta carries the window's OPEN time — capture before the
+            // clock reset, so it is never the emit instant
+            val meta = Map("window_start" -> l.windowStart, "records" -> chunk.size)
             l.windowStart = now
-            alive = emitWindowChecked(l, chunk,
-              Map("window_start" -> l.windowStart, "records" -> chunk.size))
+            l.windowRecords = rs.buffered.toLong
+            alive = emitWindowChecked(l, chunk, meta)
           }
         case _ =>
           val shouldEmit = w.unit match {
             case Ast.TimeUnit => now - l.windowStart >= w.every
             case Ast.RecordUnit => l.windowRecords >= w.every
           }
-          if (shouldEmit) {
-            val rows = l.state.present(spark)
-            l.windowStart = now
-            l.windowRecords = 0L
-            if (!w.includeAll) l.state.reset()
-            emitWindowChecked(l, rows,
-              Map("window_start" -> l.windowStart, "records" -> l.windowRecords))
-          }
+          if (shouldEmit) closeWindow(l, w, now)
       }
     }
+  }
+
+  /** Close one non-reactive window — shared by the data path and [[tick]]
+    * so both report identical metadata and both enforce the B15 rate
+    * contract. Meta is captured BEFORE the clock/state reset: window_start
+    * is the window's open time and records the count it actually saw. */
+  private def closeWindow(l: Live, w: Ast.WindowSpec, now: Long): Unit = {
+    val rows = l.state.present(spark)
+    val meta = Map("window_start" -> l.windowStart, "records" -> l.windowRecords)
+    l.windowStart = now
+    l.windowRecords = 0L
+    if (!w.includeAll) l.state.reset()
+    emitWindowChecked(l, rows, meta)
   }
 
   private def finish(l: Live, now: Long): Unit = {
@@ -352,13 +358,8 @@ final class MultiQueryEngine(
     live.values.toSeq.sortBy(_.id).foreach { l =>
       if (l.query.durationMs.exists(d => now - l.submittedAt >= d)) finish(l, now)
       else l.query.window.foreach { w =>
-        if (w.unit == Ast.TimeUnit && now - l.windowStart >= w.every) {
-          presentClip(l, ResultKind.Window,
-            Map("window_start" -> l.windowStart, "records" -> l.windowRecords))
-          l.windowStart = now
-          l.windowRecords = 0L
-          if (!w.includeAll) l.state.reset()
-        }
+        if (w.unit == Ast.TimeUnit && now - l.windowStart >= w.every)
+          closeWindow(l, w, now)
       }
     }
   }

@@ -78,6 +78,15 @@ trait KeyedCombinable extends GlobalCombinable {
   /** Merge combined groupBy rows; slice columns at [start, start+width),
     * keys at [0, nKeys). Returns consumed record count. */
   def mergeCombinedKeyed(rows: Seq[Row], nKeys: Int, start: Int): Long
+  /** True iff merging `n` arbitrary new groups cannot lose information
+    * regardless of row order — the engine's fused fast path may then feed
+    * this state an UNORDERED collect. A capped map near its cap must say
+    * no (insertion order would decide the survivors). */
+  def canAbsorbUnordered(n: Int): Boolean
+  /** This state's own solo-path per-batch candidate cap — the fused
+    * over-cap slice must take exactly this many rows so the fused
+    * candidate set matches the solo path's. */
+  def batchCandidateCap: Int
 }
 
 object QueryState {
@@ -284,6 +293,11 @@ final class GroupState(q: Query, g: GroupAgg) extends QueryState with KeyedCombi
   override def keyColumns: Seq[Column] = g.keys.zipWithIndex.map { case (s, i) =>
     Compiler.column(s.expr).as(keyNames(i))
   }
+  // new groups only insert while under the cap, so unordered merges are
+  // safe exactly when every probe group could be a new insertion
+  override def canAbsorbUnordered(n: Int): Boolean =
+    groups.size + n <= QueryState.MaxGroups
+  override def batchCandidateCap: Int = QueryState.MaxGroups * 4
   override def mergeCombinedKeyed(rows: Seq[Row], nKeys: Int, start: Int): Long = {
     val nVals = valueNames.size
     var n = 0L
@@ -417,6 +431,9 @@ final class TopKState(tk: TopKAgg) extends QueryState with KeyedCombinable {
   // ---- keyed fusion: TOP K shares a groupBy job with same-key GROUP BYs.
   override def keySignature: String = tk.fields.mkString("|")
   override def keyColumns: Seq[Column] = tk.fields.map(col)
+  // the counts map is uncapped and += is commutative: order never matters
+  override def canAbsorbUnordered(n: Int): Boolean = true
+  override def batchCandidateCap: Int = candidatesPerBatch
   override def partialWidth: Int = 2
   override def partialAggCols(pred: Option[Column]): Seq[Column] = {
     val one = pred.map(p => when(p, lit(1))).getOrElse(lit(1))

@@ -411,6 +411,98 @@ class MultiQueryEngineSpec extends AnyFunSuite {
     assert(counts.take(125).forall(_ == 10L), s"expected count-10 head, got ${counts.take(5)}")
   }
 
+  test("window clip meta reports the window's OPEN time and record count") {
+    val e = newEngine()
+    val submitAt = now
+    e.submit("wm1", "SELECT COUNT(*) AS cnt FROM STREAM WINDOWING EVERY(30, TIME, WINDOW)")
+    e.processBatch(batches(4).head) // 250 records into the open window
+    now += 35
+    e.processBatch(batches(4)(1)) // 250 more, then the window closes
+    val m = e.drainResults().head.clip.meta
+    // pre-reset values: the window opened at submit and saw 500 records —
+    // NOT window_start == emit time / records == 0
+    assert(m("window_start") == submitAt, s"got ${m("window_start")} want $submitAt")
+    assert(m("records") == 500L, s"got ${m("records")}")
+  }
+
+  test("tick-path window clip meta matches the data path") {
+    val e = newEngine()
+    val submitAt = now
+    e.submit("wm2", "SELECT COUNT(*) AS cnt FROM STREAM WINDOWING EVERY(30, TIME, ALL)")
+    e.processBatch(batches(4).head)
+    now += 35
+    e.tick() // window closes with no data flowing
+    val m = e.drainResults().head.clip.meta
+    assert(m("window_start") == submitAt)
+    assert(m("records") == 250L)
+  }
+
+  test("tick-only TIME-window emitter cannot evade the rate limit (B15)") {
+    val e = newEngine(maxEmits = 1, intervalMs = 1000000L)
+    e.submit("rl1", "SELECT COUNT(*) AS cnt FROM STREAM WINDOWING EVERY(10, TIME, ALL)")
+    e.processBatch(batches(4).head)
+    now += 15
+    e.tick() // emit 1: ok
+    now += 15
+    e.tick() // emit 2: breach → FAIL + removed, even with no data batches
+    val kinds = e.drainResults().map(_.kind)
+    assert(kinds == Seq(ResultKind.Window, ResultKind.Window, ResultKind.Fail))
+    assert(e.activeQueryIds.isEmpty)
+  }
+
+  /** The fused fast path collects the shared aggregate UNORDERED; a query
+    * whose capped map is already near the cap must instead take its own
+    * count-ordered slice, or limit() row order silently picks its
+    * survivors. Batch 1 fills 400 groups; batch 2 brings 300 new ones
+    * (under MaxGroups, so the old code always took the unordered path). */
+  test("fused keyed GROUP BY == solo when the map is near-cap (order-safe fast path)") {
+    val b1 = spark.range(400).select(col("id").as("grp"), lit(1).as("x"))
+    val b2 = spark.range(300).select(
+      (col("id") + 1000).as("grp"),
+      explode(sequence(lit(1), (col("id") + 1).cast("int"))).as("x"))
+    val bql = "SELECT grp, COUNT(*) AS cnt FROM STREAM GROUP BY grp " +
+      "ORDER BY cnt DESC, grp DURATION 1000"
+    def run(ids: String*): Map[String, Seq[Map[String, Any]]] = {
+      val e = newEngine()
+      ids.foreach(id => assert(e.submit(id, bql).isRight))
+      e.processBatch(b1)
+      e.processBatch(b2)
+      now += 2000
+      e.tick()
+      e.drainResults().map(m => m.queryId -> m.clip.records).toMap
+    }
+    val solo = run("nc_s")("nc_s")
+    val fused = run("nc_a", "nc_b")
+    assert(fused("nc_a") == solo, "near-cap fused query diverged from solo")
+    assert(fused("nc_b") == solo)
+    // the 100 remaining slots go to batch-2's heaviest groups
+    val newGroups = solo.filter(_("grp").asInstanceOf[Long] >= 1000)
+    assert(newGroups.size == 100)
+    assert(newGroups.map(_("cnt").asInstanceOf[Long]).min == 201L)
+  }
+
+  /** The fused over-cap slice must cut at each state's OWN per-batch
+    * candidate cap (TopK keeps max(k*16, 1024), not the group cap). */
+  test("fused TOP K over the group cap == solo (per-state candidate cap)") {
+    val df = spark.range(2500).select(
+      col("id").as("grp"),
+      explode(sequence(lit(1), lit(1) + (col("id") % 37).cast("int"))).as("x"))
+    val topBql = "SELECT TOP(10, grp) AS cnt FROM STREAM DURATION 1000"
+    val grpBql = "SELECT grp, COUNT(*) AS cnt FROM STREAM GROUP BY grp " +
+      "ORDER BY cnt DESC, grp DURATION 1000"
+    def run(qs: (String, String)*): Map[String, Seq[Map[String, Any]]] = {
+      val e = newEngine()
+      qs.foreach { case (id, q) => assert(e.submit(id, q).isRight) }
+      e.processBatch(df)
+      now += 2000
+      e.tick()
+      e.drainResults().map(m => m.queryId -> m.clip.records).toMap
+    }
+    val soloTop = run("ts" -> topBql)("ts")
+    val fused = run("tf" -> topBql, "gf" -> grpBql)
+    assert(fused("tf") == soloTop, "fused TOP K candidate set diverged from solo")
+  }
+
   test("structured streaming attach via MemoryStream (A2/A7)") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
