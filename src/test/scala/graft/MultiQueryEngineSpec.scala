@@ -411,6 +411,32 @@ class MultiQueryEngineSpec extends AnyFunSuite {
     assert(counts.take(125).forall(_ == 10L), s"expected count-10 head, got ${counts.take(5)}")
   }
 
+  /** Reference reactive windows emit PER chunk of N records, not per
+    * batch (`FilterStreamingTest.scala:241-275`): one batch carrying 3N
+    * matching records must produce 3 Window clips of N records each. */
+  test("reactive RECORD window emits one clip per N records in a single batch (B13)") {
+    val e = newEngine()
+    e.submit("rw1", "SELECT event_id FROM STREAM WINDOWING EVERY(100, RECORD, WINDOW)")
+    e.processBatch(batches(2).head) // 500 records → 5 windows of 100
+    val rs = e.drainResults()
+    assert(rs.map(_.kind) == Seq.fill(5)(ResultKind.Window), s"got ${rs.map(_.kind)}")
+    assert(rs.forall(_.clip.records.size == 100))
+    assert(rs.forall(_.clip.meta("records") == 100))
+    // each chunk carries DISTINCT records — the buffer drains, not re-emits
+    val ids = rs.flatMap(_.clip.records.map(_("event_id")))
+    assert(ids.distinct.size == 500)
+    assert(e.activeQueryIds == Seq("rw1"), "reactive queries never RAW-complete")
+  }
+
+  test("reactive RECORD window carries leftover records to the next batch") {
+    val e = newEngine()
+    e.submit("rw2", "SELECT event_id FROM STREAM WINDOWING EVERY(150, RECORD, WINDOW)")
+    e.processBatch(batches(4).head) // 250 records → 1 window, 100 buffered
+    assert(e.drainResults().map(_.clip.records.size) == Seq(150))
+    e.processBatch(batches(4)(1)) // +250 → 350 buffered → 2 windows, 50 left
+    assert(e.drainResults().map(_.clip.records.size) == Seq(150, 150))
+  }
+
   test("window clip meta reports the window's OPEN time and record count") {
     val e = newEngine()
     val submitAt = now
