@@ -36,10 +36,22 @@ object StreamBench {
       (s"q$i", bql)
     }
 
-    val counts = if (args.nonEmpty) args.map(_.toInt).toSeq else Seq(1, 10, 100)
-    val results = counts.map { n =>
+    // RAW fusion drive: selective predicates so no query completes inside
+    // the run — every batch exercises the shared fused scan
+    def rawQueriesFor(n: Int): Seq[(String, String)] = (0 until n).map { i =>
+      (s"r$i", s"SELECT event_id, event_type FROM STREAM " +
+        s"WHERE user_id % 997 == ${i % 997} LIMIT 100000")
+    }
+
+    // args: plain counts ("1 10 100") use the mixed query set; "rawN"
+    // (e.g. "raw1 raw100") uses N concurrent RAW queries
+    val counts = if (args.nonEmpty) args.toSeq else Seq("1", "10", "100")
+    val results = counts.map { spec =>
+      val (raw, n) =
+        if (spec.startsWith("raw")) (true, spec.drop(3).toInt) else (false, spec.toInt)
       val engine = new MultiQueryEngine(spark)
-      queriesFor(n).foreach { case (id, bql) => engine.submit(id, bql) }
+      val qs = if (raw) rawQueriesFor(n) else queriesFor(n)
+      qs.foreach { case (id, bql) => engine.submit(id, bql) }
       val batches = (0 until nBatches).map(b => events.filter(
         col("event_id") >= b * per && col("event_id") < (b + 1) * per))
       batches.head.count() // warm
@@ -47,10 +59,10 @@ object StreamBench {
       batches.foreach(engine.processBatch)
       val sec = (System.nanoTime() - t0) / 1e9
       val recsPerSec = total / sec
-      (n, sec, recsPerSec, sec / nBatches)
+      (spec, sec, recsPerSec, sec / nBatches)
     }
-    results.foreach { case (n, sec, rps, perBatch) =>
-      println(f"""{"queries":$n,"total_sec":$sec%.2f,"records_per_sec":$rps%.0f,"sec_per_batch":$perBatch%.3f}""")
+    results.foreach { case (spec, sec, rps, perBatch) =>
+      println(f"""{"queries":"$spec","total_sec":$sec%.2f,"records_per_sec":$rps%.0f,"sec_per_batch":$perBatch%.3f}""")
     }
     spark.stop()
   }

@@ -200,16 +200,28 @@ object Compiler {
     * PASSTHROUGH (`SELECT *`), NO_COPY (explicit list), COPY
     * (`SELECT *, computed`). Shared by the batch plan and RawState. */
   def rawProjection(q: Query, df: DataFrame): DataFrame =
-    if (q.select.isEmpty) df
-    else if (q.copyAll)
-      q.select.zipWithIndex.foldLeft(df) { case (d, (s, i)) =>
+    df.select(rawProjectionCols(q, df): _*)
+
+  /** The projection as named Columns over `df` — so the engine's fused
+    * RAW pass can evaluate many queries' projections as sibling struct
+    * columns inside ONE job instead of one DataFrame per query. COPY mode
+    * keeps `withColumn` semantics: same-named computed items replace the
+    * base column in place, new names append. */
+  def rawProjectionCols(q: Query, df: DataFrame): Seq[Column] =
+    if (q.select.isEmpty) df.columns.toSeq.map(col)
+    else if (q.copyAll) {
+      val items = q.select.zipWithIndex.map { case (s, i) =>
         val name = s.alias.getOrElse(s.expr match {
           case FieldRef(p) => p
           case _ => s"expr_$i"
         })
-        d.withColumn(name, column(s.expr))
+        name -> column(s.expr)
       }
-    else df.select(q.select.zipWithIndex.map { case (s, i) => selectItemCol(s, i) }: _*)
+      val byName = items.toMap
+      val base = df.columns.toSeq
+      base.map(n => byName.get(n).map(_.as(n)).getOrElse(col(n))) ++
+        items.collect { case (n, c) if !base.contains(n) => c.as(n) }
+    } else q.select.zipWithIndex.map { case (s, i) => selectItemCol(s, i) }
 
   /** Distinct key for multi-field COUNT DISTINCT. Hashing the field tuple
     * as a struct alone is NOT null-safe: Spark's hash expressions skip

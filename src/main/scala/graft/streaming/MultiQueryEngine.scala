@@ -168,7 +168,11 @@ final class MultiQueryEngine(
       if (globalFusable.size >= 2) fuseGlobal(globalFusable, cached)
       else globalFusable.foreach(l => guarded(l)(processOne(l, cached)))
       fusedKeyed.foreach(group => fuseKeyed(group, cached))
-      (soloKeyed.flatten ++ solo).sortBy(_.id).foreach(l => guarded(l)(processOne(l, cached)))
+      val (raws, plainSolo) =
+        (soloKeyed.flatten ++ solo).partition(_.state.isInstanceOf[RawState])
+      if (raws.size >= 2) fuseRaw(raws.sortBy(_.id), cached)
+      else raws.foreach(l => guarded(l)(processOne(l, cached)))
+      plainSolo.sortBy(_.id).foreach(l => guarded(l)(processOne(l, cached)))
     } finally {
       cached.unpersist()
     }
@@ -265,6 +269,81 @@ final class MultiQueryEngine(
     } catch {
       case _: Exception => ls.foreach(l => guarded(l)(processOne(l, cached)))
     }
+
+  /** One shared pass for all RAW queries (B4). Each query contributes a
+    * `when(pred, struct(projection))` column over the cached batch; rows
+    * matching no query are filtered out on the executors; each partition
+    * truncates per query at its remaining budget (so a broad query can
+    * contribute at most budget rows per partition, never the whole
+    * partition); and the driver streams partitions ONLY until every
+    * budget is filled — with small limits the first partition usually
+    * satisfies everything, so 100 RAW queries cost one narrow scan
+    * instead of 100 limit-collect jobs.
+    *
+    * Row choice within the batch is arbitrary, exactly like the solo
+    * path's unordered `limit(k)` (Bullet RAW takes any k matching
+    * records). */
+  private def fuseRaw(ls: Seq[Live], cached: DataFrame): Unit = {
+    val states = ls.map(_.state.asInstanceOf[RawState])
+    val budgets = states.map(_.remainingBudget)
+    val want = ls.zip(budgets).filter(_._2 > 0)
+    // a full buffer still sees the batch's lifecycle (windows, duration)
+    ls.zip(budgets).filter(_._2 <= 0)
+      .foreach { case (l, _) => guarded(l)(lifecycle(l, 0L)) }
+    if (want.isEmpty) return
+    try {
+      val n = want.size
+      val caps = want.map(_._2).toArray
+      val structCols = want.zipWithIndex.map { case ((l, _), i) =>
+        val s = org.apache.spark.sql.functions.struct(
+          Compiler.rawProjectionCols(l.query, cached): _*)
+        l.filter.map(p => when(p, s)).getOrElse(s).as(s"__graft_raw_$i")
+      }
+      val preds = want.map(_._1.filter)
+      val narrowed =
+        if (preds.forall(_.isDefined)) cached.filter(preds.flatten.reduce(_ || _))
+        else cached
+      val selected = narrowed.select(structCols: _*)
+      // RDD-level truncation: .rdd rows are already external, so no
+      // per-batch construction of a 100-struct output encoder
+      val pruned = selected.rdd.mapPartitions { it =>
+        val taken = new Array[Int](n)
+        it.filter { row =>
+          var keep = false
+          var i = 0
+          while (i < n) {
+            if (taken(i) < caps(i) && !row.isNullAt(i)) { taken(i) += 1; keep = true }
+            i += 1
+          }
+          keep
+        }
+      }
+      val got = Array.fill(n)(Vector.newBuilder[org.apache.spark.sql.Row])
+      val counts = new Array[Int](n)
+      var unfilled = n
+      val iter = pruned.toLocalIterator
+      while (unfilled > 0 && iter.hasNext) {
+        val row = iter.next()
+        var i = 0
+        while (i < n) {
+          if (counts(i) < caps(i) && !row.isNullAt(i)) {
+            got(i) += row.getStruct(i)
+            counts(i) += 1
+            if (counts(i) == caps(i)) unfilled -= 1
+          }
+          i += 1
+        }
+      }
+      want.zipWithIndex.foreach { case ((l, _), i) =>
+        guarded(l)(lifecycle(l, l.state.asInstanceOf[RawState].offer(got(i).result())))
+      }
+    } catch {
+      // shared job failed before any state was fed (offers happen last):
+      // every wanting query falls back to its own solo pass
+      case _: Exception =>
+        want.foreach { case (l, _) => guarded(l)(processOne(l, cached)) }
+    }
+  }
 
   private def guarded(l: Live)(body: => Unit): Unit =
     try body

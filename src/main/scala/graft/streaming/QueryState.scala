@@ -129,17 +129,28 @@ final class RawState(q: Query, limit: Int, windowEvery: Option[Int] = None) exte
   def isReactive: Boolean = windowEvery.isDefined
   def buffered: Int = buf.size
 
-  private def takeBudget: Int = windowEvery match {
+  /** How many more records this state will accept right now — the fused
+    * RAW pass truncates each query's share of the shared scan here. */
+  def remainingBudget: Int = windowEvery match {
     case Some(n) => math.max(n * 64, 1024) - buf.size
     case None => limit - buf.size
   }
 
   override def update(batch: DataFrame): Long = {
     val projected = Compiler.rawProjection(q, batch)
-    val take = takeBudget
+    val take = remainingBudget
     val got = if (take > 0) projected.limit(take).collect() else Array.empty[Row]
     buf ++= got
     got.length.toLong
+  }
+
+  /** Fused path: append already-projected rows from the shared RAW job
+    * (the engine has truncated them to [[remainingBudget]]). Returns the
+    * consumed count. */
+  def offer(rows: Seq[Row]): Long = {
+    val take = math.min(remainingBudget, rows.size)
+    buf ++= rows.take(take)
+    take.toLong
   }
 
   /** Remove and return the first `n` buffered records (reactive windows). */

@@ -529,6 +529,57 @@ class MultiQueryEngineSpec extends AnyFunSuite {
     assert(fused("tf") == soloTop, "fused TOP K candidate set diverged from solo")
   }
 
+  /** RAW queries share ONE scan per batch (fused `when(pred, struct)`
+    * columns + early-stopping driver drain) — each must still get exactly
+    * its own matching records, projection, and completion. */
+  test("fused RAW queries each get their own records and projection (B4 fusion)") {
+    val e = newEngine()
+    e.submit("ra", "SELECT event_id, event_type FROM STREAM WHERE event_type == 'click' LIMIT 5")
+    e.submit("rb", "SELECT event_id, value FROM STREAM WHERE value > 100 LIMIT 7")
+    e.submit("rc", "SELECT event_id FROM STREAM LIMIT 3") // no predicate
+    e.processBatch(batches(2).head)
+    val rs = e.drainResults()
+    assert(rs.map(_.kind).toSet == Set(ResultKind.Complete))
+    val byId = rs.map(m => m.queryId -> m.clip.records).toMap
+    assert(byId("ra").size == 5)
+    assert(byId("ra").forall(_("event_type") == "click"))
+    assert(byId("ra").head.keySet == Set("event_id", "event_type"))
+    assert(byId("rb").size == 7)
+    assert(byId("rb").forall(_("value").asInstanceOf[Double] > 100))
+    assert(byId("rb").head.keySet == Set("event_id", "value"))
+    assert(byId("rc").size == 3)
+    assert(e.activeQueryIds.isEmpty)
+  }
+
+  test("fused RAW with a rare predicate takes what the batch has") {
+    val e = newEngine()
+    e.submit("rr1", "SELECT event_id FROM STREAM WHERE event_id == 7 LIMIT 10")
+    e.submit("rr2", "SELECT event_id FROM STREAM LIMIT 4")
+    e.processBatch(batches(2).head) // only one row has event_id == 7
+    val rs = e.drainResults()
+    assert(rs.map(_.queryId) == Seq("rr2")) // rr1 is still collecting
+    assert(e.activeQueryIds == Seq("rr1"))
+    e.processBatch(batches(2)(1)) // no more matches arrive
+    assert(e.drainResults().isEmpty)
+    now += 10
+    e.kill("rr1")
+  }
+
+  test("fused reactive RAW windows drain per chunk through the shared scan") {
+    val e = newEngine()
+    e.submit("fr1", "SELECT event_id FROM STREAM WINDOWING EVERY(100, RECORD, WINDOW)")
+    e.submit("fr2", "SELECT event_id FROM STREAM WHERE event_type == 'click' " +
+      "WINDOWING EVERY(50, RECORD, WINDOW)")
+    e.processBatch(batches(2).head)
+    val rs = e.drainResults()
+    val w1 = rs.filter(_.queryId == "fr1")
+    assert(w1.size == 5 && w1.forall(_.clip.records.size == 100))
+    val w2 = rs.filter(_.queryId == "fr2")
+    assert(w2.nonEmpty && w2.forall(_.clip.records.size == 50))
+    val clicks = events.filter(col("event_id") < 500 && col("event_type") === "click").count()
+    assert(w2.size == clicks / 50)
+  }
+
   test("structured streaming attach via MemoryStream (A2/A7)") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
