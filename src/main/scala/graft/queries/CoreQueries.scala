@@ -191,16 +191,23 @@ object CoreQueries {
         .orderBy(col("p"))
     },
 
-    // B7 PMF/CDF shape: fixed-width bins + cumulative counts.
+    // B7 PMF/CDF shape: fixed-width bins + cumulative counts. The running
+    // sum is a broadcast range-join of the tiny bucket aggregate against
+    // itself — NOT an unpartitioned window, which would drag the rows
+    // through a single-partition WindowExec (the post-agg set is small,
+    // but the single-partition plan shape is the wrong habit at scale).
     QueryDef("b7_pmf_cdf", Some(
       """SELECT CAST(floor(value / 50) AS BIGINT) AS bucket, count(*) AS pmf,
         |  CAST(sum(count(*)) OVER (ORDER BY floor(value / 50)) AS BIGINT) AS cdf
         |FROM events GROUP BY floor(value / 50) ORDER BY bucket""".stripMargin)) { (s, d) =>
-      import org.apache.spark.sql.expressions.Window
-      t(s, d, "events")
+      val agg = t(s, d, "events")
         .groupBy(floor(col("value") / 50).cast(LongType).as("bucket"))
         .agg(count(lit(1)).as("pmf"))
-        .withColumn("cdf", sum(col("pmf")).over(Window.orderBy(col("bucket"))).cast(LongType))
+      agg.join(
+          broadcast(agg.select(col("bucket").as("b2"), col("pmf").as("p2"))),
+          col("b2") <= col("bucket"))
+        .groupBy(col("bucket"), col("pmf"))
+        .agg(sum(col("p2")).cast(LongType).as("cdf"))
         .orderBy(col("bucket"))
     },
 

@@ -27,17 +27,19 @@ object DedupQueries {
   private val toks: Column = split(col("text"), " ")
 
   /** 3-token shingles as strings (the exact baseline joins on these; the
-    * scale path hashes them inside MinHashSig instead). Docs with fewer
-    * than 3 tokens yield an empty array — without the guard,
-    * `sequence(0, size-3)` turns DESCENDING for size<3 and the `slice`
-    * inside throws (array indices are 1-based). */
+    * scale path hashes them inside MinHashSig instead). Built from THREE
+    * bulk slices + elementwise concat instead of one 3-element slice
+    * allocation per position; clamping the slice length to 0 makes docs
+    * with fewer than 3 tokens yield an empty array with no conditional
+    * wrapper (a `when` guard here nests the whole transform under a
+    * branch and defeats common-subexpression elimination of the split). */
   private val shingles: Column = {
     val t = toks
-    when(size(t) >= 3,
-      array_distinct(transform(
-        sequence(lit(0), size(t) - 3),
-        i => concat_ws(" ", slice(t, i + 1, lit(3))))))
-      .otherwise(array().cast(ArrayType(StringType)))
+    val n = greatest(size(t) - 2, lit(0))
+    array_distinct(zip_with(
+      zip_with(slice(t, lit(1), n), slice(t, lit(2), n), (a, b) => concat_ws(" ", a, b)),
+      slice(t, lit(3), n),
+      (ab, c) => concat_ws(" ", ab, c)))
   }
 
   val defs: Seq[QueryDef] = Seq(
@@ -74,7 +76,9 @@ object DedupQueries {
       // after pair-counting, via two broadcasts of the tiny (doc, nsh)
       // side. Hash collisions: ~(n_shingles)^2 / 2^64 — negligible, and
       // the oracle gate would catch one on the fixed fixtures.
-      val base = docs(s, d).select(col("doc_id"), shingles.as("shs"))
+      val base = graft.operators.QuadraticGuard
+        .check(docs(s, d), "dd_ngram_jaccard", "dd_minhash_lsh")
+        .select(col("doc_id"), shingles.as("shs"))
       val nsh = base.select(col("doc_id"), size(col("shs")).cast(LongType).as("nsh"))
       val sh = base.select(col("doc_id"), explode(col("shs")).as("shingle"))
         .select(col("doc_id"), xxhash64(col("shingle")).as("h"))
@@ -167,8 +171,10 @@ object DedupQueries {
       // fold order as the fused cosine, so dot/sqrt(na*nb) stays
       // bit-identical to cosine_sim) — the n² inner loop runs one fused
       // sum instead of three.
-      val e = emb(s, d).select(col("vec_id"), col("embedding"),
-        dot_product(col("embedding"), col("embedding")).as("nsq"))
+      val e = graft.operators.QuadraticGuard
+        .check(emb(s, d), "dd_embed_cosine", "ann_lsh_topk")
+        .select(col("vec_id"), col("embedding"),
+          dot_product(col("embedding"), col("embedding")).as("nsq"))
       val a = e.select(col("vec_id").as("vec_a"), col("embedding").as("ea"), col("nsq").as("na"))
       val b = e.select(col("vec_id").as("vec_b"), col("embedding").as("eb"), col("nsq").as("nb"))
       a.join(b, col("vec_a") < col("vec_b"))

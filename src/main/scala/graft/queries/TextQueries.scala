@@ -119,10 +119,14 @@ object TextQueries {
         |  FROM (SELECT doc_id, string_split(text,' ') AS t FROM documents))
         |SELECT bigram, count(*) AS df FROM bg
         |GROUP BY bigram ORDER BY df DESC, bigram LIMIT 20""".stripMargin)) { (s, d) =>
+      // bigrams via TWO bulk slices + elementwise concat — not one
+      // 2-element slice allocation per position, which is what a
+      // transform(sequence(...), i -> slice(t, i, 2)) costs
       val t = toks
-      val bigrams = array_distinct(transform(
-        sequence(lit(0), size(t) - 2),
-        i => concat_ws(" ", slice(t, i + 1, lit(2)))))
+      val n = greatest(size(t) - 1, lit(0))
+      val bigrams = array_distinct(zip_with(
+        slice(t, lit(1), n), slice(t, lit(2), n),
+        (a, b) => concat_ws(" ", a, b)))
       docs(s, d)
         .select(col("doc_id"), explode(bigrams).as("bigram"))
         .groupBy(col("bigram"))
