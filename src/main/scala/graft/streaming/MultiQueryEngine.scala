@@ -444,15 +444,47 @@ final class MultiQueryEngine(
   }
 
   /** Attach to a streaming Dataset (A2/A7): one shared stream consumed by
-    * every registered query via foreachBatch. */
-  def attach(stream: DataFrame, triggerMs: Long = 1000L): StreamingQuery =
+    * every registered query via foreachBatch.
+    *
+    * With `recoveryDir` set, attach is self-recovering (A9, the analog of
+    * the reference's `StreamingContext.getOrCreate` resume,
+    * `BulletSparkStreamingBaseJob.scala:30-38`): any snapshot found in the
+    * directory is restored BEFORE the stream starts (checkpointed queries
+    * merge over already-registered ids), and every processed batch
+    * atomically rewrites the snapshot — kill the process at any point and
+    * the next attach resumes each query's state mid-stream. */
+  def attach(stream: DataFrame, triggerMs: Long = 1000L,
+      recoveryDir: Option[String] = None): StreamingQuery = {
+    recoveryDir.foreach(restoreFromDir)
     stream.writeStream
       .trigger(Trigger.ProcessingTime(triggerMs))
       .foreachBatch { (df: DataFrame, _: Long) =>
         processBatch(df)
         tick()
+        recoveryDir.foreach(checkpointToDir)
       }
       .start()
+  }
+
+  private def ckptFile(dir: String) = new java.io.File(dir, "graft.ckpt")
+
+  /** Restore from `dir`'s snapshot if one exists; returns whether it did. */
+  def restoreFromDir(dir: String): Boolean = {
+    val f = ckptFile(dir)
+    if (f.isFile) { restore(java.nio.file.Files.readAllBytes(f.toPath)); true }
+    else false
+  }
+
+  /** Atomically (write-temp + rename) persist [[checkpoint]] to `dir`. */
+  def checkpointToDir(dir: String): Unit = {
+    val d = new java.io.File(dir)
+    d.mkdirs()
+    val tmp = new java.io.File(d, "graft.ckpt.tmp")
+    java.nio.file.Files.write(tmp.toPath, checkpoint())
+    java.nio.file.Files.move(tmp.toPath, ckptFile(dir).toPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
 
   /** Control-plane stream (A1/A4/A8): `(action, query_id, bql)` records
     * arriving over any transport-backed source; `action` ∈ submit|kill.
@@ -485,8 +517,11 @@ final class MultiQueryEngine(
         l.emitsInInterval, l.intervalStart, l.batchesSeen, l.state.snapshot())
     })
 
-  /** Restore queries + state from [[checkpoint]] bytes (replaces any
-    * currently-registered queries with the same ids). */
+  /** Restore queries + state from [[checkpoint]] bytes. Merge semantics:
+    * checkpointed queries REPLACE any currently-registered query with the
+    * same id (their state is authoritative) and leave other registered
+    * queries running; the `queries_running` gauge counts only genuinely
+    * new registrations, so it always equals the live query count. */
   def restore(bytes: Array[Byte]): Unit =
     SerUtil.read[List[(String, String, Long, Long, Long, Int, Long, Long, Array[Byte])]](bytes)
       .foreach { case (id, bql, submittedAt, wStart, wRecs, emits, iStart, batches, stateBytes) =>
@@ -498,8 +533,7 @@ final class MultiQueryEngine(
         l.intervalStart = iStart
         l.batchesSeen = batches
         l.state.restore(stateBytes)
-        live.put(id, l)
-        metrics.queriesRunning.incrementAndGet()
+        if (live.put(id, l).isEmpty) metrics.queriesRunning.incrementAndGet()
       }
 
   /** Drain accumulated results (test/driver convenience). */

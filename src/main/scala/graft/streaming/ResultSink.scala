@@ -7,8 +7,9 @@ import scala.collection.mutable
 /** Engine metrics (A10) — the counters the reference exposes as Codahale
   * gauges on Spark's metrics REST
   * (`/root/reference/src/main/scala/com/yahoo/bullet/spark/utils/BulletSparkMetrics.scala:14-103`).
-  * Plain atomics here; wire into `spark.metricsSystem` via a custom Source
-  * if a deployment wants them scraped. */
+  * Atomics for the hot emit path; [[registerWithSpark]] publishes them as
+  * gauges on `SparkEnv`'s metricsSystem so the standard scrape surfaces
+  * (REST `/metrics/json`, JMX, graphite) see them. */
 final class EngineMetrics {
   val queriesReceived = new AtomicLong
   val queriesRunning = new AtomicLong
@@ -26,6 +27,33 @@ final class EngineMetrics {
     "queries_failed" -> queriesFailed.get,
     "records_processed" -> recordsProcessed.get,
     "results_emitted" -> resultsEmitted.get)
+
+  private var source: Option[org.apache.spark.graftshim.GraftMetricsSource] = None
+
+  /** Register these counters as a Codahale Source named `name` on the
+    * running Spark metrics system (A10 parity with the reference's
+    * BulletSparkMetricsSource). Gauges read the atomics live. */
+  def registerWithSpark(name: String = "GraftEngine"): Unit = synchronized {
+    if (source.isEmpty) {
+      val gauges = Map[String, () => Long](
+        "queries_received" -> (() => queriesReceived.get),
+        "queries_running" -> (() => queriesRunning.get),
+        "queries_done" -> (() => queriesDone.get),
+        "queries_killed" -> (() => queriesKilled.get),
+        "queries_failed" -> (() => queriesFailed.get),
+        "records_processed" -> (() => recordsProcessed.get),
+        "results_emitted" -> (() => resultsEmitted.get))
+      val s = new org.apache.spark.graftshim.GraftMetricsSource(name, gauges)
+      org.apache.spark.graftshim.MetricsBridge.register(s)
+      source = Some(s)
+    }
+  }
+
+  /** Deregister (tests / engine teardown). */
+  def deregisterFromSpark(): Unit = synchronized {
+    source.foreach(org.apache.spark.graftshim.MetricsBridge.remove)
+    source = None
+  }
 }
 
 /** Result publication (A7) — the reference publishes CLIP messages to the

@@ -1,0 +1,182 @@
+package graft
+
+import org.apache.spark.graftshim.MetricsBridge
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.DataProducer
+import graft.streaming._
+
+/** A test producer loadable by classname (A3). */
+class SpecProducer extends DataProducer {
+  override def stream(spark: SparkSession, config: Map[String, String]): DataFrame =
+    spark.readStream.format("rate")
+      .option("rowsPerSecond", config.getOrElse("graft.producer.rowsPerSecond", "5"))
+      .load()
+      .select(col("value").as(config.getOrElse("graft.producer.idColumn", "event_id")))
+}
+
+/** Deployment-surface runtime: metrics on Spark's metrics system (A10),
+  * transport-bridged CLIP/FEEDBACK channels (A7 deployable), classname
+  * producer seam (A3), and self-recovering attach (A9). */
+class RuntimeOpsSpec extends AnyFunSuite {
+  private val sfDir = "/root/testdata/sf0.001"
+  private lazy val spark: SparkSession = GraftSession.local(4)
+
+  private var now: Long = 0L
+  private def newEngine() = {
+    now = 1000000L
+    new MultiQueryEngine(spark, () => now)
+  }
+  private def events = graft.sources.Tables.load(spark, sfDir, "events")
+  private def batch(n: Int) = events.filter(col("event_id") < n)
+
+  // ---- A10: metrics on the Spark metrics system ----
+
+  test("engine metrics are readable back through the Spark metrics system (A10)") {
+    val e = newEngine()
+    e.metrics.registerWithSpark("GraftEngineSpec")
+    try {
+      e.submit("m1", "SELECT event_id FROM STREAM LIMIT 3")
+      e.submit("m2", "SELECT COUNT(*) AS c FROM STREAM")
+      e.submit("m3", "not bql")
+      e.processBatch(batch(100)) // m1 completes
+      e.kill("m2")
+      val g = MetricsBridge.gaugeValues("GraftEngineSpec")
+      assert(g("queries_received") == 3L)
+      assert(g("queries_done") == 1L)
+      assert(g("queries_killed") == 1L)
+      assert(g("queries_failed") == 1L)
+      assert(g("queries_running") == 0L)
+      assert(g("records_processed") == 103L) // m1 took 3, m2 aggregated all 100
+    } finally e.metrics.deregisterFromSpark()
+  }
+
+  // ---- deployable result/feedback transport ----
+
+  test("transport bridge publishes CLIP on completion (A7)") {
+    val e = newEngine()
+    val t = new InMemoryTransport
+    new TransportBridge(e, t)
+    e.submit("t1", "SELECT event_id FROM STREAM LIMIT 3")
+    e.processBatch(batch(100))
+    val clips = t.poll("graft.clips")
+    assert(clips.map(_._1) == Seq("t1"))
+    val Array(kind, json) = clips.head._2.split('\t')
+    assert(kind == "Complete")
+    assert(json.contains("\"records\"") && json.contains("\"query_id\":\"t1\""))
+  }
+
+  test("KILL feedback loops into engine.kill; submit feedback registers (A7/B17)") {
+    val e = newEngine()
+    val t = new InMemoryTransport
+    val bridge = new TransportBridge(e, t)
+    e.submit("t2", "SELECT COUNT(*) AS c FROM STREAM")
+    t.send("graft.feedback", "t2", "kill\tt2")
+    t.send("graft.feedback", "x", "garbage with no tabs") // must not throw
+    t.send("graft.feedback", "t3", "submit\tt3\tSELECT COUNT(*) AS c FROM STREAM")
+    bridge.pump()
+    assert(e.activeQueryIds == Seq("t3"))
+    val kinds = t.poll("graft.clips").map(_._2.split('\t').head)
+    assert(kinds.contains("Kill"))
+  }
+
+  // ---- A3: classname-config producer seam ----
+
+  test("producer loads by classname config and applies its config (A3)") {
+    val df = DataProducer.produce(spark, Map(
+      DataProducer.ClassKey -> "graft.SpecProducer",
+      "graft.producer.idColumn" -> "my_id"))
+    assert(df.isStreaming)
+    assert(df.columns.toSeq == Seq("my_id"))
+  }
+
+  test("producer seam rejects bad config with a useful error (A3)") {
+    val miss = intercept[IllegalArgumentException](DataProducer.load(Map.empty))
+    assert(miss.getMessage.contains(DataProducer.ClassKey))
+    val notFound = intercept[IllegalArgumentException](
+      DataProducer.load(Map(DataProducer.ClassKey -> "no.such.Clazz")))
+    assert(notFound.getMessage.contains("not found"))
+    val wrongType = intercept[IllegalArgumentException](
+      DataProducer.load(Map(DataProducer.ClassKey -> "java.lang.String")))
+    assert(wrongType.getMessage.contains("does not implement"))
+  }
+
+  test("built-in JSON DSL producer chains connector and converter (A3)") {
+    val dir = java.nio.file.Files.createTempDirectory("graftdsl")
+    java.nio.file.Files.write(dir.resolve("a.json"),
+      "{\"id\": 1, \"kind\": \"x\"}\n{\"id\": 2, \"kind\": \"y\"}\n"
+        .getBytes("UTF-8"))
+    val df = DataProducer.produce(spark, Map(
+      DataProducer.ClassKey -> "graft.sources.JsonDslProducer",
+      "graft.producer.path" -> dir.toString,
+      "graft.producer.recordSchema" -> "id BIGINT, kind STRING"))
+    assert(df.isStreaming)
+    assert(df.columns.toSeq == Seq("id", "kind"))
+    // run the converted stream to prove the chain parses real payloads
+    val q = df.writeStream.format("memory").queryName("dsl_out").start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.table("dsl_out").orderBy("id").collect()
+      assert(rows.map(_.getLong(0)).toSeq == Seq(1L, 2L))
+      assert(rows.map(_.getString(1)).toSeq == Seq("x", "y"))
+    } finally q.stop()
+  }
+
+  // ---- A9: self-recovering attach ----
+
+  test("attach(recoveryDir) restores mid-query state after a restart (A9)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graftrec").toString
+
+    // run 1: count 2 records, checkpoint per batch, then die
+    val e1 = new MultiQueryEngine(spark)
+    e1.submit("rq", "SELECT COUNT(*) AS cnt FROM STREAM WINDOWING EVERY(1, RECORD, ALL)")
+    val mem1 = MemoryStream[(Long, String, Double)]
+    val q1 = e1.attach(mem1.toDF().toDF("event_id", "event_type", "value"),
+      triggerMs = 50L, recoveryDir = Some(dir))
+    try {
+      mem1.addData((1L, "a", 1.0), (2L, "b", 2.0))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    val firstCounts = e1.drainResults().filter(_.kind == ResultKind.Window)
+      .map(_.clip.records.head("cnt").asInstanceOf[Long])
+    assert(firstCounts.nonEmpty && firstCounts.last == 2L)
+
+    // run 2: fresh engine, same dir — the query and its count resume
+    val e2 = new MultiQueryEngine(spark)
+    val mem2 = MemoryStream[(Long, String, Double)]
+    val q2 = e2.attach(mem2.toDF().toDF("event_id", "event_type", "value"),
+      triggerMs = 50L, recoveryDir = Some(dir))
+    try {
+      assert(e2.activeQueryIds == Seq("rq"), "restore did not happen on attach")
+      mem2.addData((3L, "c", 3.0))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    val counts = e2.drainResults().filter(_.kind == ResultKind.Window)
+      .map(_.clip.records.head("cnt").asInstanceOf[Long])
+    assert(counts.nonEmpty && counts.last == 3L,
+      s"resumed count should continue from the checkpoint, got $counts")
+  }
+
+  test("restore keeps queries_running equal to the live set (A9 gauge)") {
+    val e1 = newEngine()
+    e1.submit("g1", "SELECT COUNT(*) AS c FROM STREAM")
+    e1.submit("g2", "SELECT COUNT(*) AS c FROM STREAM")
+    val ckpt = e1.checkpoint()
+
+    val e2 = newEngine()
+    e2.submit("g2", "SELECT COUNT(*) AS c FROM STREAM") // overlaps the snapshot
+    e2.submit("g3", "SELECT COUNT(*) AS c FROM STREAM") // absent from it
+    e2.restore(ckpt)
+    assert(e2.activeQueryIds == Seq("g1", "g2", "g3"))
+    assert(e2.metrics.queriesRunning.get == 3L,
+      "gauge must not double-count replaced ids")
+    // restoring the SAME snapshot again must not drift the gauge either
+    e2.restore(ckpt)
+    assert(e2.metrics.queriesRunning.get == 3L)
+  }
+}
