@@ -173,8 +173,21 @@ object Compiler {
     var df = df0
     // B10 COMPUTATION: non-aggregate select items over aggregate output
     // (e.g. `cnt * 2 AS double_cnt` after COUNT(*) AS cnt). Plain field
-    // references to existing columns are already present — skip them.
+    // references to existing columns are already present — skip them. A
+    // select item whose expression IS one of the GROUP BY keys renames
+    // that key's output column (`SELECT user_id % 10 AS k … GROUP BY
+    // user_id % 10`): the pre-agg input columns no longer exist here, so
+    // recomputing the expression would fail to resolve.
     if (q.agg != RawAll) {
+      val keyOutputs: Map[Expr, String] = q.agg match {
+        case GroupAgg(keys, _) => keys.zipWithIndex.map { case (k, i) =>
+          k.expr -> k.alias.orElse(k.expr match {
+            case FieldRef(p) => Some(p)
+            case _ => None
+          }).getOrElse(s"expr_$i")
+        }.toMap
+        case _ => Map.empty
+      }
       q.select.zipWithIndex.foreach { case (s, i) =>
         s.expr match {
           case FieldRef(p) if s.alias.isEmpty && df.columns.contains(p) => ()
@@ -183,7 +196,11 @@ object Compiler {
               case FieldRef(p) => p
               case _ => s"expr_$i"
             })
-            if (!df.columns.contains(name)) df = df.withColumn(name, column(s.expr))
+            if (!df.columns.contains(name)) keyOutputs.get(s.expr) match {
+              case Some(keyCol) if df.columns.contains(keyCol) =>
+                df = df.withColumnRenamed(keyCol, name)
+              case _ => df = df.withColumn(name, column(s.expr))
+            }
         }
       }
     }

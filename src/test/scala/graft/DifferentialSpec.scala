@@ -1,0 +1,146 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.bql.Compiler
+import graft.sources.Tables
+import graft.streaming.{MultiQueryEngine, ResultKind}
+
+/** Differential fuzz: the SAME generated BQL must produce the SAME result
+  * through the batch compiler (`Compiler.compile` over the whole fixture)
+  * and the streaming engine (the fixture replayed as micro-batches through
+  * `processBatch`, final result on duration timeout). This cross-checks
+  * the two execution paths against each other over a much wider query
+  * space than the hand-written specs — fusion, partial-merge, and post-agg
+  * semantics all sit on the streaming side of the diff.
+  *
+  * Excluded by construction (documented semantic differences):
+  *  - QUANTILE/PMF/CDF: sketch parameters differ between paths (estimates,
+  *    tolerance-checked in MultiQueryEngineSpec instead);
+  *  - RAW with limit < matches: both paths take an ARBITRARY subset;
+  *    the generator always sets the limit above the match count so the
+  *    result set is exact;
+  *  - SUM/AVG over the double column: float summation order differs
+  *    (integer columns are exact in both paths and are what we fuzz).
+  */
+class DifferentialSpec extends AnyFunSuite {
+  private val sfDir = "/root/testdata/sf0.001"
+  private lazy val spark: SparkSession = GraftSession.local(4)
+  private lazy val events: DataFrame = Tables.load(spark, sfDir, "events")
+
+  private val rnd = new scala.util.Random(20260812L)
+
+  private def pick[T](xs: Seq[T]): T = xs(rnd.nextInt(xs.size))
+
+  private def genPred(): String = {
+    def leaf(): String = pick(Seq(
+      s"value > ${rnd.nextInt(400)}",
+      s"value <= ${rnd.nextInt(400)}",
+      s"user_id % ${2 + rnd.nextInt(7)} == ${rnd.nextInt(2)}",
+      s"event_type == '${pick(Seq("click", "view", "purchase", "scroll"))}'",
+      s"event_type != '${pick(Seq("click", "view"))}'",
+      s"event_id >= ${rnd.nextInt(900)}"))
+    rnd.nextInt(3) match {
+      case 0 => leaf()
+      case 1 => s"${leaf()} AND ${leaf()}"
+      case 2 => s"(${leaf()} OR ${leaf()})"
+    }
+  }
+
+  private def genQuery(): String = {
+    val where = if (rnd.nextBoolean()) s" WHERE ${genPred()}" else ""
+    rnd.nextInt(5) match {
+      case 0 => // RAW, limit above any possible match count → exact set
+        s"SELECT event_id, event_type, user_id FROM STREAM$where LIMIT 5000"
+      case 1 => // GROUP ALL over integer columns
+        s"SELECT COUNT(*) AS cnt, SUM(user_id) AS su, MIN(event_id) AS mn, " +
+          s"MAX(event_id) AS mx FROM STREAM$where"
+      case 2 => // keyed GROUP BY with post-agg
+        val key = pick(Seq("event_type", "user_id % 10"))
+        val having = if (rnd.nextBoolean()) " HAVING cnt > 2" else ""
+        s"SELECT $key AS k, COUNT(*) AS cnt, AVG(user_id) AS au FROM STREAM$where " +
+          s"GROUP BY $key$having ORDER BY k"
+      case 3 => // COUNT DISTINCT (theta on both paths)
+        s"SELECT COUNT(DISTINCT ${pick(Seq("user_id", "event_type"))}) AS nd FROM STREAM$where"
+      case 4 => // TOP K on the low-cardinality key (deterministic ties)
+        s"SELECT TOP(3, event_type) AS cnt FROM STREAM$where"
+    }
+  }
+
+  private def canon(rows: Seq[Row]): Seq[String] =
+    rows.map { r =>
+      (0 until r.length).map { i =>
+        r.get(i) match {
+          case null => "∅"
+          case d: Double => f"$d%.9f"
+          case v => v.toString
+        }
+      }.mkString("|")
+    }.sorted
+
+  private def batchResult(bql: String): Seq[Row] =
+    Compiler.compile(bql)._2(events).collect().toSeq
+
+  private def streamResult(bql: String, nBatches: Int): Seq[Row] = {
+    var now = 1000000L
+    val e = new MultiQueryEngine(spark, () => now)
+    assert(e.submit("q", s"$bql DURATION 100000").isRight, s"submit failed: $bql")
+    val per = 1000 / nBatches
+    (0 until nBatches).foreach { i =>
+      val hi = if (i == nBatches - 1) Int.MaxValue else (i + 1) * per
+      e.processBatch(events.filter(
+        col("event_id") >= i * per && col("event_id") < hi))
+    }
+    now += 200000
+    e.tick()
+    val rs = e.drainResults()
+    assert(rs.map(_.kind) == Seq(ResultKind.Complete), s"kinds ${rs.map(_.kind)} for $bql")
+    // Clip records are Maps; rebuild comparable rows in schema order via
+    // the raw row list the engine presented
+    rs.head.clip.records.map(m => Row.fromSeq(m.toSeq.sortBy(_._1).map(_._2)))
+  }
+
+  private def batchCanon(bql: String): Seq[String] = {
+    val df = Compiler.compile(bql)._2(events)
+    val names = df.columns.sorted
+    canon(df.select(names.map(col): _*).collect().toSeq)
+  }
+
+  /** Found by this fuzz: an aliased expression group key
+    * (`SELECT user_id % 10 AS k … GROUP BY user_id % 10`) must rename the
+    * key's aggregate output — recomputing it post-agg fails to resolve
+    * because the pre-agg columns are gone. */
+  test("aliased expression group key resolves on both paths") {
+    val bql = "SELECT user_id % 10 AS k, COUNT(*) AS cnt FROM STREAM " +
+      "GROUP BY user_id % 10 ORDER BY k"
+    val want = batchCanon(bql)
+    assert(want.size == 10)
+    val df = Compiler.compile(bql)._2(events)
+    assert(df.columns.contains("k") && !df.columns.contains("expr_0"))
+    assert(canon(streamResult(bql, 4)) == want)
+  }
+
+  test("60 random queries: streaming (4 batches) == batch, column-for-column") {
+    var checked = 0
+    (1 to 60).foreach { i =>
+      val bql = genQuery()
+      val want = batchCanon(bql)
+      val got = canon(streamResult(bql, 4))
+      assert(got == want,
+        s"MISMATCH #$i for: $bql\n  batch=${want.take(5)}\n  stream=${got.take(5)}")
+      checked += 1
+    }
+    assert(checked == 60)
+  }
+
+  test("batch-count invariance: 1 batch == 7 batches for stateful shapes") {
+    (1 to 15).foreach { _ =>
+      val bql = genQuery()
+      val a = canon(streamResult(bql, 1))
+      val b = canon(streamResult(bql, 7))
+      assert(a == b, s"batch-count sensitivity for: $bql")
+    }
+  }
+}
