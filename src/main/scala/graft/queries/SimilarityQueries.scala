@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -98,6 +98,90 @@ object SimilarityQueries {
         .groupBy(col("bucket"))
         .agg(count(lit(1)).as("n_vecs"), countDistinct(col("label")).as("n_labels"))
         .orderBy(col("bucket"))
+    },
+
+    // IVF-flat ANN: a spherical k-means coarse quantizer (trained with a
+    // few distributed Lloyd passes over a deterministic hash-min sample),
+    // corpus vectors assigned to their nearest centroid — the inverted
+    // lists — and each probe vector searching only its nProbe nearest
+    // lists with exact cosine. 100 TB shape: training touches a bounded
+    // sample (TakeOrdered by hash, per-partition heaps — no full sort);
+    // the corpus pays ONE linear codegen'd assignment pass (k dot
+    // products per row against broadcast-literal centroids); the search
+    // join shuffles only probed-list candidates. Approximate → rows-only
+    // driver check; recall vs brute force in ApproxSuiteSpec.
+    QueryDef("ann_ivf_topk", None) { (s, d) =>
+      val kClusters = 10
+      val nProbe = 3
+      val iters = 5
+      val trainSample = 2000
+      val e = emb(s, d).select(col("vec_id"), col("embedding"))
+
+      // similarity-to-each-centroid as an array of (score, idx) structs;
+      // natural struct ordering makes array_max/sort_array an argmax with
+      // a deterministic index tiebreak
+      def simStructs(v: Column, cents: Seq[Array[Float]]): Column =
+        array(cents.zipWithIndex.map { case (c, i) =>
+          struct(cosine_sim(v, typedLit(c)).as("s"), lit(i).as("i"))
+        }: _*)
+
+      // deterministic init: farthest-point (k-center) selection over a
+      // hash-min candidate pool — k random seeds would leave natural
+      // clusters unseeded (coupon collector), farthest-point spreads them.
+      // The pool fetch is TakeOrderedAndProject (per-partition heaps),
+      // not a global sort; the greedy step is k*pool driver-side dots.
+      val train = e.orderBy(xxhash64(col("vec_id"))).limit(trainSample)
+      val pool: Seq[Array[Float]] = e.orderBy(xxhash64(col("vec_id")))
+        .limit(100).collect().map(_.getSeq[Float](1).toArray).toSeq
+      def cos(a: Array[Float], b: Array[Float]): Double = {
+        var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+        while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+        if (na == 0 || nb == 0) -1.0 else dot / math.sqrt(na * nb)
+      }
+      var cents: Seq[Array[Float]] = {
+        val chosen = scala.collection.mutable.ArrayBuffer(pool.head)
+        while (chosen.size < kClusters) {
+          chosen += pool.maxBy(c => -chosen.map(cos(c, _)).max)
+        }
+        chosen.toSeq
+      }
+
+      // Lloyd: assign sample -> elementwise mean per cluster -> renormalize
+      (0 until iters).foreach { _ =>
+        val means = train
+          .select(array_max(simStructs(col("embedding"), cents)).getField("i").as("cl"),
+            posexplode(col("embedding")).as(Seq("pos", "v")))
+          .groupBy(col("cl"), col("pos")).agg(avg(col("v")).as("m"))
+          .collect()
+        val byCluster = means.groupBy(_.getInt(0))
+        cents = cents.zipWithIndex.map { case (old, ci) =>
+          byCluster.get(ci) match {
+            case Some(rows) =>
+              val vec = new Array[Float](old.length)
+              rows.foreach(r => vec(r.getInt(1)) = r.getDouble(2).toFloat)
+              val norm = math.sqrt(vec.map(x => x.toDouble * x).sum)
+              if (norm > 0) vec.map(x => (x / norm).toFloat) else old
+            case None => old // empty cluster keeps its centroid
+          }
+        }
+      }
+
+      val corpus = e.select(col("vec_id"), col("embedding"),
+        array_max(simStructs(col("embedding"), cents)).getField("i").as("cl"))
+      val probes = e.filter(col("vec_id") < NQueries)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+          explode(transform(
+            slice(sort_array(simStructs(col("embedding"), cents), asc = false),
+              1, nProbe),
+            x => x.getField("i"))).as("cl"))
+      val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
+      corpus.join(broadcast(probes),
+          Seq("cl")).filter(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id"), cosine_sim(col("qe"), col("embedding")).as("cos"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= K)
+        .select(col("qid"), col("rank"), col("vec_id"))
+        .orderBy(col("qid"), col("rank"))
     }
   )
 }

@@ -46,6 +46,21 @@ class ApproxSuiteSpec extends AnyFunSuite {
     assert(recall >= 0.5, s"LSH ANN recall@10 $recall below 0.5")
   }
 
+  test("ivf ann recall@10 vs brute force") {
+    val brute = run("ann_brute_topk").select("qid", "vec_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = run("ann_ivf_topk").select("qid", "vec_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute & ivf).size.toDouble / brute.size
+    info(s"recall@10 = $recall")
+    // The fixture's embeddings have weak cosine-cluster structure (true
+    // top-10 neighbors scatter across labels — measured), so IVF recall
+    // here tracks scanned-corpus coverage. nProbe=3 of 10 lists scans
+    // ~30%; the quantizer must still beat that coverage floor by a wide
+    // margin (measured 0.62), which is what proves the lists are real.
+    assert(recall >= 0.5, s"IVF ANN recall@10 $recall below 0.5")
+  }
+
   test("kll default-k quantiles within rank tolerance of exact") {
     import org.apache.spark.sql.functions._
     val li = graft.sources.Tables.load(spark, sfDir, "lineitem")
