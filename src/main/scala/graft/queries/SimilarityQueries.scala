@@ -113,7 +113,7 @@ object SimilarityQueries {
     QueryDef("ann_ivf_topk", None) { (s, d) =>
       val kClusters = 10
       val nProbe = 3
-      val iters = 5
+      val iters = 3
       val trainSample = 2000
       val e = emb(s, d).select(col("vec_id"), col("embedding"))
 
@@ -130,9 +130,10 @@ object SimilarityQueries {
       // clusters unseeded (coupon collector), farthest-point spreads them.
       // The pool fetch is TakeOrderedAndProject (per-partition heaps),
       // not a global sort; the greedy step is k*pool driver-side dots.
-      val train = e.orderBy(xxhash64(col("vec_id"))).limit(trainSample)
-      val pool: Seq[Array[Float]] = e.orderBy(xxhash64(col("vec_id")))
-        .limit(100).collect().map(_.getSeq[Float](1).toArray).toSeq
+      // cached: every Lloyd pass reads the sample, not the source scan
+      val train = e.orderBy(xxhash64(col("vec_id"))).limit(trainSample).persist()
+      val pool: Seq[Array[Float]] = train.collect().take(100)
+        .map(_.getSeq[Float](1).toArray).toSeq
       def cos(a: Array[Float], b: Array[Float]): Double = {
         var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
         while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
@@ -166,6 +167,7 @@ object SimilarityQueries {
         }
       }
 
+      train.unpersist()
       val corpus = e.select(col("vec_id"), col("embedding"),
         array_max(simStructs(col("embedding"), cents)).getField("i").as("cl"))
       val probes = e.filter(col("vec_id") < NQueries)
