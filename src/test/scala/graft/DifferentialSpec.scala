@@ -41,7 +41,10 @@ class DifferentialSpec extends AnyFunSuite {
       s"user_id % ${2 + rnd.nextInt(7)} == ${rnd.nextInt(2)}",
       s"event_type == '${pick(Seq("click", "view", "purchase", "scroll"))}'",
       s"event_type != '${pick(Seq("click", "view"))}'",
-      s"event_id >= ${rnd.nextInt(900)}"))
+      s"event_id >= ${rnd.nextInt(900)}",
+      s"value BETWEEN ${rnd.nextInt(200)} AND ${200 + rnd.nextInt(300)}",
+      s"event_type IN ('click', '${pick(Seq("view", "error", "scroll"))}')",
+      s"NOT (event_id < ${rnd.nextInt(500)})"))
     rnd.nextInt(3) match {
       case 0 => leaf()
       case 1 => s"${leaf()} AND ${leaf()}"
@@ -122,9 +125,12 @@ class DifferentialSpec extends AnyFunSuite {
     assert(canon(streamResult(bql, 4)) == want)
   }
 
-  test("60 random queries: streaming (4 batches) == batch, column-for-column") {
+  // depth tunable for one-off deep sweeps: GRAFT_FUZZ_N=300 sbt test
+  private val fuzzN = sys.env.getOrElse("GRAFT_FUZZ_N", "60").toInt
+
+  test(s"$fuzzN random queries: streaming (4 batches) == batch, column-for-column") {
     var checked = 0
-    (1 to 60).foreach { i =>
+    (1 to fuzzN).foreach { i =>
       val bql = genQuery()
       val want = batchCanon(bql)
       val got = canon(streamResult(bql, 4))
@@ -132,7 +138,7 @@ class DifferentialSpec extends AnyFunSuite {
         s"MISMATCH #$i for: $bql\n  batch=${want.take(5)}\n  stream=${got.take(5)}")
       checked += 1
     }
-    assert(checked == 60)
+    assert(checked == fuzzN)
   }
 
   test("batch-count invariance: 1 batch == 7 batches for stateful shapes") {
