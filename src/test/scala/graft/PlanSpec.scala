@@ -90,6 +90,16 @@ class PlanSpec extends AnyFunSuite {
       s"shingle strings must be hashed before the exchange:\n${exchanges.mkString("\n")}")
   }
 
+  test("ivf search joins broadcast probes; no pmf/cdf single-partition window") {
+    val ivf = planStr("ann_ivf_topk")
+    assert(ivf.contains("BroadcastHashJoin") || ivf.contains("BroadcastExchange"),
+      s"IVF probe side must broadcast:\n$ivf")
+    val pmf = planStr("b7_pmf_cdf")
+    assert(!pmf.contains("Window"), s"pmf/cdf must not use WindowExec:\n$pmf")
+    assert(pmf.contains("BroadcastHashJoin") || pmf.contains("BroadcastNestedLoopJoin"),
+      s"cdf running sum must be a broadcast range-join:\n$pmf")
+  }
+
   test("bql-compiled plans get the same pushdown as hand-written ones") {
     val df = graft.bql.Compiler.compile(
       "SELECT event_id FROM STREAM WHERE event_type == 'click'")._2(
