@@ -162,6 +162,47 @@ class RuntimeOpsSpec extends AnyFunSuite {
       s"resumed count should continue from the checkpoint, got $counts")
   }
 
+  // ---- flatMapGroupsWithState custom state (funnel detection) ----
+
+  test("funnel state carries stage progress across micro-batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, String, Long)]
+    val hits = graft.streaming.StatefulOps.funnel(
+      mem.toDS(), Seq("click", "view", "purchase"))
+    val q = hits.writeStream.format("memory").queryName("funnel_out")
+      .outputMode("append").start()
+    try {
+      // key 1 progresses one stage per batch; key 2 skips "view"
+      mem.addData((1L, "click", 100L), (2L, "click", 100L), (1L, "scroll", 110L))
+      q.processAllAvailable()
+      mem.addData((1L, "view", 200L), (2L, "purchase", 200L))
+      q.processAllAvailable()
+      assert(spark.table("funnel_out").isEmpty, "no funnel complete yet")
+      mem.addData((1L, "purchase", 300L), (1L, "click", 310L))
+      q.processAllAvailable()
+      val out = spark.table("funnel_out")
+        .as[graft.streaming.StatefulOps.FunnelHit].collect().toSeq
+      assert(out == Seq(graft.streaming.StatefulOps.FunnelHit(1L, 300L, 200L)),
+        s"got $out")
+    } finally q.stop()
+  }
+
+  test("funnel emits one hit per completed pass and restarts (batch mode)") {
+    import spark.implicits._
+    val ds = Seq(
+      (7L, "click", 1L), (7L, "view", 2L), (7L, "purchase", 3L),
+      (7L, "click", 10L), (7L, "other", 11L), (7L, "view", 12L), (7L, "purchase", 13L),
+      (8L, "view", 1L), (8L, "purchase", 2L) // never clicked: no hit
+    ).toDS()
+    val out = graft.streaming.StatefulOps.funnel(ds, Seq("click", "view", "purchase"))
+      .collect().sortBy(_.completedAt).toSeq
+    assert(out == Seq(
+      graft.streaming.StatefulOps.FunnelHit(7L, 3L, 2L),
+      graft.streaming.StatefulOps.FunnelHit(7L, 13L, 3L)), s"got $out")
+  }
+
   test("restore keeps queries_running equal to the live set (A9 gauge)") {
     val e1 = newEngine()
     e1.submit("g1", "SELECT COUNT(*) AS c FROM STREAM")
