@@ -290,6 +290,13 @@ final class MultiQueryEngine(
     // a full buffer still sees the batch's lifecycle (windows, duration)
     ls.zip(budgets).filter(_._2 <= 0)
       .foreach { case (l, _) => guarded(l)(lifecycle(l, 0L)) }
+    // Catalyst analysis of an n-struct select is superlinear in n; chunking
+    // keeps each shared job's plan bounded (k jobs of <=128 queries beat
+    // one k*128-column job on driver time, and both beat per-query jobs)
+    want.grouped(128).foreach(chunk => fuseRawJob(chunk, cached))
+  }
+
+  private def fuseRawJob(want: Seq[(Live, Int)], cached: DataFrame): Unit = {
     if (want.isEmpty) return
     try {
       val n = want.size
