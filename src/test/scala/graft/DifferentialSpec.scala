@@ -60,11 +60,13 @@ class DifferentialSpec extends AnyFunSuite {
       case 1 => // GROUP ALL over integer columns
         s"SELECT COUNT(*) AS cnt, SUM(user_id) AS su, MIN(event_id) AS mn, " +
           s"MAX(event_id) AS mx FROM STREAM$where"
-      case 2 => // keyed GROUP BY with post-agg
+      case 2 => // keyed GROUP BY with the full post-agg chain
         val key = pick(Seq("event_type", "user_id % 10"))
         val having = if (rnd.nextBoolean()) " HAVING cnt > 2" else ""
-        s"SELECT $key AS k, COUNT(*) AS cnt, AVG(user_id) AS au FROM STREAM$where " +
-          s"GROUP BY $key$having ORDER BY k"
+        val limit = if (rnd.nextBoolean()) " LIMIT 4" else ""
+        val cull = if (rnd.nextBoolean()) " CULL au" else ""
+        s"SELECT $key AS k, COUNT(*) AS cnt, AVG(user_id) AS au, cnt + 1 AS cnt1 " +
+          s"FROM STREAM$where GROUP BY $key$having ORDER BY k$limit$cull"
       case 3 => // COUNT DISTINCT (theta on both paths)
         s"SELECT COUNT(DISTINCT ${pick(Seq("user_id", "event_type"))}) AS nd FROM STREAM$where"
       case 4 => // TOP K on the low-cardinality key (deterministic ties)
@@ -89,7 +91,11 @@ class DifferentialSpec extends AnyFunSuite {
   private def streamResult(bql: String, nBatches: Int): Seq[Row] = {
     var now = 1000000L
     val e = new MultiQueryEngine(spark, () => now)
-    assert(e.submit("q", s"$bql DURATION 100000").isRight, s"submit failed: $bql")
+    // clause order is LIMIT DURATION CULL — splice DURATION accordingly
+    val withDur =
+      if (bql.contains(" CULL ")) bql.replace(" CULL ", " DURATION 100000 CULL ")
+      else s"$bql DURATION 100000"
+    assert(e.submit("q", withDur).isRight, s"submit failed: $withDur")
     val per = 1000 / nBatches
     (0 until nBatches).foreach { i =>
       val hi = if (i == nBatches - 1) Int.MaxValue else (i + 1) * per
