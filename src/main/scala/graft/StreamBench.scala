@@ -43,14 +43,22 @@ object StreamBench {
         s"WHERE user_id % 997 == ${i % 997} LIMIT 100000")
     }
 
+    // pure global-combinable set: every query fuses into the one shared
+    // aggregate job — isolates the fused-agg plan-size scaling
+    def globQueriesFor(n: Int): Seq[(String, String)] = (0 until n).map { i =>
+      (s"g$i", s"SELECT COUNT(*) AS cnt, SUM(user_id) AS su FROM STREAM " +
+        s"WHERE user_id % 50 == ${i % 50} WINDOWING EVERY(1000000000, RECORD, ALL)")
+    }
+
     // args: plain counts ("1 10 100") use the mixed query set; "rawN"
-    // (e.g. "raw1 raw100") uses N concurrent RAW queries
+    // uses N concurrent RAW queries; "globN" N pure global aggregates
     val counts = if (args.nonEmpty) args.toSeq else Seq("1", "10", "100")
     val results = counts.map { spec =>
-      val (raw, n) =
-        if (spec.startsWith("raw")) (true, spec.drop(3).toInt) else (false, spec.toInt)
       val engine = new MultiQueryEngine(spark)
-      val qs = if (raw) rawQueriesFor(n) else queriesFor(n)
+      val qs =
+        if (spec.startsWith("raw")) rawQueriesFor(spec.drop(3).toInt)
+        else if (spec.startsWith("glob")) globQueriesFor(spec.drop(4).toInt)
+        else queriesFor(spec.toInt)
       qs.foreach { case (id, bql) => engine.submit(id, bql) }
       val batches = (0 until nBatches).map(b => events.filter(
         col("event_id") >= b * per && col("event_id") < (b + 1) * per))
