@@ -44,6 +44,49 @@ final class InMemoryTransport extends Transport {
     channels.get(channel).map(_.asScala.toVector).getOrElse(Vector.empty)
 }
 
+/** File-backed transport: one directory per channel, one file per message
+  * (atomic temp-write + rename), names ordered by a monotonic sequence so
+  * `poll` drains oldest-first. Works across processes over any shared
+  * filesystem — the zero-dependency deployable transport for this
+  * container; a Kafka implementation is the same two verbs over a
+  * producer/consumer pair. Message files hold `key \n payload` (Clip JSON
+  * escapes control characters, so the first newline is the separator). */
+final class FileTransport(root: String) extends Transport {
+  private val seq = new java.util.concurrent.atomic.AtomicLong()
+  private val id = java.lang.Long.toHexString(System.nanoTime())
+
+  private def dir(channel: String): java.nio.file.Path = {
+    val p = java.nio.file.Paths.get(root, channel)
+    java.nio.file.Files.createDirectories(p)
+    p
+  }
+
+  override def send(channel: String, key: String, payload: String): Unit = {
+    val d = dir(channel)
+    val name = f"${System.currentTimeMillis()}%013d-$id-${seq.incrementAndGet()}%09d"
+    val tmp = d.resolve(s".$name.tmp")
+    java.nio.file.Files.write(tmp, s"$key\n$payload".getBytes("UTF-8"))
+    java.nio.file.Files.move(tmp, d.resolve(name),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  override def poll(channel: String): Seq[(String, String)] = {
+    val d = dir(channel)
+    val files = java.nio.file.Files.list(d).iterator()
+    val names = Vector.newBuilder[java.nio.file.Path]
+    while (files.hasNext) {
+      val f = files.next()
+      if (!f.getFileName.toString.startsWith(".")) names += f
+    }
+    names.result().sortBy(_.getFileName.toString).map { f =>
+      val s = new String(java.nio.file.Files.readAllBytes(f), "UTF-8")
+      java.nio.file.Files.delete(f)
+      val i = s.indexOf('\n')
+      if (i < 0) (s, "") else (s.substring(0, i), s.substring(i + 1))
+    }
+  }
+}
+
 /** Bridges a [[MultiQueryEngine]] onto a [[Transport]]:
   *
   *  - every result message is published to `clipChannel` as

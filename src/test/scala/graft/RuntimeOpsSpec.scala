@@ -82,6 +82,29 @@ class RuntimeOpsSpec extends AnyFunSuite {
     assert(kinds.contains("Kill"))
   }
 
+  test("file transport carries clips and feedback across engine instances (A7)") {
+    val root = java.nio.file.Files.createTempDirectory("graftft").toString
+    // "process 1": engine publishing over the file transport
+    val e1 = newEngine()
+    new TransportBridge(e1, new FileTransport(root))
+    e1.submit("f1", "SELECT event_id FROM STREAM LIMIT 2")
+    e1.processBatch(batch(50))
+    // "process 2": an independent transport handle on the same directory
+    val t2 = new FileTransport(root)
+    val clips = t2.poll("graft.clips")
+    assert(clips.map(_._1) == Seq("f1"))
+    assert(clips.head._2.startsWith("Complete\t"))
+    assert(t2.poll("graft.clips").isEmpty, "poll must drain")
+    // feedback written by the second handle reaches the first engine
+    t2.send("graft.feedback", "f2", "submit\tf2\tSELECT COUNT(*) AS c FROM STREAM")
+    val b1 = new TransportBridge(e1, new FileTransport(root))
+    b1.pump()
+    assert(e1.activeQueryIds == Seq("f2"))
+    // ordering: many messages drain oldest-first
+    (1 to 20).foreach(i => t2.send("ord", s"k$i", s"p$i"))
+    assert(t2.poll("ord").map(_._1) == (1 to 20).map("k" + _))
+  }
+
   // ---- A3: classname-config producer seam ----
 
   test("producer loads by classname config and applies its config (A3)") {
