@@ -19,6 +19,10 @@ object Ast {
   final case class Unary(op: String, e: Expr) extends Expr // NOT, -, SIZEOF, ISNULL, ISNOTNULL, ABS, LOWER, UPPER, TRIM
   final case class Binary(op: String, l: Expr, r: Expr) extends Expr // + - * / % == != > >= < <= AND OR XOR LIKE RLIKE IN
   final case class If(cond: Expr, t: Expr, f: Expr) extends Expr
+  /** Comparison with a quantifier over a list: `x > ANY (1, 2)` /
+    * `x == ALL field_of_list` (reference BinaryExpression ANY/ALL
+    * modifiers, SURVEY §2.B B3). */
+  final case class Quantified(op: String, l: Expr, all: Boolean, list: Expr) extends Expr
   final case class Between(e: Expr, lo: Expr, hi: Expr) extends Expr
   final case class Cast(e: Expr, to: String) extends Expr
   /** Parser-internal: aggregate call in a select list; resolved into an

@@ -27,6 +27,22 @@ object Compiler {
     case Lit(v) => lit(v)
     case ListLit(items) => array(items.map(column): _*)
     case If(c, t, f) => when(column(c), column(t)).otherwise(column(f))
+    case Quantified(op, l, all, list) =>
+      // quantified comparison compiles to the codegen'd higher-order
+      // exists/forall over the list, comparing each element to the left
+      // side (an outer reference inside the lambda)
+      val lc = column(l)
+      val arr = column(list)
+      val cmp: Column => Column = x => op match {
+        case "==" => lc === x
+        case "!=" => lc =!= x
+        case ">" => lc > x
+        case ">=" => lc >= x
+        case "<" => lc < x
+        case "<=" => lc <= x
+        case other => throw new BqlParseException(s"bad quantified op $other")
+      }
+      if (all) forall(arr, cmp) else exists(arr, cmp)
     case Between(e1, lo, hi) => column(e1).between(column(lo), column(hi))
     case Cast(e1, to) =>
       val dt = to match {

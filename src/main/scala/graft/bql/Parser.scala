@@ -198,7 +198,11 @@ object Parser {
             case "<>" | "!=" => "!="
             case o => o
           }
-          Binary(op, l, addExpr())
+          // B3 quantified comparison: `op ANY|ALL (list)` or over a
+          // list-typed expression (field of list)
+          if (accept("ANY")) Quantified(op, l, all = false, quantifierList())
+          else if (accept("ALL")) Quantified(op, l, all = true, quantifierList())
+          else Binary(op, l, addExpr())
         case "IN" =>
           next(); Binary("IN", l, listLit())
         case "LIKE" =>
@@ -215,6 +219,9 @@ object Parser {
         case _ => l
       }
     }
+
+    private def quantifierList(): Expr =
+      if (peek == "(") listLit() else addExpr()
 
     private def listLit(): Expr = {
       expect("(")

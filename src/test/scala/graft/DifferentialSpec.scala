@@ -44,7 +44,10 @@ class DifferentialSpec extends AnyFunSuite {
       s"event_id >= ${rnd.nextInt(900)}",
       s"value BETWEEN ${rnd.nextInt(200)} AND ${200 + rnd.nextInt(300)}",
       s"event_type IN ('click', '${pick(Seq("view", "error", "scroll"))}')",
-      s"NOT (event_id < ${rnd.nextInt(500)})"))
+      s"NOT (event_id < ${rnd.nextInt(500)})",
+      s"value > ANY (${rnd.nextInt(300)}, ${rnd.nextInt(300)})",
+      s"value <= ALL (${100 + rnd.nextInt(300)}, ${100 + rnd.nextInt(300)})",
+      s"event_type == ANY ('click', '${pick(Seq("view", "purchase"))}')"))
     rnd.nextInt(3) match {
       case 0 => leaf()
       case 1 => s"${leaf()} AND ${leaf()}"
@@ -115,6 +118,18 @@ class DifferentialSpec extends AnyFunSuite {
     val df = Compiler.compile(bql)._2(events)
     val names = df.columns.sorted
     canon(df.select(names.map(col): _*).collect().toSeq)
+  }
+
+  test("quantified comparisons (B3 ANY/ALL) match their boolean expansion") {
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("event_id").collect().map(_.getLong(0)).toSet
+    val any = Compiler.compile(
+      "SELECT event_id FROM STREAM WHERE value > ANY (150, 250) LIMIT 5000")._2(events)
+    assert(ids(any) == ids(events.filter(col("value") > 150 || col("value") > 250)))
+    val all = Compiler.compile(
+      "SELECT event_id FROM STREAM WHERE value > ALL (150, 250) LIMIT 5000")._2(events)
+    assert(ids(all) == ids(events.filter(col("value") > 150 && col("value") > 250)))
+    assert(ids(all) != ids(any), "fixture must distinguish ANY from ALL")
   }
 
   /** Found by this fuzz: an aliased expression group key
