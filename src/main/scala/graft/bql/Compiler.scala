@@ -104,6 +104,15 @@ object Compiler {
         // dynamic-schema tail: JSON(col, '$.path') over a JSON string
         // column — our analog of BulletRecord's runtime-typed map fields
         case "JSON" => get_json_object(cl, r.asInstanceOf[Lit].value.toString)
+        // B3 FILTER(list, mask): keep elements whose positional boolean
+        // is true (bullet-core's elementwise mask selection). Tagging
+        // survivors before the compact keeps legitimate null elements.
+        case "FILTER" =>
+          transform(
+            filter(
+              zip_with(cl, cr, (x, keep) => struct(x.as("v"), keep.as("k"))),
+              p => coalesce(p.getField("k"), lit(false))),
+            p => p.getField("v"))
         case other => throw new BqlParseException(s"bad binary op $other")
       }
     case other => throw new BqlParseException(s"unsupported expression $other")

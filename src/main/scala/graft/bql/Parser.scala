@@ -65,7 +65,8 @@ object Parser {
 
     private val aggFns = Set("COUNT", "SUM", "MIN", "MAX", "AVG", "TOP", "QUANTILE", "PMF", "CDF")
     private val scalarFns = Set("ABS", "LOWER", "UPPER", "TRIM", "SIZEOF", "LENGTH",
-      "ISNULL", "ISNOTNULL", "IF", "CAST", "CONTAINSKEY", "CONTAINSVALUE", "SIZEIS", "JSON")
+      "ISNULL", "ISNOTNULL", "IF", "CAST", "CONTAINSKEY", "CONTAINSVALUE", "SIZEIS",
+      "JSON", "FILTER")
 
     def query(): Query = {
       expect("SELECT")
@@ -337,7 +338,7 @@ object Parser {
         case "CAST" =>
           val e = expr(); expect(","); val ty = next(); expect(")")
           Cast(e, ty.toUpperCase)
-        case "CONTAINSKEY" | "CONTAINSVALUE" | "SIZEIS" | "JSON" =>
+        case "CONTAINSKEY" | "CONTAINSVALUE" | "SIZEIS" | "JSON" | "FILTER" =>
           val e = expr(); expect(","); val a = expr(); expect(")")
           Binary(fn, e, a)
         case _ =>

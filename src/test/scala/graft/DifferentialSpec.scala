@@ -120,6 +120,19 @@ class DifferentialSpec extends AnyFunSuite {
     canon(df.select(names.map(col): _*).collect().toSeq)
   }
 
+  test("FILTER(list, mask) keeps positionally-selected elements (B3)") {
+    import spark.implicits._
+    val df = Seq((1L, Seq("a", "b", "c"), Seq(true, false, true))).toDF("id", "l", "m")
+    val got = Compiler.compile("SELECT id, FILTER(l, m) AS kept FROM STREAM")._2(df)
+      .collect().head.getSeq[String](1)
+    assert(got == Seq("a", "c"))
+    // null elements survive when their mask is true; null masks drop
+    val got2 = Compiler.compile("SELECT FILTER(l, m) AS kept FROM STREAM")._2(
+      Seq((Seq("a", null, "c"), Seq[java.lang.Boolean](true, true, null))).toDF("l", "m"))
+      .collect().head.getSeq[String](0)
+    assert(got2 == Seq("a", null))
+  }
+
   test("quantified comparisons (B3 ANY/ALL) match their boolean expansion") {
     def ids(df: org.apache.spark.sql.DataFrame) =
       df.select("event_id").collect().map(_.getLong(0)).toSet
