@@ -135,6 +135,39 @@ object TextQueries {
         .limit(20)
     },
 
+    // Text normalization: the standard pre-tokenization cleanup pass —
+    // lowercase, strip punctuation to spaces, collapse whitespace, trim.
+    // Pure per-row codegen'd string ops; linear, no shuffle.
+    QueryDef("tx_normalize", Some(
+      """SELECT doc_id,
+        |  trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm,
+        |  length(text) - length(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS removed
+        |FROM documents ORDER BY doc_id""".stripMargin)) { (s, d) =>
+      val norm = trim(regexp_replace(
+        regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "), " +", " "))
+      docs(s, d).select(
+        col("doc_id"), norm.as("norm"),
+        (length(col("text")) - length(norm)).as("removed"))
+        .orderBy(col("doc_id"))
+    },
+
+    // PII-style redaction: regex rewrite of email-shaped tokens — the
+    // scrub pass a training corpus runs before anything else sees the
+    // text. Patterns kept to the RE2 ∩ java.util.regex dialect so the
+    // DuckDB oracle is exact.
+    QueryDef("tx_redact", Some(
+      """SELECT doc_id,
+        |  regexp_replace(text, '[a-z0-9.]+@[a-z0-9.]+', '<EMAIL>', 'g') AS redacted,
+        |  len(regexp_extract_all(text, '[a-z0-9.]+@[a-z0-9.]+')) AS n_hits
+        |FROM documents ORDER BY doc_id""".stripMargin)) { (s, d) =>
+      docs(s, d).select(
+        col("doc_id"),
+        regexp_replace(col("text"), "[a-z0-9.]+@[a-z0-9.]+", "<EMAIL>").as("redacted"),
+        size(expr("regexp_extract_all(text, '[a-z0-9.]+@[a-z0-9.]+', 0)"))
+          .cast(LongType).as("n_hits"))
+        .orderBy(col("doc_id"))
+    },
+
     // Document fingerprinting: md5 over the sorted distinct token set —
     // an order-insensitive content fingerprint (catches shuffled
     // near-duplicates that byte-hashing misses).
