@@ -40,7 +40,8 @@ final class MultiQueryEngine(
     spark: SparkSession,
     clock: () => Long = () => System.currentTimeMillis(),
     rateLimitMaxEmits: Int = Int.MaxValue,
-    rateLimitIntervalMs: Long = 1000L) {
+    rateLimitIntervalMs: Long = 1000L,
+    soloParallelism: Int = 1) {
 
   private final class Live(
       val id: String,
@@ -172,7 +173,22 @@ final class MultiQueryEngine(
         (soloKeyed.flatten ++ solo).partition(_.state.isInstanceOf[RawState])
       if (raws.size >= 2) fuseRaw(raws.sortBy(_.id), cached)
       else raws.foreach(l => guarded(l)(processOne(l, cached)))
-      plainSolo.sortBy(_.id).foreach(l => guarded(l)(processOne(l, cached)))
+      // un-fusable queries (distinct keyed shapes) each need their own
+      // Spark job; with soloParallelism > 1 those jobs run concurrently
+      // on a pool — the analog of the reference's A5 parallel filter mode
+      // (thread pool over queries, off by default). Safe because each
+      // query's Live/state is touched by exactly one task and the shared
+      // surfaces (results queue, metrics, sinks) are concurrent.
+      val solos = plainSolo.sortBy(_.id)
+      if (soloParallelism > 1 && solos.size > 1) {
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(
+          math.min(soloParallelism, solos.size))
+        try {
+          solos.map(l => pool.submit(new Runnable {
+            override def run(): Unit = guarded(l)(processOne(l, cached))
+          })).foreach(_.get())
+        } finally pool.shutdown()
+      } else solos.foreach(l => guarded(l)(processOne(l, cached)))
     } finally {
       cached.unpersist()
     }

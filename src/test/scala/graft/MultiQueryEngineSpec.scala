@@ -580,6 +580,31 @@ class MultiQueryEngineSpec extends AnyFunSuite {
     assert(w2.size == clicks / 50)
   }
 
+  /** A5 parallel mode: un-fusable solo queries run their Spark jobs on a
+    * thread pool; results must match the serial path exactly. */
+  test("parallel solo mode matches serial results (A5 parallel filter)") {
+    // distinct key signatures so nothing fuses: each is a solo keyed job
+    val qs = Seq(
+      "p1" -> "SELECT event_type, COUNT(*) AS cnt FROM STREAM GROUP BY event_type ORDER BY event_type DURATION 1000",
+      "p2" -> "SELECT user_id % 7 AS k, COUNT(*) AS cnt FROM STREAM GROUP BY user_id % 7 ORDER BY k DURATION 1000",
+      "p3" -> "SELECT user_id % 11 AS k, MAX(value) AS mx FROM STREAM GROUP BY user_id % 11 ORDER BY k DURATION 1000",
+      "p4" -> "SELECT event_id % 5 AS k, AVG(value) AS av FROM STREAM WHERE value > 100 GROUP BY event_id % 5 ORDER BY k DURATION 1000")
+    def run(parallelism: Int): Map[String, Seq[Map[String, Any]]] = {
+      now = 1000000L
+      val e = new MultiQueryEngine(spark, () => now, soloParallelism = parallelism)
+      qs.foreach { case (id, bql) => assert(e.submit(id, bql).isRight) }
+      batches(2).foreach(e.processBatch)
+      now += 2000
+      e.tick()
+      e.drainResults().map(m => m.queryId -> m.clip.records).toMap
+    }
+    val serial = run(1)
+    val parallel = run(4)
+    qs.foreach { case (id, _) =>
+      assert(parallel(id) == serial(id), s"parallel diverged for $id")
+    }
+  }
+
   test("structured streaming attach via MemoryStream (A2/A7)") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
