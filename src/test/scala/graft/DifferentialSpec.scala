@@ -175,6 +175,32 @@ class DifferentialSpec extends AnyFunSuite {
     assert(checked == fuzzN)
   }
 
+  /** Cumulative (ALL) windows emit per batch; after the full replay the
+    * LAST emission must equal the one-shot batch aggregate. */
+  test("cumulative RECORD window's final emission equals the batch result") {
+    val shapes = Seq(
+      "SELECT COUNT(*) AS cnt, SUM(user_id) AS su FROM STREAM WHERE value > 100",
+      "SELECT event_type AS k, COUNT(*) AS cnt FROM STREAM GROUP BY event_type ORDER BY k",
+      "SELECT COUNT(DISTINCT user_id) AS nd FROM STREAM")
+    shapes.foreach { bql =>
+      val want = batchCanon(bql)
+      var now = 1000000L
+      val e = new MultiQueryEngine(spark, () => now)
+      assert(e.submit("w", s"$bql WINDOWING EVERY(1, RECORD, ALL)").isRight)
+      val per = 250
+      (0 until 4).foreach { i =>
+        e.processBatch(events.filter(
+          col("event_id") >= i * per && col("event_id") < (i + 1) * per))
+        now += 10
+      }
+      val wins = e.drainResults().filter(_.kind == ResultKind.Window)
+      assert(wins.nonEmpty, s"no window emissions for $bql")
+      val last = canon(wins.last.clip.records.map(m =>
+        Row.fromSeq(m.toSeq.sortBy(_._1).map(_._2))))
+      assert(last == want, s"cumulative drift for: $bql\n  want=$want\n  got=$last")
+    }
+  }
+
   test("batch-count invariance: 1 batch == 7 batches for stateful shapes") {
     (1 to 15).foreach { _ =>
       val bql = genQuery()
