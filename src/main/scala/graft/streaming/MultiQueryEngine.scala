@@ -75,10 +75,22 @@ final class MultiQueryEngine(
     try {
       val q = Parser.parse(bql)
       val now = clock()
-      live.put(id, new Live(id, bql, q, QueryState.forQuery(q), now))
-      metrics.queriesReceived.incrementAndGet()
-      metrics.queriesRunning.incrementAndGet()
-      Right(())
+      // a live id cannot be silently replaced — the old query would
+      // vanish with no terminal signal (no COMPLETE/KILL/FAIL), breaking
+      // the lifecycle accounting. Duplicates go to the error channel;
+      // kill() first to re-issue. (restore() is the sanctioned replace
+      // path: checkpointed state IS the same query.)
+      if (live.putIfAbsent(id, new Live(id, bql, q, QueryState.forQuery(q), now)).isDefined) {
+        metrics.queriesReceived.incrementAndGet()
+        metrics.queriesFailed.incrementAndGet()
+        emit(id, ResultKind.Fail, Clip(
+          Map("query_id" -> id, "errors" -> Seq(s"query id $id is already running")), Seq.empty))
+        Left(s"query id $id is already running")
+      } else {
+        metrics.queriesReceived.incrementAndGet()
+        metrics.queriesRunning.incrementAndGet()
+        Right(())
+      }
     } catch {
       case e: BqlParseException =>
         metrics.queriesReceived.incrementAndGet()
