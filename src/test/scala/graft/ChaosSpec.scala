@@ -73,4 +73,45 @@ class ChaosSpec extends AnyFunSuite {
     e.activeQueryIds.foreach(e.kill)
     assert(e.metrics.snapshot("queries_running") == 0L)
   }
+
+  /** Same invariants with the A5 thread pool live: many distinct-keyed
+    * queries run their solo jobs concurrently while submits/kills/ticks
+    * interleave between batches — the shared surfaces (results queue,
+    * metrics, sinks, TrieMap registry) must stay consistent. */
+  test("lifecycle invariants hold under parallel solo execution") {
+    val rnd = new scala.util.Random(777L)
+    val events = Tables.load(spark, sfDir, "events")
+    var now = 1000000L
+    val e = new MultiQueryEngine(spark, () => now, soloParallelism = 4)
+    var submits = 0L
+    // distinct moduli → distinct key signatures → nothing fuses
+    (0 until 12).foreach { i =>
+      assert(e.submit(s"p$i", s"SELECT user_id % ${i + 2} AS k, COUNT(*) AS cnt " +
+        s"FROM STREAM GROUP BY user_id % ${i + 2} DURATION ${200 + 100 * i}").isRight)
+      submits += 1
+    }
+    (1 to 30).foreach { step =>
+      rnd.nextInt(5) match {
+        case 0 =>
+          e.submit(s"x$step", s"SELECT user_id % ${40 + step} AS k, MAX(value) AS mx " +
+            "FROM STREAM GROUP BY user_id % " + (40 + step) + " DURATION 400")
+          submits += 1
+        case 1 => e.kill(s"p${rnd.nextInt(12)}")
+        case _ =>
+          val lo = rnd.nextInt(800)
+          e.processBatch(events.filter(
+            col("event_id") >= lo && col("event_id") < lo + 200))
+          now += 60
+          e.tick()
+      }
+      val m = e.metrics.snapshot
+      assert(m("queries_running") == e.activeQueryIds.size, s"step $step: $m")
+      assert(m("queries_received") == submits, s"step $step")
+      assert(m("queries_done") + m("queries_killed") + m("queries_failed")
+        == m("queries_received") - m("queries_running"), s"step $step: $m")
+    }
+    val msgs = e.drainResults()
+    assert(msgs.nonEmpty)
+    assert(msgs.forall(r => r.clip.meta("query_id") == r.queryId))
+  }
 }
