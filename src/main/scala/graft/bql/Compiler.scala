@@ -28,11 +28,7 @@ object Compiler {
     case ListLit(items) => array(items.map(column): _*)
     case If(c, t, f) => when(column(c), column(t)).otherwise(column(f))
     case Quantified(op, l, all, list) =>
-      // quantified comparison compiles to the codegen'd higher-order
-      // exists/forall over the list, comparing each element to the left
-      // side (an outer reference inside the lambda)
       val lc = column(l)
-      val arr = column(list)
       val cmp: Column => Column = x => op match {
         case "==" => lc === x
         case "!=" => lc =!= x
@@ -42,7 +38,18 @@ object Compiler {
         case "<=" => lc <= x
         case other => throw new BqlParseException(s"bad quantified op $other")
       }
-      if (all) forall(arr, cmp) else exists(arr, cmp)
+      list match {
+        // literal list: expand to an OR/AND chain — plain comparisons
+        // push down to the scan (PushedFilters), which a higher-order
+        // exists() over an array literal never does
+        case ListLit(items) =>
+          val legs = items.map(i => cmp(column(i)))
+          if (all) legs.reduce(_ && _) else legs.reduce(_ || _)
+        // list-valued expression (field of list): codegen'd exists/forall
+        // with the left side as an outer reference
+        case _ =>
+          if (all) forall(column(list), cmp) else exists(column(list), cmp)
+      }
     case Between(e1, lo, hi) => column(e1).between(column(lo), column(hi))
     case Cast(e1, to) =>
       val dt = to match {

@@ -143,6 +143,17 @@ class DifferentialSpec extends AnyFunSuite {
       "SELECT event_id FROM STREAM WHERE value > ALL (150, 250) LIMIT 5000")._2(events)
     assert(ids(all) == ids(events.filter(col("value") > 150 && col("value") > 250)))
     assert(ids(all) != ids(any), "fixture must distinguish ANY from ALL")
+    // literal-list quantifiers expand to plain comparisons → pushdown
+    val plan = any.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("GreaterThan(value,"),
+      s"literal ANY must push to the scan:\n$plan")
+    // list-typed field still works through exists()
+    import spark.implicits._
+    val lf = Seq((5L, Seq(1.0, 9.0)), (6L, Seq(1.0, 2.0))).toDF("event_id", "xs")
+    val gotAny = Compiler.compile(
+      "SELECT event_id FROM STREAM WHERE 3 < ANY xs LIMIT 10")._2(lf)
+      .collect().map(_.getLong(0)).toSeq
+    assert(gotAny == Seq(5L))
   }
 
   /** Found by this fuzz: an aliased expression group key
