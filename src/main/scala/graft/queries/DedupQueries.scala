@@ -102,6 +102,78 @@ object DedupQueries {
         .orderBy(col("doc_a"), col("doc_b"))
     },
 
+    // Duplicate clustering: near-dup detection emits PAIRS; dropping
+    // duplicates needs connected COMPONENTS (keep min doc_id per
+    // component). Min-label propagation over the exact-pair graph:
+    // every node starts labeled with itself, each round takes the min
+    // label across neighbors, loop until fixpoint (diameter-bounded —
+    // the fixture converges in 2-3 rounds; at scale this is the classic
+    // iterative CC shape, upgradeable to large-star/small-star without
+    // changing the contract). Only docs that appear in some pair are
+    // emitted.
+    QueryDef("dd_dup_clusters", Some(
+      """WITH RECURSIVE sh AS (
+        |  SELECT doc_id,
+        |    unnest(list_distinct([array_to_string(t[i:i+2],' ') FOR i IN range(1, len(t)-1)])) AS shingle,
+        |    len(list_distinct([array_to_string(t[i:i+2],' ') FOR i IN range(1, len(t)-1)])) AS nsh
+        |  FROM (SELECT doc_id, string_split(text,' ') AS t FROM documents)),
+        |p AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2
+        |  HAVING count(*) * 1.0 / (any_value(a.nsh) + any_value(b.nsh) - count(*)) >= 0.5),
+        |e AS (
+        |  SELECT doc_a AS a, doc_b AS b FROM p
+        |  UNION SELECT doc_b, doc_a FROM p),
+        |reach(a, b) AS (
+        |  SELECT a, b FROM e
+        |  UNION
+        |  SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a)
+        |SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+        |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin)) { (s, d) =>
+      val base = graft.operators.QuadraticGuard
+        .check(docs(s, d), "dd_dup_clusters", "dd_minhash_lsh")
+        .select(col("doc_id"), shingles.as("shs"))
+      val nsh = base.select(col("doc_id"), size(col("shs")).cast(LongType).as("nsh"))
+      val sh = base.select(col("doc_id"), explode(col("shs")).as("shingle"))
+        .select(col("doc_id"), xxhash64(col("shingle")).as("h"))
+      val postings = sh.groupBy(col("h")).agg(collect_list(col("doc_id")).as("ds"))
+        .filter(size(col("ds")) > 1)
+      val pairs = postings
+        .select(explode(col("ds")).as("doc_a"), col("ds"))
+        .select(col("doc_a"), explode(col("ds")).as("doc_b"))
+        .filter(col("doc_a") < col("doc_b"))
+        .groupBy(col("doc_a"), col("doc_b"))
+        .agg(count(lit(1)).as("inter"))
+        .join(broadcast(nsh.select(col("doc_id").as("doc_a"), col("nsh").as("na"))), "doc_a")
+        .join(broadcast(nsh.select(col("doc_id").as("doc_b"), col("nsh").as("nb"))), "doc_b")
+        .filter(col("inter") * lit(1.0) / (col("na") + col("nb") - col("inter")) >= 0.5)
+        .select(col("doc_a"), col("doc_b"))
+      val edges = pairs.union(pairs.select(col("doc_b"), col("doc_a")))
+        .toDF("src", "dst").persist()
+      try {
+        var labels = edges.select(col("src").as("id"), col("src").as("lbl")).distinct()
+        var converged = false
+        var round = 0
+        while (!converged && round < 20) {
+          val next = edges.join(labels, col("dst") === col("id"))
+            .groupBy(col("src"))
+            .agg(min(col("lbl")).as("nlbl"))
+            .join(labels.select(col("id").as("src"), col("lbl")), "src")
+            .select(col("src").as("id"), least(col("lbl"), col("nlbl")).as("lbl"))
+            .persist()
+          val changed = next.join(labels.select(col("id"), col("lbl").as("old")), "id")
+            .filter(col("lbl") =!= col("old")).count()
+          labels.unpersist()
+          labels = next
+          converged = changed == 0
+          round += 1
+        }
+        labels.select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
+          .orderBy(col("doc_id"))
+      } finally edges.unpersist()
+    },
+
     // MinHash + LSH banding: 64-slot signature per doc (one codegen pass),
     // 16 bands x 4 rows; docs sharing any band bucket become candidates;
     // verify by estimated Jaccard (matching slots / 64) >= 0.5.
