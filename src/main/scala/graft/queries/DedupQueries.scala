@@ -149,24 +149,31 @@ object DedupQueries {
         .join(broadcast(nsh.select(col("doc_id").as("doc_b"), col("nsh").as("nb"))), "doc_b")
         .filter(col("inter") * lit(1.0) / (col("na") + col("nb") - col("inter")) >= 0.5)
         .select(col("doc_a"), col("doc_b"))
-      val edges = pairs.union(pairs.select(col("doc_b"), col("doc_a")))
-        .toDF("src", "dst").persist()
+      // self-loops fold each node's own label into the neighbor-min, so a
+      // round is ONE join+groupBy; labels only ever decrease, so the
+      // label SUM is a monotone convergence witness (equal sums ⇒
+      // fixpoint) — no per-round change-join needed
+      val undirected = pairs.union(pairs.select(col("doc_b"), col("doc_a")))
+        .toDF("src", "dst")
+      val edges = undirected
+        .union(undirected.select(col("src"), col("src").as("dst")).distinct())
+        .persist()
       try {
         var labels = edges.select(col("src").as("id"), col("src").as("lbl")).distinct()
+        var prevSum = BigDecimal(-1)
         var converged = false
         var round = 0
         while (!converged && round < 20) {
           val next = edges.join(labels, col("dst") === col("id"))
             .groupBy(col("src"))
-            .agg(min(col("lbl")).as("nlbl"))
-            .join(labels.select(col("id").as("src"), col("lbl")), "src")
-            .select(col("src").as("id"), least(col("lbl"), col("nlbl")).as("lbl"))
+            .agg(min(col("lbl")).as("lbl"))
+            .select(col("src").as("id"), col("lbl"))
             .persist()
-          val changed = next.join(labels.select(col("id"), col("lbl").as("old")), "id")
-            .filter(col("lbl") =!= col("old")).count()
+          val s = BigDecimal(next.agg(sum(col("lbl"))).head().getLong(0))
           labels.unpersist()
           labels = next
-          converged = changed == 0
+          converged = s == prevSum
+          prevSum = s
           round += 1
         }
         labels.select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
