@@ -22,7 +22,10 @@ class ChaosSpec extends AnyFunSuite {
   private val sfDir = "/root/testdata/sf0.001"
   private lazy val spark: SparkSession = GraftSession.local(4)
 
-  test("400 random lifecycle operations preserve engine invariants") {
+  // depth tunable for one-off long soaks: GRAFT_CHAOS_N=2000 sbt test
+  private val chaosN = sys.env.getOrElse("GRAFT_CHAOS_N", "400").toInt
+
+  test(s"$chaosN random lifecycle operations preserve engine invariants") {
     val rnd = new scala.util.Random(424242L)
     val events = Tables.load(spark, sfDir, "events")
     var now = 1000000L
@@ -41,7 +44,7 @@ class ChaosSpec extends AnyFunSuite {
       case 5 => "SELEKT definitely broken ((" // malformed → Fail path
     }
 
-    (1 to 400).foreach { step =>
+    (1 to chaosN).foreach { step =>
       rnd.nextInt(10) match {
         case 0 | 1 | 2 =>
           e.submit(ids(rnd.nextInt(ids.size)), randomBql())
