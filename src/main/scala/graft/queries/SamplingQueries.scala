@@ -44,6 +44,59 @@ object SamplingQueries {
         .groupBy(col("split"), col("lang"))
         .agg(count(lit(1)).as("n"))
         .orderBy(col("split"), col("lang"))
+    },
+
+    // Stratified sample: exactly min(50, |stratum|) docs per language,
+    // chosen by hash rank within the stratum — the balanced-subset draw
+    // that counters corpus language skew. Window partitioned by the
+    // stratum key: each language's rank is computed independently, no
+    // global ordering (scale shape: strata process in parallel).
+    QueryDef("samp_stratified", Some(
+      """SELECT doc_id, lang FROM (
+        |  SELECT doc_id, lang,
+        |    row_number() OVER (PARTITION BY lang ORDER BY md5(text), doc_id) AS rk
+        |  FROM documents)
+        |WHERE rk <= 50 ORDER BY doc_id""".stripMargin)) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("lang")).orderBy(md5(col("text")), col("doc_id"))
+      Tables.load(s, d, "documents")
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 50)
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Token-budget shard packing: assign each doc to a ~4096-token shard
+    // within a hash bucket — how a pipeline materializes training shards
+    // of bounded context length. Running token sum per bucket (window
+    // partitioned by the 16-way md5 bucket; buckets pack in parallel,
+    // shard ids are (bucket, shard) pairs), start-offset based so a doc
+    // belongs to the shard its first token lands in.
+    QueryDef("tx_pack_shards", Some(
+      """SELECT doc_id, bucket, CAST(floor((cum - tokens) / 4096) AS BIGINT) AS shard, tokens
+        |FROM (
+        |  SELECT doc_id, bucket, tokens,
+        |    sum(tokens) OVER (PARTITION BY bucket ORDER BY h, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM (
+        |    SELECT doc_id, substr(md5(text), 1, 1) AS bucket, md5(text) AS h,
+        |      len(string_split(text, ' ')) AS tokens
+        |    FROM documents))
+        |ORDER BY doc_id""".stripMargin)) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val base = Tables.load(s, d, "documents").select(
+        col("doc_id"),
+        substring(md5(col("text")), 1, 1).as("bucket"),
+        md5(col("text")).as("h"),
+        size(split(col("text"), " ")).cast("long").as("tokens"))
+      val w = Window.partitionBy(col("bucket")).orderBy(col("h"), col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      base
+        .withColumn("cum", sum(col("tokens")).over(w))
+        .select(col("doc_id"), col("bucket"),
+          floor((col("cum") - col("tokens")) / 4096).cast("long").as("shard"),
+          col("tokens"))
+        .orderBy(col("doc_id"))
     }
   )
 }
