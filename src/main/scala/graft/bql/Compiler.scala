@@ -220,6 +220,11 @@ object Compiler {
         }.toMap
         case _ => Map.empty
       }
+      // Copy (not rename) the key's output column so a second select item
+      // aliasing the SAME key expression still finds it; key columns whose
+      // name no select item keeps are dropped afterwards. withColumn
+      // replaces in place on a name collision, so no duplicate columns.
+      val consumedKeys = scala.collection.mutable.Set.empty[String]
       q.select.zipWithIndex.foreach { case (s, i) =>
         s.expr match {
           case FieldRef(p) if s.alias.isEmpty && df.columns.contains(p) => ()
@@ -230,11 +235,19 @@ object Compiler {
             })
             if (!df.columns.contains(name)) keyOutputs.get(s.expr) match {
               case Some(keyCol) if df.columns.contains(keyCol) =>
-                df = df.withColumnRenamed(keyCol, name)
+                df = df.withColumn(name, df(keyCol))
+                if (keyCol != name) consumedKeys += keyCol
               case _ => df = df.withColumn(name, column(s.expr))
             }
         }
       }
+      val keptNames = q.select.zipWithIndex.map { case (s, i) =>
+        s.alias.getOrElse(s.expr match {
+          case FieldRef(p) => p
+          case _ => s"expr_$i"
+        })
+      }.toSet
+      consumedKeys.filterNot(keptNames).foreach(k => df = df.drop(k))
     }
     q.having.foreach(h => df = df.filter(column(h)))
     if (q.orderBy.nonEmpty)

@@ -169,7 +169,10 @@ object DedupQueries {
             .agg(min(col("lbl")).as("lbl"))
             .select(col("src").as("id"), col("lbl"))
             .persist()
-          val s = BigDecimal(next.agg(sum(col("lbl"))).head().getLong(0))
+          // empty pair graph ⇒ sum(lbl) is SQL NULL; treat as 0 so the
+          // loop converges to the oracle's empty result instead of NPE-ing
+          val sumRow = next.agg(sum(col("lbl"))).head()
+          val s = if (sumRow.isNullAt(0)) BigDecimal(0) else BigDecimal(sumRow.getLong(0))
           labels.unpersist()
           labels = next
           converged = s == prevSum

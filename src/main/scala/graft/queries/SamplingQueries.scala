@@ -48,9 +48,15 @@ object SamplingQueries {
 
     // Stratified sample: exactly min(50, |stratum|) docs per language,
     // chosen by hash rank within the stratum — the balanced-subset draw
-    // that counters corpus language skew. Window partitioned by the
-    // stratum key: each language's rank is computed independently, no
-    // global ordering (scale shape: strata process in parallel).
+    // that counters corpus language skew. Two-phase selection: a single
+    // per-stratum window would funnel each language (~1/5 of the corpus)
+    // into ONE sort task at scale, so phase 1 ranks within (stratum,
+    // salt) — `spark.graft.stratifiedSaltBuckets` (default 64) × the
+    // parallelism, each task sorting ~1/(strata·salts) of the corpus —
+    // and keeps k rows per salted group. The global per-stratum top-k is
+    // necessarily inside those survivors, so phase 2's exact rank runs
+    // over ≤ k·salts rows per stratum (tiny at any corpus size). Same
+    // rows as the one-window form; the oracle keeps the simple shape.
     QueryDef("samp_stratified", Some(
       """SELECT doc_id, lang FROM (
         |  SELECT doc_id, lang,
@@ -58,20 +64,34 @@ object SamplingQueries {
         |  FROM documents)
         |WHERE rk <= 50 ORDER BY doc_id""".stripMargin)) { (s, d) =>
       import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy(col("lang")).orderBy(md5(col("text")), col("doc_id"))
-      Tables.load(s, d, "documents")
-        .withColumn("rk", row_number().over(w))
-        .filter(col("rk") <= 50)
+      val k = 50
+      val salts = s.conf.get("spark.graft.stratifiedSaltBuckets", "64").toInt
+      val base = Tables.load(s, d, "documents").select(
+        col("doc_id"), col("lang"), md5(col("text")).as("h"),
+        pmod(xxhash64(col("doc_id")), lit(salts)).as("salt"))
+      val w1 = Window.partitionBy(col("lang"), col("salt"))
+        .orderBy(col("h"), col("doc_id"))
+      val survivors = base
+        .withColumn("rk1", row_number().over(w1)).filter(col("rk1") <= k)
+      val w2 = Window.partitionBy(col("lang")).orderBy(col("h"), col("doc_id"))
+      survivors
+        .withColumn("rk", row_number().over(w2)).filter(col("rk") <= k)
         .select(col("doc_id"), col("lang"))
         .orderBy(col("doc_id"))
     },
 
     // Token-budget shard packing: assign each doc to a ~4096-token shard
     // within a hash bucket — how a pipeline materializes training shards
-    // of bounded context length. Running token sum per bucket (window
-    // partitioned by the 16-way md5 bucket; buckets pack in parallel,
-    // shard ids are (bucket, shard) pairs), start-offset based so a doc
-    // belongs to the shard its first token lands in.
+    // of bounded context length. Running token sum per bucket (buckets
+    // pack in parallel, shard ids are (bucket, shard) pairs),
+    // start-offset based so a doc belongs to the shard its first token
+    // lands in. The bucket is an md5-hex PREFIX whose width scales with
+    // input volume: a fixed 16-way bucket is a hard 16-task parallelism
+    // ceiling at scale, so the width grows (16^w buckets) until the
+    // expected bucket population fits `spark.graft.packMaxRowsPerBucket`
+    // (default 256k rows ≈ one comfortably sorted window task); set
+    // `spark.graft.packBucketChars` to pin it. The fixture sizes derive
+    // width 1, which is what the static oracle SQL encodes.
     QueryDef("tx_pack_shards", Some(
       """SELECT doc_id, bucket, CAST(floor((cum - tokens) / 4096) AS BIGINT) AS shard, tokens
         |FROM (
@@ -84,9 +104,11 @@ object SamplingQueries {
         |    FROM documents))
         |ORDER BY doc_id""".stripMargin)) { (s, d) =>
       import org.apache.spark.sql.expressions.Window
-      val base = Tables.load(s, d, "documents").select(
+      val docs = Tables.load(s, d, "documents")
+      val chars = packBucketChars(s, () => docs.count())
+      val base = docs.select(
         col("doc_id"),
-        substring(md5(col("text")), 1, 1).as("bucket"),
+        substring(md5(col("text")), 1, chars).as("bucket"),
         md5(col("text")).as("h"),
         size(split(col("text"), " ")).cast("long").as("tokens"))
       val w = Window.partitionBy(col("bucket")).orderBy(col("h"), col("doc_id"))
@@ -99,4 +121,20 @@ object SamplingQueries {
         .orderBy(col("doc_id"))
     }
   )
+
+  /** Bucket-prefix width for shard packing: pinned by
+    * `spark.graft.packBucketChars`, else the smallest w (1..8) with
+    * rows/16^w ≤ `spark.graft.packMaxRowsPerBucket`. The count is only
+    * evaluated in auto mode (one cheap parquet count-star job). */
+  private[graft] def packBucketChars(
+      s: org.apache.spark.sql.SparkSession, rowCount: () => Long): Int =
+    s.conf.get("spark.graft.packBucketChars", "auto") match {
+      case "auto" =>
+        val maxRows = s.conf.get("spark.graft.packMaxRowsPerBucket", "262144").toLong
+        val n = rowCount()
+        var w = 1
+        while (w < 8 && n / math.pow(16, w) > maxRows) w += 1
+        w
+      case pinned => pinned.toInt
+    }
 }

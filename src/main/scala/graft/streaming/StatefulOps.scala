@@ -29,14 +29,32 @@ object StatefulOps {
     * are ordered by ts within each batch (cross-batch disorder follows
     * arrival, the reference's processing-time contract). Works identically
     * on a batch Dataset (single group pass). */
+  /** @param idleTtlMs processing-time TTL after which a stalled funnel's
+    *        state is dropped — bounds the state store on an unbounded key
+    *        space (user ids never stop arriving, most never finish the
+    *        funnel). A key seen again after expiry simply restarts at
+    *        stage 0. `None` (the default) retains state FOREVER — only
+    *        appropriate for bounded key spaces or batch execution.
+    *        Engine-level caveat: a `Some` TTL uses ProcessingTimeTimeout,
+    *        under which Spark's micro-batch loop always schedules another
+    *        (possibly empty) batch to fire due timeouts — so
+    *        `processAllAvailable()` never quiesces on such a query; drive
+    *        it with a real trigger interval instead. Batch execution
+    *        ignores timeouts either way. */
   def funnel(
       ds: Dataset[(Long, String, Long)],
-      stages: Seq[String]): Dataset[FunnelHit] = {
+      stages: Seq[String],
+      idleTtlMs: Option[Long] = None): Dataset[FunnelHit] = {
     import ds.sparkSession.implicits._
     require(stages.nonEmpty, "funnel needs at least one stage")
+    require(idleTtlMs.forall(_ > 0), "idleTtlMs must be positive")
 
     def step(key: Long, events: Iterator[(Long, String, Long)],
         state: GroupState[FunnelProgress]): Iterator[FunnelHit] = {
+      if (state.hasTimedOut) {
+        state.remove()
+        return Iterator.empty
+      }
       var cur = state.getOption.getOrElse(FunnelProgress(0, 0L))
       val hits = Vector.newBuilder[FunnelHit]
       events.toSeq.sortBy(_._3).foreach { case (_, tpe, ts) =>
@@ -49,11 +67,21 @@ object StatefulOps {
         }
       }
       state.update(cur)
+      // batch runs the whole group in one pass and never times out; its
+      // GroupState may reject timeout calls, which is fine to ignore
+      idleTtlMs.foreach { ttl =>
+        try state.setTimeoutDuration(ttl) catch {
+          case _: UnsupportedOperationException | _: IllegalStateException => ()
+        }
+      }
       hits.result().iterator
     }
 
+    val timeoutConf =
+      if (idleTtlMs.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
     ds.groupByKey(_._1)
       .flatMapGroupsWithState[FunnelProgress, FunnelHit](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout)(step)
+        OutputMode.Append(), timeoutConf)(step)
   }
 }

@@ -70,19 +70,33 @@ final class FileTransport(root: String) extends Transport {
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
   }
 
+  /** Concurrent consumers are safe: each message is claimed by an atomic
+    * rename to a consumer-private hidden name before it is read, so a
+    * message is delivered to exactly one poller (the loser's move fails
+    * and the file is skipped). */
   override def poll(channel: String): Seq[(String, String)] = {
     val d = dir(channel)
-    val files = java.nio.file.Files.list(d).iterator()
+    val listing = java.nio.file.Files.list(d)
     val names = Vector.newBuilder[java.nio.file.Path]
-    while (files.hasNext) {
-      val f = files.next()
-      if (!f.getFileName.toString.startsWith(".")) names += f
-    }
-    names.result().sortBy(_.getFileName.toString).map { f =>
-      val s = new String(java.nio.file.Files.readAllBytes(f), "UTF-8")
-      java.nio.file.Files.delete(f)
-      val i = s.indexOf('\n')
-      if (i < 0) (s, "") else (s.substring(0, i), s.substring(i + 1))
+    try {
+      val files = listing.iterator()
+      while (files.hasNext) {
+        val f = files.next()
+        if (!f.getFileName.toString.startsWith(".")) names += f
+      }
+    } finally listing.close()
+    names.result().sortBy(_.getFileName.toString).flatMap { f =>
+      val claimed = f.resolveSibling(s".claim-$id-${f.getFileName}")
+      val won =
+        try { java.nio.file.Files.move(f, claimed); true }
+        catch { case _: java.io.IOException => false }
+      if (!won) None
+      else {
+        val s = new String(java.nio.file.Files.readAllBytes(claimed), "UTF-8")
+        java.nio.file.Files.deleteIfExists(claimed)
+        val i = s.indexOf('\n')
+        Some(if (i < 0) (s, "") else (s.substring(0, i), s.substring(i + 1)))
+      }
     }
   }
 }

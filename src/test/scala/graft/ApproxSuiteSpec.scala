@@ -61,6 +61,24 @@ class ApproxSuiteSpec extends AnyFunSuite {
     assert(recall >= 0.5, s"IVF ANN recall@10 $recall below 0.5")
   }
 
+  test("dup_clusters is empty (not a crash) when no pairs pass the jaccard gate") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graftnodup").toString
+    // five documents with zero shared 3-shingles → empty pair graph
+    Seq(
+      (1L, "alpha beta gamma delta", "en", "a", 22L),
+      (2L, "one two three four five", "en", "a", 23L),
+      (3L, "red green blue yellow", "en", "a", 21L),
+      (4L, "cat dog bird fish", "en", "a", 17L),
+      (5L, "north south east west", "en", "a", 21L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("dd_dup_clusters")(spark, dir)
+    assert(out.columns.toSeq == Seq("doc_id", "cluster_id"))
+    assert(out.count() == 0L)
+  }
+
   test("kll default-k quantiles within rank tolerance of exact") {
     import org.apache.spark.sql.functions._
     val li = graft.sources.Tables.load(spark, sfDir, "lineitem")

@@ -105,6 +105,31 @@ class RuntimeOpsSpec extends AnyFunSuite {
     assert(t2.poll("ord").map(_._1) == (1 to 20).map("k" + _))
   }
 
+  test("file transport delivers each message to exactly one concurrent consumer") {
+    val root = java.nio.file.Files.createTempDirectory("graftftc").toString
+    val producer = new FileTransport(root)
+    (1 to 200).foreach(i => producer.send("c", s"k$i", s"p$i"))
+    // two consumers racing on the same channel: the claim-by-rename step
+    // must partition the messages with no loss, no dup, and no throw
+    val c1 = new FileTransport(root)
+    val c2 = new FileTransport(root)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    try {
+      val f1 = pool.submit(new java.util.concurrent.Callable[Seq[(String, String)]] {
+        override def call() = (1 to 10).flatMap(_ => c1.poll("c"))
+      })
+      val f2 = pool.submit(new java.util.concurrent.Callable[Seq[(String, String)]] {
+        override def call() = (1 to 10).flatMap(_ => c2.poll("c"))
+      })
+      val got1 = f1.get()
+      val got2 = f2.get()
+      val all = got1 ++ got2
+      assert(all.size == 200, s"lost or duplicated: got ${all.size}")
+      assert(all.map(_._1).toSet == (1 to 200).map("k" + _).toSet)
+    } finally pool.shutdown()
+    assert(producer.poll("c").isEmpty)
+  }
+
   // ---- A3: classname-config producer seam ----
 
   test("producer loads by classname config and applies its config (A3)") {
@@ -224,6 +249,42 @@ class RuntimeOpsSpec extends AnyFunSuite {
     assert(out == Seq(
       graft.streaming.StatefulOps.FunnelHit(7L, 3L, 2L),
       graft.streaming.StatefulOps.FunnelHit(7L, 13L, 3L)), s"got $out")
+  }
+
+  test("funnel idle TTL drops stalled state so the store stays bounded") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, String, Long)]
+    val hits = graft.streaming.StatefulOps.funnel(
+      mem.toDS(), Seq("click", "purchase"), idleTtlMs = Some(1L))
+    // NOTE: no processAllAvailable here — under ProcessingTimeTimeout the
+    // engine keeps constructing (empty) batches to fire due timeouts, so
+    // that call never quiesces. Poll the progress counters instead.
+    val q = hits.writeStream.format("memory").queryName("funnel_ttl_out")
+      .outputMode("append").start()
+    def waitForInputRows(n: Long): Unit = {
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      var seen = 0L
+      while (seen < n && System.nanoTime() < deadline) {
+        seen = Option(q.lastProgress).map(_ => q.recentProgress.map(_.numInputRows).sum).getOrElse(0L)
+        if (seen < n) Thread.sleep(20)
+      }
+      assert(seen >= n, s"timed out waiting for $n input rows, saw $seen")
+    }
+    try {
+      mem.addData((1L, "click", 100L))
+      waitForInputRows(1)
+      // the 1 ms TTL lapses; the engine's continuous timeout batches drop
+      // key 1's state well within this window
+      Thread.sleep(1000)
+      mem.addData((1L, "purchase", 300L))
+      waitForInputRows(2)
+      Thread.sleep(300) // let the purchase batch commit to the sink
+      // key 1's click progress must be gone: its purchase alone is no hit
+      assert(spark.table("funnel_ttl_out").isEmpty,
+        "state survived its TTL: funnel completed from expired progress")
+    } finally q.stop()
   }
 
   test("restore keeps queries_running equal to the live set (A9 gauge)") {

@@ -79,4 +79,70 @@ class ScaleGuardSpec extends AnyFunSuite {
     assert(SparkEntry.queries("dd_ngram_jaccard")(spark, sfDir).count() > 0)
     assert(SparkEntry.queries("dd_embed_cosine")(spark, sfDir).count() > 0)
   }
+
+  // ---- sampling/packing parallelism knobs (the round-4 100×-funnels) ----
+
+  test("stratified sampling rows are invariant to the salt-bucket knob") {
+    import org.apache.spark.sql.functions.col
+    def rows(salts: String) = withSaltRows(salts)
+    def withSaltRows(salts: String) = withConfRows("spark.graft.stratifiedSaltBuckets" -> salts)
+    def withConfRows(kv: (String, String)) = {
+      var out: Seq[(Long, String)] = null
+      withConf(kv) {
+        out = SparkEntry.queries("samp_stratified")(spark, sfDir)
+          .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      }
+      out
+    }
+    val one = rows("1") // degenerate: exactly the single-window semantics
+    val k64 = rows("64")
+    val k7 = rows("7")
+    assert(one.nonEmpty)
+    assert(k64 == one, "salted two-phase selection changed the sample")
+    assert(k7 == one)
+  }
+
+  test("stratified phase-1 window partitions by (lang, salt), not lang alone") {
+    val plan = SparkEntry.queries("samp_stratified")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("salt"), s"no salted window in plan:\n$plan")
+  }
+
+  test("pack-shard bucket width derives from volume and scales with the knob") {
+    import graft.queries.SamplingQueries.packBucketChars
+    // fixture default: small corpus → width 1 (16 buckets — oracle parity)
+    assert(packBucketChars(spark, () => 10000L) == 1)
+    // growth: each ×16 over the per-bucket cap adds one hex char
+    withConf("spark.graft.packMaxRowsPerBucket" -> "1000") {
+      assert(packBucketChars(spark, () => 10000L) == 1)
+      assert(packBucketChars(spark, () => 100000L) == 2)
+      assert(packBucketChars(spark, () => 16L * 16 * 16 * 1000 + 1) == 4)
+    }
+    // pinned width wins and skips the count entirely
+    withConf("spark.graft.packBucketChars" -> "3") {
+      assert(packBucketChars(spark, () => sys.error("must not count")) == 3)
+    }
+  }
+
+  test("pack shards with a wider bucket still packs to the 4096 budget") {
+    import org.apache.spark.sql.functions._
+    val nDocs = spark.read.parquet(s"$sfDir/documents.parquet").count()
+    withConf("spark.graft.packBucketChars" -> "2") {
+      val out = SparkEntry.queries("tx_pack_shards")(spark, sfDir).cache()
+      try {
+        assert(out.count() == nDocs, "every doc must land in exactly one shard")
+        assert(out.select(countDistinct(col("bucket"))).head().getLong(0) > 16,
+          "2-char prefix must open more than 16 buckets")
+        // start-offset contract per bucket: shard ids begin at 0 and the
+        // last shard id is exactly floor(lastStart / 4096), where
+        // lastStart = bucketTokens - lastDocTokens — i.e. shards stay
+        // dense under the wider bucketing, no gaps or runaway ids
+        val perBucket = out.groupBy(col("bucket")).agg(
+          min(col("shard")).as("s0"), max(col("shard")).as("sMax"),
+          sum(col("tokens")).as("t"), max(col("tokens")).as("tMaxDoc"))
+        assert(perBucket.filter(col("s0") =!= 0).count() == 0)
+        assert(perBucket.filter(col("sMax") > col("t") / 4096).count() == 0)
+      } finally out.unpersist()
+    }
+  }
 }
