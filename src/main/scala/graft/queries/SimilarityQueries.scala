@@ -111,10 +111,15 @@ object SimilarityQueries {
     // join shuffles only probed-list candidates. Approximate → rows-only
     // driver check; recall vs brute force in ApproxSuiteSpec.
     QueryDef("ann_ivf_topk", None) { (s, d) =>
-      val kClusters = 10
-      val nProbe = 3
-      val iters = 3
-      val trainSample = 2000
+      // Index-build knobs, pinnable per workload: kClusters should track
+      // sqrt(corpus) at scale (10 suits the small fixtures), nProbe trades
+      // recall for scanned fraction. Defaults preserve the driver fixture.
+      def intConf(key: String, dflt: Int): Int =
+        s.conf.getOption(key).map(_.toInt).getOrElse(dflt)
+      val kClusters = intConf("spark.graft.ivf.kClusters", 10)
+      val nProbe = intConf("spark.graft.ivf.nProbe", 3)
+      val iters = intConf("spark.graft.ivf.iters", 3)
+      val trainSample = intConf("spark.graft.ivf.trainSample", 2000)
       val e = emb(s, d).select(col("vec_id"), col("embedding"))
 
       // similarity-to-each-centroid as an array of (score, idx) structs;
@@ -132,7 +137,7 @@ object SimilarityQueries {
       // not a global sort; the greedy step is k*pool driver-side dots.
       // cached: every Lloyd pass reads the sample, not the source scan
       val train = e.orderBy(xxhash64(col("vec_id"))).limit(trainSample).persist()
-      val pool: Seq[Array[Float]] = train.collect().take(100)
+      val pool: Seq[Array[Float]] = train.limit(math.max(100, 2 * kClusters)).collect()
         .map(_.getSeq[Float](1).toArray).toSeq
       def cos(a: Array[Float], b: Array[Float]): Double = {
         var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
