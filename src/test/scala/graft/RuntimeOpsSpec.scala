@@ -130,6 +130,97 @@ class RuntimeOpsSpec extends AnyFunSuite {
     assert(producer.poll("c").isEmpty)
   }
 
+  test("socket transport submits, kills, and drains CLIPs over a real socket (A7)") {
+    val server = new SocketTransportServer()
+    try {
+      // "driver process": engine bridged over a socket client
+      val e = newEngine()
+      val bridge = new TransportBridge(e, new SocketTransport("localhost", server.port))
+      // "frontend process": an independent client on the same broker
+      val frontend = new SocketTransport("localhost", server.port)
+      frontend.send("graft.feedback", "s1", "submit\ts1\tSELECT event_id FROM STREAM LIMIT 2")
+      frontend.send("graft.feedback", "s2", "submit\ts2\tSELECT COUNT(*) AS c FROM STREAM")
+      bridge.pump()
+      assert(e.activeQueryIds.sorted == Seq("s1", "s2"))
+      e.processBatch(batch(50)) // s1 completes
+      frontend.send("graft.feedback", "s2", "kill\ts2")
+      bridge.pump()
+      val clips = frontend.poll("graft.clips")
+      val byKind = clips.map(_._2.split('\t').head)
+      assert(clips.map(_._1).toSet == Set("s1", "s2"))
+      assert(byKind.contains("Complete") && byKind.contains("Kill"))
+      assert(frontend.poll("graft.clips").isEmpty, "poll must drain")
+      frontend.close()
+    } finally server.close()
+  }
+
+  test("socket client reconnects transparently across a server restart") {
+    val probe = new java.net.ServerSocket(0)
+    val port = probe.getLocalPort
+    probe.close()
+    val s1 = new SocketTransportServer(port)
+    val client = new SocketTransport("localhost", port, maxRetries = 60)
+    client.send("ch", "k1", "p1")
+    assert(client.poll("ch") == Seq(("k1", "p1")))
+    s1.close()
+    // restart the broker on the same port; the client's next verbs must
+    // ride the retry loop onto the fresh connection with no caller action
+    val s2 = new SocketTransportServer(port)
+    try {
+      client.send("ch", "k2", "p2")
+      assert(client.poll("ch") == Seq(("k2", "p2")))
+    } finally { client.close(); s2.close() }
+  }
+
+  test("socket transport chaos soak: concurrent senders and pollers, no loss, no frame tearing") {
+    val server = new SocketTransportServer()
+    val nSenders = 4
+    val perSender = 250
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(nSenders + 2)
+    try {
+      // 4 producer threads share ONE client handle (frame interleaving
+      // stress) while 2 consumer threads race on separate connections.
+      val shared = new SocketTransport("localhost", server.port)
+      val latch = new java.util.concurrent.CountDownLatch(nSenders)
+      (0 until nSenders).foreach { s =>
+        pool.execute(() => {
+          (0 until perSender).foreach { i =>
+            shared.send("soak", s"k$s-$i", s"payload\twith\ttabs\nand newlines $s $i")
+          }
+          latch.countDown()
+        })
+      }
+      val drained = new java.util.concurrent.ConcurrentLinkedQueue[(String, String)]
+      val consumers = (1 to 2).map { _ =>
+        pool.submit(new java.util.concurrent.Callable[Unit] {
+          override def call(): Unit = {
+            val c = new SocketTransport("localhost", server.port)
+            try {
+              var idle = 0
+              while (idle < 10 || latch.getCount > 0) {
+                val got = c.poll("soak")
+                if (got.isEmpty) { idle += 1; Thread.sleep(5) } else { idle = 0 }
+                got.foreach(drained.add)
+              }
+            } finally c.close()
+          }
+        })
+      }
+      consumers.foreach(_.get())
+      shared.close()
+      import scala.jdk.CollectionConverters._
+      val all = drained.asScala.toVector
+      assert(all.size == nSenders * perSender, s"lost or duplicated: ${all.size}")
+      assert(all.map(_._1).toSet ==
+        (for (s <- 0 until nSenders; i <- 0 until perSender) yield s"k$s-$i").toSet)
+      // payload integrity through tabs/newlines and concurrent framing
+      assert(all.forall { case (k, p) =>
+        val Array(s, i) = k.drop(1).split('-')
+        p == s"payload\twith\ttabs\nand newlines $s $i"
+      })
+    } finally { pool.shutdownNow(); server.close() }
+  }
+
   // ---- A3: classname-config producer seam ----
 
   test("producer loads by classname config and applies its config (A3)") {
