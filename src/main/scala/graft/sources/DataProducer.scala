@@ -78,3 +78,47 @@ class JsonDslProducer extends DataProducer {
       config.getOrElse("graft.producer.payloadColumn", "value"),
       StructType.fromDDL(config("graft.producer.recordSchema")))
 }
+
+/** Full DSL chain with the pluggable deserializer stage in the middle —
+  * connector → deserializer → converter, the reference's
+  * `DSLDataProducer.scala:27-29` shape end to end:
+  *
+  *  - connector: a `binaryFile` file stream over `graft.producer.path`
+  *    (each arriving file is one raw payload; decode parallelism is
+  *    per-file). On a message bus the same chain applies with the bus's
+  *    binary `value` column as `graft.producer.payloadColumn`.
+  *  - deserializer: `graft.producer.deserializer.class` (default
+  *    [[Utf8Deserializer]]), bytes → record payload strings, loaded by
+  *    classname on the executors.
+  *  - converter: `from_json` against `graft.producer.recordSchema` DDL.
+  */
+class BytesDslProducer extends DataProducer {
+  protected def raw(spark: SparkSession, config: Map[String, String]): DataFrame = {
+    // binaryFile's schema is fixed but (like every file stream source)
+    // must still be declared for readStream
+    val reader = spark.readStream.format("binaryFile").schema(StructType.fromDDL(
+      "path STRING, modificationTime TIMESTAMP, length BIGINT, content BINARY"))
+    config.get("graft.producer.globFilter")
+      .fold(reader)(g => reader.option("pathGlobFilter", g))
+      .load(config("graft.producer.path"))
+  }
+
+  override def stream(spark: SparkSession, config: Map[String, String]): DataFrame =
+    Ingest.convertJson(
+      Ingest.deserialize(
+        raw(spark, config),
+        config.getOrElse("graft.producer.payloadColumn", "content"),
+        config.getOrElse(Deserializer.ClassKey, classOf[Utf8Deserializer].getName)),
+      Ingest.RawPayloadCol,
+      StructType.fromDDL(config("graft.producer.recordSchema")))
+}
+
+/** Built-in: Avro record ingestion — [[BytesDslProducer]] pinned to the
+  * [[AvroContainerDeserializer]]. Config: `graft.producer.path` (directory
+  * of `.avro` container files) and `graft.producer.recordSchema` (DDL of
+  * the record fields to type out of the self-describing containers). */
+final class AvroProducer extends BytesDslProducer {
+  override def stream(spark: SparkSession, config: Map[String, String]): DataFrame =
+    super.stream(spark,
+      config + (Deserializer.ClassKey -> classOf[AvroContainerDeserializer].getName))
+}

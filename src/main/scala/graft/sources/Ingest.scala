@@ -60,6 +60,36 @@ object Ingest {
     }.drop("__rec", payloadCol)
   }
 
+  /** DSL "deserializer" step: run a classname-configured [[Deserializer]]
+    * over a binary payload column, yielding one `value` string row per
+    * decoded record. The plugin is instantiated once per partition on the
+    * executor (classnames serialize; decoder state need not), so the cost
+    * is one object per task plus the per-record virtual call the plugin
+    * seam inherently is. Works identically on batch and streaming frames
+    * (`mapPartitions` is stateless). */
+  /** Reserved output column of [[deserialize]] — a name no record schema
+    * will claim, so the converter's drop can never eat a record field. */
+  val RawPayloadCol = "__graft_raw_payload"
+
+  def deserialize(df: DataFrame, payloadCol: String, deserializerClass: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    Deserializer.load(deserializerClass) // fail fast on the driver
+    df.select(col(payloadCol)).as[Array[Byte]].mapPartitions { it =>
+      val d = Deserializer.load(deserializerClass)
+      it.flatMap(d.deserialize)
+    }.toDF(RawPayloadCol)
+  }
+
+  /** Batch Avro container-file ingestion: binaryFile connector (one row
+    * per file, decode parallel across files) → Avro deserializer →
+    * declared-schema converter. */
+  def batchAvro(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    convertJson(
+      deserialize(batch(spark, "binaryFile", path), "content",
+        classOf[AvroContainerDeserializer].getName),
+      RawPayloadCol, schema)
+
   /** Kafka source/sink configuration (no broker in this container; the
     * option surface is the tested contract). */
   def kafkaStream(spark: SparkSession, bootstrap: String, topic: String): DataFrame =

@@ -8,7 +8,16 @@ import org.apache.spark.sql.types._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.multimodal.Multimodal
-import graft.sources.{Ingest, Tables}
+import graft.sources.{AvroProducer, BytesDslProducer, DataProducer, Deserializer, Ingest, Tables}
+
+/** A test deserializer loadable by classname (the DSL middle stage). */
+class SpecDeserializer extends Deserializer {
+  override def deserialize(raw: Array[Byte]): Iterator[String] =
+    new String(raw, "UTF-8").linesIterator.filter(_.nonEmpty).map { line =>
+      val Array(id, tpe) = line.split(',')
+      s"""{"event_id":$id,"event_type":"$tpe"}"""
+    }
+}
 
 /** Source-format round-trips (A2/A3 analog) and multimodal kernel specs. */
 class IngestAndMultimodalSpec extends AnyFunSuite {
@@ -62,6 +71,99 @@ class IngestAndMultimodalSpec extends AnyFunSuite {
     try q.processAllAvailable() finally q.stop()
     val counts = engine.drainResults().map(_.clip.records.head("cnt").asInstanceOf[Long])
     assert(counts.lastOption.contains(ev.count()), s"got $counts")
+  }
+
+  /** Write the events fixture as one Avro object-container file. */
+  private def writeEventsAvro(dir: String): (java.io.File, Seq[Row]) = {
+    import org.apache.avro.SchemaBuilder
+    import org.apache.avro.file.DataFileWriter
+    import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+    val schema = SchemaBuilder.record("Event").fields()
+      .requiredLong("event_id").requiredLong("user_id")
+      .requiredString("event_type").requiredDouble("value").endRecord()
+    val rows = Tables.load(spark, sfDir, "events")
+      .select("event_id", "user_id", "event_type", "value").collect().toSeq
+    val f = new java.io.File(dir, "events.avro")
+    val w = new DataFileWriter(new GenericDatumWriter[GenericRecord](schema))
+    w.create(schema, f)
+    rows.foreach { r =>
+      val rec = new GenericData.Record(schema)
+      rec.put("event_id", r.getLong(0)); rec.put("user_id", r.getLong(1))
+      rec.put("event_type", r.getString(2)); rec.put("value", r.getDouble(3))
+      w.append(rec)
+    }
+    w.close()
+    (f, rows)
+  }
+
+  private val eventsDdl = "event_id BIGINT, user_id BIGINT, event_type STRING, value DOUBLE"
+
+  test("avro container ingestion round-trips the events fixture (batch)") {
+    val dir = tmpDir() + "/ev_avro"
+    Files.createDirectories(java.nio.file.Paths.get(dir))
+    val (_, rows) = writeEventsAvro(dir)
+    val back = Ingest.batchAvro(spark, dir, StructType.fromDDL(eventsDdl))
+    assert(back.columns.toSeq == Seq("event_id", "user_id", "event_type", "value"))
+    val got = back.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3))).toSet
+    val want = rows.map(r =>
+      (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3))).toSet
+    assert(got == want, s"got ${got.size} distinct rows, want ${want.size}")
+  }
+
+  test("avro producer streams decoded records into the engine (A2/A3)") {
+    val dir = tmpDir() + "/ev_avro_stream"
+    Files.createDirectories(java.nio.file.Paths.get(dir))
+    val (_, rows) = writeEventsAvro(dir)
+    // streaming: AvroProducer through the classname seam, memory sink
+    val stream = DataProducer.produce(spark, Map(
+      DataProducer.ClassKey -> classOf[AvroProducer].getName,
+      "graft.producer.path" -> dir,
+      "graft.producer.recordSchema" -> eventsDdl))
+    assert(stream.isStreaming)
+    val q = stream.writeStream.format("memory").queryName("avro_e2e").start()
+    try q.processAllAvailable() finally q.stop()
+    assert(spark.table("avro_e2e").count() == rows.size)
+    // end-to-end through the multi-query engine on the batch-decoded frame
+    val engine = new graft.streaming.MultiQueryEngine(spark)
+    val t = new graft.streaming.InMemoryTransport
+    new graft.streaming.TransportBridge(engine, t)
+    engine.submit("av1", "SELECT event_id, event_type FROM STREAM LIMIT 5")
+    engine.processBatch(Ingest.batchAvro(spark, dir, StructType.fromDDL(eventsDdl)))
+    val clips = t.poll("graft.clips")
+    assert(clips.map(_._1) == Seq("av1"))
+    assert(clips.head._2.startsWith("Complete\t"))
+    assert(clips.head._2.contains("\"event_type\""))
+  }
+
+  test("deserializer plugin loads by classname between connector and converter (A3)") {
+    val dir = tmpDir() + "/dsl_bytes"
+    Files.createDirectories(java.nio.file.Paths.get(dir))
+    Files.write(java.nio.file.Paths.get(dir, "batch1.csvish"),
+      "7,click\n8,view\n\n9,click\n".getBytes("UTF-8"))
+    val stream = DataProducer.produce(spark, Map(
+      DataProducer.ClassKey -> classOf[BytesDslProducer].getName,
+      Deserializer.ClassKey -> classOf[SpecDeserializer].getName,
+      "graft.producer.path" -> dir,
+      "graft.producer.recordSchema" -> "event_id BIGINT, event_type STRING"))
+    assert(stream.isStreaming)
+    assert(stream.columns.toSeq == Seq("event_id", "event_type"))
+    val q = stream.writeStream.format("memory").queryName("dsl_bytes").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("dsl_bytes").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == Set((7L, "click"), (8L, "view"), (9L, "click")))
+    // misconfiguration fails fast with the offending key in the message
+    val bad = intercept[IllegalArgumentException] {
+      Ingest.deserialize(
+        Ingest.batch(spark, "binaryFile", dir), "content", "graft.NoSuchDeser")
+    }
+    assert(bad.getMessage.contains("graft.NoSuchDeser"))
+    val notA = intercept[IllegalArgumentException] {
+      Ingest.deserialize(
+        Ingest.batch(spark, "binaryFile", dir), "content", classOf[SpecProducer].getName)
+    }
+    assert(notA.getMessage.contains("does not implement"))
   }
 
   test("N parallel producers union into one stream (A2)") {
