@@ -149,39 +149,14 @@ object DedupQueries {
         .join(broadcast(nsh.select(col("doc_id").as("doc_b"), col("nsh").as("nb"))), "doc_b")
         .filter(col("inter") * lit(1.0) / (col("na") + col("nb") - col("inter")) >= 0.5)
         .select(col("doc_a"), col("doc_b"))
-      // self-loops fold each node's own label into the neighbor-min, so a
-      // round is ONE join+groupBy; labels only ever decrease, so the
-      // label SUM is a monotone convergence witness (equal sums ⇒
-      // fixpoint) — no per-round change-join needed
-      val undirected = pairs.union(pairs.select(col("doc_b"), col("doc_a")))
-        .toDF("src", "dst")
-      val edges = undirected
-        .union(undirected.select(col("src"), col("src").as("dst")).distinct())
-        .persist()
-      try {
-        var labels = edges.select(col("src").as("id"), col("src").as("lbl")).distinct()
-        var prevSum = BigDecimal(-1)
-        var converged = false
-        var round = 0
-        while (!converged && round < 20) {
-          val next = edges.join(labels, col("dst") === col("id"))
-            .groupBy(col("src"))
-            .agg(min(col("lbl")).as("lbl"))
-            .select(col("src").as("id"), col("lbl"))
-            .persist()
-          // empty pair graph ⇒ sum(lbl) is SQL NULL; treat as 0 so the
-          // loop converges to the oracle's empty result instead of NPE-ing
-          val sumRow = next.agg(sum(col("lbl"))).head()
-          val s = if (sumRow.isNullAt(0)) BigDecimal(0) else BigDecimal(sumRow.getLong(0))
-          labels.unpersist()
-          labels = next
-          converged = s == prevSum
-          prevSum = s
-          round += 1
-        }
-        labels.select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
-          .orderBy(col("doc_id"))
-      } finally edges.unpersist()
+      // clustering is delegated to the shared CC operator: min-label
+      // propagation (one join+groupBy per round, O(diameter)) with an
+      // automatic switch to large-star/small-star (O(log n) rounds) if
+      // the duplicate graph turns out chain-shaped — see
+      // operators/ConnectedComponents.scala
+      graft.operators.ConnectedComponents.components(pairs)
+        .select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
+        .orderBy(col("doc_id"))
     },
 
     // MinHash + LSH banding: 64-slot signature per doc (one codegen pass),

@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.ConnectedComponents
+
+/** The two CC algorithms behind dd_dup_clusters: contract equivalence,
+  * the O(log n) star convergence on the min-label worst case, and the
+  * automatic threshold switch. */
+class ConnectedComponentsSpec extends AnyFunSuite {
+  private lazy val spark: SparkSession = GraftSession.local(4)
+
+  private def pairsDf(pairs: Seq[(Long, Long)]) = {
+    import spark.implicits._
+    pairs.toDF("src", "dst")
+  }
+
+  private def labelMap(r: ConnectedComponents.CcResult): Map[Long, Long] =
+    r.labels.collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+
+  test("alternating stars converges in O(log n) rounds on a 50-node chain") {
+    // a path graph is min-label's worst case: diameter 49, so propagation
+    // needs ~49 rounds; the star alternation must contract it in O(log n)
+    val chain = pairsDf((0L until 49L).map(i => (i, i + 1)))
+    val ml = ConnectedComponents.minLabel(chain, maxRounds = 8)
+    assert(!ml.converged, "8 propagation rounds cannot close a 49-hop chain")
+    val stars = ConnectedComponents.alternatingStars(chain, maxRounds = 50)
+    assert(stars.converged)
+    assert(stars.rounds <= 12, s"expected O(log n) rounds, took ${stars.rounds}")
+    val labels = labelMap(stars)
+    assert(labels == (0L to 49L).map(_ -> 0L).toMap)
+  }
+
+  test("min-label and alternating stars agree on a seeded random graph") {
+    val rnd = new scala.util.Random(11)
+    // ~3 components: edges within disjoint id ranges + noise singleton pairs
+    val pairs =
+      Seq.fill(40)((rnd.nextInt(20).toLong, rnd.nextInt(20).toLong)) ++
+      Seq.fill(40)((100L + rnd.nextInt(15), 100L + rnd.nextInt(15))) ++
+      Seq((500L, 501L), (501L, 502L), (502L, 500L)) // a triangle
+    val df = pairsDf(pairs)
+    val ml = ConnectedComponents.minLabel(df, maxRounds = 50)
+    val stars = ConnectedComponents.alternatingStars(df, maxRounds = 50)
+    assert(ml.converged && stars.converged)
+    assert(labelMap(ml) == labelMap(stars))
+  }
+
+  test("components() switches to stars past the propagation threshold") {
+    val chain = pairsDf((0L until 30L).map(i => (i, i + 1)))
+    spark.conf.set(ConnectedComponents.MaxPropagationRoundsKey, "4")
+    try {
+      val labels = ConnectedComponents.components(chain).collect()
+        .map(x => x.getLong(0) -> x.getLong(1)).toMap
+      assert(labels == (0L to 30L).map(_ -> 0L).toMap)
+    } finally spark.conf.unset(ConnectedComponents.MaxPropagationRoundsKey)
+  }
+
+  test("dd_dup_clusters rows are identical through either algorithm") {
+    val sfDir = "/root/testdata/sf0.01"
+    def rows() = SparkEntry.queries("dd_dup_clusters")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val viaPropagation = rows()
+    spark.conf.set(ConnectedComponents.MaxPropagationRoundsKey, "0") // force stars
+    try {
+      val viaStars = rows()
+      assert(viaPropagation.nonEmpty)
+      assert(viaStars == viaPropagation)
+    } finally spark.conf.unset(ConnectedComponents.MaxPropagationRoundsKey)
+  }
+
+  test("both algorithms return empty (not a crash) on an empty pair graph") {
+    val empty = pairsDf(Seq.empty)
+    assert(ConnectedComponents.minLabel(empty, 8).labels.count() == 0)
+    assert(ConnectedComponents.alternatingStars(empty, 8).labels.count() == 0)
+  }
+}
