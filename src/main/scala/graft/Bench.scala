@@ -31,7 +31,17 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // like-for-like subtotal vs the round-1 58-query self-baseline
+    // (BASELINE.md headline 30.9 s): queries added after round 1 are
+    // excluded so round-over-round totals compare without arithmetic.
+    // Any future query additions belong in this set too.
+    val addedSinceBaseline = Set("ann_ivf_topk", "tx_normalize", "tx_redact",
+      "dd_dup_clusters", "samp_stratified", "tx_pack_shards")
+    val baselineSubset = results.view.filterKeys(!addedSinceBaseline.contains(_))
+    val subtotal = baselineSubset.values.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""baseline_subset_sec":$subtotal,"baseline_subset_n":${baselineSubset.size},""" +
+      s""""sf":"$sfDir"}""")
     spark.stop()
   }
 }

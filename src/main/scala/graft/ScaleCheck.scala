@@ -29,7 +29,16 @@ object ScaleCheck {
     def replicate(name: String, idCols: Seq[String], shift: Long): Unit = {
       val df = Tables.load(spark, base, name)
       val copies = (0 until k).map { i =>
-        idCols.foldLeft(df) { (d, c) => d.withColumn(c, col(c) + lit(i * shift)) }
+        val shifted = idCols.foldLeft(df) { (d, c) => d.withColumn(c, col(c) + lit(i * shift)) }
+        // documents: salt every token with the copy index. A plain text
+        // copy would make all k replicas exact near-dups of each other,
+        // growing pair work k² — the salt keeps each copy's INTERNAL
+        // duplicate structure bit-identical (token bijection) while
+        // copies never cross-match, so k× data means k× true pair work.
+        if (name == "documents")
+          shifted.withColumn("text",
+            concat_ws(" ", transform(split(col("text"), " "), t => concat(t, lit(s"~$i")))))
+        else shifted
       }
       copies.reduce(_.union(_)).write.mode("overwrite").parquet(s"$out/$name.parquet")
     }
@@ -46,7 +55,8 @@ object ScaleCheck {
 
     val names = Seq("b5_group_agg", "b1_filter_compound", "j_multiway_star",
       "b6_theta_distinct", "b8_freq_topk", "dd_minhash_lsh", "ann_lsh_topk",
-      "tx_quality", "b13_window_tumbling", "op_sessionize")
+      "tx_quality", "b13_window_tumbling", "op_sessionize",
+      "dd_dup_clusters", "ann_ivf_topk", "samp_stratified", "tx_pack_shards")
 
     def time(name: String, dir: String): Double = {
       val t0 = System.nanoTime()

@@ -58,6 +58,20 @@ final class MultiQueryEngine(
   }
 
   private val live = TrieMap.empty[String, Live]
+
+  /** One pool for the engine's lifetime (A5 parallel solo mode), created
+    * lazily on first use — per-batch pool churn would pay thread
+    * creation/teardown every second. Daemon threads: the engine has no
+    * close() and an idle pool must not pin the JVM. */
+  private lazy val soloPool: java.util.concurrent.ExecutorService =
+    java.util.concurrent.Executors.newFixedThreadPool(
+      soloParallelism,
+      (r: Runnable) => {
+        val t = new Thread(r, "graft-solo-worker")
+        t.setDaemon(true)
+        t
+      })
+
   val results = new ConcurrentLinkedQueue[ResultMessage]()
   val metrics = new EngineMetrics
   private var sinks: List[ResultSink] = Nil
@@ -193,13 +207,9 @@ final class MultiQueryEngine(
       // surfaces (results queue, metrics, sinks) are concurrent.
       val solos = plainSolo.sortBy(_.id)
       if (soloParallelism > 1 && solos.size > 1) {
-        val pool = java.util.concurrent.Executors.newFixedThreadPool(
-          math.min(soloParallelism, solos.size))
-        try {
-          solos.map(l => pool.submit(new Runnable {
-            override def run(): Unit = guarded(l)(processOne(l, cached))
-          })).foreach(_.get())
-        } finally pool.shutdown()
+        solos.map(l => soloPool.submit(new Runnable {
+          override def run(): Unit = guarded(l)(processOne(l, cached))
+        })).foreach(_.get())
       } else solos.foreach(l => guarded(l)(processOne(l, cached)))
     } finally {
       cached.unpersist()
