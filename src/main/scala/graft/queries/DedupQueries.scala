@@ -42,6 +42,58 @@ object DedupQueries {
       (ab, c) => concat_ws(" ", ab, c)))
   }
 
+  /** Exact near-dup PAIR GRAPH (Jaccard ≥ 0.5 over 3-token shingles) —
+    * the ground-truth pair source shared by clustering and canonical-
+    * corpus materialization. Postings-list expansion: one shuffle on the
+    * shingle hash, pair counts combined map-side, per-doc shingle counts
+    * rejoined via two broadcasts. Quadratic-guarded; `dd_minhash_lsh`
+    * produces the same (doc_a, doc_b) shape at scale. */
+  private def exactPairGraph(s: SparkSession, d: String, name: String): DataFrame = {
+    val base = graft.operators.QuadraticGuard
+      .check(docs(s, d), name, "dd_minhash_lsh")
+      .select(col("doc_id"), shingles.as("shs"))
+    val nsh = base.select(col("doc_id"), size(col("shs")).cast(LongType).as("nsh"))
+    val sh = base.select(col("doc_id"), explode(col("shs")).as("shingle"))
+      .select(col("doc_id"), xxhash64(col("shingle")).as("h"))
+    val postings = sh.groupBy(col("h")).agg(collect_list(col("doc_id")).as("ds"))
+      .filter(size(col("ds")) > 1)
+    postings
+      .select(explode(col("ds")).as("doc_a"), col("ds"))
+      .select(col("doc_a"), explode(col("ds")).as("doc_b"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+      .join(broadcast(nsh.select(col("doc_id").as("doc_a"), col("nsh").as("na"))), "doc_a")
+      .join(broadcast(nsh.select(col("doc_id").as("doc_b"), col("nsh").as("nb"))), "doc_b")
+      .filter(col("inter") * lit(1.0) / (col("na") + col("nb") - col("inter")) >= 0.5)
+      .select(col("doc_a"), col("doc_b"))
+  }
+
+  /** Oracle CTE prefix shared by the cluster-shaped queries: exact pair
+    * graph (`p`), symmetric edges (`e`), transitive closure (`reach`),
+    * component labels (`lab` = min reachable id per node). */
+  private val clusterCte: String =
+    """WITH RECURSIVE sh AS (
+      |  SELECT doc_id,
+      |    unnest(list_distinct([array_to_string(t[i:i+2],' ') FOR i IN range(1, len(t)-1)])) AS shingle,
+      |    len(list_distinct([array_to_string(t[i:i+2],' ') FOR i IN range(1, len(t)-1)])) AS nsh
+      |  FROM (SELECT doc_id, string_split(text,' ') AS t FROM documents)),
+      |p AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2
+      |  HAVING count(*) * 1.0 / (any_value(a.nsh) + any_value(b.nsh) - count(*)) >= 0.5),
+      |e AS (
+      |  SELECT doc_a AS a, doc_b AS b FROM p
+      |  UNION SELECT doc_b, doc_a FROM p),
+      |reach(a, b) AS (
+      |  SELECT a, b FROM e
+      |  UNION
+      |  SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a),
+      |lab AS (
+      |  SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+      |  FROM reach GROUP BY a)""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
 
     // Exact dedup: content-hash groupBy, keep lowest doc_id per group.
@@ -112,50 +164,36 @@ object DedupQueries {
     // changing the contract). Only docs that appear in some pair are
     // emitted.
     QueryDef("dd_dup_clusters", Some(
-      """WITH RECURSIVE sh AS (
-        |  SELECT doc_id,
-        |    unnest(list_distinct([array_to_string(t[i:i+2],' ') FOR i IN range(1, len(t)-1)])) AS shingle,
-        |    len(list_distinct([array_to_string(t[i:i+2],' ') FOR i IN range(1, len(t)-1)])) AS nsh
-        |  FROM (SELECT doc_id, string_split(text,' ') AS t FROM documents)),
-        |p AS (
-        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2
-        |  HAVING count(*) * 1.0 / (any_value(a.nsh) + any_value(b.nsh) - count(*)) >= 0.5),
-        |e AS (
-        |  SELECT doc_a AS a, doc_b AS b FROM p
-        |  UNION SELECT doc_b, doc_a FROM p),
-        |reach(a, b) AS (
-        |  SELECT a, b FROM e
-        |  UNION
-        |  SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a)
-        |SELECT a AS doc_id, least(a, min(b)) AS cluster_id
-        |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin)) { (s, d) =>
-      val base = graft.operators.QuadraticGuard
-        .check(docs(s, d), "dd_dup_clusters", "dd_minhash_lsh")
-        .select(col("doc_id"), shingles.as("shs"))
-      val nsh = base.select(col("doc_id"), size(col("shs")).cast(LongType).as("nsh"))
-      val sh = base.select(col("doc_id"), explode(col("shs")).as("shingle"))
-        .select(col("doc_id"), xxhash64(col("shingle")).as("h"))
-      val postings = sh.groupBy(col("h")).agg(collect_list(col("doc_id")).as("ds"))
-        .filter(size(col("ds")) > 1)
-      val pairs = postings
-        .select(explode(col("ds")).as("doc_a"), col("ds"))
-        .select(col("doc_a"), explode(col("ds")).as("doc_b"))
-        .filter(col("doc_a") < col("doc_b"))
-        .groupBy(col("doc_a"), col("doc_b"))
-        .agg(count(lit(1)).as("inter"))
-        .join(broadcast(nsh.select(col("doc_id").as("doc_a"), col("nsh").as("na"))), "doc_a")
-        .join(broadcast(nsh.select(col("doc_id").as("doc_b"), col("nsh").as("nb"))), "doc_b")
-        .filter(col("inter") * lit(1.0) / (col("na") + col("nb") - col("inter")) >= 0.5)
-        .select(col("doc_a"), col("doc_b"))
+      s"""$clusterCte
+        |SELECT doc_id, cluster_id FROM lab ORDER BY doc_id""".stripMargin)) { (s, d) =>
       // clustering is delegated to the shared CC operator: min-label
       // propagation (one join+groupBy per round, O(diameter)) with an
       // automatic switch to large-star/small-star (O(log n) rounds) if
       // the duplicate graph turns out chain-shaped — see
       // operators/ConnectedComponents.scala
-      graft.operators.ConnectedComponents.components(pairs)
+      graft.operators.ConnectedComponents
+        .components(exactPairGraph(s, d, "dd_dup_clusters"))
         .select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Canonical-corpus materialization: the step that actually DROPS the
+    // duplicates — keep each cluster's minimum doc_id (which IS the
+    // component label) plus every doc in no cluster. The drop set is the
+    // clustered non-representatives: tiny next to the corpus, so the
+    // anti-join broadcasts under AQE; the corpus side streams through
+    // unshuffled. At 100 TB the same plan runs off dd_minhash_lsh pairs
+    // instead of the exact (quadratic-guarded) graph.
+    QueryDef("dd_canonical_corpus", Some(
+      s"""$clusterCte
+        |SELECT doc_id, lang, n_chars FROM documents
+        |WHERE doc_id NOT IN (SELECT doc_id FROM lab WHERE doc_id <> cluster_id)
+        |ORDER BY doc_id""".stripMargin)) { (s, d) =>
+      val labels = graft.operators.ConnectedComponents
+        .components(exactPairGraph(s, d, "dd_canonical_corpus"))
+      val drop = labels.filter(col("id") =!= col("lbl")).select(col("id").as("doc_id"))
+      docs(s, d).join(drop, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
         .orderBy(col("doc_id"))
     },
 

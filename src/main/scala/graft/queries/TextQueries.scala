@@ -168,6 +168,66 @@ object TextQueries {
         .orderBy(col("doc_id"))
     },
 
+    // Within-document repetition — the Gopher-style quality signals that
+    // catch boilerplate and generation loops: duplicate bigram/trigram
+    // fractions plus the character share of the single most frequent
+    // bigram. The fractions are per-row list work (codegen'd, linear);
+    // the top bigram is the relational argmax shape — explode → count →
+    // per-doc rank-1 — keyed on (doc_id, bigram) so no per-doc state ever
+    // concentrates in one task, and the rank-1 join back is
+    // doc_id-keyed (AQE broadcasts it at fixture sizes).
+    QueryDef("tx_repetition", Some(
+      """WITH g AS (
+        |  SELECT doc_id, length(text) AS text_len,
+        |    [array_to_string(t[i:i+1],' ') FOR i IN range(1, len(t))] AS bgs,
+        |    [array_to_string(t[i:i+2],' ') FOR i IN range(1, len(t)-1)] AS tgs
+        |  FROM (SELECT doc_id, text, string_split(text,' ') AS t FROM documents)),
+        |per AS (
+        |  SELECT doc_id, text_len, bgs,
+        |    1.0 - CAST(len(list_distinct(bgs)) AS DOUBLE) / len(bgs) AS dup_bigram_frac,
+        |    CASE WHEN len(tgs) = 0 THEN 0.0
+        |      ELSE 1.0 - CAST(len(list_distinct(tgs)) AS DOUBLE) / len(tgs) END AS dup_trigram_frac
+        |  FROM g),
+        |top AS (
+        |  SELECT doc_id, b AS top_bigram, count(*) AS c
+        |  FROM (SELECT doc_id, unnest(bgs) AS b FROM g)
+        |  GROUP BY doc_id, b
+        |  QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY count(*) DESC, b) = 1)
+        |SELECT per.doc_id, dup_bigram_frac, dup_trigram_frac, top_bigram,
+        |  CAST(c * length(top_bigram) AS DOUBLE) / text_len AS top_bigram_char_frac
+        |FROM per JOIN top ON per.doc_id = top.doc_id
+        |ORDER BY per.doc_id""".stripMargin)) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val t = toks
+      val nb = greatest(size(t) - 1, lit(0))
+      val bigrams = zip_with(slice(t, lit(1), nb), slice(t, lit(2), nb),
+        (a, b) => concat_ws(" ", a, b))
+      val nt = greatest(size(t) - 2, lit(0))
+      val trigrams = zip_with(
+        zip_with(slice(t, lit(1), nt), slice(t, lit(2), nt),
+          (a, b) => concat_ws(" ", a, b)),
+        slice(t, lit(3), nt),
+        (ab, c) => concat_ws(" ", ab, c))
+      val per = docs(s, d).select(
+        col("doc_id"), length(col("text")).as("text_len"), bigrams.as("bgs"),
+        (lit(1.0) - size(array_distinct(bigrams)).cast(DoubleType) / size(bigrams))
+          .as("dup_bigram_frac"),
+        when(size(trigrams) === 0, 0.0)
+          .otherwise(lit(1.0) - size(array_distinct(trigrams)).cast(DoubleType) / size(trigrams))
+          .as("dup_trigram_frac"))
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("c").desc, col("b"))
+      val top = per.select(col("doc_id"), explode(col("bgs")).as("b"))
+        .groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("c"))
+        .withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+        .select(col("doc_id"), col("b").as("top_bigram"), col("c"))
+      per.drop("bgs").join(top, "doc_id")
+        .select(col("doc_id"), col("dup_bigram_frac"), col("dup_trigram_frac"),
+          col("top_bigram"),
+          ((col("c") * length(col("top_bigram"))).cast(DoubleType) / col("text_len"))
+            .as("top_bigram_char_frac"))
+        .orderBy(col("doc_id"))
+    },
+
     // Document fingerprinting: md5 over the sorted distinct token set —
     // an order-insensitive content fingerprint (catches shuffled
     // near-duplicates that byte-hashing misses).

@@ -113,6 +113,55 @@ class ApproxSuiteSpec extends AnyFunSuite {
     assert(out.count() == 0L)
   }
 
+  test("tx_repetition computes exact dup fractions and deterministic top bigram") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graftrep").toString
+    Seq(
+      // "a b a b a": bigrams [a b, b a, a b, b a] → dup 1-2/4; trigrams
+      // [a b a, b a b, a b a] → dup 1-2/3; top bigram ties 2-2 → lexical
+      // min "a b", char frac = 2*3/9
+      (1L, "a b a b a", "en", "s", 9L),
+      (2L, "all tokens here differ fully", "en", "s", 28L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val rows = SparkEntry.queries("tx_repetition")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val r1 = rows(1L)
+    assert(r1.getDouble(1) == 1.0 - 2.0 / 4.0)
+    assert(r1.getDouble(2) == 1.0 - 2.0 / 3.0)
+    assert(r1.getString(3) == "a b")
+    assert(r1.getDouble(4) == 2.0 * 3.0 / 9.0)
+    val r2 = rows(2L)
+    assert(r2.getDouble(1) == 0.0 && r2.getDouble(2) == 0.0)
+  }
+
+  test("dd_canonical_corpus keeps cluster representatives plus singletons") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graftcanon").toString
+    // 1 and 2 are exact dups (Jaccard 1.0), 3 shares nothing
+    Seq(
+      (1L, "w1 w2 w3 w4 w5", "en", "s", 14L),
+      (2L, "w1 w2 w3 w4 w5", "en", "s", 14L),
+      (3L, "x1 x2 x3 x4 x5", "en", "s", 14L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val kept = SparkEntry.queries("dd_canonical_corpus")(spark, dir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 3L))
+  }
+
+  test("dd_canonical_corpus agrees with dd_dup_clusters on the fixture") {
+    val docs = graft.sources.Tables.load(spark, sfDir, "documents")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val labels = run("dd_dup_clusters")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val dropped = labels.collect { case (id, lbl) if id != lbl => id }.toSet
+    val kept = run("dd_canonical_corpus")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == docs -- dropped)
+    assert(labels.collect { case (id, lbl) if id == lbl => id }.toSet.subsetOf(kept))
+  }
+
   test("kll default-k quantiles within rank tolerance of exact") {
     import org.apache.spark.sql.functions._
     val li = graft.sources.Tables.load(spark, sfDir, "lineitem")
