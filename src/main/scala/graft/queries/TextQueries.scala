@@ -228,6 +228,56 @@ object TextQueries {
         .orderBy(col("doc_id"))
     },
 
+    // Benchmark decontamination: for every training doc, how many
+    // distinct 5-token shingles it shares with the eval corpus (stand-in:
+    // source 'src0') — the overlap scan a pipeline runs before training
+    // so eval answers don't leak into the corpus. Scale shape: the eval
+    // side is a benchmark (tiny next to a 100 TB corpus), so its distinct
+    // shingle hashes BROADCAST; the corpus side explodes to (doc_id,
+    // hash), survives the broadcast inner join only on contaminated
+    // shingles, and aggregates per doc — one doc_id-keyed shuffle of the
+    // (rare) hits, never of the corpus shingles.
+    QueryDef("tx_decontaminate", Some(
+      """WITH g AS (
+        |  SELECT doc_id, source,
+        |    list_distinct([array_to_string(t[i:i+4],' ') FOR i IN range(1, len(t)-3)]) AS shs
+        |  FROM (SELECT doc_id, source, string_split(text,' ') AS t FROM documents)),
+        |ev AS (SELECT DISTINCT unnest(shs) AS s FROM g WHERE source = 'src0'),
+        |tr AS (SELECT doc_id, len(shs) AS n_shingles, shs FROM g WHERE source <> 'src0'),
+        |hits AS (
+        |  SELECT doc_id, count(*) AS n_hits
+        |  FROM (SELECT doc_id, unnest(shs) AS s FROM tr) x JOIN ev USING (s)
+        |  GROUP BY doc_id)
+        |SELECT tr.doc_id, coalesce(n_hits, 0) AS n_hits, n_shingles,
+        |  CASE WHEN n_shingles = 0 THEN 0.0
+        |    ELSE CAST(coalesce(n_hits, 0) AS DOUBLE) / n_shingles END AS contam_frac
+        |FROM tr LEFT JOIN hits ON tr.doc_id = hits.doc_id
+        |ORDER BY tr.doc_id""".stripMargin)) { (s, d) =>
+      val t = toks
+      val n5 = greatest(size(t) - 4, lit(0))
+      val gram5 = array_distinct(
+        (2 to 5).foldLeft(slice(t, lit(1), n5)) { (acc, i) =>
+          zip_with(acc, slice(t, lit(i), n5), (a, b) => concat_ws(" ", a, b))
+        })
+      val base = docs(s, d).select(col("doc_id"), col("source"), gram5.as("shs"))
+      val ev = base.filter(col("source") === "src0")
+        .select(explode(col("shs")).as("sg"))
+        .select(xxhash64(col("sg")).as("h")).distinct()
+      val tr = base.filter(col("source") =!= "src0")
+      val hits = tr.select(col("doc_id"), explode(col("shs")).as("sg"))
+        .select(col("doc_id"), xxhash64(col("sg")).as("h"))
+        .join(broadcast(ev), Seq("h"))
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hits"))
+      tr.select(col("doc_id"), size(col("shs")).cast(LongType).as("n_shingles"))
+        .join(hits, Seq("doc_id"), "left")
+        .withColumn("n_hits", coalesce(col("n_hits"), lit(0L)))
+        .select(col("doc_id"), col("n_hits"), col("n_shingles"),
+          when(col("n_shingles") === 0, 0.0)
+            .otherwise(col("n_hits").cast(DoubleType) / col("n_shingles"))
+            .as("contam_frac"))
+        .orderBy(col("doc_id"))
+    },
+
     // Document fingerprinting: md5 over the sorted distinct token set —
     // an order-insensitive content fingerprint (catches shuffled
     // near-duplicates that byte-hashing misses).

@@ -162,6 +162,24 @@ class ApproxSuiteSpec extends AnyFunSuite {
     assert(labels.collect { case (id, lbl) if id == lbl => id }.toSet.subsetOf(kept))
   }
 
+  test("tx_decontaminate flags the planted eval-overlap doc and only it") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graftdecon").toString
+    // doc 10 copies 6 consecutive tokens (= two 5-gram shingles) from the
+    // eval doc; doc 11 shares vocabulary but no 5-token run
+    Seq(
+      (1L, "q1 q2 q3 q4 q5 q6 q7 q8", "en", "src0", 23L),
+      (10L, "w0 q1 q2 q3 q4 q5 q6 w1 w2 w3", "en", "src1", 29L),
+      (11L, "q1 w9 q2 w8 q3 w7 q4 w6 q5", "en", "src2", 26L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val rows = SparkEntry.queries("tx_decontaminate")(spark, dir)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(rows.keySet == Set(10L, 11L))
+    assert(rows(10L) == ((2L, 6L, 2.0 / 6)))
+    assert(rows(11L) == ((0L, 5L, 0.0)))
+  }
+
   test("kll default-k quantiles within rank tolerance of exact") {
     import org.apache.spark.sql.functions._
     val li = graft.sources.Tables.load(spark, sfDir, "lineitem")
