@@ -56,7 +56,8 @@ object ScaleCheck {
     val names = Seq("b5_group_agg", "b1_filter_compound", "j_multiway_star",
       "b6_theta_distinct", "b8_freq_topk", "dd_minhash_lsh", "ann_lsh_topk",
       "tx_quality", "b13_window_tumbling", "op_sessionize",
-      "dd_dup_clusters", "ann_ivf_topk", "samp_stratified", "tx_pack_shards")
+      "dd_dup_clusters", "ann_ivf_topk", "samp_stratified", "tx_pack_shards",
+      "tx_repetition", "dd_canonical_corpus", "tx_decontaminate")
 
     def time(name: String, dir: String): Double = {
       val t0 = System.nanoTime()

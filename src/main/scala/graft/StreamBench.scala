@@ -50,10 +50,43 @@ object StreamBench {
         s"WHERE user_id % 50 == ${i % 50} WINDOWING EVERY(1000000000, RECORD, ALL)")
     }
 
+    // socket-transport control/result plane drive: 4 senders × n CLIP-sized
+    // frames through the broker, then a poll drain — round-trip msgs/s for
+    // BASELINE.md. A control plane moves O(queries) messages per batch, so
+    // 10k+ msgs/s means the transport never gates the engine loop.
+    def socketDrive(n: Int): Unit = {
+      import graft.streaming.{SocketTransport, SocketTransportServer}
+      val server = new SocketTransportServer()
+      val payload = """{"meta":{"query":"q0","seq":1},"records":[{"cnt":12345}]}""" * 4
+      try {
+        val senders = 4
+        val t0 = System.nanoTime()
+        val ts = (0 until senders).map { s =>
+          val t = new Thread(() => {
+            val c = new SocketTransport("127.0.0.1", server.port)
+            try (0 until n / senders).foreach(i => c.send("clips", s"k$s-$i", payload))
+            finally c.close()
+          })
+          t.start(); t
+        }
+        ts.foreach(_.join())
+        val sendSec = (System.nanoTime() - t0) / 1e9
+        val c = new SocketTransport("127.0.0.1", server.port)
+        val t1 = System.nanoTime()
+        var got = 0
+        while (got < (n / senders) * senders) got += c.poll("clips").size
+        val pollSec = (System.nanoTime() - t1) / 1e9
+        c.close()
+        println(f"""{"socket_msgs":$n,"send_per_sec":${n / sendSec}%.0f,"poll_per_sec":${n / pollSec}%.0f,"payload_bytes":${payload.length}}""")
+      } finally server.close()
+    }
+
     // args: plain counts ("1 10 100") use the mixed query set; "rawN"
-    // uses N concurrent RAW queries; "globN" N pure global aggregates
+    // uses N concurrent RAW queries; "globN" N pure global aggregates;
+    // "socketN" drives N messages through the socket transport broker
     val counts = if (args.nonEmpty) args.toSeq else Seq("1", "10", "100")
-    val results = counts.map { spec =>
+    counts.filter(_.startsWith("socket")).foreach(s => socketDrive(s.drop(6).toInt))
+    val results = counts.filterNot(_.startsWith("socket")).map { spec =>
       val engine = new MultiQueryEngine(spark)
       val qs =
         if (spec.startsWith("raw")) rawQueriesFor(spec.drop(3).toInt)

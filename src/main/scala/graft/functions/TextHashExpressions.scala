@@ -110,6 +110,51 @@ case class MinHashSig(child: Expression, shingleWidth: Int, k: Int)
     copy(child = newChild)
 }
 
+object NgramHashes {
+  /** Sorted distinct hashes of all w-token shingles. Distinctness via
+    * sort+dedupe in place — order is irrelevant to every caller (the
+    * hashes feed joins and cardinality counts), and it avoids a hash-set
+    * allocation per row. */
+  def compute(tokens: ArrayData, w: Int): ArrayData = {
+    val n = math.max(tokens.numElements() - w + 1, 0)
+    val hs = new Array[Long](n)
+    var i = 0
+    while (i < n) { hs(i) = TextHash.shingleHash(tokens, i, w); i += 1 }
+    java.util.Arrays.sort(hs)
+    var out = 0
+    var j = 0
+    while (j < n) {
+      if (j == 0 || hs(j) != hs(j - 1)) { hs(out) = hs(j); out += 1 }
+      j += 1
+    }
+    new GenericArrayData(if (out == n) hs else java.util.Arrays.copyOf(hs, out))
+  }
+}
+
+/** Distinct w-token shingle hashes (`array<bigint>`) of a token array —
+  * the join/count currency of the exact dedup family. Computing the hash
+  * directly from the token slice inside codegen means shingle STRINGS are
+  * never materialized: at 100 TB the wide text column is read once and
+  * only 8-byte hashes explode into the pair join. */
+case class NgramHashesExpr(child: Expression, width: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(width >= 1)
+
+  override def inputTypes = Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "ngram_hashes"
+
+  override def nullSafeEval(input: Any): Any =
+    NgramHashes.compute(input.asInstanceOf[ArrayData], width)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.NgramHashes.compute($c, $width);")
+
+  override protected def withNewChildInternal(newChild: Expression): NgramHashesExpr =
+    copy(child = newChild)
+}
+
 object SimHash64 {
   /** 64-bit SimHash: per-token 64-bit hash votes per bit; sign of the vote
     * sum forms the fingerprint. Near-dup docs differ in few bits. */

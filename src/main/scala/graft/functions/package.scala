@@ -24,6 +24,11 @@ package object functions {
   def minhash_sig(tokens: Column, shingleWidth: Int = 3, k: Int = 64): Column =
     col(MinHashSig(ColumnBridge.expression(tokens), shingleWidth, k))
 
+  /** Distinct w-token shingle hashes (`array<bigint>`, sorted) of a token
+    * array — shingle strings never materialize. */
+  def ngram_hashes(tokens: Column, width: Int): Column =
+    col(NgramHashesExpr(ColumnBridge.expression(tokens), width))
+
   /** 64-bit SimHash fingerprint of a token array. */
   def simhash64(tokens: Column): Column =
     col(SimHash(ColumnBridge.expression(tokens)))

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.functions.{dot_product, minhash_sig, simhash64}
+import graft.functions.{dot_product, minhash_sig, ngram_hashes, simhash64}
 import graft.sources.Tables
 
 /** Deduplication suite over `documents` / `embeddings` — exact, MinHash+LSH,
@@ -26,22 +26,6 @@ object DedupQueries {
 
   private val toks: Column = split(col("text"), " ")
 
-  /** 3-token shingles as strings (the exact baseline joins on these; the
-    * scale path hashes them inside MinHashSig instead). Built from THREE
-    * bulk slices + elementwise concat instead of one 3-element slice
-    * allocation per position; clamping the slice length to 0 makes docs
-    * with fewer than 3 tokens yield an empty array with no conditional
-    * wrapper (a `when` guard here nests the whole transform under a
-    * branch and defeats common-subexpression elimination of the split). */
-  private val shingles: Column = {
-    val t = toks
-    val n = greatest(size(t) - 2, lit(0))
-    array_distinct(zip_with(
-      zip_with(slice(t, lit(1), n), slice(t, lit(2), n), (a, b) => concat_ws(" ", a, b)),
-      slice(t, lit(3), n),
-      (ab, c) => concat_ws(" ", ab, c)))
-  }
-
   /** Exact near-dup PAIR GRAPH (Jaccard ≥ 0.5 over 3-token shingles) —
     * the ground-truth pair source shared by clustering and canonical-
     * corpus materialization. Postings-list expansion: one shuffle on the
@@ -51,10 +35,9 @@ object DedupQueries {
   private def exactPairGraph(s: SparkSession, d: String, name: String): DataFrame = {
     val base = graft.operators.QuadraticGuard
       .check(docs(s, d), name, "dd_minhash_lsh")
-      .select(col("doc_id"), shingles.as("shs"))
-    val nsh = base.select(col("doc_id"), size(col("shs")).cast(LongType).as("nsh"))
-    val sh = base.select(col("doc_id"), explode(col("shs")).as("shingle"))
-      .select(col("doc_id"), xxhash64(col("shingle")).as("h"))
+      .select(col("doc_id"), ngram_hashes(toks, 3).as("hs"))
+    val nsh = base.select(col("doc_id"), size(col("hs")).cast(LongType).as("nsh"))
+    val sh = base.select(col("doc_id"), explode(col("hs")).as("h"))
     val postings = sh.groupBy(col("h")).agg(collect_list(col("doc_id")).as("ds"))
       .filter(size(col("ds")) > 1)
     postings
@@ -123,17 +106,17 @@ object DedupQueries {
         |HAVING count(*) * 1.0 / (any_value(a.nsh) + any_value(b.nsh) - count(*)) >= 0.5
         |ORDER BY doc_a, doc_b""".stripMargin)) { (s, d) =>
       // Scale shape: the self-join shuffles (doc_id, hash) longs — the
-      // shingle strings are hashed before the exchange (8-byte keys vs
-      // arbitrary-width text), and per-doc shingle counts rejoin only
-      // after pair-counting, via two broadcasts of the tiny (doc, nsh)
-      // side. Hash collisions: ~(n_shingles)^2 / 2^64 — negligible, and
-      // the oracle gate would catch one on the fixed fixtures.
+      // shingle hashes come straight off the token array inside codegen
+      // (ngram_hashes; shingle STRINGS are never materialized), and
+      // per-doc shingle counts rejoin only after pair-counting, via two
+      // broadcasts of the tiny (doc, nsh) side. Hash collisions:
+      // ~(n_shingles)^2 / 2^64 — negligible, and the oracle gate would
+      // catch one on the fixed fixtures.
       val base = graft.operators.QuadraticGuard
         .check(docs(s, d), "dd_ngram_jaccard", "dd_minhash_lsh")
-        .select(col("doc_id"), shingles.as("shs"))
-      val nsh = base.select(col("doc_id"), size(col("shs")).cast(LongType).as("nsh"))
-      val sh = base.select(col("doc_id"), explode(col("shs")).as("shingle"))
-        .select(col("doc_id"), xxhash64(col("shingle")).as("h"))
+        .select(col("doc_id"), ngram_hashes(toks, 3).as("hs"))
+      val nsh = base.select(col("doc_id"), size(col("hs")).cast(LongType).as("nsh"))
+      val sh = base.select(col("doc_id"), explode(col("hs")).as("h"))
       // postings-list pair expansion: ONE shuffle (group by shingle hash)
       // instead of a two-sided shuffle join; the quadratic pair expansion
       // happens post-shuffle in the same stage as the (doc_a, doc_b)

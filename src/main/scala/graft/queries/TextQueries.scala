@@ -253,22 +253,15 @@ object TextQueries {
         |    ELSE CAST(coalesce(n_hits, 0) AS DOUBLE) / n_shingles END AS contam_frac
         |FROM tr LEFT JOIN hits ON tr.doc_id = hits.doc_id
         |ORDER BY tr.doc_id""".stripMargin)) { (s, d) =>
-      val t = toks
-      val n5 = greatest(size(t) - 4, lit(0))
-      val gram5 = array_distinct(
-        (2 to 5).foldLeft(slice(t, lit(1), n5)) { (acc, i) =>
-          zip_with(acc, slice(t, lit(i), n5), (a, b) => concat_ws(" ", a, b))
-        })
-      val base = docs(s, d).select(col("doc_id"), col("source"), gram5.as("shs"))
+      val base = docs(s, d).select(col("doc_id"), col("source"),
+        graft.functions.ngram_hashes(toks, 5).as("hs"))
       val ev = base.filter(col("source") === "src0")
-        .select(explode(col("shs")).as("sg"))
-        .select(xxhash64(col("sg")).as("h")).distinct()
+        .select(explode(col("hs")).as("h")).distinct()
       val tr = base.filter(col("source") =!= "src0")
-      val hits = tr.select(col("doc_id"), explode(col("shs")).as("sg"))
-        .select(col("doc_id"), xxhash64(col("sg")).as("h"))
+      val hits = tr.select(col("doc_id"), explode(col("hs")).as("h"))
         .join(broadcast(ev), Seq("h"))
         .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hits"))
-      tr.select(col("doc_id"), size(col("shs")).cast(LongType).as("n_shingles"))
+      tr.select(col("doc_id"), size(col("hs")).cast(LongType).as("n_shingles"))
         .join(hits, Seq("doc_id"), "left")
         .withColumn("n_hits", coalesce(col("n_hits"), lit(0L)))
         .select(col("doc_id"), col("n_hits"), col("n_shingles"),

@@ -100,6 +100,21 @@ class PlanSpec extends AnyFunSuite {
       s"cdf running sum must be a broadcast range-join:\n$pmf")
   }
 
+  test("decontamination broadcasts the eval shingle set; corpus never shuffles shingles") {
+    val p = planStr("tx_decontaminate")
+    assert(p.contains("BroadcastHashJoin"), s"eval side must broadcast:\n$p")
+    val exchanges = p.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(!exchanges.exists(_.contains("sg#")),
+      s"corpus shingle strings must never hit an exchange:\n${exchanges.mkString("\n")}")
+  }
+
+  test("canonical corpus drops duplicates via broadcast anti-join") {
+    val p = planStr("dd_canonical_corpus")
+    assert(p.contains("LeftAnti"), s"drop set must anti-join:\n$p")
+    assert(p.linesIterator.exists(l => l.contains("LeftAnti") && l.contains("Broadcast")),
+      s"the (tiny) drop set must broadcast under AQE:\n$p")
+  }
+
   test("bql-compiled plans get the same pushdown as hand-written ones") {
     val df = graft.bql.Compiler.compile(
       "SELECT event_id FROM STREAM WHERE event_type == 'click'")._2(
