@@ -32,6 +32,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           w.eval().asInstanceOf[Number].intValue(), k.eval().asInstanceOf[Number].intValue())
         case _ => throw new IllegalArgumentException("minhash_sig(tokens[, w, k])")
       }))
+    e.injectFunction((FunctionIdentifier("ngram_hashes"),
+      info("ngram_hashes", "ngram_hashes(tokens, w) - distinct w-token shingle hashes"),
+      (args: Seq[Expression]) => NgramHashesExpr(args(0),
+        args(1).eval().asInstanceOf[Number].intValue())))
+    e.injectFunction((FunctionIdentifier("top_ngram"),
+      info("top_ngram", "top_ngram(tokens, w) - most frequent w-gram as struct(ngram, cnt)"),
+      (args: Seq[Expression]) => TopNgramExpr(args(0),
+        args(1).eval().asInstanceOf[Number].intValue())))
     e.injectFunction((FunctionIdentifier("simhash64"),
       info("simhash64", "simhash64(tokens) - 64-bit SimHash of a token array"),
       (args: Seq[Expression]) => SimHash(args.head)))

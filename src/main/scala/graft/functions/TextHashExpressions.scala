@@ -155,6 +155,74 @@ case class NgramHashesExpr(child: Expression, width: Int)
     copy(child = newChild)
 }
 
+object TopNgram {
+  /** Most frequent w-token shingle with its count; ties break to the
+    * binary-smallest shingle (the same `ORDER BY cnt DESC, ngram` rule a
+    * relational argmax uses, so results match an exploded groupBy and the
+    * DuckDB oracle exactly). Returns null when the doc has no w-grams. */
+  def compute(tokens: ArrayData, w: Int): org.apache.spark.sql.catalyst.InternalRow = {
+    val n = tokens.numElements() - w + 1
+    if (n <= 0) return null
+    val counts = new java.util.HashMap[String, Integer]()
+    val sb = new java.lang.StringBuilder()
+    var i = 0
+    while (i < n) {
+      sb.setLength(0)
+      var j = 0
+      while (j < w) {
+        if (j > 0) sb.append(' ')
+        sb.append(tokens.getUTF8String(i + j).toString)
+        j += 1
+      }
+      counts.merge(sb.toString, 1, (a, b) => Integer.valueOf(a + b))
+      i += 1
+    }
+    var best: String = null
+    var bestC = 0
+    val it = counts.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      val c = e.getValue.intValue()
+      // binary UTF-8 comparison (UTF8String), not String's UTF-16 order —
+      // matches Spark and DuckDB string sort
+      if (c > bestC || (c == bestC &&
+          UTF8String.fromString(e.getKey).compareTo(UTF8String.fromString(best)) < 0)) {
+        best = e.getKey; bestC = c
+      }
+    }
+    org.apache.spark.sql.catalyst.InternalRow(UTF8String.fromString(best), bestC.toLong)
+  }
+}
+
+/** Per-row most-frequent w-gram: `struct<ngram string, cnt bigint>`, null
+  * if the doc has fewer than w tokens. Replaces the explode → groupBy →
+  * per-doc rank-1 → join-back argmax with ONE codegen'd projection — at
+  * 100 TB that removes two corpus-sized shuffles from the repetition
+  * metrics. */
+case class TopNgramExpr(child: Expression, width: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(width >= 1)
+
+  override def inputTypes = Seq(ArrayType(StringType))
+  override def dataType: DataType = StructType(Seq(
+    StructField("ngram", StringType, nullable = false),
+    StructField("cnt", LongType, nullable = false)))
+  override def nullable: Boolean = true
+  override def prettyName: String = "top_ngram"
+
+  override def nullSafeEval(input: Any): Any =
+    TopNgram.compute(input.asInstanceOf[ArrayData], width)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.TopNgram.compute($c, $width);
+      ${ev.isNull} = ${ev.value} == null;
+    """)
+
+  override protected def withNewChildInternal(newChild: Expression): TopNgramExpr =
+    copy(child = newChild)
+}
+
 object SimHash64 {
   /** 64-bit SimHash: per-token 64-bit hash votes per bit; sign of the vote
     * sum forms the fingerprint. Near-dup docs differ in few bits. */

@@ -29,6 +29,11 @@ package object functions {
   def ngram_hashes(tokens: Column, width: Int): Column =
     col(NgramHashesExpr(ColumnBridge.expression(tokens), width))
 
+  /** Per-row most-frequent w-gram: `struct<ngram, cnt>`, null below w
+    * tokens. */
+  def top_ngram(tokens: Column, width: Int): Column =
+    col(TopNgramExpr(ColumnBridge.expression(tokens), width))
+
   /** 64-bit SimHash fingerprint of a token array. */
   def simhash64(tokens: Column): Column =
     col(SimHash(ColumnBridge.expression(tokens)))

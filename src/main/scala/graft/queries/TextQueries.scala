@@ -171,11 +171,11 @@ object TextQueries {
     // Within-document repetition — the Gopher-style quality signals that
     // catch boilerplate and generation loops: duplicate bigram/trigram
     // fractions plus the character share of the single most frequent
-    // bigram. The fractions are per-row list work (codegen'd, linear);
-    // the top bigram is the relational argmax shape — explode → count →
-    // per-doc rank-1 — keyed on (doc_id, bigram) so no per-doc state ever
-    // concentrates in one task, and the rank-1 join back is
-    // doc_id-keyed (AQE broadcasts it at fixture sizes).
+    // bigram. Entirely per-row codegen: distinct n-gram counts come from
+    // ngram_hashes (no string arrays), the argmax from top_ngram (the
+    // relational shape — explode → count → per-doc rank-1 → join back —
+    // shuffles the corpus twice; this never shuffles at all, the final
+    // ORDER BY being oracle determinism only).
     QueryDef("tx_repetition", Some(
       """WITH g AS (
         |  SELECT doc_id, length(text) AS text_len,
@@ -197,33 +197,22 @@ object TextQueries {
         |  CAST(c * length(top_bigram) AS DOUBLE) / text_len AS top_bigram_char_frac
         |FROM per JOIN top ON per.doc_id = top.doc_id
         |ORDER BY per.doc_id""".stripMargin)) { (s, d) =>
-      import org.apache.spark.sql.expressions.Window
+      import graft.functions.{ngram_hashes, top_ngram}
       val t = toks
-      val nb = greatest(size(t) - 1, lit(0))
-      val bigrams = zip_with(slice(t, lit(1), nb), slice(t, lit(2), nb),
-        (a, b) => concat_ws(" ", a, b))
-      val nt = greatest(size(t) - 2, lit(0))
-      val trigrams = zip_with(
-        zip_with(slice(t, lit(1), nt), slice(t, lit(2), nt),
-          (a, b) => concat_ws(" ", a, b)),
-        slice(t, lit(3), nt),
-        (ab, c) => concat_ws(" ", ab, c))
-      val per = docs(s, d).select(
-        col("doc_id"), length(col("text")).as("text_len"), bigrams.as("bgs"),
-        (lit(1.0) - size(array_distinct(bigrams)).cast(DoubleType) / size(bigrams))
+      val nBigrams = size(t) - 1 // docs below 2 tokens filter out on tp null
+      val nTrigrams = greatest(size(t) - 2, lit(0))
+      docs(s, d).select(
+        col("doc_id"), length(col("text")).as("text_len"),
+        (lit(1.0) - size(ngram_hashes(t, 2)).cast(DoubleType) / nBigrams)
           .as("dup_bigram_frac"),
-        when(size(trigrams) === 0, 0.0)
-          .otherwise(lit(1.0) - size(array_distinct(trigrams)).cast(DoubleType) / size(trigrams))
-          .as("dup_trigram_frac"))
-      val w = Window.partitionBy(col("doc_id")).orderBy(col("c").desc, col("b"))
-      val top = per.select(col("doc_id"), explode(col("bgs")).as("b"))
-        .groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("c"))
-        .withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
-        .select(col("doc_id"), col("b").as("top_bigram"), col("c"))
-      per.drop("bgs").join(top, "doc_id")
+        when(nTrigrams === 0, 0.0)
+          .otherwise(lit(1.0) - size(ngram_hashes(t, 3)).cast(DoubleType) / nTrigrams)
+          .as("dup_trigram_frac"),
+        top_ngram(t, 2).as("tp"))
+        .filter(col("tp").isNotNull)
         .select(col("doc_id"), col("dup_bigram_frac"), col("dup_trigram_frac"),
-          col("top_bigram"),
-          ((col("c") * length(col("top_bigram"))).cast(DoubleType) / col("text_len"))
+          col("tp.ngram").as("top_bigram"),
+          ((col("tp.cnt") * length(col("tp.ngram"))).cast(DoubleType) / col("text_len"))
             .as("top_bigram_char_frac"))
         .orderBy(col("doc_id"))
     },

@@ -42,4 +42,17 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(r.getInt(3) == 64)
     assert(r.getInt(4) >= 0 && r.getInt(4) < 16)
   }
+
+  test("ngram_hashes and top_ngram are callable from SQL") {
+    val r = spark.sql(
+      """SELECT
+        |  size(ngram_hashes(array('a','b','a','b'), 2)) AS uniq_bigrams,
+        |  top_ngram(array('a','b','a','b','a'), 2) AS tp,
+        |  top_ngram(array('solo'), 2) AS none
+        |""".stripMargin).head()
+    assert(r.getInt(0) == 2) // "a b", "b a", "a b" -> 2 distinct
+    val tp = r.getStruct(1)
+    assert(tp.getString(0) == "a b" && tp.getLong(1) == 2L)
+    assert(r.isNullAt(2))
+  }
 }
