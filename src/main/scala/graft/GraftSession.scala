@@ -34,7 +34,10 @@ object GraftSession {
       SparkSession.builder()
         .master(s"local[$cores]")
         .appName("graft")
-        .config("spark.sql.shuffle.partitions", math.max(cores, 4).toString))
+        .config("spark.sql.shuffle.partitions", math.max(cores, 4).toString)
+        // saveAsTable (bucketed-join tests) must not litter the repo cwd
+        .config("spark.sql.warehouse.dir",
+          java.nio.file.Files.createTempDirectory("graft-warehouse").toString))
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s

@@ -64,4 +64,39 @@ class SkewAndStreamJoinSpec extends AnyFunSuite {
       assert(rows == Set((1L, ts(4), ts(1))), s"got $rows")
     } finally q.stop()
   }
+
+  test("bucketed tables join co-located: the join itself needs zero exchanges (§2.C)") {
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val orders = Tables.load(spark, sfDir, "orders")
+    val lineitem = Tables.load(spark, sfDir, "lineitem")
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    // force the SMJ path: a broadcast join would hide the bucketing story
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      orders.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable("b_orders")
+      lineitem.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable("b_lineitem")
+      val j = spark.table("b_lineitem")
+        .join(spark.table("b_orders"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n"))
+      j.write.format("noop").mode("overwrite").save()
+      val plan = (j.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }).toString
+      assert(plan.contains("SortMergeJoin"), plan)
+      // the ONLY shuffle is the post-join groupBy on o_orderpriority;
+      // both join inputs read pre-partitioned bucket files
+      assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1, plan)
+      val expect = lineitem.join(orders, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n"))
+        .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+      val got = j.collect().map(r => (r.getString(0), r.getLong(1))).toMap
+      assert(got == expect)
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.sql("DROP TABLE IF EXISTS b_orders")
+      spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    }
+  }
 }
