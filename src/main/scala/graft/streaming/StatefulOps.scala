@@ -84,4 +84,28 @@ object StatefulOps {
       .flatMapGroupsWithState[FunnelProgress, FunnelHit](
         OutputMode.Append(), timeoutConf)(step)
   }
+
+  /** Streaming exact dedup — the live-ingest twin of the batch `dd_exact`
+    * query: drop any record whose content hash was already seen inside
+    * the watermark horizon. Built on Spark's
+    * `dropDuplicatesWithinWatermark`, so per-hash state is evicted once
+    * the event-time watermark passes it — bounded state on an unbounded
+    * stream, where a plain `dropDuplicates` key set grows forever. The
+    * horizon is the semantic contract: a duplicate arriving further than
+    * `delay` after the watermark has moved on is treated as new content
+    * (the same tradeoff every windowed deduper makes).
+    *
+    * State is hash-partitioned across executors by the 8-byte content
+    * hash (the wide content column itself never enters the state store). */
+  def streamingDedup(
+      df: org.apache.spark.sql.DataFrame,
+      contentCol: String,
+      eventTimeCol: String,
+      delay: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{col, xxhash64}
+    df.withColumn("__content_h", xxhash64(col(contentCol)))
+      .withWatermark(eventTimeCol, delay)
+      .dropDuplicatesWithinWatermark("__content_h")
+      .drop("__content_h")
+  }
 }

@@ -328,6 +328,35 @@ class RuntimeOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming dedup drops in-horizon duplicates and re-admits after watermark eviction") {
+    import java.sql.Timestamp
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(m: Int) = Timestamp.valueOf(f"2026-01-01 10:$m%02d:00")
+    val mem = MemoryStream[(String, Timestamp)]
+    val deduped = graft.streaming.StatefulOps.streamingDedup(
+      mem.toDF().toDF("text", "ts"), "text", "ts", "10 minutes")
+    val q = deduped.writeStream.format("memory").queryName("sdedup_out")
+      .outputMode("append").start()
+    try {
+      mem.addData(("doc a", ts(0)), ("doc b", ts(0)))
+      q.processAllAvailable()
+      // dup inside the horizon → dropped; the t+20 row pushes the
+      // watermark to t+10, past "doc a"'s state
+      mem.addData(("doc a", ts(1)), ("doc c", ts(20)))
+      q.processAllAvailable()
+      // state for "doc a" evicted → the same content re-admits
+      mem.addData(("doc a", ts(21)))
+      q.processAllAvailable()
+      val out = spark.table("sdedup_out")
+        .collect().map(r => (r.getString(0), r.getTimestamp(1))).toSet
+      assert(out == Set(
+        ("doc a", ts(0)), ("doc b", ts(0)), ("doc c", ts(20)), ("doc a", ts(21))),
+        s"got $out")
+    } finally q.stop()
+  }
+
   test("funnel emits one hit per completed pass and restarts (batch mode)") {
     import spark.implicits._
     val ds = Seq(
