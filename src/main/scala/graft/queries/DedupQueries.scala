@@ -259,6 +259,46 @@ object DedupQueries {
         .filter(dot_product(col("ea"), col("eb")) / sqrt(col("na") * col("nb")) >= 0.4)
         .select(col("vec_a"), col("vec_b"))
         .orderBy(col("vec_a"), col("vec_b"))
+    },
+
+    // Semantic dedup (the SemDeDup recipe, Abbas et al. 2023, public
+    // literature): coarse-quantize embeddings with the shared IVF k-means,
+    // then compare pairs ONLY within a shared cluster — the quadratic is
+    // bounded per cluster, so with kClusters tracking corpus/constant the
+    // total pair work stays linear, no global n². Boundary pairs (near-
+    // dups split across clusters) are recovered by multi-assignment: each
+    // vector lands in its nAssign nearest clusters (the index-build dual
+    // of nProbe), candidate ids are deduped BEFORE the exact cosine
+    // verify so a pair sharing m clusters pays one comparison. Recall vs
+    // the exact dd_embed_cosine baseline is gated in ApproxSuiteSpec;
+    // k-means outcome is init-dependent → rows-only driver check.
+    QueryDef("dd_semdedup", None) { (s, d) =>
+      val kClusters = Ivf.intConf(s, "spark.graft.ivf.kClusters", 10)
+      val iters = Ivf.intConf(s, "spark.graft.ivf.iters", 3)
+      val trainSample = Ivf.intConf(s, "spark.graft.ivf.trainSample", 2000)
+      val nAssign = Ivf.intConf(s, "spark.graft.semdedup.nAssign", 3)
+      val e = emb(s, d).select(col("vec_id"), col("embedding"))
+      val cents = Ivf.train(e, kClusters, iters, trainSample)
+      val assigned = e.select(col("vec_id"),
+        explode(transform(
+          slice(sort_array(Ivf.simStructs(col("embedding"), cents), asc = false),
+            1, nAssign),
+          x => x.getField("i"))).as("cl"))
+      val cands = assigned.select(col("cl"), col("vec_id").as("vec_a"))
+        .join(assigned.select(col("cl"), col("vec_id").as("vec_b")), Seq("cl"))
+        .filter(col("vec_a") < col("vec_b"))
+        .select(col("vec_a"), col("vec_b"))
+        .dropDuplicates("vec_a", "vec_b")
+      val withNorm = emb(s, d).select(col("vec_id"), col("embedding"),
+        dot_product(col("embedding"), col("embedding")).as("nsq"))
+      cands
+        .join(withNorm.select(col("vec_id").as("vec_a"),
+          col("embedding").as("ea"), col("nsq").as("na")), "vec_a")
+        .join(withNorm.select(col("vec_id").as("vec_b"),
+          col("embedding").as("eb"), col("nsq").as("nb")), "vec_b")
+        .filter(dot_product(col("ea"), col("eb")) / sqrt(col("na") * col("nb")) >= 0.4)
+        .select(col("vec_a"), col("vec_b"))
+        .orderBy(col("vec_a"), col("vec_b"))
     }
   )
 }

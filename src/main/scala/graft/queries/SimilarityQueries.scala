@@ -20,6 +20,77 @@ import graft.sources.Tables
   *    (id, bucket, vec) pairs reach the join, and each probe touches
   *    ~corpus/2^nBits vectors.
   */
+/** Spherical k-means coarse quantizer shared by IVF search
+  * (`ann_ivf_topk`) and semantic dedup (`dd_semdedup`). Training touches a
+  * bounded deterministic sample; assignment is a linear codegen'd pass
+  * against broadcast-literal centroids. */
+private[queries] object Ivf {
+
+  def intConf(s: SparkSession, key: String, dflt: Int): Int =
+    s.conf.getOption(key).map(_.toInt).getOrElse(dflt)
+
+  /** Similarity-to-each-centroid as an array of (score, idx) structs;
+    * natural struct ordering makes array_max/sort_array an argmax with a
+    * deterministic index tiebreak. */
+  def simStructs(v: Column, cents: Seq[Array[Float]]): Column =
+    array(cents.zipWithIndex.map { case (c, i) =>
+      struct(graft.functions.cosine_sim(v, typedLit(c)).as("s"), lit(i).as("i"))
+    }: _*)
+
+  /** Nearest-centroid index for a vector column. */
+  def assign(v: Column, cents: Seq[Array[Float]]): Column =
+    array_max(simStructs(v, cents)).getField("i")
+
+  /** Train centroids: deterministic farthest-point init over a hash-min
+    * candidate pool, then `iters` distributed Lloyd passes over a cached
+    * bounded sample (the source scan is never re-read per pass). `e` must
+    * have (vec_id, embedding) columns. */
+  def train(e: DataFrame, kClusters: Int, iters: Int, trainSample: Int): Seq[Array[Float]] = {
+    // deterministic init: farthest-point (k-center) selection over a
+    // hash-min candidate pool — k random seeds would leave natural
+    // clusters unseeded (coupon collector), farthest-point spreads them.
+    // The pool fetch is TakeOrderedAndProject (per-partition heaps),
+    // not a global sort; the greedy step is k*pool driver-side dots.
+    val train = e.orderBy(xxhash64(col("vec_id"))).limit(trainSample).persist()
+    val pool: Seq[Array[Float]] = train.limit(math.max(100, 2 * kClusters)).collect()
+      .map(_.getSeq[Float](1).toArray).toSeq
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      if (na == 0 || nb == 0) -1.0 else dot / math.sqrt(na * nb)
+    }
+    var cents: Seq[Array[Float]] = {
+      val chosen = scala.collection.mutable.ArrayBuffer(pool.head)
+      while (chosen.size < kClusters) {
+        chosen += pool.maxBy(c => -chosen.map(cos(c, _)).max)
+      }
+      chosen.toSeq
+    }
+
+    // Lloyd: assign sample -> elementwise mean per cluster -> renormalize
+    (0 until iters).foreach { _ =>
+      val means = train
+        .select(assign(col("embedding"), cents).as("cl"),
+          posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy(col("cl"), col("pos")).agg(avg(col("v")).as("m"))
+        .collect()
+      val byCluster = means.groupBy(_.getInt(0))
+      cents = cents.zipWithIndex.map { case (old, ci) =>
+        byCluster.get(ci) match {
+          case Some(rows) =>
+            val vec = new Array[Float](old.length)
+            rows.foreach(r => vec(r.getInt(1)) = r.getDouble(2).toFloat)
+            val norm = math.sqrt(vec.map(x => x.toDouble * x).sum)
+            if (norm > 0) vec.map(x => (x / norm).toFloat) else old
+          case None => old // empty cluster keeps its centroid
+        }
+      }
+    }
+    train.unpersist()
+    cents
+  }
+}
+
 object SimilarityQueries {
 
   private def emb(s: SparkSession, d: String): DataFrame = Tables.load(s, d, "embeddings")
@@ -114,71 +185,19 @@ object SimilarityQueries {
       // Index-build knobs, pinnable per workload: kClusters should track
       // sqrt(corpus) at scale (10 suits the small fixtures), nProbe trades
       // recall for scanned fraction. Defaults preserve the driver fixture.
-      def intConf(key: String, dflt: Int): Int =
-        s.conf.getOption(key).map(_.toInt).getOrElse(dflt)
-      val kClusters = intConf("spark.graft.ivf.kClusters", 10)
-      val nProbe = intConf("spark.graft.ivf.nProbe", 3)
-      val iters = intConf("spark.graft.ivf.iters", 3)
-      val trainSample = intConf("spark.graft.ivf.trainSample", 2000)
+      val kClusters = Ivf.intConf(s, "spark.graft.ivf.kClusters", 10)
+      val nProbe = Ivf.intConf(s, "spark.graft.ivf.nProbe", 3)
+      val iters = Ivf.intConf(s, "spark.graft.ivf.iters", 3)
+      val trainSample = Ivf.intConf(s, "spark.graft.ivf.trainSample", 2000)
       val e = emb(s, d).select(col("vec_id"), col("embedding"))
+      val cents = Ivf.train(e, kClusters, iters, trainSample)
 
-      // similarity-to-each-centroid as an array of (score, idx) structs;
-      // natural struct ordering makes array_max/sort_array an argmax with
-      // a deterministic index tiebreak
-      def simStructs(v: Column, cents: Seq[Array[Float]]): Column =
-        array(cents.zipWithIndex.map { case (c, i) =>
-          struct(cosine_sim(v, typedLit(c)).as("s"), lit(i).as("i"))
-        }: _*)
-
-      // deterministic init: farthest-point (k-center) selection over a
-      // hash-min candidate pool — k random seeds would leave natural
-      // clusters unseeded (coupon collector), farthest-point spreads them.
-      // The pool fetch is TakeOrderedAndProject (per-partition heaps),
-      // not a global sort; the greedy step is k*pool driver-side dots.
-      // cached: every Lloyd pass reads the sample, not the source scan
-      val train = e.orderBy(xxhash64(col("vec_id"))).limit(trainSample).persist()
-      val pool: Seq[Array[Float]] = train.limit(math.max(100, 2 * kClusters)).collect()
-        .map(_.getSeq[Float](1).toArray).toSeq
-      def cos(a: Array[Float], b: Array[Float]): Double = {
-        var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
-        while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
-        if (na == 0 || nb == 0) -1.0 else dot / math.sqrt(na * nb)
-      }
-      var cents: Seq[Array[Float]] = {
-        val chosen = scala.collection.mutable.ArrayBuffer(pool.head)
-        while (chosen.size < kClusters) {
-          chosen += pool.maxBy(c => -chosen.map(cos(c, _)).max)
-        }
-        chosen.toSeq
-      }
-
-      // Lloyd: assign sample -> elementwise mean per cluster -> renormalize
-      (0 until iters).foreach { _ =>
-        val means = train
-          .select(array_max(simStructs(col("embedding"), cents)).getField("i").as("cl"),
-            posexplode(col("embedding")).as(Seq("pos", "v")))
-          .groupBy(col("cl"), col("pos")).agg(avg(col("v")).as("m"))
-          .collect()
-        val byCluster = means.groupBy(_.getInt(0))
-        cents = cents.zipWithIndex.map { case (old, ci) =>
-          byCluster.get(ci) match {
-            case Some(rows) =>
-              val vec = new Array[Float](old.length)
-              rows.foreach(r => vec(r.getInt(1)) = r.getDouble(2).toFloat)
-              val norm = math.sqrt(vec.map(x => x.toDouble * x).sum)
-              if (norm > 0) vec.map(x => (x / norm).toFloat) else old
-            case None => old // empty cluster keeps its centroid
-          }
-        }
-      }
-
-      train.unpersist()
       val corpus = e.select(col("vec_id"), col("embedding"),
-        array_max(simStructs(col("embedding"), cents)).getField("i").as("cl"))
+        Ivf.assign(col("embedding"), cents).as("cl"))
       val probes = e.filter(col("vec_id") < NQueries)
         .select(col("vec_id").as("qid"), col("embedding").as("qe"),
           explode(transform(
-            slice(sort_array(simStructs(col("embedding"), cents), asc = false),
+            slice(sort_array(Ivf.simStructs(col("embedding"), cents), asc = false),
               1, nProbe),
             x => x.getField("i"))).as("cl"))
       val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))

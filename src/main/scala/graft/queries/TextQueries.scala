@@ -260,6 +260,34 @@ object TextQueries {
         .orderBy(col("doc_id"))
     },
 
+    // Token-rarity scoring against corpus statistics — the frequency-based
+    // stand-in for LM-perplexity filtering: hapax and rare-token counts
+    // per doc flag garbled or out-of-domain text. Two-pass corpus shape:
+    // pass 1 builds the vocabulary (token-hash keyed count — 8-byte keys,
+    // the map-side-combined aggregation every word-count is), pass 2
+    // shuffle-joins each token instance to its corpus count (no broadcast
+    // assumption: a 100 TB vocabulary's long tail doesn't fit anywhere)
+    // and folds per doc. All-integer output — float-free, hash-stable.
+    QueryDef("tx_rarity", Some(
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS t FROM documents),
+        |v AS (SELECT t, count(*) AS c FROM tok GROUP BY t)
+        |SELECT doc_id, count(*) AS n_tokens,
+        |  count(*) FILTER (WHERE c = 1) AS n_hapax,
+        |  count(*) FILTER (WHERE c <= 8) AS n_rare
+        |FROM tok JOIN v USING (t)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin)) { (s, d) =>
+      val tok = docs(s, d)
+        .select(col("doc_id"), explode(toks).as("t"))
+        .select(col("doc_id"), xxhash64(col("t")).as("h"))
+      val vocab = tok.groupBy(col("h")).agg(count(lit(1)).as("c"))
+      tok.join(vocab, Seq("h"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tokens"),
+          count(when(col("c") === 1, 1)).as("n_hapax"),
+          count(when(col("c") <= 8, 1)).as("n_rare"))
+        .orderBy(col("doc_id"))
+    },
+
     // Document fingerprinting: md5 over the sorted distinct token set —
     // an order-insensitive content fingerprint (catches shuffled
     // near-duplicates that byte-hashing misses).

@@ -180,6 +180,20 @@ class ApproxSuiteSpec extends AnyFunSuite {
     assert(rows(11L) == ((0L, 5L, 0.0)))
   }
 
+  test("semdedup recall vs exact embedding-cosine pairs") {
+    val exact = run("dd_embed_cosine").select("vec_a", "vec_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sem = run("dd_semdedup").select("vec_a", "vec_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "exact baseline found no cosine near-dup pairs")
+    // every semdedup pair must be a true pair (the cosine check is exact;
+    // clustering only limits WHICH pairs get compared)
+    assert((sem -- exact).isEmpty, s"false positives: ${(sem -- exact).take(5)}")
+    val recall = (exact & sem).size.toDouble / exact.size
+    info(s"exact=${exact.size} semdedup=${sem.size} recall=$recall")
+    assert(recall >= 0.8, s"semdedup recall $recall below 0.8")
+  }
+
   test("kll default-k quantiles within rank tolerance of exact") {
     import org.apache.spark.sql.functions._
     val li = graft.sources.Tables.load(spark, sfDir, "lineitem")
