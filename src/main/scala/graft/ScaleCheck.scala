@@ -57,7 +57,12 @@ object ScaleCheck {
       "b6_theta_distinct", "b8_freq_topk", "dd_minhash_lsh", "ann_lsh_topk",
       "tx_quality", "b13_window_tumbling", "op_sessionize",
       "dd_dup_clusters", "ann_ivf_topk", "samp_stratified", "tx_pack_shards",
-      "tx_repetition", "dd_canonical_corpus", "tx_decontaminate")
+      "tx_repetition", "dd_canonical_corpus", "tx_decontaminate",
+      "tx_rarity")
+    // dd_semdedup is excluded the same way dd_embed_cosine is: replicated
+    // embeddings are bit-identical across copies, so k-fold data has k²
+    // true cosine pairs — the linearity signal would measure the fixture,
+    // not the plan.
 
     def time(name: String, dir: String): Double = {
       val t0 = System.nanoTime()

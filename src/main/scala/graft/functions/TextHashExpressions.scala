@@ -35,18 +35,20 @@ private[functions] object TextHash {
   }
 
   /** Hash of the w-token shingle tokens[i, i+w), with a separator byte
-    * folded in between tokens. */
+    * folded in between tokens. SQL-surface hardening: a null array
+    * element hashes like an empty token instead of crashing codegen. */
   def shingleHash(tokens: ArrayData, i: Int, w: Int): Long = {
     var h = FnvOffset
     var j = 0
     while (j < w) {
-      val t = tokens.getUTF8String(i + j)
-      val b = t.getBytes
-      var k = 0
-      while (k < b.length) {
-        h ^= (b(k) & 0xffL)
-        h *= FnvPrime
-        k += 1
+      if (!tokens.isNullAt(i + j)) {
+        val b = tokens.getUTF8String(i + j).getBytes
+        var k = 0
+        while (k < b.length) {
+          h ^= (b(k) & 0xffL)
+          h *= FnvPrime
+          k += 1
+        }
       }
       // token separator so ("ab","c") != ("a","bc")
       h ^= 0x1fL
@@ -171,7 +173,8 @@ object TopNgram {
       var j = 0
       while (j < w) {
         if (j > 0) sb.append(' ')
-        sb.append(tokens.getUTF8String(i + j).toString)
+        // null element renders as empty, mirroring shingleHash
+        if (!tokens.isNullAt(i + j)) sb.append(tokens.getUTF8String(i + j).toString)
         j += 1
       }
       counts.merge(sb.toString, 1, (a, b) => Integer.valueOf(a + b))
@@ -231,8 +234,10 @@ object SimHash64 {
     val n = tokens.numElements()
     var i = 0
     while (i < n) {
-      val t = tokens.getUTF8String(i)
-      val h = TextHash.fnv1a(t.getBytes, 0L)
+      // null element votes like an empty token (SQL-surface hardening)
+      val h =
+        if (tokens.isNullAt(i)) TextHash.fnv1a(Array.emptyByteArray, 0L)
+        else TextHash.fnv1a(tokens.getUTF8String(i).getBytes, 0L)
       var b = 0
       while (b < 64) {
         if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1

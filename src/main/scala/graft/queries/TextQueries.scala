@@ -242,11 +242,13 @@ object TextQueries {
         |    ELSE CAST(coalesce(n_hits, 0) AS DOUBLE) / n_shingles END AS contam_frac
         |FROM tr LEFT JOIN hits ON tr.doc_id = hits.doc_id
         |ORDER BY tr.doc_id""".stripMargin)) { (s, d) =>
+      // deploy knob; the static oracle SQL pins the fixture's default
+      val evalSource = s.conf.get("spark.graft.decontaminate.evalSource", "src0")
       val base = docs(s, d).select(col("doc_id"), col("source"),
         graft.functions.ngram_hashes(toks, 5).as("hs"))
-      val ev = base.filter(col("source") === "src0")
+      val ev = base.filter(col("source") === evalSource)
         .select(explode(col("hs")).as("h")).distinct()
-      val tr = base.filter(col("source") =!= "src0")
+      val tr = base.filter(col("source") =!= evalSource)
       val hits = tr.select(col("doc_id"), explode(col("hs")).as("h"))
         .join(broadcast(ev), Seq("h"))
         .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hits"))

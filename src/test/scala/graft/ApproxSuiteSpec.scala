@@ -180,6 +180,13 @@ class ApproxSuiteSpec extends AnyFunSuite {
     assert(rows(11L) == ((0L, 5L, 0.0)))
   }
 
+  test("ann_bucket_stats partitions the corpus exactly across LSH buckets") {
+    val rows = run("ann_bucket_stats").collect()
+    val n = graft.sources.Tables.load(spark, sfDir, "embeddings").count()
+    assert(rows.map(_.getLong(1)).sum == n, "every vector in exactly one bucket")
+    assert(rows.forall(r => r.getInt(0) >= 0 && r.getInt(0) < 64), "6-bit bucket range")
+  }
+
   test("semdedup recall vs exact embedding-cosine pairs") {
     val exact = run("dd_embed_cosine").select("vec_a", "vec_b")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet

@@ -154,6 +154,20 @@ class RuntimeOpsSpec extends AnyFunSuite {
     } finally server.close()
   }
 
+  test("socket frames carry tab/newline/multi-byte payloads verbatim") {
+    val server = new SocketTransportServer()
+    val c = new SocketTransport("localhost", server.port)
+    try {
+      // a CLIP is JSON that can embed anything — framing is length-
+      // delimited, so only channel/key have charset restrictions
+      val nasty = "line1\nline2\tcol2\t{\"k\":\"v\\n\"}é中文 end"
+      c.send("ch", "k1", nasty)
+      c.send("ch", "k2", "")
+      val got = c.poll("ch")
+      assert(got == Seq(("k1", nasty), ("k2", "")), s"got $got")
+    } finally { c.close(); server.close() }
+  }
+
   test("socket client reconnects transparently across a server restart") {
     val probe = new java.net.ServerSocket(0)
     val port = probe.getLocalPort
