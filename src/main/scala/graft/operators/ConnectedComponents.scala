@@ -31,15 +31,65 @@ object ConnectedComponents {
   final case class CcResult(labels: DataFrame, rounds: Int, converged: Boolean)
 
   val MaxPropagationRoundsKey = "spark.graft.cc.maxPropagationRounds"
+  val LocalMaxEdgesKey = "spark.graft.cc.localMaxEdges"
 
   /** `pairs`: two long columns, one row per undirected edge (either
-    * orientation, self-pairs ignored). Returns `(id, lbl)`. */
+    * orientation, self-pairs ignored). Returns `(id, lbl)`.
+    *
+    * Small graphs (≤ `spark.graft.cc.localMaxEdges` edges, default 100k ≈
+    * 1.6 MB of longs) run driver-side union-find: every distributed round
+    * costs a fixed shuffle+action latency that dwarfs the actual work
+    * when the edge set is tiny — the same small-side special-casing AQE
+    * applies to joins. Near-dup graphs of a healthy corpus are tiny;
+    * graphs past the threshold take the iterative distributed paths. */
   def components(pairs: DataFrame): DataFrame = {
-    val threshold = pairs.sparkSession.conf
-      .getOption(MaxPropagationRoundsKey).map(_.toInt).getOrElse(8)
-    val ml = minLabel(pairs, threshold)
-    if (ml.converged) ml.labels
-    else alternatingStars(pairs, maxRounds = 50).labels
+    val conf = pairs.sparkSession.conf
+    val localMax = conf.getOption(LocalMaxEdgesKey).map(_.toLong).getOrElse(100000L)
+    val cols = pairs.columns
+    val edges = pairs
+      .select(col(cols(0)).as("src"), col(cols(1)).as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .persist()
+    try {
+      if (edges.count() <= localMax) localUnionFind(edges)
+      else {
+        val threshold = conf.getOption(MaxPropagationRoundsKey).map(_.toInt).getOrElse(8)
+        val ml = minLabel(edges, threshold)
+        if (ml.converged) ml.labels
+        else alternatingStars(edges, maxRounds = 50).labels
+      }
+    } finally edges.unpersist()
+  }
+
+  /** Driver-side union-find over a collected edge list — exact same
+    * contract (lbl = component-minimum id). Path-halving find, union by
+    * tracked minimum. */
+  private def localUnionFind(edges: DataFrame): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val es = edges.as[(Long, Long)].collect()
+    val parent = new java.util.HashMap[Long, Long]()
+    def find(x0: Long): Long = {
+      var x = x0
+      var p = parent.getOrDefault(x, x)
+      while (p != x) {
+        val gp = parent.getOrDefault(p, p)
+        parent.put(x, gp) // path halving
+        x = gp
+        p = parent.getOrDefault(x, x)
+      }
+      x
+    }
+    es.foreach { case (a, b) =>
+      val ra = find(a)
+      val rb = find(b)
+      if (ra != rb) {
+        // root at the smaller id so the final root IS the component min
+        if (ra < rb) parent.put(rb, ra) else parent.put(ra, rb)
+      }
+    }
+    val nodes = es.iterator.flatMap(e => Iterator(e._1, e._2)).toSet
+    nodes.iterator.map(n => (n, find(n))).toSeq.toDF("id", "lbl")
   }
 
   /** Min-label propagation. Labels only ever decrease, so the label SUM

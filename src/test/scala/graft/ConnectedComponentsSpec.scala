@@ -48,25 +48,51 @@ class ConnectedComponentsSpec extends AnyFunSuite {
 
   test("components() switches to stars past the propagation threshold") {
     val chain = pairsDf((0L until 30L).map(i => (i, i + 1)))
+    spark.conf.set(ConnectedComponents.LocalMaxEdgesKey, "0") // force distributed
     spark.conf.set(ConnectedComponents.MaxPropagationRoundsKey, "4")
     try {
       val labels = ConnectedComponents.components(chain).collect()
         .map(x => x.getLong(0) -> x.getLong(1)).toMap
       assert(labels == (0L to 30L).map(_ -> 0L).toMap)
-    } finally spark.conf.unset(ConnectedComponents.MaxPropagationRoundsKey)
+    } finally {
+      spark.conf.unset(ConnectedComponents.MaxPropagationRoundsKey)
+      spark.conf.unset(ConnectedComponents.LocalMaxEdgesKey)
+    }
   }
 
-  test("dd_dup_clusters rows are identical through either algorithm") {
+  test("driver union-find agrees with the distributed paths (random graph + self-loops)") {
+    val rnd = new scala.util.Random(23)
+    val pairs = Seq.fill(60)((rnd.nextInt(25).toLong, rnd.nextInt(25).toLong)) ++
+      Seq((900L, 900L)) // self-pair-only node must be excluded on both paths
+    val df = pairsDf(pairs)
+    val local = ConnectedComponents.components(df).collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    spark.conf.set(ConnectedComponents.LocalMaxEdgesKey, "0")
+    try {
+      val dist = ConnectedComponents.components(df).collect()
+        .map(x => x.getLong(0) -> x.getLong(1)).toMap
+      assert(local == dist)
+      assert(!local.contains(900L))
+    } finally spark.conf.unset(ConnectedComponents.LocalMaxEdgesKey)
+  }
+
+  test("dd_dup_clusters rows are identical through local, propagation, and star paths") {
     val sfDir = "/root/testdata/sf0.01"
     def rows() = SparkEntry.queries("dd_dup_clusters")(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val viaPropagation = rows()
-    spark.conf.set(ConnectedComponents.MaxPropagationRoundsKey, "0") // force stars
+    val viaLocal = rows() // small fixture graph takes the union-find path
+    spark.conf.set(ConnectedComponents.LocalMaxEdgesKey, "0")
     try {
+      val viaPropagation = rows()
+      spark.conf.set(ConnectedComponents.MaxPropagationRoundsKey, "0") // force stars
       val viaStars = rows()
-      assert(viaPropagation.nonEmpty)
-      assert(viaStars == viaPropagation)
-    } finally spark.conf.unset(ConnectedComponents.MaxPropagationRoundsKey)
+      assert(viaLocal.nonEmpty)
+      assert(viaPropagation == viaLocal)
+      assert(viaStars == viaLocal)
+    } finally {
+      spark.conf.unset(ConnectedComponents.MaxPropagationRoundsKey)
+      spark.conf.unset(ConnectedComponents.LocalMaxEdgesKey)
+    }
   }
 
   test("both algorithms return empty (not a crash) on an empty pair graph") {
