@@ -290,6 +290,38 @@ object TextQueries {
         .orderBy(col("doc_id"))
     },
 
+    // Context-window chunking: split each document into overlapping
+    // token windows (32-token chunks, 8-token overlap → stride 24) — how
+    // a pipeline materializes model-ready sequences from variable-length
+    // docs. Pure per-row explode of computed offsets (sequence + slice,
+    // all codegen'd); output rows ≈ tokens/stride, no shuffle except the
+    // oracle ORDER BY.
+    QueryDef("tx_chunk", Some(
+      """WITH g AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
+        |c AS (
+        |  SELECT doc_id, t,
+        |    unnest(range(0, CAST((len(t) - 1) // 24 AS BIGINT) + 1)) AS ci
+        |  FROM g)
+        |SELECT doc_id, ci,
+        |  len(t[ci*24 + 1 : ci*24 + 32]) AS chunk_tokens,
+        |  array_to_string(t[ci*24 + 1 : ci*24 + 32], ' ') AS chunk
+        |FROM c ORDER BY doc_id, ci""".stripMargin)) { (s, d) =>
+      val t = toks
+      val stride = 24
+      val width = 32
+      // Column./ is double division — floor() makes the integer div explicit
+      val nChunks = floor((size(t) - 1) / stride).cast(LongType) + 1
+      docs(s, d)
+        .select(col("doc_id"), t.as("t"),
+          explode(sequence(lit(0L), nChunks - 1)).as("ci"))
+        .select(col("doc_id"), col("ci"),
+          size(slice(col("t"), (col("ci") * stride + 1).cast("int"), lit(width)))
+            .cast(LongType).as("chunk_tokens"),
+          concat_ws(" ", slice(col("t"), (col("ci") * stride + 1).cast("int"), lit(width)))
+            .as("chunk"))
+        .orderBy(col("doc_id"), col("ci"))
+    },
+
     // Document fingerprinting: md5 over the sorted distinct token set —
     // an order-insensitive content fingerprint (catches shuffled
     // near-duplicates that byte-hashing misses).
