@@ -115,6 +115,19 @@ class PlanSpec extends AnyFunSuite {
       s"the (tiny) drop set must broadcast under AQE:\n$p")
   }
 
+  test("chunking stays one shuffle-free codegen explode; rarity aggregates partial+final") {
+    val chunk = planStr("tx_chunk")
+    assert(!chunk.contains("Window"), s"no window machinery in chunking:\n$chunk")
+    val chunkExchanges = chunk.linesIterator.count(_.contains("Exchange"))
+    assert(chunkExchanges <= 1, s"only the oracle ORDER BY may exchange:\n$chunk")
+    val rarity = planStr("tx_rarity")
+    assert("HashAggregate".r.findAllIn(rarity).size >= 2,
+      s"vocabulary count must map-side combine:\n$rarity")
+    val rarityExchanges = rarity.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(!rarityExchanges.exists(_.contains("t#")),
+      s"token strings must be hashed before any exchange:\n${rarityExchanges.mkString("\n")}")
+  }
+
   test("bql-compiled plans get the same pushdown as hand-written ones") {
     val df = graft.bql.Compiler.compile(
       "SELECT event_id FROM STREAM WHERE event_type == 'click'")._2(
