@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** End-to-end corpus pipeline over the sf0.01 fixtures: the operators a
+  * training-data run chains — quality filter → canonical dedup →
+  * decontamination → context-window chunking — must COMPOSE: outputs key
+  * by the same doc_id space, the filters only ever shrink it, and the
+  * chunker's row counts reconcile with the token counts, so a user can
+  * wire stage outputs into stage inputs without glue logic. */
+class CorpusPipelineSpec extends AnyFunSuite {
+  private val sfDir = "/root/testdata/sf0.01"
+  private lazy val spark: SparkSession = GraftSession.local(4)
+
+  private def run(name: String) = SparkEntry.queries(name)(spark, sfDir)
+
+  test("pipeline stages compose: filter -> dedup -> decontaminate -> chunk") {
+    val allDocs = graft.sources.Tables.load(spark, sfDir, "documents")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+
+    // stage 1: quality gate (composite score >= 2)
+    val quality = run("tx_quality").collect()
+      .map(r => r.getLong(0) -> r.getInt(r.fieldIndex("quality"))).toMap
+    val afterQuality = quality.collect { case (id, q) if q >= 2 => id }.toSet
+    assert(quality.keySet == allDocs, "quality scores every doc")
+    assert(afterQuality.nonEmpty && afterQuality.size < allDocs.size,
+      "the gate must actually filter on this fixture")
+
+    // stage 2: canonical dedup — keep set intersects monotonically
+    val canonical = run("dd_canonical_corpus")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(canonical.subsetOf(allDocs))
+    val afterDedup = afterQuality & canonical
+    assert(afterDedup.size < afterQuality.size,
+      "the fixture plants near-dups, so dedup must drop something")
+
+    // stage 3: decontamination — training side only, flags are a subset
+    val decon = run("tx_decontaminate").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val evalDocs = allDocs -- decon.keySet // src0 rows are the eval corpus
+    assert(evalDocs.nonEmpty && decon.keySet.subsetOf(allDocs))
+    val contaminated = decon.collect { case (id, hits) if hits > 0 => id }.toSet
+    assert(contaminated.nonEmpty, "the fixture plants eval overlap")
+    val afterDecon = (afterDedup -- evalDocs) -- contaminated
+
+    // stage 4: chunking — rows reconcile with token counts per doc
+    val tokens = run("tx_tokens").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val chunkCounts = run("tx_chunk").collect()
+      .groupBy(_.getLong(0)).map { case (id, rows) => id -> rows.length.toLong }
+    afterDecon.foreach { id =>
+      val expected = (tokens(id) - 1) / 24 + 1
+      assert(chunkCounts(id) == expected,
+        s"doc $id: ${chunkCounts(id)} chunks, expected $expected from ${tokens(id)} tokens")
+    }
+    info(s"docs ${allDocs.size} -> quality ${afterQuality.size} -> dedup ${afterDedup.size} " +
+      s"-> decontaminated ${afterDecon.size}")
+    assert(afterDecon.nonEmpty)
+  }
+}
