@@ -272,6 +272,10 @@ object DedupQueries {
     // verify so a pair sharing m clusters pays one comparison. Recall vs
     // the exact dd_embed_cosine baseline is gated in ApproxSuiteSpec;
     // k-means outcome is init-dependent → rows-only driver check.
+    // Production note: the centroids are an index ARTIFACT — a real
+    // deployment trains once (Ivf.train) and persists them across runs;
+    // this query stays self-contained (retrains per invocation) so its
+    // result is a pure function of the input directory.
     QueryDef("dd_semdedup", None) { (s, d) =>
       val kClusters = Ivf.intConf(s, "spark.graft.ivf.kClusters", 10)
       val iters = Ivf.intConf(s, "spark.graft.ivf.iters", 3)

@@ -43,6 +43,39 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(r.getInt(4) >= 0 && r.getInt(4) < 16)
   }
 
+  test("ngram/top-ngram codegen agrees with a naive reference on random docs") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val rnd = new scala.util.Random(77)
+    val vocab = Vector("aa", "bb", "cc", "dd", "e", "", "longertoken")
+    val docs = (0 until 200).map { i =>
+      (i.toLong, Seq.fill(rnd.nextInt(12))(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    def naiveGrams(text: String, w: Int): Seq[String] =
+      text.split(" ", -1).toSeq.sliding(w).filter(_.size == w).map(_.mkString(" ")).toSeq
+    val rows = docs.toDF("id", "text")
+      .select(col("id"), col("text"),
+        size(graft.functions.ngram_hashes(split(col("text"), " "), 2)).as("nh"),
+        graft.functions.top_ngram(split(col("text"), " "), 2).as("tp"))
+      .collect()
+    rows.foreach { r =>
+      val text = r.getString(1)
+      val grams = naiveGrams(text, 2)
+      assert(r.getInt(2) == grams.distinct.size,
+        s"distinct bigram-hash count for '$text'")
+      if (grams.isEmpty) assert(r.isNullAt(3), s"'$text' has no bigrams")
+      else {
+        val tp = r.getStruct(3)
+        val maxC = grams.groupBy(identity).values.map(_.size).max
+        val expect = grams.groupBy(identity).collect {
+          case (g, occ) if occ.size == maxC => g
+        }.min
+        assert(tp.getString(0) == expect && tp.getLong(1) == maxC,
+          s"top bigram of '$text': got (${tp.getString(0)}, ${tp.getLong(1)})")
+      }
+    }
+  }
+
   test("ngram_hashes and top_ngram are callable from SQL") {
     val r = spark.sql(
       """SELECT
