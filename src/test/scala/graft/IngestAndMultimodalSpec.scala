@@ -210,4 +210,29 @@ class IngestAndMultimodalSpec extends AnyFunSuite {
     // payload must not survive into the optimized plan's output
     assert(!metaOnly.queryExecution.optimizedPlan.output.map(_.name).contains("payload"))
   }
+
+  test("multimodal features feed the ANN machinery end-to-end") {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.dot_product
+    // decode-kernel features are array<float> — the exact currency the
+    // similarity suite's codegen expressions consume; prove the loop:
+    // binary ingest → feature extraction → brute-force cosine top-k
+    val docs = Tables.load(spark, sfDir, "documents")
+    val feats = Multimodal.extractFeatures(spark,
+      Multimodal.ingest(docs, "text", "text/plain"))
+      .select(col("doc_id"), col("features"),
+        dot_product(col("features"), col("features")).as("nsq"))
+    val probes = feats.filter(col("doc_id") < 3)
+      .select(col("doc_id").as("qid"), col("features").as("qf"), col("nsq").as("qn"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("doc_id"))
+    val topk = feats.join(broadcast(probes), col("doc_id") =!= col("qid"))
+      .select(col("qid"), col("doc_id"),
+        (dot_product(col("qf"), col("features")) / sqrt(col("qn") * col("nsq"))).as("cos"))
+      .withColumn("rk", row_number().over(w)).filter(col("rk") <= 3)
+      .collect().map(r => (r.getLong(0), r.getInt(3), r.getLong(1), r.getDouble(2)))
+    assert(topk.length == 9, "3 probes x top-3 neighbors")
+    assert(topk.forall { case (q, _, n, c) => q != n && c >= -1.0001 && c <= 1.0001 })
+    // histogram features of same-vocabulary docs are highly aligned
+    assert(topk.filter(_._2 == 1).forall(_._4 > 0.5), "rank-1 neighbors must be close")
+  }
 }
