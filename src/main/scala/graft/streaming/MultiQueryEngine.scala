@@ -498,12 +498,19 @@ final class MultiQueryEngine(
     * merge over already-registered ids), and every processed batch
     * atomically rewrites the snapshot — kill the process at any point and
     * the next attach resumes each query's state mid-stream. */
+  /** @param onBatch per-batch-tick hook, run BEFORE the batch so applied
+    *        feedback (e.g. `TransportBridge.pump()`) admits/kills at the
+    *        batch boundary — the reference's admission semantics. Without
+    *        this seam a transport-bridged deployment has no place to drain
+    *        feedback: `attach` owns the foreachBatch loop. */
   def attach(stream: DataFrame, triggerMs: Long = 1000L,
-      recoveryDir: Option[String] = None): StreamingQuery = {
+      recoveryDir: Option[String] = None,
+      onBatch: () => Unit = () => ()): StreamingQuery = {
     recoveryDir.foreach(restoreFromDir)
     stream.writeStream
       .trigger(Trigger.ProcessingTime(triggerMs))
       .foreachBatch { (df: DataFrame, _: Long) =>
+        onBatch()
         processBatch(df)
         tick()
         recoveryDir.foreach(checkpointToDir)

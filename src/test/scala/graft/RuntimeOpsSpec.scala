@@ -315,6 +315,36 @@ class RuntimeOpsSpec extends AnyFunSuite {
       s"resumed count should continue from the checkpoint, got $counts")
   }
 
+  test("production topology: live attach + socket bridge, submit to CLIP over the wire") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val server = new SocketTransportServer()
+    val e = new MultiQueryEngine(spark)
+    val bridge = new TransportBridge(e, new SocketTransport("localhost", server.port))
+    val frontend = new SocketTransport("localhost", server.port)
+    val mem = MemoryStream[(Long, String, Double)]
+    // the deploy wiring from the README: feedback drains at batch start
+    val q = e.attach(mem.toDF().toDF("event_id", "event_type", "value"),
+      triggerMs = 50L, onBatch = () => bridge.pump())
+    try {
+      frontend.send("graft.feedback", "tq", "submit\ttq\tSELECT event_id FROM STREAM LIMIT 3")
+      mem.addData((1L, "a", 1.0), (2L, "b", 2.0))
+      q.processAllAvailable() // batch 1: admission; batch 2 needs data
+      mem.addData((3L, "c", 3.0), (4L, "d", 4.0))
+      q.processAllAvailable()
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      var clips = Seq.empty[(String, String)]
+      while (!clips.exists(_._2.startsWith("Complete")) && System.nanoTime() < deadline) {
+        clips = clips ++ frontend.poll("graft.clips")
+        if (!clips.exists(_._2.startsWith("Complete"))) { mem.addData((9L, "x", 0.0)); q.processAllAvailable() }
+      }
+      assert(clips.nonEmpty && clips.forall(_._1 == "tq"))
+      assert(clips.exists(_._2.startsWith("Complete")),
+        s"RAW limit must complete over the wire; got kinds ${clips.map(_._2.takeWhile(_ != '\t'))}")
+    } finally { q.stop(); frontend.close(); server.close() }
+  }
+
   // ---- flatMapGroupsWithState custom state (funnel detection) ----
 
   test("funnel state carries stage progress across micro-batches") {
