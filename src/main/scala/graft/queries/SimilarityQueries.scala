@@ -42,23 +42,30 @@ private[queries] object Ivf {
     array_max(simStructs(v, cents)).getField("i")
 
   /** Train centroids: deterministic farthest-point init over a hash-min
-    * candidate pool, then `iters` distributed Lloyd passes over a cached
-    * bounded sample (the source scan is never re-read per pass). `e` must
-    * have (vec_id, embedding) columns. */
+    * candidate pool, then `iters` Lloyd passes — ON THE DRIVER, over the
+    * bounded sample collected once. The sample is ≤ `trainSample` vectors
+    * by construction (the whole point of sampling is that it fits), so
+    * iterating on it distributed would pay a full Spark job of fixed
+    * latency per pass to average 2,000 rows; one TakeOrdered collect +
+    * in-process Lloyd costs the same work with one job. The corpus-sized
+    * ASSIGNMENT pass stays distributed (broadcast-literal centroids,
+    * codegen cosine). `e` must have (vec_id, embedding) columns. */
   def train(e: DataFrame, kClusters: Int, iters: Int, trainSample: Int): Seq[Array[Float]] = {
-    // deterministic init: farthest-point (k-center) selection over a
-    // hash-min candidate pool — k random seeds would leave natural
-    // clusters unseeded (coupon collector), farthest-point spreads them.
-    // The pool fetch is TakeOrderedAndProject (per-partition heaps),
-    // not a global sort; the greedy step is k*pool driver-side dots.
-    val train = e.orderBy(xxhash64(col("vec_id"))).limit(trainSample).persist()
-    val pool: Seq[Array[Float]] = train.limit(math.max(100, 2 * kClusters)).collect()
-      .map(_.getSeq[Float](1).toArray).toSeq
+    // hash-ordered sample fetch is TakeOrderedAndProject (per-partition
+    // heaps), not a global sort; rows arrive hash-ordered so the head of
+    // the array doubles as the farthest-point candidate pool
+    val sample: Array[Array[Float]] = e.orderBy(xxhash64(col("vec_id"))).limit(trainSample)
+      .collect().map(_.getSeq[Float](1).toArray)
+    require(sample.nonEmpty, "cannot train a quantizer on an empty corpus")
     def cos(a: Array[Float], b: Array[Float]): Double = {
       var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
       while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
       if (na == 0 || nb == 0) -1.0 else dot / math.sqrt(na * nb)
     }
+    // deterministic init: farthest-point (k-center) selection over the
+    // pool — k random seeds would leave natural clusters unseeded
+    // (coupon collector), farthest-point spreads them.
+    val pool = sample.take(math.max(100, 2 * kClusters))
     var cents: Seq[Array[Float]] = {
       val chosen = scala.collection.mutable.ArrayBuffer(pool.head)
       while (chosen.size < kClusters) {
@@ -66,27 +73,33 @@ private[queries] object Ivf {
       }
       chosen.toSeq
     }
-
-    // Lloyd: assign sample -> elementwise mean per cluster -> renormalize
+    val dim = sample.head.length
     (0 until iters).foreach { _ =>
-      val means = train
-        .select(assign(col("embedding"), cents).as("cl"),
-          posexplode(col("embedding")).as(Seq("pos", "v")))
-        .groupBy(col("cl"), col("pos")).agg(avg(col("v")).as("m"))
-        .collect()
-      val byCluster = means.groupBy(_.getInt(0))
+      val sums = Array.fill(kClusters)(new Array[Double](dim))
+      val counts = new Array[Long](kClusters)
+      sample.foreach { v =>
+        // argmax with the same tiebreak as the distributed assign()
+        // (struct ordering: best score, then HIGHEST index)
+        var best = 0; var bestS = cos(v, cents(0))
+        var ci = 1
+        while (ci < kClusters) {
+          val sc = cos(v, cents(ci))
+          if (sc >= bestS) { best = ci; bestS = sc }
+          ci += 1
+        }
+        var j = 0
+        while (j < dim) { sums(best)(j) += v(j); j += 1 }
+        counts(best) += 1
+      }
       cents = cents.zipWithIndex.map { case (old, ci) =>
-        byCluster.get(ci) match {
-          case Some(rows) =>
-            val vec = new Array[Float](old.length)
-            rows.foreach(r => vec(r.getInt(1)) = r.getDouble(2).toFloat)
-            val norm = math.sqrt(vec.map(x => x.toDouble * x).sum)
-            if (norm > 0) vec.map(x => (x / norm).toFloat) else old
-          case None => old // empty cluster keeps its centroid
+        if (counts(ci) == 0) old // empty cluster keeps its centroid
+        else {
+          val mean = sums(ci).map(_ / counts(ci))
+          val norm = math.sqrt(mean.map(x => x * x).sum)
+          if (norm > 0) mean.map(x => (x / norm).toFloat) else old
         }
       }
     }
-    train.unpersist()
     cents
   }
 }
