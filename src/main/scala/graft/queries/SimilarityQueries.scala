@@ -37,7 +37,15 @@ private[queries] object Ivf {
       struct(graft.functions.cosine_sim(v, typedLit(c)).as("s"), lit(i).as("i"))
     }: _*)
 
-  /** Nearest-centroid index for a vector column. */
+  /** Nearest-centroid index for a vector column.
+    *
+    * Scale note: this compiles k cosine calls into one codegen projection
+    * — the right shape for coarse quantizers up to k ≈ low hundreds
+    * (fixtures use 10-20). An index sized k = √corpus at 100 TB (k in
+    * the thousands) should instead broadcast a centroids DataFrame and
+    * take `max_by(ci, score)` per row id — same contract, join-shaped
+    * plan — because a many-thousand-element literal array expression
+    * defeats codegen. The conf-driven k keeps the choice explicit. */
   def assign(v: Column, cents: Seq[Array[Float]]): Column =
     array_max(simStructs(v, cents)).getField("i")
 
