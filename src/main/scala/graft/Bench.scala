@@ -38,7 +38,8 @@ object Bench {
     val addedSinceBaseline = Set("ann_ivf_topk", "tx_normalize", "tx_redact",
       "dd_dup_clusters", "samp_stratified", "tx_pack_shards",
       "tx_repetition", "dd_canonical_corpus", "tx_decontaminate",
-      "tx_rarity", "dd_semdedup", "tx_chunk")
+      "tx_rarity", "dd_semdedup", "tx_chunk",
+      "samp_mixture", "tx_importance", "ann_filtered_topk")
     val baselineSubset = results.view.filterKeys(!addedSinceBaseline.contains(_))
     val subtotal = baselineSubset.values.sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +

@@ -58,7 +58,8 @@ object ScaleCheck {
       "tx_quality", "b13_window_tumbling", "op_sessionize",
       "dd_dup_clusters", "ann_ivf_topk", "samp_stratified", "tx_pack_shards",
       "tx_repetition", "dd_canonical_corpus", "tx_decontaminate",
-      "tx_rarity", "tx_chunk")
+      "tx_rarity", "tx_chunk", "samp_mixture", "tx_importance",
+      "ann_filtered_topk")
     // dd_semdedup is excluded the same way dd_embed_cosine is: replicated
     // embeddings are bit-identical across copies, so k-fold data has k²
     // true cosine pairs — the linearity signal would measure the fixture,

@@ -80,6 +80,32 @@ object SamplingQueries {
         .orderBy(col("doc_id"))
     },
 
+    // Mixture-weighted sampling: resample the corpus toward a target
+    // domain mixture (the pretraining "data mixing" step — up/down-weight
+    // sources to hit prescribed proportions). Each source carries a keep
+    // rate from a mixture config; selection is the same content-hash
+    // threshold as samp_hash_sample, so the draw is deterministic and
+    // stable under repartitioning. The config is a lookup TABLE joined in
+    // (broadcast — it is O(#sources), never data-sized), not a baked-in
+    // CASE: a real pipeline feeds rates from a config store, and the join
+    // keeps the plan identical whether there are 20 sources or 20,000.
+    // Rates here: source id mod 4 → keep all / ~50% / ~25% / ~10%.
+    QueryDef("samp_mixture", Some(
+      """SELECT doc_id, source FROM documents
+        |WHERE substr(md5(text), 1, 2) <
+        |  CASE CAST(substr(source, 4) AS INTEGER) % 4
+        |    WHEN 0 THEN 'g' WHEN 1 THEN '80' WHEN 2 THEN '40' ELSE '1a' END
+        |ORDER BY doc_id""".stripMargin)) { (s, d) =>
+      val thresholds = Seq("g", "80", "40", "1a")
+      val rates = s.createDataFrame(
+        (0 until 20).map(i => (s"src$i", thresholds(i % 4)))).toDF("source", "keep_below")
+      Tables.load(s, d, "documents")
+        .join(broadcast(rates), Seq("source"))
+        .filter(substring(md5(col("text")), 1, 2) < col("keep_below"))
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("doc_id"))
+    },
+
     // Token-budget shard packing: assign each doc to a ~4096-token shard
     // within a hash bucket — how a pipeline materializes training shards
     // of bounded context length. Running token sum per bucket (buckets

@@ -147,6 +147,41 @@ object SimilarityQueries {
         .orderBy(col("qid"), col("rank"))
     },
 
+    // Filtered vector search: top-k restricted to candidates passing a
+    // metadata predicate (here label % 2 = 0) — the "filtered ANN" every
+    // vector store names as a first-class feature (search within a
+    // tenant/category/date slice). Pre-filtering is the Spark-native win:
+    // the predicate composes into the scan (PushedFilters on the
+    // candidate side), so selectivity cuts the distance work
+    // proportionally instead of post-filtering a too-small top-k. Same
+    // broadcast-probe single-pass shape as ann_brute_topk.
+    QueryDef("ann_filtered_topk", Some(
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < $NQueries),
+         |  c AS (SELECT q.qid, e.vec_id,
+         |    list_sum(list_transform(list_zip(q.qe, e.embedding), x -> CAST(x[1] AS DOUBLE) * x[2]))
+         |      / sqrt(list_sum(list_transform(q.qe, x -> CAST(x AS DOUBLE) * x))
+         |           * list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * x))) AS cos
+         |  FROM q, embeddings e WHERE e.vec_id <> q.qid AND e.label % 2 = 0)
+         |SELECT qid, rank, vec_id FROM (
+         |  SELECT qid, vec_id, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rank
+         |  FROM c) WHERE rank <= $K ORDER BY qid, rank""".stripMargin)) { (s, d) =>
+      val all = emb(s, d)
+      val e = all.filter(col("label") % 2 === 0)
+        .select(col("vec_id"), col("embedding"),
+          dot_product(col("embedding"), col("embedding")).as("nsq"))
+      val q = all.filter(col("vec_id") < NQueries)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+          dot_product(col("embedding"), col("embedding")).as("qn"))
+      val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
+      e.join(broadcast(q), col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id"),
+          (dot_product(col("qe"), col("embedding")) / sqrt(col("qn") * col("nsq"))).as("cos"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= K)
+        .select(col("qid"), col("rank"), col("vec_id"))
+        .orderBy(col("qid"), col("rank"))
+    },
+
     // LSH-bucketed ANN: multi-table random-hyperplane LSH (L tables x b
     // bits, 1-bit multi-probe on the query side). Bits per table scale
     // with log(corpus/bucket-target) — 4 bits suits the 500-5000-vector

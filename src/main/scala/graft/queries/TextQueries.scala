@@ -290,6 +290,53 @@ object TextQueries {
         .orderBy(col("doc_id"))
     },
 
+    // DSIR-style importance scoring: rank general-corpus docs by how
+    // target-domain-like they are (here target = source 'src0', the
+    // in-domain seed set), via unigram corpus statistics — the
+    // importance-resampling selection step of a pretraining pipeline.
+    // Per doc: total target-model mass and corpus-model mass of its
+    // tokens (integer count sums — float-free, hash-stable) plus the
+    // number of target-leaning tokens, decided by the exact integer
+    // cross-multiplication c_t·N_corpus > c_a·N_target (no division, no
+    // log — downstream can form the ratio; the oracle-checked engine
+    // output stays bit-exact). Plan shape mirrors tx_rarity: two
+    // vocabulary aggregations on 8-byte token hashes, then one shuffle
+    // join per model (target vocab is NOT broadcast — it is corpus-sized
+    // at 100 TB); the 1-row totals frame rides in as a broadcast cross
+    // join, never a driver-side constant bake.
+    QueryDef("tx_importance", Some(
+      """WITH tok AS (SELECT doc_id, source, unnest(string_split(text,' ')) AS t FROM documents),
+        |ct AS (SELECT t, count(*) AS c_t FROM tok WHERE source = 'src0' GROUP BY t),
+        |ca AS (SELECT t, count(*) AS c_a FROM tok GROUP BY t),
+        |tot AS (SELECT (SELECT CAST(sum(c_t) AS BIGINT) FROM ct) AS n_t,
+        |               (SELECT CAST(sum(c_a) AS BIGINT) FROM ca) AS n_a)
+        |SELECT doc_id, count(*) AS n_tokens,
+        |  CAST(sum(coalesce(c_t, 0)) AS BIGINT) AS tgt_mass,
+        |  CAST(sum(c_a) AS BIGINT) AS corp_mass,
+        |  count(*) FILTER (WHERE coalesce(c_t, 0) * n_a > c_a * n_t) AS n_target_leaning
+        |FROM tok JOIN ca USING (t) LEFT JOIN ct USING (t) CROSS JOIN tot
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin)) { (s, d) =>
+      val tok = docs(s, d)
+        .select(col("doc_id"), col("source"), explode(toks).as("t"))
+        .select(col("doc_id"), col("source"), xxhash64(col("t")).as("h"))
+      val ct = tok.filter(col("source") === "src0")
+        .groupBy(col("h")).agg(count(lit(1)).as("c_t"))
+      val ca = tok.groupBy(col("h")).agg(count(lit(1)).as("c_a"))
+      val tot = ca.agg(sum(col("c_a")).as("n_a"))
+        .crossJoin(ct.agg(sum(col("c_t")).as("n_t")))
+      tok.join(ca, Seq("h"))
+        .join(ct, Seq("h"), "left")
+        .withColumn("c_t", coalesce(col("c_t"), lit(0L)))
+        .crossJoin(broadcast(tot))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(col("c_t")).as("tgt_mass"),
+          sum(col("c_a")).as("corp_mass"),
+          count(when(col("c_t") * col("n_a") > col("c_a") * col("n_t"), 1))
+            .as("n_target_leaning"))
+        .orderBy(col("doc_id"))
+    },
+
     // Context-window chunking: split each document into overlapping
     // token windows (32-token chunks, 8-token overlap → stride 24) — how
     // a pipeline materializes model-ready sequences from variable-length

@@ -215,6 +215,68 @@ class ApproxSuiteSpec extends AnyFunSuite {
     assert(math.abs(rank - 0.5) < 0.03)
   }
 
+  test("samp_mixture achieves the configured per-group keep rates") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.sources.Tables.load(spark, sfDir, "documents")
+    val grp = (substring(col("source"), 4, 10).cast("int") % 4).as("grp")
+    val total = docs.groupBy(grp).count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val kept = run("samp_mixture").groupBy(grp).count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    // group 0 keeps everything exactly; the hashed groups land near
+    // their targets (50/25/10%) within fixture-size noise
+    assert(kept(0) == total(0))
+    val r1 = kept(1).toDouble / total(1)
+    val r2 = kept(2).toDouble / total(2)
+    val r3 = kept.getOrElse(3, 0L).toDouble / total(3)
+    info(f"rates: 1.00 / $r1%.3f / $r2%.3f / $r3%.3f")
+    assert(r1 > 0.30 && r1 < 0.75, s"~50% group got $r1")
+    assert(r2 > 0.08 && r2 < 0.45, s"~25% group got $r2")
+    assert(r3 < 0.25, s"~10% group got $r3")
+    assert(r1 > r2 && r2 > r3, "rates must order with the configured weights")
+  }
+
+  test("tx_importance: target-domain docs lean target; masses are consistent") {
+    import org.apache.spark.sql.functions._
+    val imp = run("tx_importance")
+    // target mass can never exceed corpus mass (src0 tokens are a subset
+    // of corpus tokens), and every token contributes at least 1 corpus hit
+    assert(imp.filter(col("tgt_mass") > col("corp_mass")).isEmpty)
+    assert(imp.filter(col("corp_mass") < col("n_tokens")).isEmpty)
+    // token counts agree with tx_tokens
+    val mismatch = imp.select(col("doc_id"), col("n_tokens"))
+      .join(run("tx_tokens").select(col("doc_id"), col("n_tokens").as("nt2")), Seq("doc_id"))
+      .filter(col("n_tokens") =!= col("nt2"))
+    assert(mismatch.isEmpty)
+    // the point of the score: docs drawn from the target source lean
+    // target more than the rest of the corpus (exact on the fixed fixture)
+    val docs = graft.sources.Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), (col("source") === "src0").as("is_tgt"))
+    val Array(tgtFrac, restFrac) = imp.join(docs, Seq("doc_id"))
+      .groupBy(col("is_tgt"))
+      .agg(avg(col("n_target_leaning").cast("double") / col("n_tokens")).as("f"))
+      .orderBy(col("is_tgt").desc).collect().map(_.getDouble(1))
+    info(f"target-leaning frac: src0=$tgtFrac%.3f rest=$restFrac%.3f")
+    assert(tgtFrac > restFrac)
+  }
+
+  test("ann_filtered_topk is the exact filtered top-k (predicate honored)") {
+    import org.apache.spark.sql.functions._
+    val res = run("ann_filtered_topk")
+    val emb = graft.sources.Tables.load(spark, sfDir, "embeddings")
+    // every neighbor satisfies the metadata predicate
+    assert(res.join(emb, Seq("vec_id")).filter(col("label") % 2 =!= 0).isEmpty)
+    // full k rows per probe, ranks 1..k
+    val perQ = res.groupBy(col("qid")).count().collect()
+    assert(perQ.nonEmpty && perQ.forall(_.getLong(1) == 10))
+    // filtering changed the answer vs the unfiltered exact top-k (some
+    // odd-label neighbor was in the unfiltered result)
+    val brute = run("ann_brute_topk").withColumnRenamed("vec_id", "bv")
+    val diff = res.join(brute, Seq("qid", "rank"))
+      .filter(col("vec_id") =!= col("bv"))
+    assert(!diff.isEmpty, "filtered result should differ from unfiltered brute force")
+  }
+
   test("custom expressions are deterministic across partitionings") {
     import org.apache.spark.sql.functions._
     import graft.functions._

@@ -128,6 +128,27 @@ class PlanSpec extends AnyFunSuite {
       s"token strings must be hashed before any exchange:\n${rarityExchanges.mkString("\n")}")
   }
 
+  test("mixture sampling broadcasts the rates table; importance hashes tokens before exchange") {
+    val mix = planStr("samp_mixture")
+    assert(mix.contains("BroadcastHashJoin"),
+      s"the O(#sources) rates config must broadcast, never shuffle the corpus:\n$mix")
+    val imp = planStr("tx_importance")
+    val exchanges = imp.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(exchanges.nonEmpty, imp)
+    assert(!exchanges.exists(_.contains("t#")),
+      s"token strings must be hashed to longs before any exchange:\n${exchanges.mkString("\n")}")
+    assert(imp.contains("BroadcastNestedLoopJoin") || imp.contains("BroadcastExchange"),
+      s"the 1-row totals frame must ride in as a broadcast:\n$imp")
+  }
+
+  test("filtered ann pushes the metadata predicate into the candidate scan") {
+    val p = planStr("ann_filtered_topk")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      s"probe side must broadcast:\n$p")
+    assert(p.contains("PushedFilters") && p.contains("IsNotNull(label)"),
+      s"label predicate must reach the parquet scan:\n$p")
+  }
+
   test("bql-compiled plans get the same pushdown as hand-written ones") {
     val df = graft.bql.Compiler.compile(
       "SELECT event_id FROM STREAM WHERE event_type == 'click'")._2(
