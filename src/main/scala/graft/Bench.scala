@@ -39,7 +39,8 @@ object Bench {
       "dd_dup_clusters", "samp_stratified", "tx_pack_shards",
       "tx_repetition", "dd_canonical_corpus", "tx_decontaminate",
       "tx_rarity", "dd_semdedup", "tx_chunk",
-      "samp_mixture", "tx_importance", "ann_filtered_topk")
+      "samp_mixture", "tx_importance", "ann_filtered_topk",
+      "srch_bm25", "dd_cross_dedup", "tx_corpus_stats")
     val baselineSubset = results.view.filterKeys(!addedSinceBaseline.contains(_))
     val subtotal = baselineSubset.values.sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +

@@ -303,6 +303,34 @@ object DedupQueries {
         .filter(dot_product(col("ea"), col("eb")) / sqrt(col("na") * col("nb")) >= 0.4)
         .select(col("vec_a"), col("vec_b"))
         .orderBy(col("vec_a"), col("vec_b"))
+    },
+
+    // Cross-split dedup: drop training docs whose order-insensitive
+    // content fingerprint (sorted distinct token set — catches shuffled
+    // copies byte-hashing misses) collides with any held-out doc
+    // (source 'src0' stands in for the eval split). The decontamination
+    // twin at doc granularity: tx_decontaminate measures partial n-gram
+    // overlap, this removes whole-doc duplicates across splits. Scale
+    // shape: the held-out split is benchmark-sized, so its fingerprint
+    // counts BROADCAST; the corpus pays one linear fingerprint pass and
+    // an equi-join that only contaminated docs survive — no corpus
+    // shuffle (the final ORDER BY is oracle determinism only).
+    QueryDef("dd_cross_dedup", Some(
+      """WITH f AS (SELECT doc_id, source,
+        |    md5(array_to_string(list_sort(list_distinct(string_split(text,' '))),' ')) AS fp
+        |  FROM documents),
+        |ev AS (SELECT fp, count(*) AS n_eval_matches FROM f WHERE source = 'src0' GROUP BY fp)
+        |SELECT doc_id, n_eval_matches FROM f JOIN ev USING (fp)
+        |WHERE source <> 'src0' ORDER BY doc_id""".stripMargin)) { (s, d) =>
+      val evalSource = s.conf.get("spark.graft.decontaminate.evalSource", "src0")
+      val f = docs(s, d).select(col("doc_id"), col("source"),
+        md5(concat_ws(" ", array_sort(array_distinct(toks)))).as("fp"))
+      val ev = f.filter(col("source") === evalSource)
+        .groupBy(col("fp")).agg(count(lit(1)).as("n_eval_matches"))
+      f.filter(col("source") =!= evalSource)
+        .join(broadcast(ev), Seq("fp"))
+        .select(col("doc_id"), col("n_eval_matches"))
+        .orderBy(col("doc_id"))
     }
   )
 }

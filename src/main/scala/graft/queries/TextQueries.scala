@@ -369,6 +369,35 @@ object TextQueries {
         .orderBy(col("doc_id"), col("ci"))
     },
 
+    // Per-source corpus reporting: the snapshot table a pipeline publishes
+    // per ingest source — doc/token volumes, language spread, and discrete
+    // length percentiles. percentile_disc picks an actual element
+    // (smallest value with cumulative distribution ≥ p, identical
+    // semantics in Spark and DuckDB — verified ceil(p·n) on both), so the
+    // output is integer-exact, no interpolated floats. One partial+final
+    // hash aggregate keyed by the ~20 sources; the percentile columns are
+    // the only per-group sort and they sort (source, n_chars) pairs, not
+    // documents.
+    QueryDef("tx_corpus_stats", Some(
+      """SELECT source, count(*) AS n_docs,
+        |  CAST(sum(len(string_split(text,' '))) AS BIGINT) AS total_tokens,
+        |  count(DISTINCT lang) AS n_langs,
+        |  CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY n_chars) AS BIGINT) AS p50_chars,
+        |  CAST(percentile_disc(0.95) WITHIN GROUP (ORDER BY n_chars) AS BIGINT) AS p95_chars
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin)) { (s, d) =>
+      docs(s, d)
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(size(toks)).as("total_tokens"),
+          countDistinct(col("lang")).as("n_langs"),
+          expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY n_chars)")
+            .cast(LongType).as("p50_chars"),
+          expr("percentile_disc(0.95) WITHIN GROUP (ORDER BY n_chars)")
+            .cast(LongType).as("p95_chars"))
+        .orderBy(col("source"))
+    },
+
     // Document fingerprinting: md5 over the sorted distinct token set —
     // an order-insensitive content fingerprint (catches shuffled
     // near-duplicates that byte-hashing misses).

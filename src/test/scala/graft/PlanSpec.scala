@@ -149,6 +149,18 @@ class PlanSpec extends AnyFunSuite {
       s"label predicate must reach the parquet scan:\n$p")
   }
 
+  test("bm25 broadcasts corpus stats and heap-selects top-k; cross-dedup broadcasts eval") {
+    val p = planStr("srch_bm25")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-k must be per-partition heaps, not a global sort:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"the 1-row stats frame must broadcast:\n$p")
+    val x = planStr("dd_cross_dedup")
+    assert(x.contains("BroadcastHashJoin"),
+      s"the benchmark-sized eval fingerprint set must broadcast:\n$x")
+    assert(!x.contains("SortMergeJoin"), s"the corpus must not shuffle:\n$x")
+  }
+
   test("bql-compiled plans get the same pushdown as hand-written ones") {
     val df = graft.bql.Compiler.compile(
       "SELECT event_id FROM STREAM WHERE event_type == 'click'")._2(

@@ -1,0 +1,101 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantics tests for the lexical-search and corpus-reporting queries
+  * (`srch_bm25`, `dd_cross_dedup`, `tx_corpus_stats`) on hand-built
+  * fixtures where the expected answer is computable by hand — the
+  * value-level gate on the driver fixtures is the DuckDB oracle. */
+class SearchAndStatsSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = GraftSession.local(4)
+
+  /** Write a documents table with the driver fixture's schema and return
+    * its directory. */
+  private def docsDir(rows: Seq[(Long, String, String, String)]): String = {
+    val dir = Files.createTempDirectory("graft-search-fixture").toString
+    val s = spark
+    import s.implicits._
+    rows.map { case (id, text, lang, source) => (id, text, lang, source, text.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  // ---- srch_bm25 -------------------------------------------------------
+
+  test("bm25: exact score on a hand-computed corpus") {
+    // 4 docs, terms spark/merge/window; doc 0 holds 2 'spark' + 1 'merge'
+    val dir = docsDir(Seq(
+      (0L, "spark spark merge pad pad pad", "en", "src1"),
+      (1L, "spark pad pad pad pad pad", "en", "src1"),
+      (2L, "window pad pad pad pad pad", "en", "src1"),
+      (3L, "pad pad pad pad pad pad", "en", "src1")))
+    val rows = SparkEntry.queries("srch_bm25")(spark, dir).collect()
+    // every doc has dl=6, avgdl=6 → length norm is 1; denom = tf + k1
+    val k1 = 1.2
+    def idf(df: Int) = math.log(1 + (4 - df + 0.5) / (df + 0.5))
+    def tfw(tf: Int) = tf * (k1 + 1) / (tf + k1)
+    val expected = Map(
+      0L -> (idf(2) * tfw(2) + idf(1) * tfw(1)), // spark df=2, merge df=1
+      1L -> idf(2) * tfw(1),
+      2L -> idf(1) * tfw(1),
+      3L -> 0.0)
+    // doc2's single rare term (df=1 → idf ln(10/3)) outscores doc1's
+    // common one (df=2 → idf ln 2)
+    assert(rows.map(_.getLong(0)).toSeq == Seq(0L, 2L, 1L, 3L), "rank order")
+    assert(rows.map(_.getInt(1)).toSeq == Seq(1, 2, 3, 4), "contiguous ranks")
+    rows.foreach { r =>
+      val want = math.floor(expected(r.getLong(0)) * 1e6).toLong
+      assert(r.getLong(2) == want, s"doc ${r.getLong(0)}: got ${r.getLong(2)}, want $want")
+    }
+  }
+
+  test("bm25: longer documents score below shorter ones at equal tf") {
+    val dir = docsDir(Seq(
+      (0L, "spark pad", "en", "src1"),
+      (1L, "spark " + Seq.fill(20)("pad").mkString(" "), "en", "src1"),
+      (2L, "pad pad", "en", "src1")))
+    val rows = SparkEntry.queries("srch_bm25")(spark, dir).collect()
+    assert(rows.map(_.getLong(0)).toSeq.take(2) == Seq(0L, 1L),
+      "short doc outranks long doc at equal tf")
+  }
+
+  // ---- dd_cross_dedup --------------------------------------------------
+
+  test("cross-dedup flags shuffled token-set copies of eval docs, counts matches") {
+    val dir = docsDir(Seq(
+      (0L, "alpha beta gamma", "en", "src0"), // eval
+      (1L, "gamma beta alpha alpha", "en", "src0"), // eval, same token SET
+      (2L, "beta alpha gamma gamma", "en", "src3"), // train: shuffled copy → 2 eval matches
+      (3L, "alpha beta delta", "en", "src3"), // train: different set → clean
+      (4L, "alpha beta gamma", "en", "src4"))) // train: exact copy → 2 eval matches
+    val rows = SparkEntry.queries("dd_cross_dedup")(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows == Map(2L -> 2L, 4L -> 2L), s"got $rows")
+  }
+
+  // ---- tx_corpus_stats -------------------------------------------------
+
+  test("corpus stats: discrete percentiles pick the ceil(p*n) element per source") {
+    // src1: n_chars 1,2,3,4,5 (p50 → 3rd = 3, p95 → ceil(4.75)=5th = 5)
+    val texts = Seq("a", "ab", "abc", "abcd", "abcde")
+    val dir = docsDir(
+      texts.zipWithIndex.map { case (t, i) => (i.toLong, t, if (i < 2) "en" else "de", "src1") } :+
+        (9L, "xx yy", "fr", "src2"))
+    val rows = SparkEntry.queries("tx_corpus_stats")(spark, dir).collect()
+    assert(rows.length == 2)
+    val src1 = rows.find(_.getString(0) == "src1").get
+    assert(src1.getLong(1) == 5, "n_docs")
+    assert(src1.getLong(2) == 5, "total_tokens: five 1-token docs")
+    assert(src1.getLong(3) == 2, "n_langs")
+    assert(src1.getLong(4) == 3, "p50 = 3rd of 5")
+    assert(src1.getLong(5) == 5, "p95 = 5th of 5")
+    val src2 = rows.find(_.getString(0) == "src2").get
+    assert(src2.getLong(1) == 1 && src2.getLong(2) == 2 &&
+      src2.getLong(4) == 5 && src2.getLong(5) == 5)
+  }
+}
