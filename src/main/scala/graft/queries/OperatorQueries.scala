@@ -96,6 +96,78 @@ object OperatorQueries {
         .groupBy(col("user_id"), col("session_id"))
         .agg(count(lit(1)).as("n_events"))
         .orderBy(col("user_id"), col("session_id"))
+    },
+
+    // FULL OUTER JOIN — the one outer-join shape the suite lacked
+    // (inner/left/semi/anti live in CoreQueries). Both sides are filtered
+    // so each contributes unmatched rows; the aggregated orders side
+    // makes the join key unique per side, so coalesced custkey is a total
+    // ORDER BY. Scale: both sides shuffle on the key (full outer cannot
+    // broadcast — preserved rows exist on BOTH sides); AQE handles skew.
+    QueryDef("j_full_outer", Some(
+      """SELECT coalesce(c.c_custkey, o.custkey) AS custkey,
+        |  c.c_acctbal, o.n_big_orders
+        |FROM (SELECT c_custkey, c_acctbal FROM customer WHERE c_acctbal < 1000) c
+        |FULL OUTER JOIN (
+        |  SELECT o_custkey AS custkey, count(*) AS n_big_orders
+        |  FROM orders WHERE o_totalprice > 150000 GROUP BY o_custkey) o
+        |ON c.c_custkey = o.custkey
+        |ORDER BY custkey""".stripMargin)) { (s, d) =>
+      val c = Tables.load(s, d, "customer")
+        .filter(col("c_acctbal") < 1000)
+        .select(col("c_custkey"), col("c_acctbal"))
+      val o = Tables.load(s, d, "orders")
+        .filter(col("o_totalprice") > 150000)
+        .groupBy(col("o_custkey").as("custkey"))
+        .agg(count(lit(1)).as("n_big_orders"))
+      c.join(o, col("c_custkey") === col("custkey"), "full_outer")
+        .select(coalesce(col("c_custkey"), col("custkey")).as("custkey"),
+          col("c_acctbal"), col("n_big_orders"))
+        .orderBy(col("custkey"))
+    },
+
+    // PIVOT: long→wide reshaping (per-language doc counts fanned across
+    // sources). The value list is EXPLICIT — `.pivot(col)` without values
+    // runs a distinct scan over the corpus just to learn the columns, an
+    // extra pass a 100 TB pipeline never wants. With the list bound,
+    // Catalyst compiles a two-stage aggregate (count per (lang, source),
+    // then pivotfirst per lang) — both stages map-side combined, so each
+    // exchange carries one row per key per task, never corpus rows.
+    // Counts are null-coalesced to 0 to match the FILTER-aggregate
+    // relational form.
+    QueryDef("op_pivot", Some(
+      """SELECT lang,
+        |  count(*) FILTER (WHERE source = 'src0') AS src0,
+        |  count(*) FILTER (WHERE source = 'src1') AS src1,
+        |  count(*) FILTER (WHERE source = 'src2') AS src2,
+        |  count(*) FILTER (WHERE source = 'src3') AS src3
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)) { (s, d) =>
+      val sources = Seq("src0", "src1", "src2", "src3")
+      val p = Tables.load(s, d, "documents")
+        .groupBy(col("lang"))
+        .pivot("source", sources)
+        .agg(count(lit(1)))
+      p.select(col("lang") +: sources.map(v => coalesce(col(v), lit(0L)).as(v)): _*)
+        .orderBy(col("lang"))
+    },
+
+    // UNPIVOT (melt): wide→long reshaping, the inverse op — numeric part
+    // attributes stacked into (key, attr, val) rows. Spark's native
+    // `unpivot` keeps this a zero-shuffle codegen'd projection (each row
+    // fans out locally); the ORDER BY exists for the oracle only.
+    QueryDef("op_unpivot", Some(
+      """SELECT p_partkey, attr, val FROM (
+        |  SELECT p_partkey, 'p_retailprice' AS attr, p_retailprice AS val FROM part
+        |  UNION ALL
+        |  SELECT p_partkey, 'p_size' AS attr, CAST(p_size AS DOUBLE) AS val FROM part)
+        |ORDER BY p_partkey, attr""".stripMargin)) { (s, d) =>
+      Tables.load(s, d, "part")
+        .unpivot(
+          ids = Array(col("p_partkey")),
+          values = Array(col("p_retailprice"), col("p_size").cast(DoubleType).as("p_size")),
+          variableColumnName = "attr",
+          valueColumnName = "val")
+        .orderBy(col("p_partkey"), col("attr"))
     }
   )
 }

@@ -161,6 +161,20 @@ class PlanSpec extends AnyFunSuite {
     assert(!x.contains("SortMergeJoin"), s"the corpus must not shuffle:\n$x")
   }
 
+  test("full outer shuffles both sides; pivot is one conditional aggregate; unpivot never shuffles") {
+    val fo = planStr("j_full_outer")
+    assert(fo.contains("FullOuter"), s"join must be full outer:\n$fo")
+    val pv = planStr("op_pivot")
+    // explicit value list → two map-side-combined aggregate stages and no
+    // distinct-scan job; every exchange must sit above a partial aggregate
+    assert(pv.contains("partial_pivotfirst"), s"pivot must pre-aggregate map-side:\n$pv")
+    assert("Exchange hashpartitioning".r.findAllIn(pv).size <= 2,
+      s"pivot with bound values is two aggregate exchanges, no more:\n$pv")
+    val up = planStr("op_unpivot")
+    assert(!up.contains("Exchange hashpartitioning"),
+      s"unpivot is a per-row local fan-out; only the oracle ORDER BY may exchange:\n$up")
+  }
+
   test("bql-compiled plans get the same pushdown as hand-written ones") {
     val df = graft.bql.Compiler.compile(
       "SELECT event_id FROM STREAM WHERE event_type == 'click'")._2(
