@@ -38,6 +38,11 @@ object TextQueries {
   private def hitCount(lexicon: Seq[String]): Column =
     size(filter(toks, t => t.isInCollection(lexicon)))
 
+  /** Numeric value 0..15 of a single hex-digit column (Spark `conv`;
+    * the DuckDB oracle spells the same thing `strpos(hexAlphabet, c) - 1`). */
+  private def nibbleValue(c: Column): Column =
+    conv(c, 16, 10).cast(LongType)
+
   private def sqlHitCount(lexicon: Seq[String]): String =
     s"len(list_filter(string_split(text,' '), t -> list_contains([${lexicon.map("'" + _ + "'").mkString(",")}], t)))"
 
@@ -367,6 +372,37 @@ object TextQueries {
           concat_ws(" ", slice(col("t"), (col("ci") * stride + 1).cast("int"), lit(width)))
             .as("chunk"))
         .orderBy(col("doc_id"), col("ci"))
+    },
+
+    // Hashed-feature linear classifier scoring — the "apply the trained
+    // quality/safety filter to the whole corpus" pass. The model is a
+    // weight vector over hashed token features (the fasttext-style shape);
+    // per doc the score is Σ w[h(token)] and the keep decision is a
+    // threshold. Weights here are a 16-bucket stand-in bound to the md5
+    // first nibble so the DuckDB oracle is bit-exact and integer-only; a
+    // real deployment swaps in its trained vector (broadcast, or baked
+    // into the expression like this) without changing the plan: one
+    // linear codegen'd pass, no explode, no shuffle (ORDER BY is oracle
+    // determinism only).
+    QueryDef("tx_classify", Some(
+      """SELECT doc_id, len(string_split(text,' ')) AS n_tokens,
+        |  CAST(list_sum(list_transform(string_split(text,' '),
+        |    x -> strpos('0123456789abcdef', substr(md5(x),1,1)) - 9)) AS BIGINT) AS score,
+        |  CASE WHEN list_sum(list_transform(string_split(text,' '),
+        |    x -> strpos('0123456789abcdef', substr(md5(x),1,1)) - 9)) >= 0
+        |    THEN 1 ELSE 0 END AS keep
+        |FROM documents ORDER BY doc_id""".stripMargin)) { (s, d) =>
+      // w(token) = md5 first-nibble value − 8 (∈ [−8, 7]); fold with
+      // aggregate() so no per-token rows ever exist
+      val score = aggregate(
+        transform(toks, x => nibbleValue(substring(md5(x), 1, 1)) - 8),
+        lit(0L), (acc, x) => acc + x)
+      docs(s, d).select(
+        col("doc_id"),
+        size(toks).cast(LongType).as("n_tokens"),
+        score.as("score"),
+        when(score >= 0, 1).otherwise(0).as("keep"))
+        .orderBy(col("doc_id"))
     },
 
     // Per-source corpus reporting: the snapshot table a pipeline publishes

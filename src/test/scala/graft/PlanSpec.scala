@@ -159,6 +159,9 @@ class PlanSpec extends AnyFunSuite {
     assert(x.contains("BroadcastHashJoin"),
       s"the benchmark-sized eval fingerprint set must broadcast:\n$x")
     assert(!x.contains("SortMergeJoin"), s"the corpus must not shuffle:\n$x")
+    val cl = planStr("tx_classify")
+    assert(!cl.contains("Exchange hashpartitioning"),
+      s"classifier scoring is a per-row fold; only the oracle ORDER BY may exchange:\n$cl")
   }
 
   test("full outer shuffles both sides; pivot is one conditional aggregate; unpivot never shuffles") {

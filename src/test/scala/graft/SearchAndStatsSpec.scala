@@ -78,6 +78,23 @@ class SearchAndStatsSpec extends AnyFunSuite {
     assert(rows == Map(2L -> 2L, 4L -> 2L), s"got $rows")
   }
 
+  // ---- tx_classify -----------------------------------------------------
+
+  test("classifier score equals the hand-computed hashed-weight sum") {
+    val dir = docsDir(Seq(
+      (0L, "alpha beta", "en", "src1"),
+      (1L, "alpha alpha alpha", "en", "src1")))
+    def w(token: String): Long = {
+      val md5 = java.security.MessageDigest.getInstance("MD5")
+        .digest(token.getBytes("UTF-8"))
+      ((md5(0) >> 4) & 0xf).toLong - 8
+    }
+    val rows = SparkEntry.queries("tx_classify")(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getInt(3)))).toMap
+    assert(rows(0L) == ((2L, w("alpha") + w("beta"), if (w("alpha") + w("beta") >= 0) 1 else 0)))
+    assert(rows(1L) == ((3L, 3 * w("alpha"), if (3 * w("alpha") >= 0) 1 else 0)))
+  }
+
   // ---- tx_corpus_stats -------------------------------------------------
 
   test("corpus stats: discrete percentiles pick the ceil(p*n) element per source") {
