@@ -64,6 +64,55 @@ object FunctionQueries {
           (col("event_id") % 7).as("m7"),
           sqrt(col("user_id").cast(DoubleType)).as("sq"))
         .orderBy(col("event_id"))
+    },
+
+    // Feature standardization (z-score) — the numeric-feature prep pass of
+    // an ML pipeline. Population mean/std are computed from EXACT integer
+    // sums (n, Σx, Σx² as BIGINTs — p_size is an int column), so every
+    // downstream double op (division, sqrt — both IEEE-correctly-rounded)
+    // is bit-identical cross-engine; the engines' own stddev() aggregates
+    // are deliberately avoided (float summation order varies). Shape: one
+    // map-side-combined stats aggregate broadcast back over one linear
+    // pass — the same two-scan stats-then-apply pattern as srch_bm25.
+    QueryDef("fn_zscore", Some(
+      """WITH st AS (SELECT count(*) AS n, CAST(sum(p_size) AS BIGINT) AS s1,
+        |    CAST(sum(p_size * p_size) AS BIGINT) AS s2 FROM part)
+        |SELECT p_partkey, p_size,
+        |  (p_size - CAST(s1 AS DOUBLE)/n)
+        |    / sqrt(CAST(s2 AS DOUBLE)/n - (CAST(s1 AS DOUBLE)/n) * (CAST(s1 AS DOUBLE)/n)) AS z
+        |FROM part CROSS JOIN st ORDER BY p_partkey""".stripMargin)) { (s, d) =>
+      val part = Tables.load(s, d, "part")
+      val x = col("p_size").cast(LongType)
+      val st = part.agg(count(lit(1)).as("n"), sum(x).as("s1"), sum(x * x).as("s2"))
+      val mu = col("s1").cast(DoubleType) / col("n")
+      part.crossJoin(broadcast(st))
+        .select(col("p_partkey"), col("p_size"),
+          ((col("p_size") - mu) / sqrt(col("s2").cast(DoubleType) / col("n") - mu * mu)).as("z"))
+        .orderBy(col("p_partkey"))
+    },
+
+    // Fixed-width histogram — numeric profiling over a double column.
+    // Bounds come from min/max (exact — no summation), the bucket index
+    // from one deterministic floor; the top edge clamps into the last
+    // bucket. Two linear scans (bounds, then assign+count), the 1-row
+    // bounds frame broadcast; the bucket aggregate is 16 groups.
+    QueryDef("fn_histogram", Some(
+      """WITH st AS (SELECT min(o_totalprice) AS lo, max(o_totalprice) AS hi FROM orders),
+        |b AS (SELECT least(CAST(floor((o_totalprice - lo) / ((hi - lo) / 16)) AS BIGINT), 15) AS bucket,
+        |    lo, hi FROM orders CROSS JOIN st)
+        |SELECT bucket, count(*) AS n,
+        |  min(lo + bucket * ((hi - lo) / 16)) AS bucket_lo
+        |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin)) { (s, d) =>
+      val orders = Tables.load(s, d, "orders")
+      val st = orders.agg(min(col("o_totalprice")).as("lo"), max(col("o_totalprice")).as("hi"))
+      val w = (col("hi") - col("lo")) / 16
+      orders.crossJoin(broadcast(st))
+        .select(least(floor((col("o_totalprice") - col("lo")) / w).cast(LongType), lit(15L))
+          .as("bucket"), col("lo"), col("hi"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"),
+          min(col("lo") + col("bucket") * ((col("hi") - col("lo")) / 16)).as("bucket_lo"))
+        .orderBy(col("bucket"))
     }
   )
 }

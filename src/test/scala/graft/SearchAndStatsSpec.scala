@@ -95,6 +95,26 @@ class SearchAndStatsSpec extends AnyFunSuite {
     assert(rows(1L) == ((3L, 3 * w("alpha"), if (3 * w("alpha") >= 0) 1 else 0)))
   }
 
+  // ---- fn_zscore / fn_histogram ---------------------------------------
+
+  test("z-scores have zero mean and unit variance over the driver fixture") {
+    val z = SparkEntry.queries("fn_zscore")(spark, "/root/testdata/sf0.001")
+      .collect().map(_.getDouble(2))
+    val mean = z.sum / z.length
+    val varr = z.map(v => (v - mean) * (v - mean)).sum / z.length
+    assert(math.abs(mean) < 1e-9, s"mean $mean")
+    assert(math.abs(varr - 1.0) < 1e-9, s"variance $varr")
+  }
+
+  test("histogram buckets partition the rows and cover [min, max]") {
+    val rows = SparkEntry.queries("fn_histogram")(spark, "/root/testdata/sf0.001").collect()
+    val total = rows.map(_.getLong(1)).sum
+    val n = spark.read.parquet("/root/testdata/sf0.001/orders.parquet").count()
+    assert(total == n, "every row lands in exactly one bucket")
+    assert(rows.map(_.getLong(0)).toSet.subsetOf((0L to 15L).toSet))
+    assert(rows.map(_.getLong(1)).forall(_ > 0) || rows.length < 16)
+  }
+
   // ---- tx_corpus_stats -------------------------------------------------
 
   test("corpus stats: discrete percentiles pick the ceil(p*n) element per source") {
