@@ -331,6 +331,36 @@ object DedupQueries {
         .join(broadcast(ev), Seq("fp"))
         .select(col("doc_id"), col("n_eval_matches"))
         .orderBy(col("doc_id"))
+    },
+
+    // Fuzzy entity matching: near-identical name pairs by edit distance —
+    // the catalog-normalization op (one vendor's "blue bolt", another's
+    // "blue bolts"). Matching runs on the DISTINCT VOCABULARY, not the
+    // rows: dedupe first, compare second, so the corpus contributes one
+    // linear distinct pass and the quadratic compare touches |vocab|²
+    // pairs (vocab ≪ corpus — entity name sets grow sublinearly in rows;
+    // a length-band prune cuts the candidate set further, and a vocabulary
+    // too large for this shape graduates to the q-gram LSH family above).
+    // levenshtein has identical insert/delete/substitute semantics in
+    // Spark and DuckDB, so pairs + distances oracle-check exactly.
+    QueryDef("dd_fuzzy_names", Some(
+      """WITH n AS (SELECT DISTINCT p_name FROM part)
+        |SELECT a.p_name AS name_a, b.p_name AS name_b,
+        |  CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+        |FROM n a JOIN n b ON a.p_name < b.p_name
+        |  AND abs(length(a.p_name) - length(b.p_name)) <= 2
+        |  AND levenshtein(a.p_name, b.p_name) <= 2
+        |ORDER BY name_a, name_b""".stripMargin)) { (s, d) =>
+      val names = Tables.load(s, d, "part").select(col("p_name")).distinct()
+      val a = names.select(col("p_name").as("name_a"))
+      val b = names.select(col("p_name").as("name_b"))
+      a.join(broadcast(b),
+          col("name_a") < col("name_b") &&
+            abs(length(col("name_a")) - length(col("name_b"))) <= 2 &&
+            levenshtein(col("name_a"), col("name_b")) <= 2)
+        .select(col("name_a"), col("name_b"),
+          levenshtein(col("name_a"), col("name_b")).cast(LongType).as("dist"))
+        .orderBy(col("name_a"), col("name_b"))
     }
   )
 }

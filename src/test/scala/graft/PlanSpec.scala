@@ -162,6 +162,9 @@ class PlanSpec extends AnyFunSuite {
     val cl = planStr("tx_classify")
     assert(!cl.contains("Exchange hashpartitioning"),
       s"classifier scoring is a per-row fold; only the oracle ORDER BY may exchange:\n$cl")
+    val fz = planStr("dd_fuzzy_names")
+    assert(fz.contains("BroadcastNestedLoopJoin"),
+      s"fuzzy matching compares the broadcast distinct vocabulary, never corpus rows:\n$fz")
   }
 
   test("full outer shuffles both sides; pivot is one conditional aggregate; unpivot never shuffles") {

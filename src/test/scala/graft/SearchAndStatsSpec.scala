@@ -95,6 +95,26 @@ class SearchAndStatsSpec extends AnyFunSuite {
     assert(rows(1L) == ((3L, 3 * w("alpha"), if (3 * w("alpha") >= 0) 1 else 0)))
   }
 
+  // ---- dd_fuzzy_names --------------------------------------------------
+
+  test("fuzzy name matching pairs vocabulary entries within edit distance 2") {
+    val dir = Files.createTempDirectory("graft-fuzzy-fixture").toString
+    val s = spark
+    import s.implicits._
+    // names: gear/geer dist 1; gear/gears dist 1; geer/gears dist 2;
+    // widget is 2+ length away OR distance > 2 from all; duplicates of
+    // 'gear' collapse in the distinct pass
+    Seq((1L, "gear", "b", "t", 1, 1.0), (2L, "geer", "b", "t", 1, 1.0),
+      (3L, "gears", "b", "t", 1, 1.0), (4L, "widget", "b", "t", 1, 1.0),
+      (5L, "gear", "b", "t", 1, 1.0))
+      .toDF("p_partkey", "p_name", "p_brand", "p_type", "p_size", "p_retailprice")
+      .write.mode("overwrite").parquet(s"$dir/part.parquet")
+    val rows = SparkEntry.queries("dd_fuzzy_names")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(rows == Set(("gear", "gears", 1L), ("gear", "geer", 1L), ("gears", "geer", 2L)),
+      s"got $rows")
+  }
+
   // ---- fn_zscore / fn_histogram ---------------------------------------
 
   test("z-scores have zero mean and unit variance over the driver fixture") {
