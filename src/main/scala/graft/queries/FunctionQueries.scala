@@ -74,12 +74,18 @@ object FunctionQueries {
     // are deliberately avoided (float summation order varies). Shape: one
     // map-side-combined stats aggregate broadcast back over one linear
     // pass — the same two-scan stats-then-apply pattern as srch_bm25.
+    // The zero-variance guard is integer-exact (n·Σx² = (Σx)² ⟺ σ = 0 —
+    // no float epsilon), mapping a constant feature to z = 0 on both
+    // sides; without it Spark emits NaN where DuckDB's double 0/0 is
+    // NULL. (At extreme scale (Σx)² can outgrow BIGINT — a deployment
+    // with columns that hot switches s1/s2 to DECIMAL(38,0).)
     QueryDef("fn_zscore", Some(
       """WITH st AS (SELECT count(*) AS n, CAST(sum(p_size) AS BIGINT) AS s1,
         |    CAST(sum(p_size * p_size) AS BIGINT) AS s2 FROM part)
         |SELECT p_partkey, p_size,
-        |  (p_size - CAST(s1 AS DOUBLE)/n)
-        |    / sqrt(CAST(s2 AS DOUBLE)/n - (CAST(s1 AS DOUBLE)/n) * (CAST(s1 AS DOUBLE)/n)) AS z
+        |  CASE WHEN n * s2 = s1 * s1 THEN 0.0
+        |    ELSE (p_size - CAST(s1 AS DOUBLE)/n)
+        |      / sqrt(CAST(s2 AS DOUBLE)/n - (CAST(s1 AS DOUBLE)/n) * (CAST(s1 AS DOUBLE)/n)) END AS z
         |FROM part CROSS JOIN st ORDER BY p_partkey""".stripMargin)) { (s, d) =>
       val part = Tables.load(s, d, "part")
       val x = col("p_size").cast(LongType)
@@ -87,18 +93,23 @@ object FunctionQueries {
       val mu = col("s1").cast(DoubleType) / col("n")
       part.crossJoin(broadcast(st))
         .select(col("p_partkey"), col("p_size"),
-          ((col("p_size") - mu) / sqrt(col("s2").cast(DoubleType) / col("n") - mu * mu)).as("z"))
+          when(col("n") * col("s2") === col("s1") * col("s1"), 0.0)
+            .otherwise((col("p_size") - mu) /
+              sqrt(col("s2").cast(DoubleType) / col("n") - mu * mu)).as("z"))
         .orderBy(col("p_partkey"))
     },
 
     // Fixed-width histogram — numeric profiling over a double column.
     // Bounds come from min/max (exact — no summation), the bucket index
     // from one deterministic floor; the top edge clamps into the last
-    // bucket. Two linear scans (bounds, then assign+count), the 1-row
-    // bounds frame broadcast; the bucket aggregate is 16 groups.
+    // bucket, and a degenerate all-equal column (hi = lo → width 0, a 0/0
+    // NaN whose long-cast would throw under ANSI) collapses to bucket 0
+    // on both sides. Two linear scans (bounds, then assign+count), the
+    // 1-row bounds frame broadcast; the bucket aggregate is 16 groups.
     QueryDef("fn_histogram", Some(
       """WITH st AS (SELECT min(o_totalprice) AS lo, max(o_totalprice) AS hi FROM orders),
-        |b AS (SELECT least(CAST(floor((o_totalprice - lo) / ((hi - lo) / 16)) AS BIGINT), 15) AS bucket,
+        |b AS (SELECT CASE WHEN hi = lo THEN 0
+        |      ELSE least(CAST(floor((o_totalprice - lo) / ((hi - lo) / 16)) AS BIGINT), 15) END AS bucket,
         |    lo, hi FROM orders CROSS JOIN st)
         |SELECT bucket, count(*) AS n,
         |  min(lo + bucket * ((hi - lo) / 16)) AS bucket_lo
@@ -107,7 +118,8 @@ object FunctionQueries {
       val st = orders.agg(min(col("o_totalprice")).as("lo"), max(col("o_totalprice")).as("hi"))
       val w = (col("hi") - col("lo")) / 16
       orders.crossJoin(broadcast(st))
-        .select(least(floor((col("o_totalprice") - col("lo")) / w).cast(LongType), lit(15L))
+        .select(when(col("hi") === col("lo"), 0L)
+          .otherwise(least(floor((col("o_totalprice") - col("lo")) / w).cast(LongType), lit(15L)))
           .as("bucket"), col("lo"), col("hi"))
         .groupBy(col("bucket"))
         .agg(count(lit(1)).as("n"),

@@ -135,6 +135,24 @@ class SearchAndStatsSpec extends AnyFunSuite {
     assert(rows.map(_.getLong(1)).forall(_ > 0) || rows.length < 16)
   }
 
+  test("degenerate inputs: constant feature gives z=0; constant column gives one bucket") {
+    val dir = Files.createTempDirectory("graft-degenerate-fixture").toString
+    val s = spark
+    import s.implicits._
+    Seq((1L, "a", "b", "t", 7, 1.0), (2L, "a", "b", "t", 7, 2.0))
+      .toDF("p_partkey", "p_name", "p_brand", "p_type", "p_size", "p_retailprice")
+      .write.mode("overwrite").parquet(s"$dir/part.parquet")
+    val z = SparkEntry.queries("fn_zscore")(spark, dir).collect()
+    assert(z.forall(_.getDouble(2) == 0.0), "constant feature standardizes to 0, not NaN")
+    Seq((1L, 10L, "O", 500.0, new java.sql.Timestamp(0L), "1-URGENT"),
+      (2L, 11L, "O", 500.0, new java.sql.Timestamp(0L), "1-URGENT"))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate", "o_orderpriority")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val h = SparkEntry.queries("fn_histogram")(spark, dir).collect()
+    assert(h.length == 1 && h.head.getLong(0) == 0 && h.head.getLong(1) == 2,
+      s"all-equal column collapses to bucket 0: ${h.mkString(",")}")
+  }
+
   // ---- tx_corpus_stats -------------------------------------------------
 
   test("corpus stats: discrete percentiles pick the ceil(p*n) element per source") {
