@@ -66,6 +66,11 @@ object ScaleCheck {
     // embeddings are bit-identical across copies, so k-fold data has k²
     // true cosine pairs — the linearity signal would measure the fixture,
     // not the plan.
+    // srch_bm25 caveat: token salting means only copy 0 hits the fixed
+    // query terms at kx, so hit DENSITY falls k-fold. The measured cost is
+    // still representative — BM25's work is the per-token tf scan and the
+    // corpus stats aggregate, both of which run in full over every salted
+    // copy; only the top-k heap sees fewer distinct positive scores.
 
     def time(name: String, dir: String): Double = {
       val t0 = System.nanoTime()

@@ -316,15 +316,14 @@ object DedupQueries {
     // an equi-join that only contaminated docs survive — no corpus
     // shuffle (the final ORDER BY is oracle determinism only).
     QueryDef("dd_cross_dedup", Some(
-      """WITH f AS (SELECT doc_id, source,
-        |    md5(array_to_string(list_sort(list_distinct(string_split(text,' '))),' ')) AS fp
+      s"""WITH f AS (SELECT doc_id, source, ${Fingerprints.sql} AS fp
         |  FROM documents),
         |ev AS (SELECT fp, count(*) AS n_eval_matches FROM f WHERE source = 'src0' GROUP BY fp)
         |SELECT doc_id, n_eval_matches FROM f JOIN ev USING (fp)
         |WHERE source <> 'src0' ORDER BY doc_id""".stripMargin)) { (s, d) =>
       val evalSource = s.conf.get("spark.graft.decontaminate.evalSource", "src0")
       val f = docs(s, d).select(col("doc_id"), col("source"),
-        md5(concat_ws(" ", array_sort(array_distinct(toks)))).as("fp"))
+        Fingerprints.tokenSetFp(toks).as("fp"))
       val ev = f.filter(col("source") === evalSource)
         .groupBy(col("fp")).agg(count(lit(1)).as("n_eval_matches"))
       f.filter(col("source") =!= evalSource)

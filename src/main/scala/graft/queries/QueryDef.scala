@@ -19,6 +19,22 @@ final case class QueryDef(
     oracle: Option[String])(
     val run: (SparkSession, String) => DataFrame)
 
+/** The order-insensitive document fingerprint shared by `tx_fingerprint`
+  * and `dd_cross_dedup` (md5 over the sorted distinct token set — catches
+  * shuffled copies byte-hashing misses). ONE definition, expressed for
+  * both engines, so the two queries cannot silently diverge from each
+  * other or from their oracles. */
+private[queries] object Fingerprints {
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.functions._
+
+  val sql: String =
+    "md5(array_to_string(list_sort(list_distinct(string_split(text,' '))),' '))"
+
+  def tokenSetFp(toks: Column): Column =
+    md5(concat_ws(" ", array_sort(array_distinct(toks))))
+}
+
 object QueryDef {
   /** Build the (queries, oracleSql) maps SparkEntry exposes. */
   def toMaps(qs: Seq[QueryDef])

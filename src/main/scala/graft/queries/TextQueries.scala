@@ -393,15 +393,21 @@ object TextQueries {
         |    THEN 1 ELSE 0 END AS keep
         |FROM documents ORDER BY doc_id""".stripMargin)) { (s, d) =>
       // w(token) = md5 first-nibble value − 8 (∈ [−8, 7]); fold with
-      // aggregate() so no per-token rows ever exist
+      // aggregate() so no per-token rows ever exist. The fold is computed
+      // in its OWN projection and `keep` derived from the score column —
+      // putting the same expression in both output columns would run the
+      // md5-per-token fold twice per row (Spark's subexpression
+      // elimination skips lambda-bearing higher-order functions, and
+      // CollapseProject leaves a non-cheap producer referenced twice in
+      // its own projection).
       val score = aggregate(
         transform(toks, x => nibbleValue(substring(md5(x), 1, 1)) - 8),
         lit(0L), (acc, x) => acc + x)
       docs(s, d).select(
         col("doc_id"),
         size(toks).cast(LongType).as("n_tokens"),
-        score.as("score"),
-        when(score >= 0, 1).otherwise(0).as("keep"))
+        score.as("score"))
+        .withColumn("keep", when(col("score") >= 0, 1).otherwise(0))
         .orderBy(col("doc_id"))
     },
 
@@ -438,13 +444,13 @@ object TextQueries {
     // an order-insensitive content fingerprint (catches shuffled
     // near-duplicates that byte-hashing misses).
     QueryDef("tx_fingerprint", Some(
-      """SELECT doc_id,
-        |  md5(array_to_string(list_sort(list_distinct(string_split(text,' '))),' ')) AS fp,
+      s"""SELECT doc_id,
+        |  ${Fingerprints.sql} AS fp,
         |  md5(text) AS exact_fp
         |FROM documents ORDER BY doc_id""".stripMargin)) { (s, d) =>
       docs(s, d).select(
         col("doc_id"),
-        md5(concat_ws(" ", array_sort(array_distinct(toks)))).as("fp"),
+        Fingerprints.tokenSetFp(toks).as("fp"),
         md5(col("text")).as("exact_fp"))
         .orderBy(col("doc_id"))
     }

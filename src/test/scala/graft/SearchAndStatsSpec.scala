@@ -132,7 +132,10 @@ class SearchAndStatsSpec extends AnyFunSuite {
     val n = spark.read.parquet("/root/testdata/sf0.001/orders.parquet").count()
     assert(total == n, "every row lands in exactly one bucket")
     assert(rows.map(_.getLong(0)).toSet.subsetOf((0L to 15L).toSet))
-    assert(rows.map(_.getLong(1)).forall(_ > 0) || rows.length < 16)
+    // bucket_lo must rise strictly with the bucket index (equal-width bins)
+    val byBucket = rows.sortBy(_.getLong(0)).map(_.getDouble(2))
+    assert(byBucket.zip(byBucket.tail).forall { case (a, b) => a < b },
+      s"bucket_lo not strictly increasing: ${byBucket.mkString(",")}")
   }
 
   test("degenerate inputs: constant feature gives z=0; constant column gives one bucket") {
