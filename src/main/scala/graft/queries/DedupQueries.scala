@@ -360,6 +360,51 @@ object DedupQueries {
         .select(col("name_a"), col("name_b"),
           levenshtein(col("name_a"), col("name_b")).cast(LongType).as("dist"))
         .orderBy(col("name_a"), col("name_b"))
+    },
+
+    // Source-pair overlap matrix: for every ordered pair of corpus
+    // sources, how many distinct 5-token shingles they share, and what
+    // fraction of the first source's shingles that is (containment —
+    // asymmetric by design: a small source swallowed by a big one shows
+    // containment ~1 in one direction only). The corpus-curation view of
+    // the dedup family: dd_cross_dedup answers "which eval docs leak into
+    // train", this answers "which SOURCES are copies of each other" before
+    // any per-doc work is spent. Scale shape: one shuffle keyed on the
+    // shingle hash folds each shingle's source set (collect_set bounded by
+    // the source count, not the corpus size — same bound the postings
+    // pattern relies on); pairs explode from that tiny set, so the
+    // second aggregation sees |sources|² keys, never a per-doc row.
+    QueryDef("dd_source_overlap", Some(
+      """WITH g AS (
+        |  SELECT source,
+        |    list_distinct([array_to_string(t[i:i+4],' ') FOR i IN range(1, len(t)-3)]) AS shs
+        |  FROM (SELECT source, string_split(text,' ') AS t FROM documents)),
+        |s AS (SELECT DISTINCT source, sh
+        |      FROM (SELECT source, unnest(shs) AS sh FROM g)),
+        |tot AS (SELECT source, count(*) AS n_a FROM s GROUP BY source),
+        |pair AS (
+        |  SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_shared
+        |  FROM s a JOIN s b ON a.sh = b.sh AND a.source <> b.source
+        |  GROUP BY 1, 2)
+        |SELECT src_a, src_b, n_shared, n_a,
+        |  CAST(n_shared AS DOUBLE) / n_a AS containment
+        |FROM pair JOIN tot ON pair.src_a = tot.source
+        |ORDER BY src_a, src_b""".stripMargin)) { (s, d) =>
+      val srcSets = docs(s, d)
+        .select(col("source"), explode(ngram_hashes(toks, 5)).as("h"))
+        .groupBy(col("h")).agg(collect_set(col("source")).as("ss"))
+      val tot = srcSets
+        .select(explode(col("ss")).as("src_a"))
+        .groupBy(col("src_a")).agg(count(lit(1)).as("n_a"))
+      srcSets
+        .select(explode(col("ss")).as("src_a"), col("ss"))
+        .select(col("src_a"), explode(col("ss")).as("src_b"))
+        .filter(col("src_a") =!= col("src_b"))
+        .groupBy(col("src_a"), col("src_b")).agg(count(lit(1)).as("n_shared"))
+        .join(broadcast(tot), Seq("src_a"))
+        .select(col("src_a"), col("src_b"), col("n_shared"), col("n_a"),
+          (col("n_shared").cast(DoubleType) / col("n_a")).as("containment"))
+        .orderBy(col("src_a"), col("src_b"))
     }
   )
 }

@@ -295,6 +295,45 @@ object TextQueries {
         .orderBy(col("doc_id"))
     },
 
+    // Bigram-level rarity — the sequence-aware sibling of tx_rarity and
+    // the closest integer-exact proxy for bigram-LM perplexity filtering:
+    // a doc whose adjacent-token pairs are mostly corpus-unique is
+    // incoherent (shuffled/garbled text keeps plausible unigrams but
+    // destroys bigrams). Per doc: bigram count, corpus-hapax bigrams, and
+    // total corpus mass of its bigrams (all BIGINT — no log, no float
+    // summation; downstream forms mass/n as the score). Same two-pass
+    // corpus shape as tx_rarity: vocabulary over 8-byte bigram hashes,
+    // then one shuffle join back (no broadcast assumption — a 100 TB
+    // bigram vocabulary is itself corpus-sized). Bigrams come from a
+    // zip_with of the token array against its own tail (codegen'd; the
+    // trailing (last, null) pair concats to null and is filtered), so
+    // bigram strings exist only inside the row before hashing.
+    QueryDef("tx_bigram_rarity", Some(
+      """WITH g AS (SELECT doc_id, [array_to_string(t[i:i+1],' ') FOR i IN range(1, len(t))] AS bgs
+        |           FROM (SELECT doc_id, string_split(text,' ') AS t FROM documents)),
+        |tok AS (SELECT doc_id, unnest(bgs) AS b FROM g),
+        |v AS (SELECT b, count(*) AS c FROM tok GROUP BY b)
+        |SELECT doc_id, count(*) AS n_bigrams,
+        |  count(*) FILTER (WHERE c = 1) AS n_hapax_bigrams,
+        |  CAST(sum(c) AS BIGINT) AS bigram_mass
+        |FROM tok JOIN v USING (b)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin)) { (s, d) =>
+      val t = toks
+      val bigrams = filter(
+        zip_with(t, slice(t, lit(2), size(t)), (a, b) => concat(a, lit(" "), b)),
+        x => x.isNotNull)
+      val bg = docs(s, d)
+        .select(col("doc_id"), explode(bigrams).as("b"))
+        .select(col("doc_id"), xxhash64(col("b")).as("h"))
+      val vocab = bg.groupBy(col("h")).agg(count(lit(1)).as("c"))
+      bg.join(vocab, Seq("h"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"),
+          count(when(col("c") === 1, 1)).as("n_hapax_bigrams"),
+          sum(col("c")).as("bigram_mass"))
+        .orderBy(col("doc_id"))
+    },
+
     // DSIR-style importance scoring: rank general-corpus docs by how
     // target-domain-like they are (here target = source 'src0', the
     // in-domain seed set), via unigram corpus statistics — the
