@@ -181,6 +181,22 @@ class PlanSpec extends AnyFunSuite {
       s"unpivot is a per-row local fan-out; only the oracle ORDER BY may exchange:\n$up")
   }
 
+  test("source overlap and bigram rarity exchange only 8-byte hashes, never shingle strings") {
+    val so = planStr("dd_source_overlap")
+    val soEx = so.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(soEx.nonEmpty, so)
+    assert(!soEx.exists(_.contains("sg#")),
+      s"source-set fold must key on the shingle hash, not the string:\n${soEx.mkString("\n")}")
+    assert(so.contains("BroadcastHashJoin"),
+      s"the O(#sources) totals frame must broadcast:\n$so")
+    val bg = planStr("tx_bigram_rarity")
+    val bgEx = bg.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(!bgEx.exists(_.contains("b#")),
+      s"bigram strings must be hashed to longs before any exchange:\n${bgEx.mkString("\n")}")
+    assert("HashAggregate".r.findAllIn(bg).size >= 2,
+      s"bigram vocabulary count must map-side combine:\n$bg")
+  }
+
   test("bql-compiled plans get the same pushdown as hand-written ones") {
     val df = graft.bql.Compiler.compile(
       "SELECT event_id FROM STREAM WHERE event_type == 'click'")._2(

@@ -176,4 +176,37 @@ class SearchAndStatsSpec extends AnyFunSuite {
     assert(src2.getLong(1) == 1 && src2.getLong(2) == 2 &&
       src2.getLong(4) == 5 && src2.getLong(5) == 5)
   }
+
+  // ---- tx_bigram_rarity ------------------------------------------------
+
+  test("bigram rarity: hand-computed counts, hapax flags, and corpus mass") {
+    // corpus bigrams: 'a b' x3 (two in doc 0, one in doc 1), 'b a' x1,
+    // 'b c' x1; doc 2 has a single token and therefore no bigram row
+    val dir = docsDir(Seq(
+      (0L, "a b a b", "en", "src1"),
+      (1L, "a b c", "en", "src1"),
+      (2L, "x", "en", "src1")))
+    val rows = SparkEntry.queries("tx_bigram_rarity")(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(rows.keySet == Set(0L, 1L), "single-token doc contributes no bigrams")
+    assert(rows(0L) == ((3L, 1L, 7L)), s"doc 0: 3 bigrams, 'b a' hapax, mass 3+1+3: ${rows(0L)}")
+    assert(rows(1L) == ((2L, 1L, 4L)), s"doc 1: 2 bigrams, 'b c' hapax, mass 3+1: ${rows(1L)}")
+  }
+
+  // ---- dd_source_overlap -----------------------------------------------
+
+  test("source overlap: asymmetric containment over shared 5-gram shingles") {
+    // srcA: 6 tokens → 2 shingles; srcB: 5 tokens → 1 shingle, equal to
+    // srcA's first; srcC: disjoint → appears in no pair row
+    val dir = docsDir(Seq(
+      (0L, "t1 t2 t3 t4 t5 t6", "en", "srcA"),
+      (1L, "t1 t2 t3 t4 t5", "en", "srcB"),
+      (2L, "x1 x2 x3 x4 x5", "en", "srcC")))
+    val rows = SparkEntry.queries("dd_source_overlap")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+      .toSet
+    assert(rows == Set(
+      ("srcA", "srcB", 1L, 2L, 0.5),
+      ("srcB", "srcA", 1L, 1L, 1.0)), s"got $rows")
+  }
 }
