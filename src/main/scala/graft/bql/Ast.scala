@@ -33,6 +33,14 @@ object Ast {
   // ---- select list (B2) ----
   final case class SelectItem(expr: Expr, alias: Option[String])
 
+  /** `LATERAL VIEW [OUTER] EXPLODE(expr) AS a [, b]` (bullet-bql's
+    * explode surface): one alias explodes a list to one row per element;
+    * two aliases explode a map to (key, value) rows. `outer` keeps a row
+    * with null element(s) when the collection is empty/null. The stage
+    * runs before WHERE, so the alias is referenceable everywhere
+    * downstream (filter, grouping, select). */
+  final case class LateralView(expr: Expr, aliases: Seq[String], outer: Boolean)
+
   // ---- aggregations (B4-B8) ----
   sealed trait Agg
   case object RawAll extends Agg // SELECT * / plain projection (RAW)
@@ -70,5 +78,6 @@ object Ast {
       window: Option[WindowSpec],
       durationMs: Option[Long],
       culling: Seq[String],
-      copyAll: Boolean = false)
+      copyAll: Boolean = false,
+      lateral: Option[LateralView] = None)
 }

@@ -149,8 +149,19 @@ object Compiler {
   /** Compile to a batch plan `DataFrame => DataFrame` — the same plan runs
     * the DuckDB-checked batch path and each micro-batch of the streaming
     * engine (partials; the window/duration semantics live in the runtime). */
+  /** The LATERAL VIEW EXPLODE stage as a standalone transform — applied
+    * before WHERE by [[batchPlan]], and by the streaming engine's solo
+    * path (a lateral query changes row cardinality, so it can never join
+    * a fused shared-scan job; the engine forces it solo). */
+  def lateralStage(lv: LateralView): DataFrame => DataFrame = { df =>
+    val g = if (lv.outer) explode_outer(column(lv.expr)) else explode(column(lv.expr))
+    if (lv.aliases.size == 2) df.select(col("*"), g.as(lv.aliases))
+    else df.select(col("*"), g.as(lv.aliases.head))
+  }
+
   def batchPlan(q: Query): DataFrame => DataFrame = { df0 =>
     var df = df0
+    q.lateral.foreach(lv => df = lateralStage(lv)(df))
     q.where.foreach(w => df = df.filter(column(w)))
     df = q.agg match {
       case RawAll => rawProjection(q, df)

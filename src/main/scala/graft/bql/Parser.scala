@@ -75,6 +75,25 @@ object Parser {
       val copyAll = star && accept(",")
       val items = if (star && !copyAll) Nil else selectList()
       expect("FROM"); expect("STREAM")
+      val lateral =
+        if (accept("LATERAL")) {
+          expect("VIEW")
+          val outer = accept("OUTER")
+          expect("EXPLODE"); expect("(")
+          val e = expr()
+          expect(")"); expect("AS")
+          val a1 = next()
+          if (a1.isEmpty || !a1(0).isLetter)
+            throw new BqlParseException(s"bad explode alias '$a1'")
+          val aliases =
+            if (accept(",")) {
+              val a2 = next()
+              if (a2.isEmpty || !a2(0).isLetter)
+                throw new BqlParseException(s"bad explode alias '$a2'")
+              Seq(a1, a2)
+            } else Seq(a1)
+          Some(LateralView(e, aliases, outer))
+        } else None
       val where = if (accept("WHERE")) Some(expr()) else None
       val groupKeys =
         if (accept("GROUP")) { expect("BY"); selectList() } else Nil
@@ -128,7 +147,8 @@ object Parser {
             GroupAgg(groupKeys, ops)
         }
       val plainSelect = items.filterNot(_.expr.isInstanceOf[AggCall])
-      Query(plainSelect, where, agg, having, order, limit, window, duration, culling, copyAll)
+      Query(plainSelect, where, agg, having, order, limit, window, duration, culling, copyAll,
+        lateral)
     }
 
     private def windowSpec(): WindowSpec = {

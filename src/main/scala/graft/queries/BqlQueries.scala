@@ -59,6 +59,20 @@ object BqlQueries {
       bql(s, d, "events",
         "SELECT event_type, COUNT(*) AS cnt, AVG(user_id) AS avg_uid FROM STREAM " +
           "GROUP BY event_type HAVING cnt > 150 ORDER BY cnt DESC, event_type")
+    },
+
+    // LATERAL VIEW EXPLODE (bullet-bql's explode surface): unnest a
+    // list-typed field to one row per element, with the alias visible to
+    // WHERE/SELECT. CAST to DOUBLE is an exact float32 widening on both
+    // engines, so the hash compare is deterministic with no float math.
+    QueryDef("bql_explode", Some(
+      """SELECT vec_id, CAST(e AS DOUBLE) AS ev, label
+        |FROM (SELECT vec_id, label, unnest(embedding) AS e FROM embeddings)
+        |WHERE e >= 0.3 ORDER BY vec_id, ev""".stripMargin)) { (s, d) =>
+      bql(s, d, "embeddings",
+        "SELECT vec_id, CAST(e, DOUBLE) AS ev, label FROM STREAM " +
+          "LATERAL VIEW EXPLODE(embedding) AS e " +
+          "WHERE e >= 0.3 ORDER BY vec_id, ev")
     }
   )
 }

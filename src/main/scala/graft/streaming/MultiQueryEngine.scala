@@ -50,6 +50,11 @@ final class MultiQueryEngine(
       val state: QueryState,
       val submittedAt: Long) {
     val filter: Option[org.apache.spark.sql.Column] = query.where.map(Compiler.column)
+    /** LATERAL VIEW stage (B2 explode surface): cardinality-changing, so
+      * the query is forced down the solo path — it can never contribute a
+      * conditional column to a fused shared-scan job. */
+    val pre: Option[org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame] =
+      query.lateral.map(Compiler.lateralStage)
     var windowStart: Long = submittedAt
     var windowRecords: Long = 0L
     var emitsInInterval: Int = 0
@@ -181,14 +186,18 @@ final class MultiQueryEngine(
     val cached = batch.persist()
     try {
       val all = live.values.toSeq.sortBy(_.id)
-      val (globalFusable, rest) = all.partition(_.state match {
+      // lateral (explode) queries change row cardinality before their
+      // filter, so every fusion tier skips them — they run solo with the
+      // lateral stage applied in processOne
+      val (globalFusable, rest) = all.partition(l => l.pre.isEmpty && (l.state match {
         case gs: GroupState => gs.isGlobal
         case _: ThetaState | _: KllState => true
         case _ => false
-      })
+      }))
       // keyed queries (group-bys, top-k) sharing identical key
       // expressions fuse per signature
-      val (keyedGroups, solo) = rest.partition(_.state.isInstanceOf[KeyedCombinable])
+      val (keyedGroups, solo) =
+        rest.partition(l => l.pre.isEmpty && l.state.isInstanceOf[KeyedCombinable])
       val bySig = keyedGroups.groupBy(_.state.asInstanceOf[KeyedCombinable].keySignature)
       val (fusedKeyed, soloKeyed) = bySig.values.toSeq.partition(_.size >= 2)
 
@@ -196,7 +205,8 @@ final class MultiQueryEngine(
       else globalFusable.foreach(l => guarded(l)(processOne(l, cached)))
       fusedKeyed.foreach(group => fuseKeyed(group, cached))
       val (raws, plainSolo) =
-        (soloKeyed.flatten ++ solo).partition(_.state.isInstanceOf[RawState])
+        (soloKeyed.flatten ++ solo).partition(l =>
+          l.pre.isEmpty && l.state.isInstanceOf[RawState])
       if (raws.size >= 2) fuseRaw(raws.sortBy(_.id), cached)
       else raws.foreach(l => guarded(l)(processOne(l, cached)))
       // un-fusable queries (distinct keyed shapes) each need their own
@@ -403,7 +413,8 @@ final class MultiQueryEngine(
     }
 
   private def processOne(l: Live, batch: DataFrame): Unit = {
-    val filtered = l.filter.map(batch.filter).getOrElse(batch)
+    val base = l.pre.map(_(batch)).getOrElse(batch)
+    val filtered = l.filter.map(base.filter).getOrElse(base)
     val consumed = l.state.update(filtered)
     lifecycle(l, consumed)
   }

@@ -624,4 +624,33 @@ class MultiQueryEngineSpec extends AnyFunSuite {
       .map(_.clip.records.head("cnt").asInstanceOf[Long])
     assert(counts.nonEmpty && counts.last == 3L, s"got $counts")
   }
+
+  test("LATERAL VIEW query runs solo beside fused RAW queries (B2 explode)") {
+    import scala.jdk.CollectionConverters._
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("arr", org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.StringType))))
+    val df = spark.createDataFrame(Seq(
+      org.apache.spark.sql.Row(1L, Seq("a", "b")),
+      org.apache.spark.sql.Row(2L, Seq("a"))).asJava, schema)
+    val e = newEngine()
+    // two plain RAW queries take the fused shared-scan path; the lateral
+    // query must NOT join them — its rows are exploded, theirs are not
+    e.submit("ra", "SELECT id FROM STREAM LIMIT 100")
+    e.submit("rb", "SELECT id FROM STREAM WHERE id >= 0 LIMIT 100")
+    e.submit("lx", "SELECT x, COUNT(*) AS cnt FROM STREAM LATERAL VIEW EXPLODE(arr) AS x " +
+      "GROUP BY x WINDOWING EVERY(1, RECORD, ALL)")
+    e.processBatch(df)
+    val rs = e.drainResults()
+    val lat = rs.filter(r => r.queryId == "lx" && r.kind == ResultKind.Window)
+    assert(lat.size == 1, s"lateral window clips: ${lat.size}")
+    val got = lat.head.clip.records
+      .map(m => m("x").asInstanceOf[String] -> m("cnt").asInstanceOf[Long]).toMap
+    assert(got == Map("a" -> 2L, "b" -> 1L), s"got $got")
+    // the fused RAW pair must be unaffected: no error clips, both still
+    // buffering toward their limit
+    assert(!rs.exists(_.kind == ResultKind.Fail), s"unexpected FAIL: $rs")
+    assert(e.activeQueryIds.contains("ra") && e.activeQueryIds.contains("rb"))
+  }
 }
