@@ -42,7 +42,8 @@ object Bench {
       "samp_mixture", "tx_importance", "ann_filtered_topk",
       "srch_bm25", "dd_cross_dedup", "tx_corpus_stats",
       "j_full_outer", "op_pivot", "op_unpivot", "tx_classify",
-      "fn_zscore", "fn_histogram", "dd_fuzzy_names")
+      "fn_zscore", "fn_histogram", "dd_fuzzy_names",
+      "dd_source_overlap", "tx_bigram_rarity", "bql_explode")
     val baselineSubset = results.view.filterKeys(!addedSinceBaseline.contains(_))
     val subtotal = baselineSubset.values.sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
