@@ -264,6 +264,37 @@ object SimilarityQueries {
         .filter(col("rank") <= K)
         .select(col("qid"), col("rank"), col("vec_id"))
         .orderBy(col("qid"), col("rank"))
+    },
+
+    // Per-label embedding audit — the "did an ingest batch corrupt this
+    // label's vectors" check a pipeline runs before indexing: vector
+    // count, dimensionality spread (min==max proves a uniform dim), and
+    // squared-norm profile (sum/min/max). Norm drift (a label whose
+    // vectors stopped being unit-ish) is the classic symptom of a wrong
+    // encoder version. Hash-stability: the squared norm reuses
+    // dd_embed_cosine's exact fold (same left-to-right IEEE sum on both
+    // engines), then floor-scales to micro units as BIGINT — grouped sums
+    // are integer-exact, no float summation order anywhere. One linear
+    // codegen pass + one tiny groupBy on label.
+    QueryDef("emb_label_stats", Some(
+      """SELECT label, count(*) AS n_vecs,
+        |  min(len(embedding)) AS dim_min, max(len(embedding)) AS dim_max,
+        |  CAST(sum(nsq6) AS BIGINT) AS sqnorm_sum_u,
+        |  min(nsq6) AS sqnorm_min_u, max(nsq6) AS sqnorm_max_u
+        |FROM (
+        |  SELECT label, embedding,
+        |    CAST(floor(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x)) * 1e6) AS BIGINT) AS nsq6
+        |  FROM embeddings)
+        |GROUP BY label ORDER BY label""".stripMargin)) { (s, d) =>
+      val nsq6 = floor(dot_product(col("embedding"), col("embedding")) * 1e6).cast("long")
+      emb(s, d)
+        .select(col("label"), size(col("embedding")).cast("long").as("dim"), nsq6.as("nsq6"))
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n_vecs"),
+          min(col("dim")).as("dim_min"), max(col("dim")).as("dim_max"),
+          sum(col("nsq6")).as("sqnorm_sum_u"),
+          min(col("nsq6")).as("sqnorm_min_u"), max(col("nsq6")).as("sqnorm_max_u"))
+        .orderBy(col("label"))
     }
   )
 }
