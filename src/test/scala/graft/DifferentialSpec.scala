@@ -170,6 +170,39 @@ class DifferentialSpec extends AnyFunSuite {
     assert(canon(streamResult(bql, 4)) == want)
   }
 
+  /** Lateral (explode) queries take the engine's solo path with the
+    * explode applied per micro-batch — the per-batch exploded partials
+    * must fold to exactly the batch plan's answer. */
+  test("LATERAL VIEW explode: streaming (3 batches) == batch") {
+    import scala.jdk.CollectionConverters._
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("event_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("arr", org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.StringType))))
+    val tokens = Seq("a", "b", "c", "d")
+    val rows = (0 until 30).map { i =>
+      Row(i.toLong, (0 to i % 4).map(j => tokens((i + j) % 4)))
+    }
+    val df = spark.createDataFrame(rows.asJava, schema)
+    val bql = "SELECT x, COUNT(*) AS cnt FROM STREAM LATERAL VIEW EXPLODE(arr) AS x " +
+      "WHERE x != 'd' GROUP BY x ORDER BY x"
+    val names = Seq("cnt", "x")
+    val want = canon(Compiler.compile(bql)._2(df)
+      .select(names.map(col): _*).collect().toSeq)
+    var now = 1000000L
+    val e = new MultiQueryEngine(spark, () => now)
+    assert(e.submit("q", s"$bql DURATION 100000").isRight)
+    (0 until 3).foreach(i => e.processBatch(
+      df.filter(col("event_id") % 3 === i)))
+    now += 200000
+    e.tick()
+    val rs = e.drainResults()
+    assert(rs.map(_.kind) == Seq(ResultKind.Complete), s"kinds ${rs.map(_.kind)}")
+    val got = canon(rs.head.clip.records.map(m =>
+      Row.fromSeq(m.toSeq.sortBy(_._1).map(_._2))))
+    assert(got == want, s"streaming $got vs batch $want")
+  }
+
   // depth tunable for one-off deep sweeps: GRAFT_FUZZ_N=300 sbt test
   private val fuzzN = sys.env.getOrElse("GRAFT_FUZZ_N", "60").toInt
 
