@@ -653,4 +653,31 @@ class MultiQueryEngineSpec extends AnyFunSuite {
     assert(!rs.exists(_.kind == ResultKind.Fail), s"unexpected FAIL: $rs")
     assert(e.activeQueryIds.contains("ra") && e.activeQueryIds.contains("rb"))
   }
+
+  test("COUNT DISTINCT over an exploded alias merges across batches (B6 + explode)") {
+    import scala.jdk.CollectionConverters._
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("arr", org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.StringType))))
+    val df = spark.createDataFrame(Seq(
+      org.apache.spark.sql.Row(1L, Seq("a", "b")),
+      org.apache.spark.sql.Row(2L, Seq("b", "c")),
+      org.apache.spark.sql.Row(3L, Seq("d"))).asJava, schema)
+    var sawFinal = false
+    val e = newEngine()
+    e.submit("cd", "SELECT COUNT(DISTINCT x) AS nd FROM STREAM " +
+      "LATERAL VIEW EXPLODE(arr) AS x DURATION 50")
+    e.processBatch(df.filter(col("id") <= 2))
+    e.processBatch(df.filter(col("id") === 3))
+    now += 100
+    e.tick()
+    e.drainResults().foreach { r =>
+      if (r.kind == ResultKind.Complete) {
+        sawFinal = true
+        assert(r.clip.records.head("nd") == 4L, s"distinct exploded tokens: ${r.clip.records}")
+      }
+    }
+    assert(sawFinal, "query must complete with a final clip")
+  }
 }
