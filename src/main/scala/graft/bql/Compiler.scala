@@ -146,19 +146,25 @@ object Compiler {
     }).map(c.as).getOrElse(c.as(s"expr_$i"))
   }
 
-  /** Compile to a batch plan `DataFrame => DataFrame` — the same plan runs
-    * the DuckDB-checked batch path and each micro-batch of the streaming
-    * engine (partials; the window/duration semantics live in the runtime). */
   /** The LATERAL VIEW EXPLODE stage as a standalone transform — applied
     * before WHERE by [[batchPlan]], and by the streaming engine's solo
     * path (a lateral query changes row cardinality, so it can never join
-    * a fused shared-scan job; the engine forces it solo). */
+    * a fused shared-scan job; the engine forces it solo). An alias that
+    * shadows an existing stream field is rejected here with a clear
+    * message (the schema is unknown at parse time, so this is the
+    * earliest possible check; the engine surfaces it as a FAIL clip)
+    * rather than letting Spark throw an ambiguous-reference error. */
   def lateralStage(lv: LateralView): DataFrame => DataFrame = { df =>
+    lv.aliases.find(df.columns.contains).foreach(a =>
+      throw new BqlParseException(s"explode alias '$a' collides with an existing field"))
     val g = if (lv.outer) explode_outer(column(lv.expr)) else explode(column(lv.expr))
     if (lv.aliases.size == 2) df.select(col("*"), g.as(lv.aliases))
     else df.select(col("*"), g.as(lv.aliases.head))
   }
 
+  /** Compile to a batch plan `DataFrame => DataFrame` — the same plan runs
+    * the DuckDB-checked batch path and each micro-batch of the streaming
+    * engine (partials; the window/duration semantics live in the runtime). */
   def batchPlan(q: Query): DataFrame => DataFrame = { df0 =>
     var df = df0
     q.lateral.foreach(lv => df = lateralStage(lv)(df))

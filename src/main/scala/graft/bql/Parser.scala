@@ -82,16 +82,18 @@ object Parser {
           expect("EXPLODE"); expect("(")
           val e = expr()
           expect(")"); expect("AS")
-          val a1 = next()
-          if (a1.isEmpty || !a1(0).isLetter)
-            throw new BqlParseException(s"bad explode alias '$a1'")
-          val aliases =
-            if (accept(",")) {
-              val a2 = next()
-              if (a2.isEmpty || !a2(0).isLetter)
-                throw new BqlParseException(s"bad explode alias '$a2'")
-              Seq(a1, a2)
-            } else Seq(a1)
+          // a plain identifier only — the tokenizer's field-path class
+          // also admits '.'/'$', which FieldRef would later split and
+          // fail to resolve; reject those here as the parse error they are
+          def alias(): String = {
+            val a = next()
+            if (a.isEmpty || !a(0).isLetter ||
+                !a.forall(c => c.isLetterOrDigit || c == '_'))
+              throw new BqlParseException(s"bad explode alias '$a'")
+            a
+          }
+          val a1 = alias()
+          val aliases = if (accept(",")) Seq(a1, alias()) else Seq(a1)
           Some(LateralView(e, aliases, outer))
         } else None
       val where = if (accept("WHERE")) Some(expr()) else None

@@ -286,7 +286,13 @@ object SimilarityQueries {
         |    CAST(floor(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x)) * 1e6) AS BIGINT) AS nsq6
         |  FROM embeddings)
         |GROUP BY label ORDER BY label""".stripMargin)) { (s, d) =>
-      val nsq6 = floor(dot_product(col("embedding"), col("embedding")) * 1e6).cast("long")
+      // empty (zero-element) embeddings: DuckDB's list_sum([]) is NULL and
+      // its aggregates skip it; dot_product([]...) is 0.0 — null out the
+      // empty case so both engines skip the same rows (n_vecs still counts
+      // them, dim_min exposes them as 0)
+      val nsq6 = when(size(col("embedding")) === 0, lit(null))
+        .otherwise(floor(dot_product(col("embedding"), col("embedding")) * 1e6))
+        .cast("long")
       emb(s, d)
         .select(col("label"), size(col("embedding")).cast("long").as("dim"), nsq6.as("nsq6"))
         .groupBy(col("label"))

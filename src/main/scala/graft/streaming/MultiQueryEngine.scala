@@ -185,19 +185,19 @@ final class MultiQueryEngine(
     if (live.isEmpty) return
     val cached = batch.persist()
     try {
-      val all = live.values.toSeq.sortBy(_.id)
       // lateral (explode) queries change row cardinality before their
-      // filter, so every fusion tier skips them — they run solo with the
-      // lateral stage applied in processOne
-      val (globalFusable, rest) = all.partition(l => l.pre.isEmpty && (l.state match {
+      // filter, so they are split out ONCE here and never enter any
+      // fusion tier — the invariant lives in this single partition, not
+      // in per-tier guards a future tier could forget
+      val (lateralSolo, all) = live.values.toSeq.sortBy(_.id).partition(_.pre.isDefined)
+      val (globalFusable, rest) = all.partition(_.state match {
         case gs: GroupState => gs.isGlobal
         case _: ThetaState | _: KllState => true
         case _ => false
-      }))
+      })
       // keyed queries (group-bys, top-k) sharing identical key
       // expressions fuse per signature
-      val (keyedGroups, solo) =
-        rest.partition(l => l.pre.isEmpty && l.state.isInstanceOf[KeyedCombinable])
+      val (keyedGroups, solo) = rest.partition(_.state.isInstanceOf[KeyedCombinable])
       val bySig = keyedGroups.groupBy(_.state.asInstanceOf[KeyedCombinable].keySignature)
       val (fusedKeyed, soloKeyed) = bySig.values.toSeq.partition(_.size >= 2)
 
@@ -205,8 +205,7 @@ final class MultiQueryEngine(
       else globalFusable.foreach(l => guarded(l)(processOne(l, cached)))
       fusedKeyed.foreach(group => fuseKeyed(group, cached))
       val (raws, plainSolo) =
-        (soloKeyed.flatten ++ solo).partition(l =>
-          l.pre.isEmpty && l.state.isInstanceOf[RawState])
+        (soloKeyed.flatten ++ solo).partition(_.state.isInstanceOf[RawState])
       if (raws.size >= 2) fuseRaw(raws.sortBy(_.id), cached)
       else raws.foreach(l => guarded(l)(processOne(l, cached)))
       // un-fusable queries (distinct keyed shapes) each need their own
@@ -215,7 +214,7 @@ final class MultiQueryEngine(
       // (thread pool over queries, off by default). Safe because each
       // query's Live/state is touched by exactly one task and the shared
       // surfaces (results queue, metrics, sinks) are concurrent.
-      val solos = plainSolo.sortBy(_.id)
+      val solos = (plainSolo ++ lateralSolo).sortBy(_.id)
       if (soloParallelism > 1 && solos.size > 1) {
         solos.map(l => soloPool.submit(new Runnable {
           override def run(): Unit = guarded(l)(processOne(l, cached))

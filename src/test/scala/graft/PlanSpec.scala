@@ -185,8 +185,13 @@ class PlanSpec extends AnyFunSuite {
     val so = planStr("dd_source_overlap")
     val soEx = so.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
     assert(soEx.nonEmpty, so)
-    assert(!soEx.exists(_.contains("sg#")),
-      s"source-set fold must key on the shingle hash, not the string:\n${soEx.mkString("\n")}")
+    // positive check: the source-set fold keys on the 8-byte hash column;
+    // negative: neither the text column nor any materialized shingle
+    // string reaches an exchange
+    assert(soEx.exists(_.contains("h#")),
+      s"source-set fold must key on the shingle hash:\n${soEx.mkString("\n")}")
+    assert(!soEx.exists(l => l.contains("text#") || l.contains("sh#")),
+      s"shingle/text strings must never hit an exchange:\n${soEx.mkString("\n")}")
     assert(so.contains("BroadcastHashJoin"),
       s"the O(#sources) totals frame must broadcast:\n$so")
     val bg = planStr("tx_bigram_rarity")

@@ -202,14 +202,16 @@ class SearchAndStatsSpec extends AnyFunSuite {
     Seq(
       (0L, Seq(3.0f, 4.0f), 0),   // nsq 25  -> 25_000_000
       (1L, Seq(1.0f, 0.0f), 0),   // nsq 1   ->  1_000_000
-      (2L, Seq(0.5f, 0.5f), 1))   // nsq 0.5 ->    500_000
+      (2L, Seq(0.5f, 0.5f), 1),   // nsq 0.5 ->    500_000
+      (3L, Seq.empty[Float], 1))  // empty vec: counted, norm skipped (DuckDB NULL parity)
       .toDF("vec_id", "embedding", "label")
       .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
     val rows = SparkEntry.queries("emb_label_stats")(spark, dir).collect()
       .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
         r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
     assert(rows(0) == ((2L, 2L, 2L, 26000000L, 1000000L, 25000000L)), s"label 0: ${rows(0)}")
-    assert(rows(1) == ((1L, 2L, 2L, 500000L, 500000L, 500000L)), s"label 1: ${rows(1)}")
+    assert(rows(1) == ((2L, 0L, 2L, 500000L, 500000L, 500000L)),
+      s"label 1 counts the empty vector but its norm is skipped: ${rows(1)}")
   }
 
   // ---- dd_source_overlap -----------------------------------------------
