@@ -72,6 +72,31 @@ object SketchQueries {
         .orderBy(col("p"))
     },
 
+    // B7 grouped: per-key KLL sketches — DISTRIBUTION per group, the
+    // shape Bullet only offers globally. Each group's sketch is mergeable
+    // O(k) state combined map-side, so 100 TB pays one shuffle of
+    // (group, sketch) pairs, never of values; k=65535 keeps the fixture
+    // exact (largest per-flag group ≈ 30k rows < 65k), so the same
+    // inclusive-rank oracle as b7_kll_quantile applies per group.
+    QueryDef("b7_kll_grouped", Some(
+      """WITH s AS (SELECT l_returnflag AS flag, l_extendedprice AS v,
+        |    row_number() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice) AS rn,
+        |    count(*) OVER (PARTITION BY l_returnflag) AS n FROM lineitem),
+        |  p AS (SELECT unnest([0.5,0.9,0.99]) AS p)
+        |SELECT flag, CAST(p.p AS DOUBLE) AS p, min(s.v) AS v
+        |FROM p, s WHERE s.rn >= ceil(p.p * s.n)
+        |GROUP BY flag, p.p ORDER BY flag, p""".stripMargin)) { (s, d) =>
+      val probs = Seq(0.5, 0.9, 0.99)
+      t(s, d, "lineitem")
+        .groupBy(col("l_returnflag").as("flag"))
+        .agg(expr(
+          s"kll_sketch_get_quantile_double(kll_sketch_agg_double(l_extendedprice, 65535)," +
+            s" array(${probs.mkString(",")}))").as("vs"))
+        .select(col("flag"), posexplode(col("vs")).as(Seq("i", "v")))
+        .select(col("flag"), element_at(lit(probs.toArray), col("i") + 1).as("p"), col("v"))
+        .orderBy(col("flag"), col("p"))
+    },
+
     // B8: TOP K via frequent-items sketch. maxItemsTracked=4096 ≥ the
     // fixture cardinality → exact counts; deterministic re-rank
     // (count DESC, item) before the final limit.
