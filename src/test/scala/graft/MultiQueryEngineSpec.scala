@@ -654,6 +654,35 @@ class MultiQueryEngineSpec extends AnyFunSuite {
     assert(e.activeQueryIds.contains("ra") && e.activeQueryIds.contains("rb"))
   }
 
+  test("checkpoint/restore rebuilds the lateral stage from the BQL text (A9 + explode)") {
+    import scala.jdk.CollectionConverters._
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("arr", org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.StringType))))
+    val df = spark.createDataFrame(Seq(
+      org.apache.spark.sql.Row(1L, Seq("a", "b")),
+      org.apache.spark.sql.Row(2L, Seq("a", "c")),
+      org.apache.spark.sql.Row(3L, Seq("a"))).asJava, schema)
+    val bql = "SELECT x, COUNT(*) AS cnt FROM STREAM LATERAL VIEW EXPLODE(arr) AS x " +
+      "GROUP BY x ORDER BY x DURATION 1000"
+    val e1 = newEngine()
+    e1.submit("lk", bql)
+    e1.processBatch(df.filter(col("id") === 1))
+    val ckpt = e1.checkpoint()
+    val e2 = new MultiQueryEngine(spark, () => now)
+    e2.restore(ckpt)
+    e2.processBatch(df.filter(col("id") >= 2))
+    now += 2000
+    e2.tick()
+    val rs = e2.drainResults()
+    assert(rs.map(_.kind) == Seq(ResultKind.Complete), s"kinds ${rs.map(_.kind)}")
+    val got = rs.head.clip.records
+      .map(m => m("x").asInstanceOf[String] -> m("cnt").asInstanceOf[Long]).toMap
+    assert(got == Map("a" -> 3L, "b" -> 1L, "c" -> 1L),
+      s"restored engine must keep exploding per batch: $got")
+  }
+
   test("COUNT DISTINCT over an exploded alias merges across batches (B6 + explode)") {
     import scala.jdk.CollectionConverters._
     val schema = org.apache.spark.sql.types.StructType(Seq(
