@@ -683,6 +683,33 @@ class MultiQueryEngineSpec extends AnyFunSuite {
       s"restored engine must keep exploding per batch: $got")
   }
 
+  test("runtime analysis errors fail only the offending query (B16 runtime channel)") {
+    import scala.jdk.CollectionConverters._
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("arr", org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.StringType))))
+    val df = spark.createDataFrame(Seq(
+      org.apache.spark.sql.Row(1L, Seq("a", "b"))).asJava, schema)
+    val e = newEngine()
+    e.submit("ok", "SELECT id FROM STREAM LIMIT 1")
+    // parses fine, dies at analysis: the field does not exist
+    e.submit("bad", "SELECT nope FROM STREAM WHERE nope > 1 LIMIT 5")
+    // parses fine, dies in lateralStage: alias shadows a stream field
+    e.submit("clash", "SELECT id FROM STREAM LATERAL VIEW EXPLODE(arr) AS id LIMIT 5")
+    e.processBatch(df)
+    val rs = e.drainResults()
+    val fails = rs.filter(_.kind == ResultKind.Fail).map(_.queryId).toSet
+    assert(fails == Set("bad", "clash"), s"failed: $fails")
+    val clashMsg = rs.find(r => r.queryId == "clash" && r.kind == ResultKind.Fail).get
+      .clip.meta("errors").asInstanceOf[Seq[_]].mkString
+    assert(clashMsg.contains("collides"), s"clear collision message, got: $clashMsg")
+    // the healthy query completed with its record, untouched by the failures
+    val ok = rs.find(_.queryId == "ok").get
+    assert(ok.kind == ResultKind.Complete && ok.clip.records.size == 1)
+    assert(e.activeQueryIds.isEmpty)
+  }
+
   test("COUNT DISTINCT over an exploded alias merges across batches (B6 + explode)") {
     import scala.jdk.CollectionConverters._
     val schema = org.apache.spark.sql.types.StructType(Seq(
