@@ -184,26 +184,40 @@ object DedupQueries {
     // 16 bands x 4 rows; docs sharing any band bucket become candidates;
     // verify by estimated Jaccard (matching slots / 64) >= 0.5.
     // Not SQL-expressible → rows-only driver check; recall vs the exact
-    // baseline is asserted in DedupSpec.
+    // baseline is asserted in ApproxSuiteSpec.
+    //
+    // Skew posture (the 100 TB read): the ONLY data that enters the
+    // banding exchange is (bkey, doc_id) — each band's 4-slot slice is
+    // hashed (band-index salted) to one long, so the 64-slot signature is
+    // never replicated through the 16-way band explode. Candidates come
+    // from the postings pattern (one shuffle, pairs expanded post-shuffle)
+    // with every bucket capped at spark.graft.lsh.maxBucket entries
+    // (observed + logged — HotBuckets), so a degenerate boilerplate bucket
+    // costs C(cap,2), not C(B,2). Signatures rejoin ONCE per deduped
+    // candidate pair for the verify. Band-hash collisions only ever ADD
+    // candidates, which the exact slot-match verify then rejects.
     QueryDef("dd_minhash_lsh", None) { (s, d) =>
       val bands = 16
       val rowsPerBand = 4
+      val cap = graft.operators.HotBuckets.maxBucket(s)
       val sig = docs(s, d).select(col("doc_id"), minhash_sig(toks, 3, bands * rowsPerBand).as("sig"))
-      val banded = sig.select(
-        col("doc_id"), col("sig"),
+      val banded = sig.select(col("doc_id"),
         explode(array((0 until bands).map(bnd =>
-          struct(lit(bnd).as("band"),
-            slice(col("sig"), bnd * rowsPerBand + 1, rowsPerBand).as("key"))): _*)).as("bk"))
-        .select(col("doc_id"), col("sig"), col("bk.band").as("band"), col("bk.key").as("key"))
-      val a = banded.select(col("band").as("band_a"), col("key").as("key_a"),
-        col("doc_id").as("doc_a"), col("sig").as("sig_a"))
-      val b = banded.select(col("band").as("band_b"), col("key").as("key_b"),
-        col("doc_id").as("doc_b"), col("sig").as("sig_b"))
-      a.join(b, col("band_a") === col("band_b") && col("key_a") === col("key_b")
-          && col("doc_a") < col("doc_b"))
+          xxhash64(lit(bnd), slice(col("sig"), bnd * rowsPerBand + 1, rowsPerBand))): _*)).as("bkey"))
+      val postings = banded.groupBy(col("bkey"))
+        .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+        .filter(size(col("ds")) > 1)
+      val pairs = graft.operators.HotBuckets
+        .capObserve(postings, "ds", cap, "dd_minhash_lsh")
+        .select(explode(col("ds")).as("doc_a"), col("ds"))
+        .select(col("doc_a"), explode(col("ds")).as("doc_b"))
+        .filter(col("doc_a") < col("doc_b"))
         // dedupe pairs BEFORE the signature comparison: a pair colliding in
         // k bands would otherwise pay the 64-slot zip k times
         .dropDuplicates("doc_a", "doc_b")
+      pairs
+        .join(sig.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
+        .join(sig.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
         .select(col("doc_a"), col("doc_b"),
           (size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), b => b))
             .cast(DoubleType) / (bands * rowsPerBand)).as("est_jaccard"))
@@ -214,22 +228,32 @@ object DedupQueries {
     // SimHash near-dup: 64-bit fingerprint per doc; candidates share one of
     // four 16-bit chunks (pigeonhole: hamming<=3 pairs always collide);
     // verify hamming distance via bit_count(xor) <= 3.
+    //
+    // Skew posture: 16-bit chunk keys mean at most 65k buckets — one
+    // popular chunk value (a common doc shape) is quadratic without a cap,
+    // so buckets go through the same capped-postings guard as minhash
+    // (HotBuckets, observed + logged). The fingerprint is one long, so it
+    // rides inside the posting struct — no rejoin needed and no
+    // amplification concern.
     QueryDef("dd_simhash", None) { (s, d) =>
+      val cap = graft.operators.HotBuckets.maxBucket(s)
       val fp = docs(s, d).select(col("doc_id"), simhash64(toks).as("fp"))
-      val chunked = fp.select(col("doc_id"), col("fp"),
+      // chunk key packed to one long: (chunk index << 16) | 16-bit value
+      val chunked = fp.select(struct(col("doc_id"), col("fp")).as("df"),
         explode(array((0 until 4).map(c =>
-          struct(lit(c).as("chunk"),
-            shiftrightunsigned(col("fp"), c * 16).bitwiseAND(0xffffL).as("key"))): _*)).as("ck"))
-        .select(col("doc_id"), col("fp"), col("ck.chunk").as("chunk"), col("ck.key").as("key"))
-      val a = chunked.select(col("chunk").as("chunk_a"), col("key").as("key_a"),
-        col("doc_id").as("doc_a"), col("fp").as("fp_a"))
-      val b = chunked.select(col("chunk").as("chunk_b"), col("key").as("key_b"),
-        col("doc_id").as("doc_b"), col("fp").as("fp_b"))
-      a.join(b, col("chunk_a") === col("chunk_b") && col("key_a") === col("key_b")
-          && col("doc_a") < col("doc_b"))
-        .select(col("doc_a"), col("doc_b"),
-          bit_count(col("fp_a").bitwiseXOR(col("fp_b"))).as("hamming"))
-        .distinct()
+          shiftrightunsigned(col("fp"), c * 16).bitwiseAND(0xffffL) + lit(c.toLong << 16)): _*))
+          .as("ckey"))
+      val postings = chunked.groupBy(col("ckey"))
+        .agg(sort_array(collect_list(col("df"))).as("ds"))
+        .filter(size(col("ds")) > 1)
+      graft.operators.HotBuckets
+        .capObserve(postings, "ds", cap, "dd_simhash")
+        .select(explode(col("ds")).as("a"), col("ds"))
+        .select(col("a"), explode(col("ds")).as("b"))
+        .filter(col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          bit_count(col("a.fp").bitwiseXOR(col("b.fp"))).as("hamming"))
+        .dropDuplicates("doc_a", "doc_b")
         .filter(col("hamming") <= 3)
         .orderBy(col("doc_a"), col("doc_b"))
     },

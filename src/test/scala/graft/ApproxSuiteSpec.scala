@@ -1,6 +1,8 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.execution.QueryExecution
+import org.apache.spark.sql.util.QueryExecutionListener
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Quality gates for the approximate (non-oracle) operators: each is
@@ -34,6 +36,69 @@ class ApproxSuiteSpec extends AnyFunSuite {
     // simhash (token-multiset signal) must recover a majority of the
     // high-jaccard pairs the shingle baseline finds
     assert((sim & exact).size.toDouble / exact.size >= 0.5)
+  }
+
+  /** Run `name` on `dir` after capturing the `lsh_skew_<name>` observed
+    * metric; returns (collected rows, metric row). Metrics post async on
+    * the listener bus, so poll with a deadline. */
+  private def runCapturingSkew(name: String, dir: String, cap: Int): (Array[Row], Row) = {
+    @volatile var metrics: Option[Row] = None
+    val listener = new QueryExecutionListener {
+      override def onSuccess(f: String, qe: QueryExecution, d: Long): Unit =
+        qe.observedMetrics.get(s"lsh_skew_$name").foreach(m => metrics = Some(m))
+      override def onFailure(f: String, qe: QueryExecution, e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    spark.conf.set("spark.graft.lsh.maxBucket", cap.toString)
+    try {
+      val rows = SparkEntry.queries(name)(spark, dir).collect()
+      val deadline = System.nanoTime() + 20L * 1000 * 1000 * 1000
+      while (metrics.isEmpty && System.nanoTime() < deadline) Thread.sleep(50)
+      (rows, metrics.getOrElse(fail(s"lsh_skew_$name metric never observed")))
+    } finally {
+      spark.conf.unset("spark.graft.lsh.maxBucket")
+      spark.listenerManager.unregister(listener)
+    }
+  }
+
+  /** Adversarial skew fixture: 1,000 identical boilerplate docs (ONE
+    * maximally hot bucket per band/chunk) plus two distinct docs. */
+  private def hotBucketFixture(tag: String): String = {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory(tag).toString
+    val boiler = (0L until 1000L).map(i =>
+      (i, "common boilerplate header text repeated across the whole crawl segment", "en", "s", 66L))
+    val rest = Seq(
+      (5000L, "totally unrelated document body one", "en", "s", 35L),
+      (5001L, "another distinct piece of writing here", "en", "s", 38L))
+    (boiler ++ rest).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("minhash-lsh hot bucket is capped, observed, and pair work stays bounded") {
+    // uncapped, this fixture generates 16 x C(1000,2) ≈ 8M candidate pairs;
+    // with cap=32 every band keeps the same 32 lowest doc_ids, so exactly
+    // C(32,2) verified pairs survive and the observed pair count proves the
+    // quadratic was bounded at the postings stage.
+    val (res, m) = runCapturingSkew("dd_minhash_lsh", hotBucketFixture("graftlshskew"), 32)
+    assert(res.length == 32 * 31 / 2, s"expected C(32,2) pairs, got ${res.length}")
+    assert(res.forall(_.getDouble(2) == 1.0), "identical docs must verify at est_jaccard 1.0")
+    assert(m.getAs[Long]("hot_buckets") == 16L, s"all 16 band buckets hot: $m")
+    assert(m.getAs[Long]("entries_dropped") == 16L * (1000 - 32), s"dropped tail logged: $m")
+    assert(m.getAs[Long]("candidate_pairs") == 16L * (32 * 31 / 2), s"bounded pair work: $m")
+  }
+
+  test("simhash hot chunk bucket is capped, observed, and pair work stays bounded") {
+    // identical docs → identical fingerprints → all 4 chunk buckets hot;
+    // cap=32 keeps the 32 lowest doc_ids per chunk → C(32,2) hamming-0 pairs
+    val (res, m) = runCapturingSkew("dd_simhash", hotBucketFixture("graftsimskew"), 32)
+    val boilerPairs = res.filter(r => r.getLong(0) < 1000 && r.getLong(1) < 1000)
+    assert(boilerPairs.length == 32 * 31 / 2, s"expected C(32,2) pairs, got ${boilerPairs.length}")
+    assert(boilerPairs.forall(_.getInt(2) == 0), "identical docs are hamming 0")
+    assert(m.getAs[Long]("hot_buckets") == 4L, s"all 4 chunk buckets hot: $m")
+    assert(m.getAs[Long]("entries_dropped") == 4L * (1000 - 32), s"dropped tail logged: $m")
+    assert(m.getAs[Long]("candidate_pairs") == 4L * (32 * 31 / 2), s"bounded pair work: $m")
   }
 
   test("lsh ann recall@10 vs brute force") {
