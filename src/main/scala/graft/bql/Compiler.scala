@@ -155,7 +155,11 @@ object Compiler {
     * earliest possible check; the engine surfaces it as a FAIL clip)
     * rather than letting Spark throw an ambiguous-reference error. */
   def lateralStage(lv: LateralView): DataFrame => DataFrame = { df =>
-    lv.aliases.find(df.columns.contains).foreach(a =>
+    // case-insensitive: Spark resolves identifiers case-insensitively by
+    // default (spark.sql.caseSensitive=false), so 'AS ID' over a stream
+    // with column 'id' would pass a case-sensitive guard and then hit the
+    // ambiguous-reference error this check exists to prevent
+    lv.aliases.find(a => df.columns.exists(_.equalsIgnoreCase(a))).foreach(a =>
       throw new BqlParseException(s"explode alias '$a' collides with an existing field"))
     val g = if (lv.outer) explode_outer(column(lv.expr)) else explode(column(lv.expr))
     if (lv.aliases.size == 2) df.select(col("*"), g.as(lv.aliases))

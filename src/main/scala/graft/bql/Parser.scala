@@ -63,6 +63,8 @@ object Parser {
     private def accept(t: String): Boolean =
       if (peekUp == t.toUpperCase) { pos += 1; true } else false
 
+    private val clauseKeywords = Set("WHERE", "GROUP", "BY", "HAVING", "ORDER",
+      "WINDOWING", "LIMIT", "DURATION", "CULL", "AS", "FROM", "STREAM", "LATERAL")
     private val aggFns = Set("COUNT", "SUM", "MIN", "MAX", "AVG", "TOP", "QUANTILE", "PMF", "CDF")
     private val scalarFns = Set("ABS", "LOWER", "UPPER", "TRIM", "SIZEOF", "LENGTH",
       "ISNULL", "ISNOTNULL", "IF", "CAST", "CONTAINSKEY", "CONTAINSVALUE", "SIZEIS",
@@ -90,6 +92,12 @@ object Parser {
             if (a.isEmpty || !a(0).isLetter ||
                 !a.forall(c => c.isLetterOrDigit || c == '_'))
               throw new BqlParseException(s"bad explode alias '$a'")
+            // a clause keyword here means the alias list ended early
+            // ('EXPLODE(arr) AS a, WHERE …') — reject it HERE, not as a
+            // confusing trailing-input error far from the real mistake
+            if (clauseKeywords.contains(a.toUpperCase))
+              throw new BqlParseException(
+                s"bad explode alias '$a' (clause keyword — missing alias before it?)")
             a
           }
           val a1 = alias()
@@ -309,8 +317,12 @@ object Parser {
       if (up == "TRUE") { next(); return Lit(true) }
       if (up == "FALSE") { next(); return Lit(false) }
       if (up == "NULL") { next(); return Lit(null) }
-      if (aggFns.contains(up)) return aggCall()
-      if (scalarFns.contains(up)) return scalarCall()
+      // fn keywords are only calls when followed by '(' — otherwise they
+      // are plain identifiers (e.g. `ORDER BY quantile` over a column the
+      // QUANTILE aggregate itself emitted)
+      def isCall: Boolean = pos + 1 < toks.length && toks(pos + 1) == "("
+      if (aggFns.contains(up) && isCall) return aggCall()
+      if (scalarFns.contains(up) && isCall) return scalarCall()
       // plain field path
       next()
       FieldRef(t)

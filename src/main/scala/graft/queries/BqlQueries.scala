@@ -61,6 +61,49 @@ object BqlQueries {
           "GROUP BY event_type HAVING cnt > 150 ORDER BY cnt DESC, event_type")
     },
 
+    // B7 DISTRIBUTION through the full BQL path: QUANTILE compiles to the
+    // KLL sketch aggregate (k=65535 → exact below 65k rows, mergeable
+    // O(k) state at 100 TB). The oracle reproduces the datasketches
+    // INCLUSIVE-rank convention relationally (ceil(p*n)-th smallest),
+    // same as b7_kll_quantile.
+    QueryDef("bql_quantile", Some(
+      """WITH s AS (SELECT value AS v,
+        |    row_number() OVER (ORDER BY value) AS rn,
+        |    count(*) OVER () AS n FROM events WHERE event_type = 'click'),
+        |  p AS (SELECT unnest([0.25,0.5,0.75]) AS p)
+        |SELECT CAST(p.p AS DOUBLE) AS quantile, min(s.v) AS q
+        |FROM p, s WHERE s.rn >= ceil(p.p * s.n)
+        |GROUP BY p.p ORDER BY quantile""".stripMargin)) { (s, d) =>
+      bql(s, d, "events",
+        "SELECT QUANTILE(value, 0.25, 0.5, 0.75) AS q FROM STREAM " +
+          "WHERE event_type == 'click' ORDER BY quantile")
+    },
+
+    // B7 PMF through BQL: interval counts for split points 25/50/75 —
+    // bin 0 = (-inf,25), bins 1-2 = [lo,hi), bin 3 = [75,inf). The batch
+    // compilation is exact conditional counts (one partial+final agg).
+    QueryDef("bql_pmf", Some(
+      """WITH c AS (SELECT
+        |  count(*) FILTER (WHERE value < 25) AS b0,
+        |  count(*) FILTER (WHERE value >= 25 AND value < 50) AS b1,
+        |  count(*) FILTER (WHERE value >= 50 AND value < 75) AS b2,
+        |  count(*) FILTER (WHERE value >= 75) AS b3 FROM events)
+        |SELECT unnest([0,1,2,3]) AS bin, unnest([b0,b1,b2,b3]) AS n
+        |FROM c ORDER BY bin""".stripMargin)) { (s, d) =>
+      bql(s, d, "events", "SELECT PMF(value, 25, 50, 75) AS n FROM STREAM ORDER BY bin")
+    },
+
+    // B7 CDF through BQL: cumulative counts at the same split points.
+    QueryDef("bql_cdf", Some(
+      """WITH c AS (SELECT
+        |  count(*) FILTER (WHERE value <= 25) AS c0,
+        |  count(*) FILTER (WHERE value <= 50) AS c1,
+        |  count(*) FILTER (WHERE value <= 75) AS c2 FROM events)
+        |SELECT CAST(unnest([25.0,50.0,75.0]) AS DOUBLE) AS point, unnest([c0,c1,c2]) AS n
+        |FROM c ORDER BY point""".stripMargin)) { (s, d) =>
+      bql(s, d, "events", "SELECT CDF(value, 25, 50, 75) AS n FROM STREAM ORDER BY point")
+    },
+
     // LATERAL VIEW EXPLODE (bullet-bql's explode surface): unnest a
     // list-typed field to one row per element, with the alias visible to
     // WHERE/SELECT. CAST to DOUBLE is an exact float32 widening on both

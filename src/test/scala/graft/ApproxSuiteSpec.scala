@@ -266,6 +266,26 @@ class ApproxSuiteSpec extends AnyFunSuite {
     assert(recall >= 0.8, s"semdedup recall $recall below 0.8")
   }
 
+  test("kll exactness precondition: per-group row counts stay under k=65535") {
+    // b7_kll_quantile / b7_kll_grouped / bql_quantile oracle-match an
+    // EXACT inclusive-rank SQL because a KLL sketch with k=65535 never
+    // compacts below 65535 values. If the fixture grows past that, the
+    // sketch goes approximate while the oracle stays exact — fail HERE
+    // with a clear message instead of a confusing value mismatch there.
+    import org.apache.spark.sql.functions._
+    val li = graft.sources.Tables.load(spark, sfDir, "lineitem")
+    val maxGroup = li.groupBy(col("l_returnflag")).count()
+      .agg(max(col("count"))).head().getLong(0)
+    assert(maxGroup < 65535,
+      s"largest l_returnflag group has $maxGroup rows >= KLL k=65535: " +
+        "b7_kll_grouped's exact-oracle equivalence no longer holds — raise k " +
+        "or shrink the fixture")
+    val events = graft.sources.Tables.load(spark, sfDir, "events").count()
+    assert(events < 65535,
+      s"events has $events rows >= KLL k=65535: bql_quantile's exact-oracle " +
+        "equivalence no longer holds")
+  }
+
   test("kll default-k quantiles within rank tolerance of exact") {
     import org.apache.spark.sql.functions._
     val li = graft.sources.Tables.load(spark, sfDir, "lineitem")

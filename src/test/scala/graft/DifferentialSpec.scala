@@ -245,6 +245,40 @@ class DifferentialSpec extends AnyFunSuite {
     }
   }
 
+  /** bql_windowed differential: EVERY(n, RECORD, WINDOW) resets state per
+    * window, so with batches sized exactly to the window each emission
+    * must equal the BATCH plan applied to just that slice — the sliced
+    * twin of the cumulative test above, proving the reset path (not only
+    * the merge path) agrees with batch semantics. */
+  test("sliced RECORD window: every emission equals the batch plan over its slice") {
+    val shapes = Seq(
+      "SELECT event_type AS k, COUNT(*) AS cnt, SUM(user_id) AS su FROM STREAM " +
+        "GROUP BY event_type ORDER BY k",
+      // NOTE: no WHERE here — RECORD windows count records ENTERING the
+      // aggregation (post-filter), so a filter would decouple window
+      // closes from the 250-record slices this test aligns batches to
+      "SELECT COUNT(*) AS cnt, MIN(event_id) AS mn, MAX(event_id) AS mx FROM STREAM",
+      "SELECT COUNT(DISTINCT user_id) AS nd FROM STREAM")
+    shapes.foreach { bql =>
+      var now = 1000000L
+      val e = new MultiQueryEngine(spark, () => now)
+      assert(e.submit("w", s"$bql WINDOWING EVERY(250, RECORD, WINDOW)").isRight)
+      val per = 250
+      val slices = (0 until 4).map(i => events.filter(
+        col("event_id") >= i * per && col("event_id") < (i + 1) * per))
+      slices.foreach { s => e.processBatch(s); now += 10 }
+      val wins = e.drainResults().filter(_.kind == ResultKind.Window)
+      assert(wins.size == 4, s"expected 4 sliced emissions for $bql, got ${wins.size}")
+      wins.zip(slices).zipWithIndex.foreach { case ((w, s), i) =>
+        val df = Compiler.compile(bql)._2(s)
+        val want = canon(df.select(df.columns.sorted.map(col): _*).collect().toSeq)
+        val got = canon(w.clip.records.map(m =>
+          Row.fromSeq(m.toSeq.sortBy(_._1).map(_._2))))
+        assert(got == want, s"window $i drift for: $bql\n  want=$want\n  got=$got")
+      }
+    }
+  }
+
   test("batch-count invariance: 1 batch == 7 batches for stateful shapes") {
     (1 to 15).foreach { _ =>
       val bql = genQuery()
