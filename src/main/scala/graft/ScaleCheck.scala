@@ -9,13 +9,44 @@ import graft.sources.Tables
   * so keys stay distinct) into /tmp and times flagship plans at 1x and kx.
   * A plan whose runtime grows ~linearly in k has no hidden quadratic or
   * driver-side bottleneck — the local proxy for the 100 TB question.
-  * Not driver-run; results recorded in BASELINE.md. */
+  * Not driver-run; results recorded in BASELINE.md.
+  *
+  * Modes:
+  *   ScaleCheck [k]        — uniform replication (default k=8)
+  *   ScaleCheck skew [k]   — adversarial skew: the same replication, but
+  *     10% of rows carry ONE hot key per table (orders → one customer,
+  *     documents → one boilerplate template + one hot lang stratum), so a
+  *     single join key / LSH bucket / stratum holds 10% of the data. The
+  *     hot groups are planted BEFORE per-copy token salting, so each copy
+  *     carries its own hot clique — k× data means k× hot-group work, and a
+  *     skew-resilient plan stays ~linear while a plan with a single-reducer
+  *     quadratic blows past it. Measured on the shuffle-heavy plans only.
+  */
 object ScaleCheck {
 
+  /** Plant the hot keys on the base (pre-replication) tables: one customer
+    * receives 10% of orders; 10% of documents become copies of one
+    * boilerplate template in one hot lang stratum. */
+  private def skewTransform(name: String, df: DataFrame): DataFrame = name match {
+    case "orders" =>
+      df.withColumn("o_custkey",
+        when(col("o_orderkey") % 10 === 0, lit(1L)).otherwise(col("o_custkey")))
+    case "documents" =>
+      val template = (1 to 40).map(i => s"boiler$i").mkString(" ")
+      df.withColumn("text",
+          when(col("doc_id") % 10 === 0, lit(template)).otherwise(col("text")))
+        .withColumn("lang",
+          when(col("doc_id") % 10 === 0, lit("hotl")).otherwise(col("lang")))
+    case _ => df
+  }
+
   def main(args: Array[String]): Unit = {
-    val k = if (args.nonEmpty) args(0).toInt else 8
+    val skew = args.contains("skew")
+    val k = args.filterNot(_ == "skew").headOption.map(_.toInt).getOrElse(8)
     val base = "/root/testdata/sf0.1"
-    val out = s"/tmp/graft_scale_${k}x"
+    val tag = if (skew) "scale_skew" else "scale"
+    val out = s"/tmp/graft_${tag}_${k}x"
+    val out1 = s"/tmp/graft_${tag}_1x"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = GraftSession.configure(SparkSession.builder()
       .master(s"local[$cpus]")
@@ -26,9 +57,10 @@ object ScaleCheck {
     // replicate with shifted ids (documents/embeddings get distinct ids so
     // dedup/ANN keys do not collapse; fact/dim tables keep their FK shape
     // by shifting both sides consistently)
-    def replicate(name: String, idCols: Seq[String], shift: Long): Unit = {
-      val df = Tables.load(spark, base, name)
-      val copies = (0 until k).map { i =>
+    def replicate(dir: String, copies: Int)(name: String, idCols: Seq[String], shift: Long): Unit = {
+      val loaded = Tables.load(spark, base, name)
+      val df = if (skew) skewTransform(name, loaded) else loaded
+      val reps = (0 until copies).map { i =>
         val shifted = idCols.foldLeft(df) { (d, c) => d.withColumn(c, col(c) + lit(i * shift)) }
         // documents: salt every token with the copy index. A plain text
         // copy would make all k replicas exact near-dups of each other,
@@ -40,30 +72,44 @@ object ScaleCheck {
             concat_ws(" ", transform(split(col("text"), " "), t => concat(t, lit(s"~$i")))))
         else shifted
       }
-      copies.reduce(_.union(_)).write.mode("overwrite").parquet(s"$out/$name.parquet")
+      reps.reduce(_.union(_)).write.mode("overwrite").parquet(s"$dir/$name.parquet")
     }
-    replicate("lineitem", Seq("l_orderkey"), 100000000L)
-    replicate("orders", Seq("o_orderkey", "o_custkey"), 100000000L)
-    replicate("customer", Seq("c_custkey"), 100000000L)
-    replicate("nation", Seq.empty, 0L)
-    replicate("region", Seq.empty, 0L)
-    replicate("supplier", Seq("s_suppkey"), 100000000L)
-    replicate("part", Seq("p_partkey"), 100000000L)
-    replicate("events", Seq("event_id", "user_id"), 100000000L)
-    replicate("documents", Seq("doc_id"), 100000000L)
-    replicate("embeddings", Seq("vec_id"), 100000000L)
+    def buildAll(dir: String, copies: Int): Unit = {
+      val r = replicate(dir, copies) _
+      r("lineitem", Seq("l_orderkey"), 100000000L)
+      r("orders", Seq("o_orderkey", "o_custkey"), 100000000L)
+      r("customer", Seq("c_custkey"), 100000000L)
+      r("nation", Seq.empty, 0L)
+      r("region", Seq.empty, 0L)
+      r("supplier", Seq("s_suppkey"), 100000000L)
+      r("part", Seq("p_partkey"), 100000000L)
+      r("events", Seq("event_id", "user_id"), 100000000L)
+      r("documents", Seq("doc_id"), 100000000L)
+      r("embeddings", Seq("vec_id"), 100000000L)
+    }
+    buildAll(out, k)
+    // skew mode compares skewed-1x to skewed-kx (apples to apples); uniform
+    // mode reads 1x straight off the sf0.1 fixtures as before
+    val baseDir = if (skew) { buildAll(out1, 1); out1 } else base
 
-    val names = Seq("b5_group_agg", "b1_filter_compound", "j_multiway_star",
-      "b6_theta_distinct", "b8_freq_topk", "dd_minhash_lsh", "ann_lsh_topk",
-      "tx_quality", "b13_window_tumbling", "op_sessionize",
-      "dd_dup_clusters", "ann_ivf_topk", "samp_stratified", "tx_pack_shards",
-      "tx_repetition", "dd_canonical_corpus", "tx_decontaminate",
-      "tx_rarity", "tx_chunk", "samp_mixture", "tx_importance",
-      "ann_filtered_topk", "srch_bm25", "dd_cross_dedup", "tx_corpus_stats",
-      "j_full_outer", "op_pivot", "op_unpivot", "tx_classify",
-      "fn_zscore", "fn_histogram", "dd_fuzzy_names",
-      "dd_source_overlap", "tx_bigram_rarity", "emb_label_stats",
-      "b7_kll_grouped")
+    val names =
+      if (skew)
+        // the shuffle-heavy plans where one hot key / hot bucket / hot
+        // stratum could concentrate work on a single reducer
+        Seq("j_multiway_star", "dd_dup_clusters", "dd_minhash_lsh",
+          "dd_simhash", "samp_stratified")
+      else
+        Seq("b5_group_agg", "b1_filter_compound", "j_multiway_star",
+          "b6_theta_distinct", "b8_freq_topk", "dd_minhash_lsh", "ann_lsh_topk",
+          "tx_quality", "b13_window_tumbling", "op_sessionize",
+          "dd_dup_clusters", "ann_ivf_topk", "samp_stratified", "tx_pack_shards",
+          "tx_repetition", "dd_canonical_corpus", "tx_decontaminate",
+          "tx_rarity", "tx_chunk", "samp_mixture", "tx_importance",
+          "ann_filtered_topk", "srch_bm25", "dd_cross_dedup", "tx_corpus_stats",
+          "j_full_outer", "op_pivot", "op_unpivot", "tx_classify",
+          "fn_zscore", "fn_histogram", "dd_fuzzy_names",
+          "dd_source_overlap", "tx_bigram_rarity", "emb_label_stats",
+          "b7_kll_grouped")
     // dd_semdedup is excluded the same way dd_embed_cosine is: replicated
     // embeddings are bit-identical across copies, so k-fold data has k²
     // true cosine pairs — the linearity signal would measure the fixture,
@@ -80,10 +126,10 @@ object ScaleCheck {
       (System.nanoTime() - t0) / 1e9
     }
     // warm both paths once
-    names.foreach { n => time(n, base); time(n, out) }
-    println(f"${"query"}%-22s ${"1x"}%8s ${s"${k}x"}%8s ratio (linear = $k)")
+    names.foreach { n => time(n, baseDir); time(n, out) }
+    println(f"${"query"}%-22s ${"1x"}%8s ${s"${k}x"}%8s ratio (linear = $k)${if (skew) "  [skew: 10% hot key]" else ""}")
     names.foreach { n =>
-      val t1 = math.min(time(n, base), time(n, base))
+      val t1 = math.min(time(n, baseDir), time(n, baseDir))
       val tk = math.min(time(n, out), time(n, out))
       println(f"$n%-22s $t1%8.2f $tk%8.2f ${tk / t1}%5.1f")
     }
