@@ -42,12 +42,40 @@ private[queries] object Ivf {
     * Scale note: this compiles k cosine calls into one codegen projection
     * — the right shape for coarse quantizers up to k ≈ low hundreds
     * (fixtures use 10-20). An index sized k = √corpus at 100 TB (k in
-    * the thousands) should instead broadcast a centroids DataFrame and
-    * take `max_by(ci, score)` per row id — same contract, join-shaped
-    * plan — because a many-thousand-element literal array expression
-    * defeats codegen. The conf-driven k keeps the choice explicit. */
+    * the thousands) takes [[assignedByJoin]] instead (a many-thousand-
+    * element literal array expression defeats codegen); [[assigned]]
+    * switches on `spark.graft.ivf.joinAssignThreshold`. */
   def assign(v: Column, cents: Seq[Array[Float]]): Column =
     array_max(simStructs(v, cents)).getField("i")
+
+  /** Corpus assignment `(vec_id, embedding, cl)` — picks the literal-array
+    * path below the k threshold, the broadcast-join path at or above it. */
+  def assigned(e: DataFrame, cents: Seq[Array[Float]]): DataFrame = {
+    val threshold = intConf(e.sparkSession, "spark.graft.ivf.joinAssignThreshold", 256)
+    if (cents.size >= threshold) assignedByJoin(e, cents)
+    else e.select(col("vec_id"), col("embedding"), assign(col("embedding"), cents).as("cl"))
+  }
+
+  /** Join-shaped assignment for large k: broadcast the centroids as a
+    * DATAFRAME (k rows survive any k — no k-term expression tree), expand
+    * each vector to k scored rows map-side via BroadcastNestedLoopJoin,
+    * and reduce to the argmax with `max(struct(score, ci))` — partial
+    * aggregation collapses the k rows per vector before the exchange, so
+    * the ONE corpus shuffle carries (vec_id, embedding, 1 struct), never
+    * k scores. Tiebreak matches [[assign]] exactly: struct ordering =
+    * best score, then highest centroid index. */
+  def assignedByJoin(e: DataFrame, cents: Seq[Array[Float]]): DataFrame = {
+    val s = e.sparkSession
+    import s.implicits._
+    val cdf = cents.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toDF("__ci", "__cent")
+    e.crossJoin(broadcast(cdf))
+      .select(col("vec_id"), col("embedding"),
+        struct(graft.functions.cosine_sim(col("embedding"), col("__cent")).as("s"),
+          col("__ci").as("i")).as("__sc"))
+      .groupBy(col("vec_id"))
+      .agg(first(col("embedding")).as("embedding"),
+        max(col("__sc")).getField("i").as("cl"))
+  }
 
   /** Train centroids: deterministic farthest-point init over a hash-min
     * candidate pool, then `iters` Lloyd passes — ON THE DRIVER, over the
@@ -118,6 +146,32 @@ object SimilarityQueries {
 
   private val K = 10
   private val NQueries = 5
+
+  /** Shared IVF search body: train (bounded driver Lloyd), assign the
+    * corpus (literal or join-shaped per the k threshold — Ivf.assigned),
+    * probe the nProbe nearest lists with exact cosine. */
+  private def ivfSearch(s: SparkSession, d: String, kClusters: Int, nProbe: Int): DataFrame = {
+    val iters = Ivf.intConf(s, "spark.graft.ivf.iters", 3)
+    val trainSample = Ivf.intConf(s, "spark.graft.ivf.trainSample", 2000)
+    val e = emb(s, d).select(col("vec_id"), col("embedding"))
+    val cents = Ivf.train(e, kClusters, iters, trainSample)
+
+    val corpus = Ivf.assigned(e, cents)
+    val probes = e.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        explode(transform(
+          slice(sort_array(Ivf.simStructs(col("embedding"), cents), asc = false),
+            1, nProbe),
+          x => x.getField("i"))).as("cl"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
+    corpus.join(broadcast(probes),
+        Seq("cl")).filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"), cosine_sim(col("qe"), col("embedding")).as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= K)
+      .select(col("qid"), col("rank"), col("vec_id"))
+      .orderBy(col("qid"), col("rank"))
+  }
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -241,29 +295,21 @@ object SimilarityQueries {
       // Index-build knobs, pinnable per workload: kClusters should track
       // sqrt(corpus) at scale (10 suits the small fixtures), nProbe trades
       // recall for scanned fraction. Defaults preserve the driver fixture.
-      val kClusters = Ivf.intConf(s, "spark.graft.ivf.kClusters", 10)
-      val nProbe = Ivf.intConf(s, "spark.graft.ivf.nProbe", 3)
-      val iters = Ivf.intConf(s, "spark.graft.ivf.iters", 3)
-      val trainSample = Ivf.intConf(s, "spark.graft.ivf.trainSample", 2000)
-      val e = emb(s, d).select(col("vec_id"), col("embedding"))
-      val cents = Ivf.train(e, kClusters, iters, trainSample)
+      ivfSearch(s, d,
+        kClusters = Ivf.intConf(s, "spark.graft.ivf.kClusters", 10),
+        nProbe = Ivf.intConf(s, "spark.graft.ivf.nProbe", 3))
+    },
 
-      val corpus = e.select(col("vec_id"), col("embedding"),
-        Ivf.assign(col("embedding"), cents).as("cl"))
-      val probes = e.filter(col("vec_id") < NQueries)
-        .select(col("vec_id").as("qid"), col("embedding").as("qe"),
-          explode(transform(
-            slice(sort_array(Ivf.simStructs(col("embedding"), cents), asc = false),
-              1, nProbe),
-            x => x.getField("i"))).as("cl"))
-      val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
-      corpus.join(broadcast(probes),
-          Seq("cl")).filter(col("vec_id") =!= col("qid"))
-        .select(col("qid"), col("vec_id"), cosine_sim(col("qe"), col("embedding")).as("cos"))
-        .withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= K)
-        .select(col("qid"), col("rank"), col("vec_id"))
-        .orderBy(col("qid"), col("rank"))
+    // The same IVF pipeline at index-scale k (kClusters ~ sqrt(corpus)):
+    // past spark.graft.ivf.joinAssignThreshold the corpus assignment runs
+    // join-shaped (broadcast centroids DataFrame + max(struct) argmax)
+    // instead of a k-term literal expression that would defeat codegen.
+    // Forced-path row-parity vs the literal path is spec-gated
+    // (ApproxSuiteSpec); rows-only driver check like ann_ivf_topk.
+    QueryDef("ann_ivf_bigk", None) { (s, d) =>
+      ivfSearch(s, d,
+        kClusters = Ivf.intConf(s, "spark.graft.ivf.bigk.kClusters", 64),
+        nProbe = Ivf.intConf(s, "spark.graft.ivf.bigk.nProbe", 8))
     },
 
     // Per-label embedding audit — the "did an ingest batch corrupt this

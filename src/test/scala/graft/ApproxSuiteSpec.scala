@@ -128,12 +128,10 @@ class ApproxSuiteSpec extends AnyFunSuite {
     assert(recall >= 0.5, s"IVF ANN recall@10 $recall below 0.5")
   }
 
-  test("ivf ann recall@10 >= 0.8 on a cosine-clustered fixture") {
-    // Proof that the 0.64 recall above is the fixture's (lack of) cosine
-    // structure, not a quantizer bug: on data with real cosine clusters —
-    // 20 tight Gaussian cones, within-cone cos ~0.99, cross-cone ~0 —
-    // the same IVF pipeline tuned to kClusters=#cones must recover the
-    // brute-force top-10 nearly perfectly.
+  /** Cosine-clustered embeddings fixture: 20 tight Gaussian cones,
+    * within-cone cos ~0.99, cross-cone ~0 — data with REAL cosine
+    * structure for the IVF gates. */
+  private def clusteredFixture(tag: String): String = {
     import spark.implicits._
     val rnd = new scala.util.Random(7)
     val dim = 32; val cones = 20; val perCone = 100
@@ -142,8 +140,18 @@ class ApproxSuiteSpec extends AnyFunSuite {
       val c = centers(i % cones)
       (i.toLong, c.map(x => x + 0.12f * rnd.nextGaussian().toFloat).toSeq, i % cones)
     }
-    val dir = java.nio.file.Files.createTempDirectory("graftivf").toString
+    val dir = java.nio.file.Files.createTempDirectory(tag).toString
     rows.toDF("vec_id", "embedding", "label").write.parquet(s"$dir/embeddings.parquet")
+    dir
+  }
+
+  test("ivf ann recall@10 >= 0.8 on a cosine-clustered fixture") {
+    // Proof that the 0.64 recall above is the fixture's (lack of) cosine
+    // structure, not a quantizer bug: on data with real cosine clusters
+    // the same IVF pipeline tuned to kClusters=#cones must recover the
+    // brute-force top-10 nearly perfectly.
+    val cones = 20
+    val dir = clusteredFixture("graftivf")
     spark.conf.set("spark.graft.ivf.kClusters", cones.toString)
     spark.conf.set("spark.graft.ivf.nProbe", "3")
     try {
@@ -158,6 +166,52 @@ class ApproxSuiteSpec extends AnyFunSuite {
       spark.conf.unset("spark.graft.ivf.kClusters")
       spark.conf.unset("spark.graft.ivf.nProbe")
     }
+  }
+
+  test("ivf join-shaped assignment is row-identical to the literal path") {
+    // past spark.graft.ivf.joinAssignThreshold the corpus assignment runs
+    // as broadcast-centroids-DataFrame + max(struct) argmax instead of a
+    // k-term literal expression. Same training, same tiebreak (best
+    // score, then highest index) → the two plans must produce the SAME
+    // rows, and the executed plans must prove each path was taken.
+    val dir = clusteredFixture("graftivfjoin")
+    spark.conf.set("spark.graft.ivf.kClusters", "20")
+    spark.conf.set("spark.graft.ivf.nProbe", "3")
+    def rows(threshold: String): (Seq[(Long, Int, Long)], String) = {
+      spark.conf.set("spark.graft.ivf.joinAssignThreshold", threshold)
+      val df = SparkEntry.queries("ann_ivf_topk")(spark, dir)
+      (df.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq,
+        df.queryExecution.executedPlan.toString)
+    }
+    try {
+      val (litRows, litPlan) = rows("100000")
+      val (joinRows, joinPlan) = rows("0")
+      assert(!litPlan.contains("BroadcastNestedLoopJoin"), "literal path must not cross-join")
+      assert(joinPlan.contains("BroadcastNestedLoopJoin"), "join path must cross-join centroids")
+      assert(litRows.nonEmpty && litRows == joinRows,
+        s"assignment paths diverged: literal ${litRows.take(3)} vs join ${joinRows.take(3)}")
+    } finally {
+      spark.conf.unset("spark.graft.ivf.kClusters")
+      spark.conf.unset("spark.graft.ivf.nProbe")
+      spark.conf.unset("spark.graft.ivf.joinAssignThreshold")
+    }
+  }
+
+  test("ann_ivf_bigk (join-assigned at k=64) keeps clustered-fixture recall") {
+    // the index-scale variant end-to-end: k=64 > threshold(=0 here not
+    // needed — 64 stays literal by default, so force the join path) must
+    // still beat the brute-force recall gate on clustered data
+    val dir = clusteredFixture("graftivfbigk")
+    spark.conf.set("spark.graft.ivf.joinAssignThreshold", "32")
+    try {
+      val brute = SparkEntry.queries("ann_brute_topk")(spark, dir).select("qid", "vec_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val ivf = SparkEntry.queries("ann_ivf_bigk")(spark, dir).select("qid", "vec_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val recall = (brute & ivf).size.toDouble / brute.size
+      info(s"bigk clustered-fixture recall@10 = $recall")
+      assert(recall >= 0.8, s"bigk recall@10 $recall below 0.8 on clustered data")
+    } finally spark.conf.unset("spark.graft.ivf.joinAssignThreshold")
   }
 
   test("dup_clusters is empty (not a crash) when no pairs pass the jaccard gate") {
