@@ -44,7 +44,8 @@ object Bench {
       "j_full_outer", "op_pivot", "op_unpivot", "tx_classify",
       "fn_zscore", "fn_histogram", "dd_fuzzy_names",
       "dd_source_overlap", "tx_bigram_rarity", "bql_explode", "emb_label_stats",
-      "b7_kll_grouped", "bql_quantile", "bql_pmf", "bql_cdf", "ann_ivf_bigk")
+      "b7_kll_grouped", "bql_quantile", "bql_pmf", "bql_cdf", "ann_ivf_bigk",
+      "mm_features_ppm")
     val baselineSubset = results.view.filterKeys(!addedSinceBaseline.contains(_))
     val subtotal = baselineSubset.values.sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +

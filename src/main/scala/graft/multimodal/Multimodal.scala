@@ -57,6 +57,65 @@ object Multimodal {
     hist
   }
 
+  /** PPM format tag (the one format this container CAN decode for real —
+    * pure JVM, no codec libs). */
+  val PpmFormat = "image/x-portable-pixmap"
+
+  /** Minimal PPM (P6) encoder: ASCII header + packed RGB triplets
+    * (maxval 255). Real format, real bytes — the fixture generator for
+    * the oracle-backed decode query, and a usable writer in its own
+    * right. */
+  def encodePpmP6(w: Int, h: Int, pixels: Array[Byte]): Array[Byte] = {
+    require(pixels.length == w * h * 3, s"need ${w * h * 3} bytes, got ${pixels.length}")
+    s"P6\n$w $h\n255\n".getBytes(java.nio.charset.StandardCharsets.US_ASCII) ++ pixels
+  }
+
+  /** REAL decode kernel for PPM (P6): parses the whitespace/comment-
+    * tolerant header and the packed maxval≤255 RGB raster. Features are
+    * integer-valued floats — [w, h, maxval, sumR, sumG, sumB, nPixels,
+    * 0…] — so downstream checks are hash-stable with no float math.
+    * Malformed payloads decode to the zero vector (a pipeline drops
+    * them; it must never crash an executor). */
+  def decodePpmP6(payload: Array[Byte]): Array[Float] = {
+    val out = new Array[Float](featureDim)
+    if (payload == null || payload.length < 2 || payload(0) != 'P' || payload(1) != '6') return out
+    var pos = 2
+    def nextInt(): Int = {
+      while (pos < payload.length &&
+          (payload(pos).toChar.isWhitespace || payload(pos) == '#')) {
+        if (payload(pos) == '#')
+          while (pos < payload.length && payload(pos) != '\n') pos += 1
+        else pos += 1
+      }
+      var v = -1
+      while (pos < payload.length && payload(pos) >= '0' && payload(pos) <= '9') {
+        v = math.max(v, 0) * 10 + (payload(pos) - '0'); pos += 1
+      }
+      v
+    }
+    val w = nextInt(); val h = nextInt(); val maxval = nextInt()
+    pos += 1 // exactly one whitespace byte after maxval, per the P6 spec
+    if (w <= 0 || h <= 0 || maxval <= 0 || maxval > 255) return out
+    val n = w * h
+    if (payload.length - pos < n * 3) return out
+    var sr = 0L; var sg = 0L; var sb = 0L
+    var i = 0
+    while (i < n) {
+      sr += payload(pos + 3 * i) & 0xff
+      sg += payload(pos + 3 * i + 1) & 0xff
+      sb += payload(pos + 3 * i + 2) & 0xff
+      i += 1
+    }
+    out(0) = w; out(1) = h; out(2) = maxval
+    out(3) = sr; out(4) = sg; out(5) = sb; out(6) = n
+    out
+  }
+
+  /** Format dispatch: a real decoder where pure JVM suffices (PPM); the
+    * documented stub histogram for codec-requiring formats. */
+  def decode(payload: Array[Byte], format: String): Array[Float] =
+    if (format == PpmFormat) decodePpmP6(payload) else decodeToFeatures(payload)
+
   /** STUB frame sampler: every `stride`-th window of `frameBytes` bytes —
     * the shape of video frame extraction (n_frames × frame payload). */
   def sampleFrames(payload: Array[Byte], frameBytes: Int, stride: Int): Seq[Array[Byte]] = {
@@ -73,10 +132,14 @@ object Multimodal {
       StructField("features", ArrayType(FloatType, containsNull = false)))
     val enc = org.apache.spark.sql.Encoders.row(schema)
     val payloadIdx = df.schema.fieldIndex("payload")
+    val metaIdx = df.schema.fieldIndex("meta")
+    val formatIdx = metaSchema.fieldIndex("format")
     val out: Dataset[Row] = df.mapPartitions { rows =>
-      // per-partition init (codec context stand-in)
+      // per-partition init (codec context stand-in); per-row format
+      // dispatch picks the real decoder where one exists
       rows.map { r =>
-        val feats = decodeToFeatures(r.getAs[Array[Byte]](payloadIdx))
+        val fmt = r.getStruct(metaIdx).getString(formatIdx)
+        val feats = decode(r.getAs[Array[Byte]](payloadIdx), fmt)
         Row.fromSeq(r.toSeq :+ feats.toSeq)
       }
     }(enc)

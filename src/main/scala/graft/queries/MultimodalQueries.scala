@@ -41,6 +41,55 @@ object MultimodalQueries {
         .orderBy(col("doc_id"))
     },
 
+    // The REAL decode path: deterministic two-tone PPM (P6) images are
+    // synthesized per doc (left half color A(id), right half B(id), w/h
+    // varying with id to exercise header parsing), round-tripped through
+    // the pure-JVM PPM decoder, and the decoded dimensions + channel sums
+    // are oracle-checked against the closed form — encode→decode must
+    // reproduce the generator's arithmetic exactly. This retires the
+    // "stub kernel" caveat for formats a JVM can decode; the stub remains
+    // only for codec-requiring formats (jpeg/ffmpeg absent here).
+    QueryDef("mm_features_ppm", Some(
+      """WITH m AS (SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h,
+        |    (4 + doc_id % 5) * (3 + doc_id % 4) AS n,
+        |    ((4 + doc_id % 5) * (3 + doc_id % 4)) // 2 AS na
+        |  FROM documents)
+        |SELECT doc_id, w, h, CAST(255 AS BIGINT) AS maxval,
+        |  na * (doc_id % 256) + (n - na) * ((doc_id * 3) % 256) AS sum_r,
+        |  na * ((doc_id * 7) % 256) + (n - na) * ((doc_id * 11) % 256) AS sum_g,
+        |  na * ((doc_id * 13) % 256) + (n - na) * ((doc_id * 17) % 256) AS sum_b
+        |FROM m ORDER BY doc_id""".stripMargin)) { (s, d) =>
+      val docs = Tables.load(s, d, "documents").select(col("doc_id"))
+      val enc = org.apache.spark.sql.Encoders.row(StructType(Seq(
+        StructField("doc_id", LongType), StructField("payload", BinaryType))))
+      val withPayload = docs.mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val w = (4 + id % 5).toInt; val h = (3 + id % 4).toInt
+          val n = w * h; val na = n / 2
+          val px = new Array[Byte](n * 3)
+          var i = 0
+          while (i < n) {
+            px(3 * i) = (if (i < na) id % 256 else (id * 3) % 256).toByte
+            px(3 * i + 1) = (if (i < na) (id * 7) % 256 else (id * 11) % 256).toByte
+            px(3 * i + 2) = (if (i < na) (id * 13) % 256 else (id * 17) % 256).toByte
+            i += 1
+          }
+          org.apache.spark.sql.Row(id, Multimodal.encodePpmP6(w, h, px))
+        }
+      }(enc)
+      val ingested = Multimodal.ingest(withPayload, "payload", Multimodal.PpmFormat)
+      Multimodal.extractFeatures(s, ingested)
+        .select(col("doc_id"),
+          element_at(col("features"), 1).cast(LongType).as("w"),
+          element_at(col("features"), 2).cast(LongType).as("h"),
+          element_at(col("features"), 3).cast(LongType).as("maxval"),
+          element_at(col("features"), 4).cast(LongType).as("sum_r"),
+          element_at(col("features"), 5).cast(LongType).as("sum_g"),
+          element_at(col("features"), 6).cast(LongType).as("sum_b"))
+        .orderBy(col("doc_id"))
+    },
+
     // Frame-sampling shape over binary payloads (video stand-in):
     // per-doc frame counts, oracle-checked via the equivalent arithmetic.
     QueryDef("mm_frame_count", Some(

@@ -184,6 +184,27 @@ class IngestAndMultimodalSpec extends AnyFunSuite {
     assert(Multimodal.decodeToFeatures(Array.empty).toSeq == Seq.fill(16)(0f))
   }
 
+  test("PPM P6 decoder: encode→decode roundtrip, comments, malformed safety") {
+    // 2x2 image, known channel sums
+    val px = Array[Byte](10, 20, 30, 40, 50, 60, 70, 80, 90, 100, 110, 120)
+    val enc = Multimodal.encodePpmP6(2, 2, px)
+    val f = Multimodal.decodePpmP6(enc)
+    assert(f.take(7).toSeq == Seq(2f, 2f, 255f, (10 + 40 + 70 + 100).toFloat,
+      (20 + 50 + 80 + 110).toFloat, (30 + 60 + 90 + 120).toFloat, 4f))
+    // header comments (the netpbm spec allows them) parse through
+    val withComment = ("P6\n# a comment line\n2 2\n255\n".getBytes("US-ASCII") ++ px)
+    assert(Multimodal.decodePpmP6(withComment).toSeq == f.toSeq)
+    // malformed payloads decode to the zero vector, never throw
+    assert(Multimodal.decodePpmP6("P6\n2 2\n255\nshort".getBytes).toSeq == Seq.fill(16)(0f))
+    assert(Multimodal.decodePpmP6("P5\n2 2\n255\n".getBytes).toSeq == Seq.fill(16)(0f))
+    assert(Multimodal.decodePpmP6(Array.empty).toSeq == Seq.fill(16)(0f))
+    assert(Multimodal.decodePpmP6(null).toSeq == Seq.fill(16)(0f))
+    // format dispatch: PPM format takes the real decoder, others the stub
+    assert(Multimodal.decode(enc, Multimodal.PpmFormat).toSeq == f.toSeq)
+    assert(Multimodal.decode(enc, "text/plain").toSeq ==
+      Multimodal.decodeToFeatures(enc).toSeq)
+  }
+
   test("frame sampler shape") {
     val payload = Array.tabulate[Byte](300)(_.toByte)
     val frames = Multimodal.sampleFrames(payload, frameBytes = 64, stride = 2)
