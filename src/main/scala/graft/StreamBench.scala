@@ -50,6 +50,74 @@ object StreamBench {
         s"WHERE user_id % 50 == ${i % 50} WINDOWING EVERY(1000000000, RECORD, ALL)")
     }
 
+    // mixed SKETCH workload: Theta distinct, KLL quantile/PMF, plain
+    // aggregates, keyed GROUP BY and TOP K on the same key. The fusion
+    // contract at 100 TB: Spark actions per batch is O(distinct shapes)
+    // (here 2 — one fused global aggregate + one fused event_type groupBy),
+    // never O(queries), whatever sketch each query carries.
+    def mixQueriesFor(n: Int): Seq[(String, String)] = (0 until n).map { i =>
+      val bql = i % 6 match {
+        case 0 => s"SELECT COUNT(DISTINCT user_id) AS nu FROM STREAM WHERE value > ${i % 100}"
+        case 1 => s"SELECT QUANTILE(value, 0.5) AS q FROM STREAM WHERE user_id % 50 == ${i % 50}"
+        case 2 => s"SELECT PMF(value, 50) AS n FROM STREAM WHERE user_id % 25 == ${i % 25}"
+        case 3 => s"SELECT COUNT(*) AS cnt, SUM(value) AS sv FROM STREAM WHERE value > ${i % 100}"
+        case 4 => s"SELECT event_type, COUNT(*) AS cnt FROM STREAM " +
+          s"WHERE value > ${i % 100} GROUP BY event_type"
+        case 5 => s"SELECT TOP(3, event_type) AS cnt FROM STREAM WHERE user_id % 50 == ${i % 50}"
+      }
+      (s"m$i", bql)
+    }
+
+    /** Spark actions completed while `body` runs (QueryExecutions, not
+      * jobs — AQE splits one action into several jobs). */
+    def countActions(body: => Unit): Int = {
+      val n = new java.util.concurrent.atomic.AtomicInteger
+      val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+        override def onSuccess(fn: String,
+            qe: org.apache.spark.sql.execution.QueryExecution, ns: Long): Unit =
+          n.incrementAndGet()
+        override def onFailure(fn: String,
+            qe: org.apache.spark.sql.execution.QueryExecution, e: Exception): Unit =
+          n.incrementAndGet()
+      }
+      spark.listenerManager.register(listener)
+      try {
+        body
+        org.apache.spark.graftshim.MetricsBridge.waitListenerBus(spark.sparkContext)
+        n.get()
+      } finally spark.listenerManager.unregister(listener)
+    }
+
+    // admission / emit latency (BASELINE.md protocol rows): wall time from
+    // submit() to the end of the first batch that applies the queries, and
+    // from a TIME-window close decision to the result being drained. The
+    // reference's anchors are >=2 batch intervals to admit and >=1 to emit
+    // (QueryDataUnioning.scala:56, JoinStreaming.scala:120-128) — ours are
+    // sub-batch because submit is a synchronous parse+compile and windows
+    // close in the same tick that observes them.
+    def latDrive(n: Int): Unit = {
+      var fakeNow = 0L
+      val engine = new MultiQueryEngine(spark, clock = () => fakeNow)
+      val batch = events.filter(col("event_id") < per)
+      batch.count() // warm the scan
+      val t0 = System.nanoTime()
+      (0 until n).foreach(i => engine.submit(s"l$i",
+        s"SELECT event_type, COUNT(*) AS cnt, AVG(value) AS av FROM STREAM " +
+          s"WHERE user_id % 50 == ${i % 50} GROUP BY event_type " +
+          "WINDOWING EVERY(1000, TIME, WINDOW)"))
+      val submitMs = (System.nanoTime() - t0) / 1e6
+      val t1 = System.nanoTime()
+      engine.processBatch(batch)
+      val admitMs = (System.nanoTime() - t1) / 1e6
+      fakeNow += 1500 // every window is now past its 1000 ms close point
+      val t2 = System.nanoTime()
+      engine.tick()
+      val emitted = engine.drainResults().size
+      val emitMs = (System.nanoTime() - t2) / 1e6
+      require(emitted >= n, s"expected >=$n window clips, got $emitted")
+      println(f"""{"mode":"lat","queries":$n,"submit_ms":$submitMs%.1f,"first_batch_ms":$admitMs%.1f,"window_emit_ms":$emitMs%.1f}""")
+    }
+
     // socket-transport control/result plane drive: 4 senders × n CLIP-sized
     // frames through the broker, then a poll drain — round-trip msgs/s for
     // BASELINE.md. A control plane moves O(queries) messages per batch, so
@@ -83,27 +151,33 @@ object StreamBench {
 
     // args: plain counts ("1 10 100") use the mixed query set; "rawN"
     // uses N concurrent RAW queries; "globN" N pure global aggregates;
-    // "socketN" drives N messages through the socket transport broker
+    // "mixN" N mixed Theta/KLL/group/topk sketch queries (also reports
+    // actions per batch — the O(shapes) fusion evidence); "latN" measures
+    // admission/emit latency with N queries; "socketN" drives N messages
+    // through the socket transport broker
     val counts = if (args.nonEmpty) args.toSeq else Seq("1", "10", "100")
     counts.filter(_.startsWith("socket")).foreach(s => socketDrive(s.drop(6).toInt))
-    val results = counts.filterNot(_.startsWith("socket")).map { spec =>
+    counts.filter(_.startsWith("lat")).foreach(s => latDrive(s.drop(3).toInt))
+    val results = counts.filterNot(s => s.startsWith("socket") || s.startsWith("lat")).map { spec =>
       val engine = new MultiQueryEngine(spark)
       val qs =
         if (spec.startsWith("raw")) rawQueriesFor(spec.drop(3).toInt)
         else if (spec.startsWith("glob")) globQueriesFor(spec.drop(4).toInt)
+        else if (spec.startsWith("mix")) mixQueriesFor(spec.drop(3).toInt)
         else queriesFor(spec.toInt)
       qs.foreach { case (id, bql) => engine.submit(id, bql) }
       val batches = (0 until nBatches).map(b => events.filter(
         col("event_id") >= b * per && col("event_id") < (b + 1) * per))
       batches.head.count() // warm
+      var acts = 0
       val t0 = System.nanoTime()
-      batches.foreach(engine.processBatch)
+      acts = countActions { batches.foreach(engine.processBatch) }
       val sec = (System.nanoTime() - t0) / 1e9
       val recsPerSec = total / sec
-      (spec, sec, recsPerSec, sec / nBatches)
+      (spec, sec, recsPerSec, sec / nBatches, acts.toDouble / nBatches)
     }
-    results.foreach { case (spec, sec, rps, perBatch) =>
-      println(f"""{"queries":"$spec","total_sec":$sec%.2f,"records_per_sec":$rps%.0f,"sec_per_batch":$perBatch%.3f}""")
+    results.foreach { case (spec, sec, rps, perBatch, actsPerBatch) =>
+      println(f"""{"queries":"$spec","total_sec":$sec%.2f,"records_per_sec":$rps%.0f,"sec_per_batch":$perBatch%.3f,"actions_per_batch":$actsPerBatch%.1f}""")
     }
     spark.stop()
   }

@@ -7,6 +7,7 @@ import org.apache.datasketches.memory.Memory
 import org.apache.datasketches.theta.{SetOperation, Union}
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftshim.ColumnBridge
 import org.apache.spark.sql.types._
 
 import graft.bql.Ast._
@@ -300,7 +301,13 @@ final class GroupState(q: Query, g: GroupAgg) extends QueryState with KeyedCombi
   // ---- keyed fusion: queries sharing the same GROUP BY key expressions
   // ride one groupBy job; a group a query's filter never matched has
   // __n == 0 for that query and is skipped (not a real group of it).
-  override def keySignature: String = g.keys.map(_.expr.toString).mkString("|")
+  // The signature is the COMPILED key column's canonical SQL (plus the
+  // output name, since fuseKeyed names the shared key columns after one
+  // member), so `GROUP BY event_type` and `TOP K(.., event_type)` land in
+  // the same fusion group instead of stringifying different AST shapes.
+  override def keySignature: String = g.keys.zipWithIndex.map { case (s, i) =>
+    s"${keyNames(i)}=${ColumnBridge.expression(Compiler.column(s.expr)).sql}"
+  }.mkString("|")
   override def keyColumns: Seq[Column] = g.keys.zipWithIndex.map { case (s, i) =>
     Compiler.column(s.expr).as(keyNames(i))
   }
@@ -439,8 +446,10 @@ final class TopKState(tk: TopKAgg) extends QueryState with KeyedCombinable {
 
   override def reset(): Unit = { counts.clear() }
 
-  // ---- keyed fusion: TOP K shares a groupBy job with same-key GROUP BYs.
-  override def keySignature: String = tk.fields.mkString("|")
+  // ---- keyed fusion: TOP K shares a groupBy job with same-key GROUP BYs
+  // (same name=canonical-sql signature form as GroupState).
+  override def keySignature: String =
+    tk.fields.map(f => s"$f=${ColumnBridge.expression(col(f)).sql}").mkString("|")
   override def keyColumns: Seq[Column] = tk.fields.map(col)
   // the counts map is uncapped and += is commutative: order never matters
   override def canAbsorbUnordered(n: Int): Boolean = true

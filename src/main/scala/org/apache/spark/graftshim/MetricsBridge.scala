@@ -35,6 +35,12 @@ object MetricsBridge {
   def remove(source: GraftMetricsSource): Unit =
     SparkEnv.get.metricsSystem.removeSource(source)
 
+  /** Drain the async listener bus — lets tests/benches assert on
+    * listener-observed job counts deterministically (`listenerBus` is
+    * `private[spark]`, hence the shim). */
+  def waitListenerBus(sc: org.apache.spark.SparkContext): Unit =
+    sc.listenerBus.waitUntilEmpty()
+
   /** Read a registered source back THROUGH the metrics system (not the
     * object you happen to hold) — what a scraper sees. */
   def gaugeValues(name: String): Map[String, Long] = {

@@ -22,6 +22,27 @@ class MultiQueryEngineSpec extends AnyFunSuite {
   }
 
   private def events: DataFrame = Tables.load(spark, sfDir, "events")
+
+  /** Spark ACTIONS (QueryExecutions) completed while `body` runs — the
+    * fusion unit of account. Raw job counts would over-count under AQE,
+    * which runs one action as several jobs (one per query stage). */
+  private def countActions(body: => Unit): Int = {
+    val n = new java.util.concurrent.atomic.AtomicInteger
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(fn: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, ns: Long): Unit =
+        n.incrementAndGet()
+      override def onFailure(fn: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, e: Exception): Unit =
+        n.incrementAndGet()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      body
+      org.apache.spark.graftshim.MetricsBridge.waitListenerBus(spark.sparkContext)
+      n.get()
+    } finally spark.listenerManager.unregister(listener)
+  }
   private def batches(n: Int): Seq[DataFrame] = {
     val total = 1000
     val per = total / n
@@ -288,7 +309,11 @@ class MultiQueryEngineSpec extends AnyFunSuite {
     e.submit("f1", "SELECT TOP(3, event_type) AS cnt FROM STREAM DURATION 1000")
     e.submit("f2", "SELECT event_type, COUNT(*) AS cnt FROM STREAM " +
       "WHERE value > 250 GROUP BY event_type ORDER BY event_type DURATION 1000")
-    batches(4).foreach(e.processBatch)
+    // prove the fusion (not just agreement): the two keyed queries must
+    // share ONE groupBy job per batch — the under-cap fused path's single
+    // probe collect. Unfused they would cost a job each.
+    val acts = countActions { batches(4).foreach(e.processBatch) }
+    assert(acts == 4, s"expected 1 fused groupBy action per batch, saw $acts over 4 batches")
     now += 2000
     e.tick()
     val rs = e.drainResults().map(m => m.queryId -> m.clip.records).toMap
@@ -301,6 +326,41 @@ class MultiQueryEngineSpec extends AnyFunSuite {
       .orderBy(col("event_type")).collect()
       .map(r => (r.getString(0), r.getLong(1))).toSeq
     assert(rs("f2").map(r => (r("event_type").toString, r("cnt").asInstanceOf[Long])) == grpExact)
+  }
+
+  /** Mixed sketch types — Theta COUNT DISTINCT, KLL QUANTILE, KLL PMF,
+    * plain global GROUP — are all GlobalCombinable, so ANY number of them
+    * must ride ONE shared aggregate job per batch (the 100 TB property:
+    * job count is O(distinct shapes), not O(queries)). */
+  test("mixed Theta/KLL/global-GROUP queries fuse into one aggregate job per batch") {
+    val e = newEngine()
+    e.submit("m1", "SELECT COUNT(DISTINCT user_id) AS nu FROM STREAM DURATION 1000")
+    e.submit("m2", "SELECT QUANTILE(value, 0.5) AS q FROM STREAM DURATION 1000")
+    e.submit("m3", "SELECT COUNT(*) AS cnt, SUM(value) AS sv FROM STREAM " +
+      "WHERE value > 100 DURATION 1000")
+    e.submit("m4", "SELECT PMF(value, 50) AS n FROM STREAM DURATION 1000")
+    val acts = countActions { batches(4).foreach(e.processBatch) }
+    assert(acts == 4, s"expected 1 fused global action per batch, saw $acts over 4 batches")
+    now += 2000
+    e.tick()
+    val rs = e.drainResults().map(m => m.queryId -> m.clip.records).toMap
+    // each fused query must still be EXACT vs the batch plan (1000 rows is
+    // far below both sketches' exact thresholds)
+    val nuExact = events.select(countDistinct(col("user_id"))).head().getLong(0)
+    assert(rs("m1").head("nu").asInstanceOf[Long] == nuExact)
+    val medianExact = events.select(col("value")).orderBy(col("value"))
+      .collect().map(_.getDouble(0)).apply(499) // inclusive rank ceil(0.5*1000)=500th
+    assert(rs("m2").head("q").asInstanceOf[Double] == medianExact)
+    val (cntExact, svExact) = {
+      val r = events.filter(col("value") > 100)
+        .agg(count(lit(1)), sum(col("value"))).head()
+      (r.getLong(0), r.getDouble(1))
+    }
+    assert(rs("m3").head("cnt").asInstanceOf[Long] == cntExact)
+    assert(math.abs(rs("m3").head("sv").asInstanceOf[Double] - svExact) < 1e-6)
+    val below50 = events.filter(col("value") < 50).count()
+    assert(rs("m4").map(r => r("n").asInstanceOf[Long]).sum == 1000L)
+    assert(rs("m4").head("n").asInstanceOf[Long] == below50)
   }
 
   test("COMPUTATION post-agg flows through streaming present (B10)") {
