@@ -17,7 +17,7 @@ object SparkEntry {
     CoreQueries.defs ++ SketchQueries.defs ++ TextQueries.defs ++
       DedupQueries.defs ++ SimilarityQueries.defs ++ BqlQueries.defs ++
       MultimodalQueries.defs ++ OperatorQueries.defs ++ FunctionQueries.defs ++
-      SamplingQueries.defs ++ SearchQueries.defs
+      SamplingQueries.defs ++ SearchQueries.defs ++ StreamingQueries.defs
 
   private val (queryMap, oracleMap) = QueryDef.toMaps(allDefs)
 
