@@ -45,7 +45,8 @@ object Bench {
       "fn_zscore", "fn_histogram", "dd_fuzzy_names",
       "dd_source_overlap", "tx_bigram_rarity", "bql_explode", "emb_label_stats",
       "b7_kll_grouped", "bql_quantile", "bql_pmf", "bql_cdf", "ann_ivf_bigk",
-      "mm_features_ppm", "ss_join_stream")
+      "mm_features_ppm", "ss_join_stream", "ss_join_outer",
+      "emb_knn_classify", "tx_vocab_coverage", "dd_containment")
     val baselineSubset = results.view.filterKeys(!addedSinceBaseline.contains(_))
     val subtotal = baselineSubset.values.sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +

@@ -109,7 +109,8 @@ object ScaleCheck {
           "j_full_outer", "op_pivot", "op_unpivot", "tx_classify",
           "fn_zscore", "fn_histogram", "dd_fuzzy_names",
           "dd_source_overlap", "tx_bigram_rarity", "emb_label_stats",
-          "b7_kll_grouped", "ann_ivf_bigk")
+          "b7_kll_grouped", "ann_ivf_bigk",
+          "tx_vocab_coverage", "emb_knn_classify", "dd_containment")
     // dd_semdedup is excluded the same way dd_embed_cosine is: replicated
     // embeddings are bit-identical across copies, so k-fold data has k²
     // true cosine pairs — the linearity signal would measure the fixture,

@@ -429,6 +429,48 @@ object DedupQueries {
         .select(col("src_a"), col("src_b"), col("n_shared"), col("n_a"),
           (col("n_shared").cast(DoubleType) / col("n_a")).as("containment"))
         .orderBy(col("src_a"), col("src_b"))
+    },
+
+    // Containment dedup — the asymmetric sibling of dd_ngram_jaccard:
+    // flag a pair when the shared shingles cover ≥ 80% of the SMALLER
+    // document's shingle set. Catches subset duplicates (a doc embedded
+    // verbatim inside a longer one) whose Jaccard similarity is diluted
+    // by the size gap and slips under any symmetric threshold — the
+    // classic boilerplate-wrapper case in web corpora. Identical
+    // postings-list plan to dd_ngram_jaccard (one shuffle on the shingle
+    // hash, map-side pair counting, broadcast size rejoin); only the
+    // final predicate differs, and it is integer cross-multiplication —
+    // no float threshold on either engine.
+    QueryDef("dd_containment", Some(
+      """WITH sh AS (
+        |  SELECT doc_id,
+        |    unnest(list_distinct([array_to_string(t[i:i+2],' ') FOR i IN range(1, len(t)-1)])) AS shingle,
+        |    len(list_distinct([array_to_string(t[i:i+2],' ') FOR i IN range(1, len(t)-1)])) AS nsh
+        |  FROM (SELECT doc_id, string_split(text,' ') AS t FROM documents))
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  count(*) AS inter, any_value(a.nsh) AS na, any_value(b.nsh) AS nb
+        |FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2
+        |HAVING count(*) * 10 >= least(any_value(a.nsh), any_value(b.nsh)) * 8
+        |ORDER BY doc_a, doc_b""".stripMargin)) { (s, d) =>
+      val base = graft.operators.QuadraticGuard
+        .check(docs(s, d), "dd_containment", "dd_minhash_lsh")
+        .select(col("doc_id"), ngram_hashes(toks, 3).as("hs"))
+      val nsh = base.select(col("doc_id"), size(col("hs")).cast(LongType).as("nsh"))
+      val sh = base.select(col("doc_id"), explode(col("hs")).as("h"))
+      val postings = sh.groupBy(col("h")).agg(collect_list(col("doc_id")).as("ds"))
+        .filter(size(col("ds")) > 1)
+      postings
+        .select(explode(col("ds")).as("doc_a"), col("ds"))
+        .select(col("doc_a"), explode(col("ds")).as("doc_b"))
+        .filter(col("doc_a") < col("doc_b"))
+        .groupBy(col("doc_a"), col("doc_b"))
+        .agg(count(lit(1)).as("inter"))
+        .join(broadcast(nsh.select(col("doc_id").as("doc_a"), col("nsh").as("na"))), "doc_a")
+        .join(broadcast(nsh.select(col("doc_id").as("doc_b"), col("nsh").as("nb"))), "doc_b")
+        .filter(col("inter") * 10 >= least(col("na"), col("nb")) * 8)
+        .select(col("doc_a"), col("doc_b"), col("inter"), col("na"), col("nb"))
+        .orderBy(col("doc_a"), col("doc_b"))
     }
   )
 }

@@ -146,6 +146,9 @@ object SimilarityQueries {
 
   private val K = 10
   private val NQueries = 5
+  /** Probe-set size for kNN classification — larger than NQueries so the
+    * vote table is a meaningful accuracy sample, still broadcast-tiny. */
+  private val NClassify = 50
 
   /** Shared IVF search body: train (bounded driver Lloyd), assign the
     * corpus (literal or join-shaped per the k threshold — Ivf.assigned),
@@ -347,6 +350,57 @@ object SimilarityQueries {
           sum(col("nsq6")).as("sqnorm_sum_u"),
           min(col("nsq6")).as("sqnorm_min_u"), max(col("nsq6")).as("sqnorm_max_u"))
         .orderBy(col("label"))
+    },
+
+    // kNN label classification — the weak-labeling / label-audit pass a
+    // training pipeline runs over an embedded corpus: predict each probe
+    // vector's label as the majority vote of its 10 cosine-nearest
+    // neighbors, then compare to the stored label. Same broadcast-probe
+    // single-pass shape as ann_brute_topk (the corpus never shuffles;
+    // scale-out is linear across executors), followed by two O(probes)
+    // aggregations. Hash-stability: cosine is used only to ORDER
+    // neighbors (tie-break vec_id, the ann_brute_topk contract); the
+    // emitted columns are all integers (votes, labels, correctness flag).
+    // Vote ties break toward the smaller label on both engines.
+    QueryDef("emb_knn_classify", Some(
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe, label AS qlabel
+         |           FROM embeddings WHERE vec_id < $NClassify),
+         |  c AS (SELECT q.qid, q.qlabel, e.label, e.vec_id,
+         |    list_sum(list_transform(list_zip(q.qe, e.embedding), x -> CAST(x[1] AS DOUBLE) * x[2]))
+         |      / sqrt(list_sum(list_transform(q.qe, x -> CAST(x AS DOUBLE) * x))
+         |           * list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * x))) AS cos
+         |  FROM q, embeddings e WHERE e.vec_id <> q.qid),
+         |  nn AS (SELECT qid, qlabel, label FROM (
+         |    SELECT qid, qlabel, label,
+         |      row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rank
+         |    FROM c) WHERE rank <= $K),
+         |  v AS (SELECT qid, any_value(qlabel) AS true_label, label, count(*) AS votes
+         |        FROM nn GROUP BY qid, label)
+         |SELECT qid, true_label, label AS pred_label, votes,
+         |  CASE WHEN label = true_label THEN 1 ELSE 0 END AS correct
+         |FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY votes DESC, label) AS r
+         |      FROM v) WHERE r = 1
+         |ORDER BY qid""".stripMargin)) { (s, d) =>
+      val e = emb(s, d).select(col("vec_id"), col("embedding"), col("label"),
+        dot_product(col("embedding"), col("embedding")).as("nsq"))
+      val q = e.filter(col("vec_id") < NClassify)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+          col("label").as("qlabel"), col("nsq").as("qn"))
+      val wNN = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
+      val wVote = Window.partitionBy(col("qid")).orderBy(col("votes").desc, col("label"))
+      e.join(broadcast(q), col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("qlabel"), col("label"), col("vec_id"),
+          (dot_product(col("qe"), col("embedding")) / sqrt(col("qn") * col("nsq"))).as("cos"))
+        .withColumn("rank", row_number().over(wNN))
+        .filter(col("rank") <= K)
+        .groupBy(col("qid"), col("label"))
+        // qlabel is functionally determined by qid — first() is exact here
+        .agg(first(col("qlabel")).as("true_label"), count(lit(1)).as("votes"))
+        .withColumn("r", row_number().over(wVote))
+        .filter(col("r") === 1)
+        .select(col("qid"), col("true_label"), col("label").as("pred_label"), col("votes"),
+          when(col("label") === col("true_label"), 1).otherwise(0).as("correct"))
+        .orderBy(col("qid"))
     }
   )
 }

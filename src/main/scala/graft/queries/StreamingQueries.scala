@@ -104,6 +104,88 @@ object StreamingQueries {
         }
       } finally q.stop()
       s.table(sink).orderBy(col("cid"), col("vid"))
+    },
+
+    // Watermarked stream-stream LEFT OUTER join — the semantic step past
+    // ss_join_stream: clicks with no view in the 6 h window must STILL
+    // emit (with a null view id), and in streaming that row can only be
+    // produced by state EVICTION — Spark holds the unmatched click until
+    // the global watermark proves no matching view can arrive, then
+    // emits the null-padded row. The differential contract extends to
+    // that eviction machinery: drained streaming result == batch LEFT
+    // JOIN, row-for-row including the null rows. Two far-future sentinel
+    // rows (non-joinable users -1/-2, filtered from the sink) push the
+    // watermark past every click's eviction bound so the drain is total;
+    // no-data micro-batches stay ENABLED here because outer-join null
+    // emission happens in exactly those watermark-advance batches.
+    QueryDef("ss_join_outer", Some(
+      """SELECT c.event_id AS cid, v.event_id AS vid, c.user_id AS cuser
+        |FROM (SELECT * FROM events WHERE event_id % 2 = 0) c
+        |LEFT JOIN (SELECT * FROM events WHERE event_id % 2 = 1) v
+        |  ON c.user_id = v.user_id
+        | AND epoch_ns(v.ts)//1000 >= epoch_ns(c.ts)//1000 - 21600000000
+        | AND epoch_ns(v.ts)//1000 <= epoch_ns(c.ts)//1000
+        |ORDER BY cid, vid NULLS FIRST""".stripMargin)) { (s, d) =>
+      import s.implicits._
+      implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val rows = Tables.load(s, d, "events")
+        .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"))
+        .orderBy(col("us"), col("event_id"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      val (lo, hi) = (rows.head._3, rows.last._3)
+      val nSlices = s.conf.get("spark.graft.ssjoin.slices", "4").toInt
+      val sliceUs = (hi - lo) / nSlices + 1
+
+      val clicks = MemoryStream[(Long, Long, Long)]
+      val views = MemoryStream[(Long, Long, Long)]
+      val c = clicks.toDF().toDF("cid", "cuser", "cus")
+        .withColumn("cts", timestamp_micros(col("cus")))
+        .withWatermark("cts", "7 hours")
+      val v = views.toDF().toDF("vid", "vuser", "vus")
+        .withColumn("vts", timestamp_micros(col("vus")))
+        .withWatermark("vts", "7 hours")
+      val joined = c.join(v,
+        col("cuser") === col("vuser") &&
+          col("vts") >= col("cts") - expr("INTERVAL 6 HOURS") &&
+          col("vts") <= col("cts"),
+        "left_outer")
+        .select(col("cid"), col("vid"), col("cuser"))
+
+      val sink = "ss_join_outer_sink"
+      s.catalog.dropTempView(sink)
+      val savedParts = s.conf.get("spark.sql.shuffle.partitions")
+      val savedNoData =
+        s.conf.get("spark.sql.streaming.noDataMicroBatches.enabled", "true")
+      s.conf.set("spark.sql.shuffle.partitions",
+        s.conf.get("spark.graft.ssjoin.parts", "4"))
+      s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "true")
+      val q =
+        try joined.writeStream.format("memory").queryName(sink)
+          .outputMode("append").start()
+        finally {
+          s.conf.set("spark.sql.shuffle.partitions", savedParts)
+          s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", savedNoData)
+        }
+      try {
+        (0 until nSlices).foreach { k =>
+          val (from, until) = (lo + k * sliceUs, lo + (k + 1) * sliceUs)
+          val slice = rows.filter(r => r._3 >= from && r._3 < until)
+          views.addData(slice.filter(_._1 % 2 == 1).toSeq)
+          clicks.addData(slice.filter(_._1 % 2 == 0).toSeq)
+          q.processAllAvailable()
+        }
+        // two sentinel rounds: the first advances the watermark past every
+        // eviction bound, the second guarantees a batch RUNS after that
+        // advance (emission happens one batch behind the update)
+        Seq(100L, 200L).foreach { h =>
+          clicks.addData(Seq((-1L, -1L, hi + h * 3600L * 1000000L)))
+          views.addData(Seq((-1L, -2L, hi + h * 3600L * 1000000L)))
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+      s.table(sink).filter(col("cid") >= 0)
+        .orderBy(col("cid"), col("vid").asc_nulls_first)
     }
   )
 }

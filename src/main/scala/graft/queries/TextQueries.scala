@@ -492,6 +492,45 @@ object TextQueries {
         Fingerprints.tokenSetFp(toks).as("fp"),
         md5(col("text")).as("exact_fp"))
         .orderBy(col("doc_id"))
+    },
+
+    // Vocabulary coverage / OOV rate — the tokenizer-fit check run before
+    // training: build the vocabulary from the train split (sources with
+    // numeric suffix < 15, min corpus frequency 100), then measure each
+    // eval-split document's out-of-vocabulary token mass. High OOV flags
+    // domain drift or tokenizer mismatch. Scale shape mirrors tx_rarity:
+    // the vocabulary is corpus-derived so it is NOT broadcast — tokens are
+    // reduced to 8-byte hashes, the vocab is one partial+final groupBy,
+    // and the eval side left-joins on the hash (at 100 TB a real vocab is
+    // still ≤ a few million rows, so AQE will broadcast it when it fits —
+    // the plan degrades to a shuffle join, not to a failure, when it
+    // doesn't). All emitted columns are integers.
+    QueryDef("tx_vocab_coverage", Some(
+      """WITH tok AS (SELECT doc_id, CAST(substr(source, 4) AS INT) AS src_n,
+        |                    unnest(string_split(text,' ')) AS t
+        |             FROM documents),
+        |v AS (SELECT t FROM tok WHERE src_n < 15 GROUP BY t HAVING count(*) >= 100)
+        |SELECT doc_id, count(*) AS n_tokens,
+        |  count(*) FILTER (WHERE v.t IS NULL) AS n_oov,
+        |  count(DISTINCT CASE WHEN v.t IS NULL THEN tok.t END) AS n_uniq_oov
+        |FROM tok LEFT JOIN v ON tok.t = v.t WHERE src_n >= 15
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin)) { (s, d) =>
+      val tok = docs(s, d)
+        .select(col("doc_id"),
+          substring(col("source"), 4, 10).cast(IntegerType).as("src_n"),
+          explode(toks).as("t"))
+        .select(col("doc_id"), col("src_n"), xxhash64(col("t")).as("h"))
+      val vocab = tok.filter(col("src_n") < 15)
+        .groupBy(col("h")).agg(count(lit(1)).as("c"))
+        .filter(col("c") >= 100)
+        .select(col("h"), lit(true).as("in_vocab"))
+      tok.filter(col("src_n") >= 15)
+        .join(vocab, Seq("h"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tokens"),
+          count(when(col("in_vocab").isNull, 1)).as("n_oov"),
+          countDistinct(when(col("in_vocab").isNull, col("h"))).as("n_uniq_oov"))
+        .orderBy(col("doc_id"))
     }
   )
 }
