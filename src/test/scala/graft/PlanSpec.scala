@@ -202,6 +202,26 @@ class PlanSpec extends AnyFunSuite {
       s"bigram vocabulary count must map-side combine:\n$bg")
   }
 
+  test("knn classify broadcasts probes; vocab coverage and containment exchange hashes only") {
+    val knn = planStr("emb_knn_classify")
+    assert(knn.contains("BroadcastNestedLoopJoin") || knn.contains("BroadcastHashJoin"),
+      s"the probe set must broadcast — the corpus never shuffles for the distance pass:\n$knn")
+    val knnEx = knn.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(!knnEx.exists(l => l.contains("embedding#") || l.contains("qe#")),
+      s"vectors must be reduced to scores before the rank shuffle:\n${knnEx.mkString("\n")}")
+    val vc = planStr("tx_vocab_coverage")
+    assert("HashAggregate".r.findAllIn(vc).size >= 2,
+      s"vocabulary count must map-side combine:\n$vc")
+    val vcEx = vc.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(!vcEx.exists(l => l.contains("t#") || l.contains("text#")),
+      s"token strings must be hashed to longs before any exchange:\n${vcEx.mkString("\n")}")
+    val ct = planStr("dd_containment")
+    val ctEx = ct.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(ctEx.nonEmpty, ct)
+    assert(!ctEx.exists(l => l.contains("text#") || l.contains("shingle#")),
+      s"shingle strings must never hit an exchange:\n${ctEx.mkString("\n")}")
+  }
+
   test("bql-compiled plans get the same pushdown as hand-written ones") {
     val df = graft.bql.Compiler.compile(
       "SELECT event_id FROM STREAM WHERE event_type == 'click'")._2(

@@ -68,4 +68,38 @@ class StreamJoinDifferentialSpec extends AnyFunSuite {
       }
     }
   }
+
+  // ---- left-outer variant (ss_join_outer): the eviction machinery ----
+
+  private def streamedOuter(): Set[(Long, Option[Long], Long)] =
+    SparkEntry.queries("ss_join_outer")(spark, sfDir)
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getLong(1)), r.getLong(2))).toSet
+
+  private def batchOuter(): Set[(Long, Option[Long], Long)] = {
+    val ev = Tables.load(spark, sfDir, "events")
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"))
+    val c = ev.filter(col("event_id") % 2 === 0).toDF("cid", "cuser", "cus")
+    val v = ev.filter(col("event_id") % 2 === 1).toDF("vid", "vuser", "vus")
+    c.join(v, col("cuser") === col("vuser") &&
+        col("vus") >= col("cus") - lit(21600000000L) &&
+        col("vus") <= col("cus"), "left_outer")
+      .select(col("cid"), col("vid"), col("cuser"))
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getLong(1)), r.getLong(2))).toSet
+  }
+
+  test("streaming LEFT OUTER join equals batch left join, null rows included") {
+    val want = batchOuter()
+    val got = streamedOuter()
+    assert(got == want)
+  }
+
+  test("outer join actually evicts: unmatched clicks emit null-padded rows") {
+    // the null rows can ONLY come from watermark-driven state eviction —
+    // if the sentinel/watermark plumbing breaks, the join degrades to
+    // inner semantics and this catches it independently of the oracle
+    val nulls = streamedOuter().count(_._2.isEmpty)
+    assert(nulls > 0, "no null-padded rows drained — eviction never fired")
+  }
 }
