@@ -186,6 +186,81 @@ object StreamingQueries {
       } finally q.stop()
       s.table(sink).filter(col("cid") >= 0)
         .orderBy(col("cid"), col("vid").asc_nulls_first)
+    },
+
+    // Streaming sessionization — the stateful-merge counterpart of
+    // OperatorQueries.op_sessionize: per-user sessions with a 6 h
+    // inactivity gap, computed by Structured Streaming's session_window
+    // (merging session state across micro-batches, finalized and emitted
+    // once the watermark proves no further event can extend a session).
+    // The differential contract: the drained streaming sessions equal the
+    // batch lag-based sessionization row-for-row — (user, session start,
+    // event count). Sessions that SPAN micro-batch boundaries are the
+    // interesting rows: they can only be right if cross-batch session
+    // state merged correctly. Gap comparison is strict < on both engines
+    // (Spark merges when the next event lands inside [ts, ts+gap)); the
+    // fixture has no exact-6h gaps, so the boundary semantics cannot
+    // silently diverge. All output columns are integers (micros, counts).
+    QueryDef("ss_sessionize", Some(
+      """WITH g AS (
+        |  SELECT user_id, epoch_ns(ts)//1000 AS us, event_id,
+        |    CASE WHEN ts - lag(ts) OVER w < INTERVAL 6 HOUR THEN 0 ELSE 1 END AS new_s
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |  s AS (SELECT user_id, us,
+        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |                     ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM g)
+        |SELECT user_id, min(us) AS session_start_us, count(*) AS n_events
+        |FROM s GROUP BY user_id, sid
+        |ORDER BY user_id, session_start_us""".stripMargin)) { (s, d) =>
+      import s.implicits._
+      implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val rows = Tables.load(s, d, "events")
+        .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"))
+        .orderBy(col("us"), col("event_id"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      val (lo, hi) = (rows.head._3, rows.last._3)
+      val nSlices = s.conf.get("spark.graft.ssjoin.slices", "4").toInt
+      val sliceUs = (hi - lo) / nSlices + 1
+
+      val feed = MemoryStream[(Long, Long, Long)]
+      val sessions = feed.toDF().toDF("eid", "user_id", "us")
+        .withColumn("ts", timestamp_micros(col("us")))
+        // slices are time-contiguous, so 1 h of allowed lateness is pure
+        // margin; the delay only postpones finalization, never drops rows
+        .withWatermark("ts", "1 hour")
+        .groupBy(col("user_id"), session_window(col("ts"), "6 hours"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"),
+          unix_micros(col("session_window.start")).as("session_start_us"),
+          col("n_events"))
+
+      val sink = "ss_sessionize_sink"
+      s.catalog.dropTempView(sink)
+      val savedParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions",
+        s.conf.get("spark.graft.ssjoin.parts", "4"))
+      val q =
+        try sessions.writeStream.format("memory").queryName(sink)
+          .outputMode("append").start()
+        finally s.conf.set("spark.sql.shuffle.partitions", savedParts)
+      try {
+        (0 until nSlices).foreach { k =>
+          val (from, until) = (lo + k * sliceUs, lo + (k + 1) * sliceUs)
+          feed.addData(rows.filter(r => r._3 >= from && r._3 < until).toSeq)
+          q.processAllAvailable()
+        }
+        // sentinel user -1 pushes the watermark past every session's
+        // finalization bound (end + gap); second round guarantees a batch
+        // runs after the watermark update so the last sessions drain
+        Seq(100L, 200L).foreach { h =>
+          feed.addData(Seq((-1L, -1L, hi + h * 3600L * 1000000L)))
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+      s.table(sink).filter(col("user_id") >= 0)
+        .orderBy(col("user_id"), col("session_start_us"))
     }
   )
 }

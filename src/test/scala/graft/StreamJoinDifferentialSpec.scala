@@ -102,4 +102,54 @@ class StreamJoinDifferentialSpec extends AnyFunSuite {
     val nulls = streamedOuter().count(_._2.isEmpty)
     assert(nulls > 0, "no null-padded rows drained — eviction never fired")
   }
+
+  // ---- streaming sessionization (ss_sessionize) ----
+
+  private def streamedSessions(): Set[(Long, Long, Long)] =
+    SparkEntry.queries("ss_sessionize")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+  private def batchSessions(): Set[(Long, Long, Long)] = {
+    // independent batch recomputation (not the oracle SQL): lag-based
+    // session ids, strict 6 h gap, same (user, start_us, n_events) shape
+    val byUser = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+    val cum = byUser.rowsBetween(Long.MinValue, 0)
+    Tables.load(spark, sfDir, "events")
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"))
+      .withColumn("new_s",
+        when(col("us") - lag(col("us"), 1).over(byUser) < 6L * 3600 * 1000000, 0)
+          .otherwise(1))
+      .withColumn("sid", sum(col("new_s")).over(cum))
+      .groupBy(col("user_id"), col("sid"))
+      .agg(min(col("us")).as("session_start_us"), count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("session_start_us"), col("n_events"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+  }
+
+  test("streaming sessionization equals batch sessionization") {
+    val want = batchSessions()
+    val got = streamedSessions()
+    assert(want.size > 100, s"fixture yields only ${want.size} sessions — differential too weak")
+    assert(got == want)
+  }
+
+  test("sessions cross micro-batch boundaries: cross-batch session-state merge is exercised") {
+    val nSlices = spark.conf.get("spark.graft.ssjoin.slices", "4").toInt
+    val rows = Tables.load(spark, sfDir, "events")
+      .select(col("user_id"), unix_micros(col("ts")).as("us"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val (lo, hi) = (rows.map(_._2).min, rows.map(_._2).max)
+    val sliceUs = (hi - lo) / nSlices + 1
+    // a session whose start and (start + span) land in different slices
+    // must have merged state across batches
+    val spanning = batchSessions().count { case (uid, start, n) =>
+      n > 1 && {
+        val members = rows.filter(r => r._1 == uid && r._2 >= start)
+          .map(_._2).sorted.take(n.toInt)
+        (start - lo) / sliceUs != (members.last - lo) / sliceUs
+      }
+    }
+    assert(spanning > 0, "no session spans a micro-batch boundary — differential too weak")
+  }
 }
