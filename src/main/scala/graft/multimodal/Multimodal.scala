@@ -76,9 +76,11 @@ object Multimodal {
     * 0…] — so downstream checks are hash-stable with no float math.
     * Malformed payloads decode to the zero vector (a pipeline drops
     * them; it must never crash an executor). */
-  def decodePpmP6(payload: Array[Byte]): Array[Float] = {
-    val out = new Array[Float](featureDim)
-    if (payload == null || payload.length < 2 || payload(0) != 'P' || payload(1) != '6') return out
+  /** P6 header parse shared by the feature and resize kernels:
+    * Some((w, h, maxval, rasterOffset)) for a well-formed maxval≤255
+    * payload with a complete raster, None otherwise. */
+  def decodePpmHeader(payload: Array[Byte]): Option[(Int, Int, Int, Int)] = {
+    if (payload == null || payload.length < 2 || payload(0) != 'P' || payload(1) != '6') return None
     var pos = 2
     def nextInt(): Int = {
       while (pos < payload.length &&
@@ -95,21 +97,54 @@ object Multimodal {
     }
     val w = nextInt(); val h = nextInt(); val maxval = nextInt()
     pos += 1 // exactly one whitespace byte after maxval, per the P6 spec
-    if (w <= 0 || h <= 0 || maxval <= 0 || maxval > 255) return out
-    val n = w * h
-    if (payload.length - pos < n * 3) return out
-    var sr = 0L; var sg = 0L; var sb = 0L
-    var i = 0
-    while (i < n) {
-      sr += payload(pos + 3 * i) & 0xff
-      sg += payload(pos + 3 * i + 1) & 0xff
-      sb += payload(pos + 3 * i + 2) & 0xff
-      i += 1
-    }
-    out(0) = w; out(1) = h; out(2) = maxval
-    out(3) = sr; out(4) = sg; out(5) = sb; out(6) = n
-    out
+    if (w <= 0 || h <= 0 || maxval <= 0 || maxval > 255) return None
+    if (payload.length - pos < w * h * 3) return None
+    Some((w, h, maxval, pos))
   }
+
+  def decodePpmP6(payload: Array[Byte]): Array[Float] = {
+    val out = new Array[Float](featureDim)
+    decodePpmHeader(payload) match {
+      case None => out
+      case Some((w, h, maxval, pos)) =>
+        val n = w * h
+        var sr = 0L; var sg = 0L; var sb = 0L
+        var i = 0
+        while (i < n) {
+          sr += payload(pos + 3 * i) & 0xff
+          sg += payload(pos + 3 * i + 1) & 0xff
+          sb += payload(pos + 3 * i + 2) & 0xff
+          i += 1
+        }
+        out(0) = w; out(1) = h; out(2) = maxval
+        out(3) = sr; out(4) = sg; out(5) = sb; out(6) = n
+        out
+    }
+  }
+
+  /** REAL nearest-neighbor resize over a decoded P6 payload: output pixel
+    * (x, y) samples source (x*w/outW, y*h/outH) — integer floor, the
+    * standard NN convention. Returns the resized packed RGB raster, or
+    * None for malformed payloads (dropped, never a crash). The kernel is
+    * O(outW*outH) per image regardless of source size — the thumbnail
+    * pass of an image pipeline. */
+  def resizePpmNearest(payload: Array[Byte], outW: Int, outH: Int): Option[Array[Byte]] =
+    decodePpmHeader(payload).map { case (w, h, _, pos) =>
+      val out = new Array[Byte](outW * outH * 3)
+      var y = 0
+      while (y < outH) {
+        val sy = y * h / outH
+        var x = 0
+        while (x < outW) {
+          val si = pos + (sy * w + x * w / outW) * 3
+          val di = (y * outW + x) * 3
+          out(di) = payload(si); out(di + 1) = payload(si + 1); out(di + 2) = payload(si + 2)
+          x += 1
+        }
+        y += 1
+      }
+      out
+    }
 
   /** Format dispatch: a real decoder where pure JVM suffices (PPM); the
     * documented stub histogram for codec-requiring formats. */

@@ -13,6 +13,33 @@ import graft.sources.Tables
   */
 object MultimodalQueries {
 
+  /** Deterministic two-tone PPM (P6) fixture shared by the decode and
+    * resize queries: per doc, a (4+id%5) × (3+id%4) image whose first
+    * half of pixels is color A(id) and second half B(id) — every channel
+    * value is a closed form of doc_id, so SQL oracles can reproduce the
+    * decoded arithmetic exactly. */
+  private def ppmPayloads(s: org.apache.spark.sql.SparkSession, d: String) = {
+    val docs = Tables.load(s, d, "documents").select(col("doc_id"))
+    val enc = org.apache.spark.sql.Encoders.row(StructType(Seq(
+      StructField("doc_id", LongType), StructField("payload", BinaryType))))
+    docs.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val w = (4 + id % 5).toInt; val h = (3 + id % 4).toInt
+        val n = w * h; val na = n / 2
+        val px = new Array[Byte](n * 3)
+        var i = 0
+        while (i < n) {
+          px(3 * i) = (if (i < na) id % 256 else (id * 3) % 256).toByte
+          px(3 * i + 1) = (if (i < na) (id * 7) % 256 else (id * 11) % 256).toByte
+          px(3 * i + 2) = (if (i < na) (id * 13) % 256 else (id * 17) % 256).toByte
+          i += 1
+        }
+        org.apache.spark.sql.Row(id, Multimodal.encodePpmP6(w, h, px))
+      }
+    }(enc)
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // Ingest contract: payload + typed metadata. Metadata is
@@ -59,26 +86,7 @@ object MultimodalQueries {
         |  na * ((doc_id * 7) % 256) + (n - na) * ((doc_id * 11) % 256) AS sum_g,
         |  na * ((doc_id * 13) % 256) + (n - na) * ((doc_id * 17) % 256) AS sum_b
         |FROM m ORDER BY doc_id""".stripMargin)) { (s, d) =>
-      val docs = Tables.load(s, d, "documents").select(col("doc_id"))
-      val enc = org.apache.spark.sql.Encoders.row(StructType(Seq(
-        StructField("doc_id", LongType), StructField("payload", BinaryType))))
-      val withPayload = docs.mapPartitions { rows =>
-        rows.map { r =>
-          val id = r.getLong(0)
-          val w = (4 + id % 5).toInt; val h = (3 + id % 4).toInt
-          val n = w * h; val na = n / 2
-          val px = new Array[Byte](n * 3)
-          var i = 0
-          while (i < n) {
-            px(3 * i) = (if (i < na) id % 256 else (id * 3) % 256).toByte
-            px(3 * i + 1) = (if (i < na) (id * 7) % 256 else (id * 11) % 256).toByte
-            px(3 * i + 2) = (if (i < na) (id * 13) % 256 else (id * 17) % 256).toByte
-            i += 1
-          }
-          org.apache.spark.sql.Row(id, Multimodal.encodePpmP6(w, h, px))
-        }
-      }(enc)
-      val ingested = Multimodal.ingest(withPayload, "payload", Multimodal.PpmFormat)
+      val ingested = Multimodal.ingest(ppmPayloads(s, d), "payload", Multimodal.PpmFormat)
       Multimodal.extractFeatures(s, ingested)
         .select(col("doc_id"),
           element_at(col("features"), 1).cast(LongType).as("w"),
@@ -88,6 +96,46 @@ object MultimodalQueries {
           element_at(col("features"), 5).cast(LongType).as("sum_g"),
           element_at(col("features"), 6).cast(LongType).as("sum_b"))
         .orderBy(col("doc_id"))
+    },
+
+    // The REAL resize path (the thumbnail pass): decode the P6 header,
+    // nearest-neighbor downsample to 2×2, emit the resized channel sums.
+    // NN sampling picks source pixel (x*w/2, y*h/2) for output (x, y) —
+    // the oracle enumerates those four sample positions and reproduces
+    // each sampled channel value from the generator's closed form, so
+    // the resize KERNEL (index arithmetic included) is what the hash
+    // compare certifies. O(4) per image whatever the source size; the
+    // payload column never shuffles (per-partition map, then a 3-long
+    // projection into the ORDER BY).
+    QueryDef("mm_resize_ppm", Some(
+      """WITH m AS (SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h,
+        |    ((4 + doc_id % 5) * (3 + doc_id % 4)) // 2 AS na
+        |  FROM documents),
+        |p AS (SELECT doc_id, na, ((y * h) // 2) * w + ((x * w) // 2) AS idx
+        |      FROM m CROSS JOIN (VALUES (0, 0), (0, 1), (1, 0), (1, 1)) t(x, y))
+        |SELECT doc_id, CAST(2 AS BIGINT) AS out_w, CAST(2 AS BIGINT) AS out_h,
+        |  CAST(sum(CASE WHEN idx < na THEN doc_id % 256 ELSE (doc_id * 3) % 256 END) AS BIGINT) AS sum_r,
+        |  CAST(sum(CASE WHEN idx < na THEN (doc_id * 7) % 256 ELSE (doc_id * 11) % 256 END) AS BIGINT) AS sum_g,
+        |  CAST(sum(CASE WHEN idx < na THEN (doc_id * 13) % 256 ELSE (doc_id * 17) % 256 END) AS BIGINT) AS sum_b
+        |FROM p GROUP BY doc_id ORDER BY doc_id""".stripMargin)) { (s, d) =>
+      val payloads = ppmPayloads(s, d)
+      val enc = org.apache.spark.sql.Encoders.row(StructType(Seq(
+        StructField("doc_id", LongType), StructField("out_w", LongType),
+        StructField("out_h", LongType), StructField("sum_r", LongType),
+        StructField("sum_g", LongType), StructField("sum_b", LongType))))
+      payloads.mapPartitions { rows =>
+        rows.flatMap { r =>
+          Multimodal.resizePpmNearest(r.getAs[Array[Byte]](1), 2, 2).map { rz =>
+            var sr = 0L; var sg = 0L; var sb = 0L
+            var i = 0
+            while (i < 4) {
+              sr += rz(3 * i) & 0xff; sg += rz(3 * i + 1) & 0xff; sb += rz(3 * i + 2) & 0xff
+              i += 1
+            }
+            org.apache.spark.sql.Row(r.getLong(0), 2L, 2L, sr, sg, sb)
+          }
+        }
+      }(enc).orderBy(col("doc_id"))
     },
 
     // Frame-sampling shape over binary payloads (video stand-in):

@@ -205,6 +205,26 @@ class IngestAndMultimodalSpec extends AnyFunSuite {
       Multimodal.decodeToFeatures(enc).toSeq)
   }
 
+  test("PPM P6 nearest-neighbor resize: exact sample positions, malformed safety") {
+    // 4x2 source with distinct per-pixel values; resize to 2x2 samples
+    // (x*4/2, y*2/2) = source pixels (0,0),(2,0),(0,1),(2,1)
+    val px = Array.tabulate[Byte](4 * 2 * 3)(i => (i + 1).toByte)
+    val enc = Multimodal.encodePpmP6(4, 2, px)
+    val rz = Multimodal.resizePpmNearest(enc, 2, 2).get
+    def pixel(x: Int, y: Int) = px.slice((y * 4 + x) * 3, (y * 4 + x) * 3 + 3).toSeq
+    assert(rz.toSeq == (pixel(0, 0) ++ pixel(2, 0) ++ pixel(0, 1) ++ pixel(2, 1)))
+    // identity resize reproduces the raster exactly
+    assert(Multimodal.resizePpmNearest(enc, 4, 2).get.toSeq == px.toSeq)
+    // upscale repeats source pixels, never reads out of bounds
+    val up = Multimodal.resizePpmNearest(enc, 8, 4).get
+    assert(up.length == 8 * 4 * 3)
+    assert(up.take(3).toSeq == pixel(0, 0))
+    // malformed payloads resize to None, never throw
+    assert(Multimodal.resizePpmNearest("P6\n2 2\n255\nshort".getBytes, 2, 2).isEmpty)
+    assert(Multimodal.resizePpmNearest(Array.empty, 2, 2).isEmpty)
+    assert(Multimodal.resizePpmNearest(null, 2, 2).isEmpty)
+  }
+
   test("frame sampler shape") {
     val payload = Array.tabulate[Byte](300)(_.toByte)
     val frames = Multimodal.sampleFrames(payload, frameBytes = 64, stride = 2)
