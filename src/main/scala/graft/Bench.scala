@@ -47,7 +47,8 @@ object Bench {
       "b7_kll_grouped", "bql_quantile", "bql_pmf", "bql_cdf", "ann_ivf_bigk",
       "mm_features_ppm", "ss_join_stream", "ss_join_outer",
       "emb_knn_classify", "tx_vocab_coverage", "dd_containment",
-      "ss_sessionize", "mm_resize_ppm")
+      "ss_sessionize", "mm_resize_ppm", "dd_paragraph", "fn_array",
+      "op_grouping_sets", "ss_dedup")
     val baselineSubset = results.view.filterKeys(!addedSinceBaseline.contains(_))
     val subtotal = baselineSubset.values.sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +

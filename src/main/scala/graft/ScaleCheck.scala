@@ -42,7 +42,10 @@ object ScaleCheck {
 
   def main(args: Array[String]): Unit = {
     val skew = args.contains("skew")
-    val k = args.filterNot(_ == "skew").headOption.map(_.toInt).getOrElse(8)
+    val rest = args.filterNot(_ == "skew")
+    val k = rest.find(_.forall(_.isDigit)).map(_.toInt).getOrElse(8)
+    // non-numeric extra args: restrict to those query names (local iteration)
+    val only = rest.filterNot(_.forall(_.isDigit)).toSet
     val base = "/root/testdata/sf0.1"
     val tag = if (skew) "scale_skew" else "scale"
     val out = s"/tmp/graft_${tag}_${k}x"
@@ -97,7 +100,7 @@ object ScaleCheck {
         // the shuffle-heavy plans where one hot key / hot bucket / hot
         // stratum could concentrate work on a single reducer
         Seq("j_multiway_star", "dd_dup_clusters", "dd_minhash_lsh",
-          "dd_simhash", "samp_stratified")
+          "dd_simhash", "samp_stratified", "dd_paragraph")
       else
         Seq("b5_group_agg", "b1_filter_compound", "j_multiway_star",
           "b6_theta_distinct", "b8_freq_topk", "dd_minhash_lsh", "ann_lsh_topk",
@@ -110,7 +113,9 @@ object ScaleCheck {
           "fn_zscore", "fn_histogram", "dd_fuzzy_names",
           "dd_source_overlap", "tx_bigram_rarity", "emb_label_stats",
           "b7_kll_grouped", "ann_ivf_bigk",
-          "tx_vocab_coverage", "emb_knn_classify", "dd_containment")
+          "tx_vocab_coverage", "emb_knn_classify", "dd_containment",
+          "dd_paragraph", "fn_array")
+    val selected = if (only.isEmpty) names else names.filter(only)
     // dd_semdedup is excluded the same way dd_embed_cosine is: replicated
     // embeddings are bit-identical across copies, so k-fold data has k²
     // true cosine pairs — the linearity signal would measure the fixture,
@@ -127,9 +132,9 @@ object ScaleCheck {
       (System.nanoTime() - t0) / 1e9
     }
     // warm both paths once
-    names.foreach { n => time(n, baseDir); time(n, out) }
+    selected.foreach { n => time(n, baseDir); time(n, out) }
     println(f"${"query"}%-22s ${"1x"}%8s ${s"${k}x"}%8s ratio (linear = $k)${if (skew) "  [skew: 10% hot key]" else ""}")
-    names.foreach { n =>
+    selected.foreach { n =>
       val t1 = math.min(time(n, baseDir), time(n, baseDir))
       val tk = math.min(time(n, out), time(n, out))
       println(f"$n%-22s $t1%8.2f $tk%8.2f ${tk / t1}%5.1f")

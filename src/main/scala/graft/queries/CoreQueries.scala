@@ -366,6 +366,30 @@ object CoreQueries {
         .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
     },
 
+    // Explicit GROUPING SETS — the general form rollup/cube are special
+    // cases of: two DISJOINT single-column sets (per-status and
+    // per-priority marginals in one pass), which neither rollup nor cube
+    // can express. One shuffle total: Spark expands the sets map-side
+    // (each input row feeds every set's partial aggregate), so the
+    // exchange carries pre-combined partials exactly like a plain
+    // groupBy — no per-set rescan of the fact table, which is the whole
+    // point at 100 TB. grouping_id disambiguates which set a row
+    // belongs to (both engines use the SQL-standard bit vector).
+    QueryDef("op_grouping_sets", Some(
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS cnt,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+        |  CAST(grouping(o_orderstatus, o_orderpriority) AS BIGINT) AS gid
+        |FROM orders GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+        |ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin)) { (s, d) =>
+      t(s, d, "orders")
+        .groupingSets(Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority"))),
+          col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("cnt"), sumDec(col("o_totalprice")).as("total"),
+          grouping_id().cast(LongType).as("gid"))
+        .orderBy(col("gid"), col("o_orderstatus").asc_nulls_first,
+          col("o_orderpriority").asc_nulls_first)
+    },
+
     // ----- §2.C analytic window functions -----
     QueryDef("wf_analytic", Some(
       """SELECT c_mktsegment, c_custkey, c_acctbal,

@@ -180,6 +180,50 @@ object DedupQueries {
         .orderBy(col("doc_id"))
     },
 
+    // Paragraph-level (sub-document) dedup — the pass that catches
+    // repeated boilerplate INSIDE otherwise-distinct documents (headers,
+    // license blocks, navigation chrome), which doc-level dedup never
+    // sees. Text is split into fixed 8-token chunks (the corpus has no
+    // newline paragraph marks; a real corpus swaps the chunker for a
+    // split-on-blank-line, same plan); a chunk survives only at its FIRST
+    // corpus-wide occurrence (min (doc_id, chunk_idx)); per doc we report
+    // how much survives. Scale shape: chunks are hashed inside codegen,
+    // so the three exchanges carry only 8-byte keys — (doc_id), (hash),
+    // (doc_id) — the chunk text never shuffles; first-occurrence keys are
+    // folded map-side (min is algebraic), and the final join of two
+    // doc_id-partitioned aggregates adds no exchange. Hash identity
+    // stands in for chunk identity (64-bit xxhash; the oracle groups by
+    // the chunk text itself, so a collision would surface as a mismatch).
+    QueryDef("dd_paragraph", Some(
+      """WITH g AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
+        |c AS (SELECT doc_id, t, unnest(range(0, CAST((len(t)-1)//8 AS BIGINT)+1)) AS ci FROM g),
+        |e AS (SELECT doc_id, ci, array_to_string(t[ci*8+1:ci*8+8],' ') AS chunk FROM c),
+        |k AS (SELECT chunk, min(doc_id*1000000+ci) AS mk FROM e GROUP BY chunk),
+        |kept AS (SELECT CAST(mk // 1000000 AS BIGINT) AS kdoc, count(*) AS n_kept FROM k GROUP BY 1),
+        |tot AS (SELECT doc_id, count(*) AS n_chunks FROM e GROUP BY doc_id)
+        |SELECT doc_id, n_chunks, COALESCE(n_kept, 0) AS n_kept,
+        |  n_chunks - COALESCE(n_kept, 0) AS n_dropped
+        |FROM tot LEFT JOIN kept ON tot.doc_id = kept.kdoc
+        |ORDER BY doc_id""".stripMargin)) { (s, d) =>
+      val stride = 8
+      val nC = floor((size(toks) - 1) / stride).cast(LongType) + 1
+      val keyed = docs(s, d)
+        .select(col("doc_id"), toks.as("t"), explode(sequence(lit(0L), nC - 1)).as("ci"))
+        .select(col("doc_id"),
+          xxhash64(concat_ws(" ",
+            slice(col("t"), (col("ci") * stride + 1).cast("int"), lit(stride)))).as("h"),
+          (col("doc_id") * 1000000 + col("ci")).as("k"))
+      val tot = keyed.groupBy(col("doc_id")).agg(count(lit(1)).as("n_chunks"))
+      val kept = keyed.groupBy(col("h")).agg(min(col("k")).as("mk"))
+        .select(expr("mk DIV 1000000").as("doc_id"))
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_kept"))
+      tot.join(kept, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_chunks"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+          (col("n_chunks") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"))
+        .orderBy(col("doc_id"))
+    },
+
     // MinHash + LSH banding: 64-slot signature per doc (one codegen pass),
     // 16 bands x 4 rows; docs sharing any band bucket become candidates;
     // verify by estimated Jaccard (matching slots / 64) >= 0.5.

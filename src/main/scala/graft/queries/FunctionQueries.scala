@@ -125,6 +125,37 @@ object FunctionQueries {
         .agg(count(lit(1)).as("n"),
           min(col("lo") + col("bucket") * ((col("hi") - col("lo")) / 16)).as("bucket_lo"))
         .orderBy(col("bucket"))
+    },
+
+    // Higher-order array-function breadth: transform / filter / aggregate
+    // / zip_with / reverse / array_distinct / array_max composed over a
+    // per-row token-length array. These are the collection primitives a
+    // feature-engineering pass leans on (per-row vectors, no explode —
+    // the array never leaves the row, so a 100 TB corpus is one linear
+    // codegen'd scan with zero shuffles; ORDER BY is oracle determinism
+    // only). All-integer arithmetic so the oracle compare is exact.
+    QueryDef("fn_array", Some(
+      """WITH g AS (SELECT doc_id, list_transform(string_split(text,' '), x -> length(x)) AS lens FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(lens) AS BIGINT) AS n_tokens,
+        |  CAST(len(list_filter(lens, x -> x > 4)) AS BIGINT) AS n_long,
+        |  CAST(list_sum(lens) AS BIGINT) AS total_chars,
+        |  CAST(list_max(lens) AS BIGINT) AS longest,
+        |  CAST(len(list_distinct(lens)) AS BIGINT) AS n_distinct_lens,
+        |  CAST(list_sum(list_transform(list_zip(lens, list_reverse(lens)), x -> x[1]*x[2])) AS BIGINT) AS rev_dot
+        |FROM g ORDER BY doc_id""".stripMargin)) { (s, d) =>
+      val lens = transform(split(col("text"), " "), x => length(x))
+      Tables.load(s, d, "documents")
+        .select(col("doc_id"), lens.as("lens"))
+        .select(col("doc_id"),
+          size(col("lens")).cast(LongType).as("n_tokens"),
+          size(filter(col("lens"), x => x > 4)).cast(LongType).as("n_long"),
+          aggregate(col("lens"), lit(0L), (acc, x) => acc + x).as("total_chars"),
+          array_max(col("lens")).cast(LongType).as("longest"),
+          size(array_distinct(col("lens"))).cast(LongType).as("n_distinct_lens"),
+          aggregate(zip_with(col("lens"), reverse(col("lens")), (a, b) => (a * b).cast(LongType)),
+            lit(0L), (acc, x) => acc + x).as("rev_dot"))
+        .orderBy(col("doc_id"))
     }
   )
 }

@@ -261,6 +261,71 @@ object StreamingQueries {
       } finally q.stop()
       s.table(sink).filter(col("user_id") >= 0)
         .orderBy(col("user_id"), col("session_start_us"))
+    },
+
+    // Streaming deduplication as a differential query — the streaming
+    // form of dd_exact (§2.D streamingDedup, here driver-checkable). The
+    // dedup key is (user_id, event_type, day) with the WATERMARKED
+    // event-time column itself in the key: that is the Spark-native
+    // bounded-state contract — the state store holds only keys newer
+    // than watermark-minus-delay (~2 days of distinct keys, not the
+    // stream's lifetime), and eviction can never cause a re-emission
+    // because a key's day cannot recur after the watermark passes it.
+    // Append mode emits each key at FIRST arrival, so the drained sink
+    // equals batch DISTINCT row-for-row and DuckDB oracles it exactly.
+    // Cross-micro-batch state is what the differential certifies: a key
+    // seen in slice 1 must stay suppressed in slice 4.
+    QueryDef("ss_dedup", Some(
+      """SELECT DISTINCT user_id, event_type,
+        |  strftime(date_trunc('day', ts), '%Y-%m-%d') AS day
+        |FROM events ORDER BY user_id, event_type, day""".stripMargin)) { (s, d) =>
+      import s.implicits._
+      implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val rows = Tables.load(s, d, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("us"))
+        .orderBy(col("us"), col("event_id"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+      val (lo, hi) = (rows.head._4, rows.last._4)
+      val nSlices = s.conf.get("spark.graft.ssjoin.slices", "4").toInt
+      val sliceUs = (hi - lo) / nSlices + 1
+
+      val feed = MemoryStream[(Long, Long, String, Long)]
+      val deduped = feed.toDF().toDF("eid", "user_id", "event_type", "us")
+        .withColumn("day_ts", date_trunc("day", timestamp_micros(col("us"))))
+        // time-contiguous replay means no row ever arrives more than a
+        // day behind the max seen, so 2 days of delay never drops data
+        .withWatermark("day_ts", "2 days")
+        .dropDuplicates("user_id", "event_type", "day_ts")
+        .select(col("user_id"), col("event_type"),
+          date_format(col("day_ts"), "yyyy-MM-dd").as("day"))
+
+      val sink = "ss_dedup_sink"
+      s.catalog.dropTempView(sink)
+      val savedParts = s.conf.get("spark.sql.shuffle.partitions")
+      val savedNoData =
+        s.conf.get("spark.sql.streaming.noDataMicroBatches.enabled", "true")
+      s.conf.set("spark.sql.shuffle.partitions",
+        s.conf.get("spark.graft.ssjoin.parts", "4"))
+      // emission is eager (first arrival); watermark-only batches would
+      // only evict state, never change the output
+      s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+      val q =
+        try deduped.writeStream.format("memory").queryName(sink)
+          .outputMode("append").start()
+        finally {
+          s.conf.set("spark.sql.shuffle.partitions", savedParts)
+          s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", savedNoData)
+        }
+      try {
+        (0 until nSlices).foreach { k =>
+          val (from, until) = (lo + k * sliceUs, lo + (k + 1) * sliceUs)
+          feed.addData(rows.filter(r => r._4 >= from && r._4 < until).toSeq)
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+      s.table(sink).orderBy(col("user_id"), col("event_type"), col("day"))
     }
   )
 }

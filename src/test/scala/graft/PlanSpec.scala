@@ -222,6 +222,32 @@ class PlanSpec extends AnyFunSuite {
       s"shingle strings must never hit an exchange:\n${ctEx.mkString("\n")}")
   }
 
+  test("paragraph dedup exchanges only hashed chunk keys; fn_array never shuffles") {
+    val pd = planStr("dd_paragraph")
+    val pdEx = pd.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(pdEx.nonEmpty, pd)
+    // the chunk text is hashed inside codegen — neither the token array
+    // nor the text column may reach an exchange
+    assert(!pdEx.exists(l => l.contains("t#") || l.contains("text#")),
+      s"chunk strings must be hashed to longs before any exchange:\n${pdEx.mkString("\n")}")
+    assert("HashAggregate".r.findAllIn(pd).size >= 2,
+      s"first-occurrence min must map-side combine:\n$pd")
+    val fa = planStr("fn_array")
+    assert(!fa.contains("Exchange hashpartitioning"),
+      s"higher-order array ops are a per-row fold; only the oracle ORDER BY may exchange:\n$fa")
+    assert(!fa.contains("Generate"),
+      s"the array must never explode:\n$fa")
+  }
+
+  test("grouping sets expand map-side into one aggregate exchange") {
+    val gs = planStr("op_grouping_sets")
+    assert(gs.contains("Expand"), s"grouping sets must expand, not rescan per set:\n$gs")
+    assert("HashAggregate".r.findAllIn(gs).size >= 2,
+      s"expanded rows must pre-aggregate map-side:\n$gs")
+    assert("Exchange hashpartitioning".r.findAllIn(gs).size <= 1,
+      s"both sets must share ONE aggregate shuffle:\n$gs")
+  }
+
   test("bql-compiled plans get the same pushdown as hand-written ones") {
     val df = graft.bql.Compiler.compile(
       "SELECT event_id FROM STREAM WHERE event_type == 'click'")._2(

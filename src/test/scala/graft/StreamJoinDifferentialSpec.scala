@@ -127,6 +127,36 @@ class StreamJoinDifferentialSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
   }
 
+  test("streaming dedup equals batch distinct across micro-batches") {
+    val got = SparkEntry.queries("ss_dedup")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    val want = Tables.load(spark, sfDir, "events")
+      .select(col("user_id"), col("event_type"),
+        date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"))
+      .distinct()
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(want.nonEmpty, "fixture produced no keys — test is vacuous")
+    assert(got == want)
+  }
+
+  test("dedup suppression crosses micro-batch boundaries") {
+    // at least one dedup key must occur in two different slices, so the
+    // equality above certifies cross-batch suppression state, not just
+    // per-batch dropDuplicates
+    val nSlices = spark.conf.get("spark.graft.ssjoin.slices", "4").toInt
+    val rows = Tables.load(spark, sfDir, "events")
+      .select(col("user_id"), col("event_type"),
+        date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"),
+        unix_micros(col("ts")).as("us"))
+      .collect().map(r => ((r.getLong(0), r.getString(1), r.getString(2)), r.getLong(3)))
+    val (lo, hi) = (rows.map(_._2).min, rows.map(_._2).max)
+    val sliceUs = (hi - lo) / nSlices + 1
+    val slicesPerKey = rows.groupBy(_._1).view
+      .mapValues(_.map(v => (v._2 - lo) / sliceUs).distinct.size)
+    assert(slicesPerKey.values.exists(_ > 1),
+      s"no dedup key spans two slices at nSlices=$nSlices")
+  }
+
   test("streaming sessionization equals batch sessionization") {
     val want = batchSessions()
     val got = streamedSessions()
