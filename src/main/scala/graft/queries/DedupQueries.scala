@@ -187,13 +187,15 @@ object DedupQueries {
     // newline paragraph marks; a real corpus swaps the chunker for a
     // split-on-blank-line, same plan); a chunk survives only at its FIRST
     // corpus-wide occurrence (min (doc_id, chunk_idx)); per doc we report
-    // how much survives. Scale shape: chunks are hashed inside codegen,
-    // so the three exchanges carry only 8-byte keys — (doc_id), (hash),
-    // (doc_id) — the chunk text never shuffles; first-occurrence keys are
-    // folded map-side (min is algebraic), and the final join of two
-    // doc_id-partitioned aggregates adds no exchange. Hash identity
-    // stands in for chunk identity (64-bit xxhash; the oracle groups by
-    // the chunk text itself, so a collision would surface as a mismatch).
+    // how much survives. Scale shape: n_chunks is a per-row projection
+    // (doc_id is unique), so the totals side never explodes or
+    // aggregates — only the first-occurrence side scans the exploded
+    // chunks, ONCE; chunks are hashed inside codegen, so the exchanges
+    // carry only 8-byte keys — (hash), then (doc_id) twice for the
+    // join — the chunk text never shuffles; first-occurrence keys are
+    // folded map-side (min is algebraic). Hash identity stands in for
+    // chunk identity (64-bit xxhash; the oracle groups by the chunk
+    // text itself, so a collision would surface as a mismatch).
     QueryDef("dd_paragraph", Some(
       """WITH g AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
         |c AS (SELECT doc_id, t, unnest(range(0, CAST((len(t)-1)//8 AS BIGINT)+1)) AS ci FROM g),
@@ -206,14 +208,15 @@ object DedupQueries {
         |FROM tot LEFT JOIN kept ON tot.doc_id = kept.kdoc
         |ORDER BY doc_id""".stripMargin)) { (s, d) =>
       val stride = 8
-      val nC = floor((size(toks) - 1) / stride).cast(LongType) + 1
-      val keyed = docs(s, d)
-        .select(col("doc_id"), toks.as("t"), explode(sequence(lit(0L), nC - 1)).as("ci"))
-        .select(col("doc_id"),
+      val base = docs(s, d).select(col("doc_id"), toks.as("t"))
+        .withColumn("n_chunks", floor((size(col("t")) - 1) / stride).cast(LongType) + 1)
+      val tot = base.select(col("doc_id"), col("n_chunks"))
+      val keyed = base
+        .select(col("doc_id"), col("t"), explode(sequence(lit(0L), col("n_chunks") - 1)).as("ci"))
+        .select(
           xxhash64(concat_ws(" ",
             slice(col("t"), (col("ci") * stride + 1).cast("int"), lit(stride)))).as("h"),
           (col("doc_id") * 1000000 + col("ci")).as("k"))
-      val tot = keyed.groupBy(col("doc_id")).agg(count(lit(1)).as("n_chunks"))
       val kept = keyed.groupBy(col("h")).agg(min(col("k")).as("mk"))
         .select(expr("mk DIV 1000000").as("doc_id"))
         .groupBy(col("doc_id")).agg(count(lit(1)).as("n_kept"))
