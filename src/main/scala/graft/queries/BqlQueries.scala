@@ -116,6 +116,54 @@ object BqlQueries {
         "SELECT vec_id, CAST(e, DOUBLE) AS ev, label FROM STREAM " +
           "LATERAL VIEW EXPLODE(embedding) AS e " +
           "WHERE e >= 0.3 ORDER BY vec_id, ev")
+    },
+
+    // B3 scalar-expression breadth end-to-end: IF, JSON-path extraction +
+    // CAST, XOR, RLIKE, BETWEEN and LIKE all through text → AST →
+    // Catalyst. Every op maps to a built-in Column (when/otherwise,
+    // get_json_object, =!=, rlike, between, like), so the whole predicate
+    // stays inside codegen and the comparisons push toward the scan.
+    // RLIKE is anchored (^...$) so Spark's find() and DuckDB's
+    // regexp_matches agree; value is a double but only compared, never
+    // aggregated, so the hash compare is exact.
+    QueryDef("bql_expr_scalar", Some(
+      """SELECT event_id,
+        |  CASE WHEN value >= 50.0 THEN 'hi' ELSE 'lo' END AS band,
+        |  CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
+        |  (value >= 50.0) != (user_id % 2 = 0) AS flip
+        |FROM events
+        |WHERE regexp_matches(event_type, '^(click|view)$')
+        |  AND value BETWEEN 20.0 AND 80.0 AND props LIKE '%k%'
+        |ORDER BY event_id""".stripMargin)) { (s, d) =>
+      bql(s, d, "events",
+        "SELECT event_id, IF(value >= 50.0, 'hi', 'lo') AS band, " +
+          "CAST(JSON(props, '$.k'), INTEGER) AS k, " +
+          "(value >= 50.0) XOR (user_id % 2 == 0) AS flip " +
+          "FROM STREAM WHERE event_type RLIKE '^(click|view)$' " +
+          "AND value BETWEEN 20.0 AND 80.0 AND props LIKE '%k%' " +
+          "ORDER BY event_id")
+    },
+
+    // B3 collection ops end-to-end: SIZEIS, 0-based element access,
+    // SIZEOF, and both quantified comparisons over a list-typed field —
+    // `ANY` compiles to a codegen'd exists(), `ALL` to forall() (the
+    // literal-list form expands to OR/AND chains that push down; this is
+    // the field-of-list form, which can't). Element 0 is CAST to DOUBLE —
+    // an exact float32 widening on both engines, no float arithmetic.
+    QueryDef("bql_expr_collection", Some(
+      """SELECT vec_id, label, CAST(embedding[1] AS DOUBLE) AS e0,
+        |  CAST(len(embedding) AS INTEGER) AS n_dims
+        |FROM embeddings
+        |WHERE len(embedding) = 64
+        |  AND len(list_filter(embedding, x -> 0.35 <= x)) > 0
+        |  AND len(list_filter(embedding, x -> -0.35 < x)) = len(embedding)
+        |ORDER BY vec_id""".stripMargin)) { (s, d) =>
+      bql(s, d, "embeddings",
+        "SELECT vec_id, label, CAST(embedding[0], DOUBLE) AS e0, " +
+          "SIZEOF(embedding) AS n_dims " +
+          "FROM STREAM WHERE SIZEIS(embedding, 64) " +
+          "AND 0.35 <= ANY embedding AND -0.35 < ALL embedding " +
+          "ORDER BY vec_id")
     }
   )
 }
