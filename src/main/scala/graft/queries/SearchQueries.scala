@@ -36,6 +36,13 @@ object SearchQueries {
   private val B = 0.75
   private val TopK = 25
 
+  /** Fixed phrase batch (fixture vocabulary) — includes a phrase with a
+    * repeated term to exercise multi-position posting fan-out. */
+  private val Phrases: Seq[(Int, Seq[String])] = Seq(
+    1 -> Seq("table", "hash"),
+    2 -> Seq("customer", "join"),
+    3 -> Seq("a", "a", "the"))
+
   val defs: Seq[QueryDef] = Seq(
 
     // Okapi BM25 top-k: idf(t) = ln(1 + (N - df + 0.5)/(df + 0.5)),
@@ -95,6 +102,64 @@ object SearchQueries {
         .select(col("doc_id"), col("rank"),
           floor(col("raw") * 1000000).cast(LongType).as("score_micro"))
         .orderBy(col("rank"))
+    },
+
+    // Positional phrase search over a batch of phrases — exact "these
+    // tokens, consecutively" matching, which bag-of-words BM25 cannot
+    // express. Instead of a k-way self-join of postings (k-1 shuffles,
+    // and a hot term explodes the join), every posting of a phrase term
+    // votes for the ANCHOR it would place the phrase at (pos - idx); an
+    // anchor where every phrase position voted is a match. One shuffle
+    // total, keyed (phrase_id, doc_id, anchor) — 16-byte keys, no
+    // signatures, no strings (the term filter runs inside the explode's
+    // codegen stage, so postings for non-phrase terms never reach the
+    // exchange; a deployment would swap the inline posexplode for a
+    // persisted positional postings table, same downstream plan). A term
+    // repeated within a phrase ("a a the") fans its postings to all its
+    // positions via one small map lookup; count(*) per anchor is safe
+    // because (pos, phrase_id, idx) is unique within a doc. Overlapping
+    // occurrences each get their own anchor, so they are counted — the
+    // relational oracle mirrors the same token/position algebra.
+    QueryDef("srch_phrase", Some {
+      val vals = Phrases.flatMap { case (pid, ts) =>
+        ts.zipWithIndex.map { case (t, i) => s"($pid,$i,'$t')" }
+      }.mkString(",")
+      s"""WITH g AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
+         |p AS (SELECT doc_id, unnest(range(len(t))) AS i, t FROM g),
+         |tok AS (SELECT doc_id, CAST(i AS BIGINT) AS pos, t[i+1] AS term FROM p),
+         |ph(phrase_id, idx, term) AS (VALUES $vals),
+         |pl AS (SELECT phrase_id, count(*) AS plen FROM ph GROUP BY 1),
+         |hits AS (SELECT ph.phrase_id, tok.doc_id, tok.pos - ph.idx AS anchor,
+         |    count(*) AS nhit
+         |  FROM tok JOIN ph ON tok.term = ph.term
+         |  WHERE tok.pos - ph.idx >= 0 GROUP BY 1, 2, 3),
+         |m AS (SELECT h.phrase_id, h.doc_id, h.anchor FROM hits h
+         |  JOIN pl ON h.phrase_id = pl.phrase_id WHERE h.nhit = pl.plen)
+         |SELECT phrase_id, doc_id, count(*) AS n_occurrences,
+         |  min(anchor) AS first_pos
+         |FROM m GROUP BY 1, 2 ORDER BY phrase_id, doc_id""".stripMargin
+    }) { (s, d) =>
+      val byTerm: Map[String, Seq[(Int, Int)]] = Phrases
+        .flatMap { case (pid, ts) => ts.zipWithIndex.map { case (t, i) => (t, pid, i) } }
+        .groupBy(_._1).view.mapValues(_.map(v => (v._2, v._3))).toMap
+      val lookup = map(byTerm.toSeq.flatMap { case (t, es) =>
+        Seq(lit(t), array(es.map { case (p, i) =>
+          struct(lit(p).as("pid"), lit(i).as("idx")) }: _*))
+      }: _*)
+      val plen = map(Phrases.flatMap { case (pid, ts) => Seq(lit(pid), lit(ts.length.toLong)) }: _*)
+      docs(s, d)
+        .select(col("doc_id"), posexplode(toks).as(Seq("pos", "term")))
+        .filter(col("term").isin(byTerm.keys.toSeq: _*))
+        .select(col("doc_id"), col("pos"), explode(element_at(lookup, col("term"))).as("e"))
+        .select(col("e.pid").as("phrase_id"), col("doc_id"),
+          (col("pos") - col("e.idx")).cast(LongType).as("anchor"))
+        .filter(col("anchor") >= 0)
+        .groupBy(col("phrase_id"), col("doc_id"), col("anchor"))
+        .agg(count(lit(1)).as("nhit"))
+        .filter(col("nhit") === element_at(plen, col("phrase_id")))
+        .groupBy(col("phrase_id"), col("doc_id"))
+        .agg(count(lit(1)).as("n_occurrences"), min(col("anchor")).as("first_pos"))
+        .orderBy(col("phrase_id"), col("doc_id"))
     }
   )
 }

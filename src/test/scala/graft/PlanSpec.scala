@@ -239,6 +239,18 @@ class PlanSpec extends AnyFunSuite {
       s"the array must never explode:\n$fa")
   }
 
+  test("phrase search exchanges carry anchors, not terms or text") {
+    val pp = planStr("srch_phrase")
+    val ppEx = pp.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(ppEx.nonEmpty, pp)
+    // the term filter and the posting->anchor projection run inside the
+    // explode's codegen stage: no token string may reach an exchange
+    assert(!ppEx.exists(l => l.contains("term#") || l.contains("text#")),
+      s"postings must shuffle as (phrase_id, doc_id, anchor) longs only:\n${ppEx.mkString("\n")}")
+    assert("HashAggregate".r.findAllIn(pp).size >= 4,
+      s"both anchor-vote and occurrence counts must map-side combine:\n$pp")
+  }
+
   test("grouping sets expand map-side into one aggregate exchange") {
     val gs = planStr("op_grouping_sets")
     assert(gs.contains("Expand"), s"grouping sets must expand, not rescan per set:\n$gs")
