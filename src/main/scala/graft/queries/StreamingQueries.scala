@@ -326,6 +326,71 @@ object StreamingQueries {
         }
       } finally q.stop()
       s.table(sink).orderBy(col("user_id"), col("event_type"), col("day"))
+    },
+
+    // Streaming tumbling-window aggregation as a differential query — the
+    // B13 TIME-window surface driver-checkable (EventTimeSpec proves the
+    // mechanics; this proves the RESULTS against DuckDB). Event-time
+    // 1-day tumbling windows per event_type, append mode: a window row
+    // emits exactly once, when the watermark passes its end — so windows
+    // whose events are SPREAD ACROSS micro-batches are the load-bearing
+    // rows (their counts are only right if cross-batch window state
+    // accumulated). Spark's window() origin is the epoch, so 1-day
+    // tumbling == DuckDB's date_trunc('day') in the session's UTC zone.
+    // Outputs are integer-exact (micros, counts, a long sum): no double
+    // accumulation order can differ between engines.
+    QueryDef("ss_window_agg", Some(
+      """SELECT epoch_ns(date_trunc('day', ts))//1000 AS win_start_us,
+        |  event_type, count(*) AS n, CAST(sum(user_id) AS BIGINT) AS uid_sum
+        |FROM events GROUP BY 1, 2
+        |ORDER BY win_start_us, event_type""".stripMargin)) { (s, d) =>
+      import s.implicits._
+      implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val rows = Tables.load(s, d, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("us"))
+        .orderBy(col("us"), col("event_id"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+      val (lo, hi) = (rows.head._4, rows.last._4)
+      val nSlices = s.conf.get("spark.graft.ssjoin.slices", "4").toInt
+      val sliceUs = (hi - lo) / nSlices + 1
+
+      val feed = MemoryStream[(Long, Long, String, Long)]
+      val winAgg = feed.toDF().toDF("eid", "user_id", "event_type", "us")
+        .withColumn("ts", timestamp_micros(col("us")))
+        // slices are time-contiguous: 1 h of lateness is pure margin
+        .withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "1 day"), col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("user_id")).as("uid_sum"))
+        .select(unix_micros(col("window.start")).as("win_start_us"),
+          col("event_type"), col("n"), col("uid_sum"))
+
+      val sink = "ss_window_agg_sink"
+      s.catalog.dropTempView(sink)
+      val savedParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions",
+        s.conf.get("spark.graft.ssjoin.parts", "4"))
+      val q =
+        try winAgg.writeStream.format("memory").queryName(sink)
+          .outputMode("append").start()
+        finally s.conf.set("spark.sql.shuffle.partitions", savedParts)
+      try {
+        (0 until nSlices).foreach { k =>
+          val (from, until) = (lo + k * sliceUs, lo + (k + 1) * sliceUs)
+          feed.addData(rows.filter(r => r._4 >= from && r._4 < until).toSeq)
+          q.processAllAvailable()
+        }
+        // sentinel pushes the watermark past the last window's end so
+        // append mode finalizes it; second round guarantees a batch runs
+        // after the watermark update
+        Seq(50L, 100L).foreach { h =>
+          feed.addData(Seq((-1L, -1L, " sentinel", hi + h * 3600L * 1000000L)))
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+      s.table(sink).filter(col("event_type") =!= " sentinel")
+        .orderBy(col("win_start_us"), col("event_type"))
     }
   )
 }

@@ -157,6 +157,30 @@ class StreamJoinDifferentialSpec extends AnyFunSuite {
       s"no dedup key spans two slices at nSlices=$nSlices")
   }
 
+  test("streaming window agg equals batch day-bucket agg, with cross-batch windows") {
+    val got = SparkEntry.queries("ss_window_agg")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    val want = Tables.load(spark, sfDir, "events")
+      .groupBy(unix_micros(date_trunc("day", col("ts"))).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("user_id")).as("s"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    assert(want.nonEmpty, "fixture produced no windows — test is vacuous")
+    assert(got == want)
+    // the equality only certifies cross-batch window state if some
+    // window's events span two micro-batch slices
+    val nSlices = spark.conf.get("spark.graft.ssjoin.slices", "4").toInt
+    val rows = Tables.load(spark, sfDir, "events")
+      .select(unix_micros(date_trunc("day", col("ts"))).as("w"),
+        unix_micros(col("ts")).as("us"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val (lo, hi) = (rows.map(_._2).min, rows.map(_._2).max)
+    val sliceUs = (hi - lo) / nSlices + 1
+    val spanning = rows.groupBy(_._1).view
+      .mapValues(_.map(v => (v._2 - lo) / sliceUs).distinct.size)
+    assert(spanning.values.exists(_ > 1),
+      s"no window spans two slices at nSlices=$nSlices")
+  }
+
   test("streaming sessionization equals batch sessionization") {
     val want = batchSessions()
     val got = streamedSessions()
