@@ -156,6 +156,39 @@ object FunctionQueries {
           aggregate(zip_with(col("lens"), reverse(col("lens")), (a, b) => (a * b).cast(LongType)),
             lit(0L), (acc, x) => acc + x).as("rev_dot"))
         .orderBy(col("doc_id"))
+    },
+
+    // Map-typed column breadth: build a per-doc term-frequency map
+    // row-locally (map_from_arrays over the distinct tokens — per-row
+    // cost |tokens|·|doc vocab|, bounded by doc length squared, zero
+    // shuffles, no explode) and interrogate it with the map surface:
+    // size, element_at, map_filter, map_values, map_contains_key. This
+    // is the feature-dictionary shape (sparse per-row features keyed by
+    // string) a training pipeline carries; the oracle rebuilds the same
+    // stats relationally from unnested tokens. All-integer outputs.
+    QueryDef("fn_map", Some(
+      """WITH g AS (SELECT doc_id, unnest(string_split(text,' ')) AS tok FROM documents),
+        |c AS (SELECT doc_id, tok, count(*) AS c FROM g GROUP BY 1, 2)
+        |SELECT doc_id, CAST(count(*) AS INTEGER) AS n_distinct,
+        |  CAST(coalesce(max(CASE WHEN tok = 'table' THEN c END), 0) AS BIGINT) AS tf_table,
+        |  CAST(count(*) FILTER (WHERE c = 1) AS INTEGER) AS n_hapax,
+        |  CAST(max(c) AS BIGINT) AS max_tf,
+        |  CAST(sum(c) AS BIGINT) AS n_tokens,
+        |  coalesce(bool_or(tok = 'spark'), false) AS has_spark
+        |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin)) { (s, d) =>
+      val t = split(col("text"), " ")
+      val uniq = array_distinct(t)
+      val tf = map_from_arrays(uniq, transform(uniq, x => size(filter(t, y => y === x))))
+      Tables.load(s, d, "documents")
+        .select(col("doc_id"), tf.as("tf"))
+        .select(col("doc_id"),
+          size(col("tf")).as("n_distinct"),
+          coalesce(element_at(col("tf"), lit("table")), lit(0)).cast(LongType).as("tf_table"),
+          size(map_filter(col("tf"), (_, v) => v === 1)).as("n_hapax"),
+          array_max(map_values(col("tf"))).cast(LongType).as("max_tf"),
+          aggregate(map_values(col("tf")), lit(0L), (a, x) => a + x).as("n_tokens"),
+          map_contains_key(col("tf"), "spark").as("has_spark"))
+        .orderBy(col("doc_id"))
     }
   )
 }

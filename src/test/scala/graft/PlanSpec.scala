@@ -237,6 +237,11 @@ class PlanSpec extends AnyFunSuite {
       s"higher-order array ops are a per-row fold; only the oracle ORDER BY may exchange:\n$fa")
     assert(!fa.contains("Generate"),
       s"the array must never explode:\n$fa")
+    val fm = planStr("fn_map")
+    assert(!fm.contains("Exchange hashpartitioning"),
+      s"the tf map is built and interrogated per row; only the oracle ORDER BY may exchange:\n$fm")
+    assert(!fm.contains("Generate"),
+      s"the map must never explode:\n$fm")
   }
 
   test("phrase search exchanges carry anchors, not terms or text") {
