@@ -140,6 +140,66 @@ private[queries] object Ivf {
   }
 }
 
+/** Product-quantization codebooks: the vector is split into `m` contiguous
+  * subvectors and each subspace gets its own small L2 k-means codebook
+  * (trained on the same bounded driver sample as [[Ivf]]). A vector
+  * compresses to m byte-sized codes — 64 float32s (256 B) become 8 B at
+  * m=8, k=16 — so the SEARCH scan reads 32× less than the raw corpus.
+  * Distances are computed asymmetrically (ADC): the query stays exact,
+  * the corpus side is reconstructed per subspace from the code's centroid. */
+private[queries] object Pq {
+
+  /** Per-subspace codebooks via farthest-point init + Lloyd on the driver
+    * sample (same rationale as Ivf.train: the sample is bounded by
+    * construction, one collect beats per-pass job latency). L2 metric —
+    * PQ approximates the vector itself, not its direction, so centroids
+    * are plain means (no normalization). Returns m codebooks of k
+    * centroids each, subDim floats per centroid. */
+  def train(sample: Array[Array[Float]], m: Int, k: Int, iters: Int): Seq[Seq[Array[Float]]] = {
+    require(sample.nonEmpty, "cannot train a quantizer on an empty corpus")
+    val dim = sample.head.length
+    require(dim % m == 0, s"dim $dim not divisible by $m subspaces")
+    val subDim = dim / m
+    def l2(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
+    }
+    (0 until m).map { mi =>
+      val sub = sample.map(_.slice(mi * subDim, (mi + 1) * subDim))
+      val pool = sub.take(math.max(100, 2 * k))
+      var cents: Seq[Array[Float]] = {
+        val chosen = scala.collection.mutable.ArrayBuffer(pool.head)
+        while (chosen.size < k) chosen += pool.maxBy(c => chosen.map(l2(c, _)).min)
+        chosen.toSeq
+      }
+      (0 until iters).foreach { _ =>
+        val sums = Array.fill(k)(new Array[Double](subDim))
+        val counts = new Array[Long](k)
+        sub.foreach { v =>
+          // argmin L2 == argmax (2·dot − |c|²); >= keeps the HIGHEST index
+          // on ties, matching the distributed encode's struct ordering
+          var best = 0; var bestS = -l2(v, cents(0))
+          var ci = 1
+          while (ci < k) {
+            val sc = -l2(v, cents(ci))
+            if (sc >= bestS) { best = ci; bestS = sc }
+            ci += 1
+          }
+          var j = 0
+          while (j < subDim) { sums(best)(j) += v(j); j += 1 }
+          counts(best) += 1
+        }
+        cents = cents.zipWithIndex.map { case (old, ci) =>
+          if (counts(ci) == 0) old
+          else sums(ci).map(x => (x / counts(ci)).toFloat)
+        }
+      }
+      cents
+    }
+  }
+}
+
 object SimilarityQueries {
 
   private def emb(s: SparkSession, d: String): DataFrame = Tables.load(s, d, "embeddings")
@@ -313,6 +373,82 @@ object SimilarityQueries {
       ivfSearch(s, d,
         kClusters = Ivf.intConf(s, "spark.graft.ivf.bigk.kClusters", 64),
         nProbe = Ivf.intConf(s, "spark.graft.ivf.bigk.nProbe", 8))
+    },
+
+    // Product-quantized ANN — the memory-compression leg of the ANN
+    // triad (LSH prunes candidates, IVF prunes lists, PQ shrinks BYTES:
+    // at m=8, k=16 each vector's 256 B become 8 B of codes, 32× less
+    // scan IO). Codebooks train on the bounded driver sample; the corpus
+    // pays one linear codegen'd ENCODE pass (m×k small dot products per
+    // row against literal centroids), and scoring is asymmetric (ADC):
+    // approx cos(q, x) = Σ_m dot(q_m, c_m[code_m]) / (|q|·√Σ_m|c_m[code_m]|²)
+    // — the query side exact, the corpus side reconstructed from codes.
+    // Two stages, per the standard PQ playbook: the ADC pass scans codes
+    // and keeps a per-query SHORTLIST (top `spark.graft.pq.shortlist`,
+    // default 100 — codes alone cannot rank within a tight cluster where
+    // members quantize identically), then a REFINE pass re-ranks only
+    // the shortlist with exact cosine — a broadcast join fetching
+    // |queries|·shortlist vectors, invariant of corpus size. In this
+    // single query encode and search fuse into one pass (the scan reads
+    // the vectors to encode them anyway); a deployment persists the
+    // codes table once per corpus snapshot, and every subsequent search
+    // scans ONLY codes + point-fetches the shortlist. The centroid
+    // "table lookup" is element_at into literal arrays, fully inside
+    // codegen. Approximate → rows-only driver check; recall vs brute
+    // force gated in ApproxSuiteSpec (both fixtures).
+    QueryDef("ann_pq_topk", None) { (s, d) =>
+      val kCodes = Ivf.intConf(s, "spark.graft.pq.codes", 16)
+      val subDim = Ivf.intConf(s, "spark.graft.pq.subDim", 8)
+      val iters = Ivf.intConf(s, "spark.graft.ivf.iters", 3)
+      val trainSample = Ivf.intConf(s, "spark.graft.ivf.trainSample", 2000)
+      val e = emb(s, d).select(col("vec_id"), col("embedding"))
+      val sample: Array[Array[Float]] = e.orderBy(xxhash64(col("vec_id"))).limit(trainSample)
+        .collect().map(_.getSeq[Float](1).toArray)
+      val dim = sample.head.length
+      val m = dim / subDim
+      val books = Pq.train(sample, m, kCodes, iters)
+      val norms: Seq[Array[Double]] = books.map(_.map(c => c.map(x => x.toDouble * x).sum).toArray)
+
+      def sub(v: Column, mi: Int): Column = slice(v, mi * subDim + 1, subDim)
+      // per-subspace argmin L2 as argmax(2·dot − |c|², idx) — constant
+      // |sub|² dropped, struct ordering keeps the highest index on ties
+      // exactly like the driver trainer
+      val codeCols = (0 until m).map { mi =>
+        array_max(array(books(mi).zipWithIndex.map { case (c, k) =>
+          struct((dot_product(sub(col("embedding"), mi), typedLit(c)) * 2 - norms(mi)(k)).as("s"),
+            lit(k).as("i"))
+        }: _*)).getField("i").as(s"c$mi")
+      }
+      val encoded = e.select(col("vec_id") +: codeCols: _*)
+      val rn2 = (0 until m).map(mi => element_at(typedLit(norms(mi)), col(s"c$mi") + 1)).reduce(_ + _)
+      val corpus = encoded.withColumn("rn2", rn2)
+
+      val probes = e.filter(col("vec_id") < NQueries)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+          dot_product(col("embedding"), col("embedding")).as("qn"))
+      val adc = (0 until m).map { mi =>
+        dot_product(sub(col("qe"), mi), element_at(typedLit(books(mi).map(_.toSeq)), col(s"c$mi") + 1))
+      }.reduce(_ + _)
+      val shortK = Ivf.intConf(s, "spark.graft.pq.shortlist", 100)
+      val ws = Window.partitionBy(col("qid")).orderBy(col("acos").desc, col("vec_id"))
+      val shortlist = corpus.join(broadcast(probes), col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id"), (adc / sqrt(col("qn") * col("rn2"))).as("acos"))
+        .withColumn("srank", row_number().over(ws))
+        .filter(col("srank") <= shortK)
+        .select(col("qid"), col("vec_id"))
+      // refine: exact cosine over the shortlist only — both joins
+      // broadcast (|queries|·shortlist rows), the corpus is never
+      // shuffled and only shortlisted vectors are fetched
+      val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
+      e.join(broadcast(shortlist), Seq("vec_id"))
+        .join(broadcast(probes), Seq("qid"))
+        .select(col("qid"), col("vec_id"),
+          (dot_product(col("qe"), col("embedding")) /
+            sqrt(col("qn") * dot_product(col("embedding"), col("embedding")))).as("cos"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= K)
+        .select(col("qid"), col("rank"), col("vec_id"))
+        .orderBy(col("qid"), col("rank"))
     },
 
     // Per-label embedding audit — the "did an ingest batch corrupt this

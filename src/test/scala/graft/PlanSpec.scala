@@ -256,6 +256,19 @@ class PlanSpec extends AnyFunSuite {
       s"both anchor-vote and occurrence counts must map-side combine:\n$pp")
   }
 
+  test("pq search never shuffles vectors or codes") {
+    val pq = planStr("ann_pq_topk")
+    val ex = pq.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(ex.nonEmpty, pq)
+    // ADC projects (qid, vec_id, acos) before the shortlist window's
+    // exchange and the refine joins are broadcast: the corpus's vectors
+    // and code columns must never be repartitioned
+    assert(!ex.exists(l => l.contains("embedding#") || l.contains("c0#")),
+      s"only (qid, vec_id, score) rows may reach an exchange:\n${ex.mkString("\n")}")
+    assert(pq.contains("BroadcastHashJoin") || pq.contains("BroadcastNestedLoopJoin"),
+      s"probe and shortlist joins must broadcast:\n$pq")
+  }
+
   test("grouping sets expand map-side into one aggregate exchange") {
     val gs = planStr("op_grouping_sets")
     assert(gs.contains("Expand"), s"grouping sets must expand, not rescan per set:\n$gs")
