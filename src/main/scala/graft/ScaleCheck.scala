@@ -31,6 +31,11 @@ object ScaleCheck {
     case "orders" =>
       df.withColumn("o_custkey",
         when(col("o_orderkey") % 10 === 0, lit(1L)).otherwise(col("o_custkey")))
+    // one order receives 10% of all lineitems — the both-sides-hot join
+    // key the salted join exists for (key 0 exists in every orders copy)
+    case "lineitem" =>
+      df.withColumn("l_orderkey",
+        when(col("l_orderkey") % 10 === 0, lit(0L)).otherwise(col("l_orderkey")))
     case "documents" =>
       val template = (1 to 40).map(i => s"boiler$i").mkString(" ")
       df.withColumn("text",
@@ -100,7 +105,7 @@ object ScaleCheck {
         // the shuffle-heavy plans where one hot key / hot bucket / hot
         // stratum could concentrate work on a single reducer
         Seq("j_multiway_star", "dd_dup_clusters", "dd_minhash_lsh",
-          "dd_simhash", "samp_stratified", "dd_paragraph")
+          "dd_simhash", "samp_stratified", "dd_paragraph", "op_salted_join")
       else
         Seq("b5_group_agg", "b1_filter_compound", "j_multiway_star",
           "b6_theta_distinct", "b8_freq_topk", "dd_minhash_lsh", "ann_lsh_topk",
@@ -114,7 +119,8 @@ object ScaleCheck {
           "dd_source_overlap", "tx_bigram_rarity", "emb_label_stats",
           "b7_kll_grouped", "ann_ivf_bigk",
           "tx_vocab_coverage", "emb_knn_classify", "dd_containment",
-          "dd_paragraph", "fn_array", "srch_phrase", "fn_map", "ann_pq_topk")
+          "dd_paragraph", "fn_array", "srch_phrase", "fn_map", "ann_pq_topk",
+          "op_salted_join")
     val selected = if (only.isEmpty) names else names.filter(only)
     // dd_semdedup is excluded the same way dd_embed_cosine is: replicated
     // embeddings are bit-identical across copies, so k-fold data has k²

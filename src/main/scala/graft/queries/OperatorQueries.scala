@@ -168,6 +168,34 @@ object OperatorQueries {
           variableColumnName = "attr",
           valueColumnName = "val")
         .orderBy(col("p_partkey"), col("attr"))
+    },
+
+    // SALTED JOIN (graft.operators.SkewJoin) driver-checkable: the manual
+    // skew mitigation for hot keys AQE cannot split (hot on BOTH sides).
+    // The fact side gets a deterministic salt in [0,8), the dim side is
+    // replicated once per salt, and the join key becomes (key, salt) — a
+    // hot order key spreads over 8 reducers instead of one. Salting must
+    // be semantically invisible: the oracle is the PLAIN join + aggregate,
+    // so any duplicate/dropped row from the salt plumbing fails the hash
+    // compare. merge-hinted so the demonstration exercises the shuffle
+    // path (at this SF Catalyst would otherwise broadcast the dim side
+    // and no exchange would carry the salt at all); the plan gate asserts
+    // the salt is in the exchange keys. l_quantity is integral-valued —
+    // BIGINT cast makes the sum exact on both engines.
+    QueryDef("op_salted_join", Some(
+      """SELECT o_orderstatus, count(*) AS n,
+        |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)) { (s, d) =>
+      val fact = Tables.load(s, d, "lineitem")
+        .select(col("l_orderkey").as("k"), col("l_quantity"))
+      val dim = Tables.load(s, d, "orders")
+        .select(col("o_orderkey").as("k"), col("o_orderstatus")).hint("merge")
+      graft.operators.SkewJoin.saltedJoin(fact, dim, "k", 8)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast(LongType)).as("qty"))
+        .orderBy(col("o_orderstatus"))
     }
   )
 }

@@ -269,6 +269,15 @@ class PlanSpec extends AnyFunSuite {
       s"probe and shortlist joins must broadcast:\n$pq")
   }
 
+  test("salted join spreads the key across salt-qualified exchanges") {
+    val sj = planStr("op_salted_join")
+    val ex = sj.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(ex.exists(_.contains("__salt")),
+      s"the join exchanges must partition by (key, salt):\n${ex.mkString("\n")}")
+    assert(sj.contains("SortMergeJoin"),
+      s"the demonstration must take the shuffle path, not broadcast:\n$sj")
+  }
+
   test("grouping sets expand map-side into one aggregate exchange") {
     val gs = planStr("op_grouping_sets")
     assert(gs.contains("Expand"), s"grouping sets must expand, not rescan per set:\n$gs")
