@@ -333,6 +333,48 @@ object SimilarityQueries {
         .orderBy(col("qid"), col("rank"))
     },
 
+    // PCA projection audit — dimensionality reduction as a first-class
+    // pipeline op (smaller vectors → cheaper ANN; drift dashboards watch
+    // the spectrum). Split like every trained operator here: the d×d
+    // eigenproblem solves on the DRIVER over the bounded sample
+    // (graft.operators.Pca — deterministic power iteration), the corpus
+    // pays one linear codegen'd projection pass (R dot products per row
+    // against literal eigenvectors; the mean-centering folds into a
+    // constant offset per component, so the scan never materializes
+    // centered vectors). Output is the per-component distributed
+    // variance next to the driver's eigenvalue — on a corpus the sample
+    // covers they must agree, which is the differential the spec gates
+    // (plus orthonormality and a decreasing spectrum). Approximate /
+    // seed-free but not SQL-expressible → rows-only driver check.
+    QueryDef("emb_pca_project", None) { (s, d) =>
+      import graft.operators.Pca
+      val nComp = Ivf.intConf(s, "spark.graft.pca.components", 8)
+      val trainSample = Ivf.intConf(s, "spark.graft.ivf.trainSample", 2000)
+      val e = emb(s, d).select(col("vec_id"), col("embedding"))
+      val sample = e.orderBy(xxhash64(col("vec_id"))).limit(trainSample)
+        .collect().map(_.getSeq[Float](1).toArray)
+      val (mean, cov) = Pca.meanCov(sample)
+      val (vals, vecs) = Pca.topComponents(cov, nComp)
+      val projCols = (0 until nComp).map { r =>
+        val offset = (0 until mean.length).map(j => mean(j) * vecs(r)(j)).sum
+        (dot_product(col("embedding"), typedLit(vecs(r).map(_.toFloat))) - offset).as(s"y$r")
+      }
+      val aggs = (0 until nComp).flatMap { r =>
+        Seq(sum(col(s"y$r")).as(s"s$r"), sum(col(s"y$r") * col(s"y$r")).as(s"ss$r"))
+      }
+      val one = e.select(col("vec_id") +: projCols: _*)
+        .agg(count(lit(1)).as("n"), aggs: _*)
+      one.select(col("n"), posexplode(array((0 until nComp).map { r =>
+          struct(
+            floor((col(s"ss$r") / col("n") - (col(s"s$r") / col("n")) * (col(s"s$r") / col("n")))
+              * 1000000).cast("long").as("var_micro"),
+            lit(math.floor(vals(r) * 1000000).toLong).as("eigen_micro"))
+        }: _*)).as(Seq("component", "st")))
+        .select(col("component"), col("n").as("n_vecs"),
+          col("st.var_micro"), col("st.eigen_micro"))
+        .orderBy(col("component"))
+    },
+
     // Centroid-grouped similarity stats (IVF-style coarse quantization over
     // LSH buckets): per-bucket counts + mean pairwise proximity proxy —
     // the bucket-size histogram an IVF index build would produce.

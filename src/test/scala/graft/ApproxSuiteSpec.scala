@@ -240,6 +240,36 @@ class ApproxSuiteSpec extends AnyFunSuite {
     assert(recall >= 0.8, s"PQ recall@10 $recall below 0.8 on clustered data")
   }
 
+  test("pca components are orthonormal; distributed variance matches eigenvalues") {
+    import org.apache.spark.sql.functions.{col, xxhash64}
+    import graft.operators.Pca
+    val sample = graft.sources.Tables.load(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+      .orderBy(xxhash64(col("vec_id"))).limit(2000)
+      .collect().map(_.getSeq[Float](1).toArray)
+    val (_, cov) = Pca.meanCov(sample)
+    val (vals, vecs) = Pca.topComponents(cov, 8)
+    for (i <- 0 until 8; j <- i until 8) {
+      val d = vecs(i).indices.map(k => vecs(i)(k) * vecs(j)(k)).sum
+      if (i == j) assert(math.abs(d - 1) < 1e-9, s"component $i not unit: $d")
+      else assert(math.abs(d) < 1e-6, s"components $i,$j not orthogonal: $d")
+    }
+    assert(vals.toSeq.sliding(2).forall(p => p.head >= p(1) - 1e-12), "spectrum must decrease")
+    // the corpus IS the sample at this SF, so the distributed projection
+    // variance must reproduce the driver eigenvalue (float32 literal
+    // truncation is the only slack) — the differential that proves the
+    // projection pass implements the trained transform
+    val rows = SparkEntry.queries("emb_pca_project")(spark, sfDir).collect()
+    assert(rows.length == 8)
+    rows.foreach { r =>
+      val (v, ev) = (r.getLong(2), r.getLong(3))
+      assert(math.abs(v - ev) <= math.max(1, ev / 20),
+        s"component ${r.getInt(0)}: distributed var $v vs driver eigen $ev")
+    }
+    val evs = rows.map(_.getLong(3)).toSeq
+    assert(evs.sliding(2).forall(p => p.head >= p(1)), "query spectrum must decrease")
+  }
+
   test("dup_clusters is empty (not a crash) when no pairs pass the jaccard gate") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
