@@ -50,7 +50,8 @@ object Bench {
       "ss_sessionize", "mm_resize_ppm", "dd_paragraph", "fn_array",
       "op_grouping_sets", "ss_dedup", "bql_expr_scalar", "bql_expr_collection",
       "srch_phrase", "ss_window_agg", "fn_map", "ann_pq_topk", "op_salted_join",
-      "emb_pca_project")
+      "emb_pca_project", "op_cdc_upsert", "op_funnel", "op_transitions",
+      "wf_rolling_range")
     val baselineSubset = results.view.filterKeys(!addedSinceBaseline.contains(_))
     val subtotal = baselineSubset.values.sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +

@@ -36,6 +36,12 @@ object ScaleCheck {
     case "lineitem" =>
       df.withColumn("l_orderkey",
         when(col("l_orderkey") % 10 === 0, lit(0L)).otherwise(col("l_orderkey")))
+    // one user emits 10% of all events — the hot timeline key for the
+    // event-log plans (cdc compaction, funnel, windows); a map-side-
+    // combining plan shrugs it off, a sort-per-key plan serializes on it
+    case "events" =>
+      df.withColumn("user_id",
+        when(col("event_id") % 10 === 0, lit(1L)).otherwise(col("user_id")))
     case "documents" =>
       val template = (1 to 40).map(i => s"boiler$i").mkString(" ")
       df.withColumn("text",
@@ -105,7 +111,8 @@ object ScaleCheck {
         // the shuffle-heavy plans where one hot key / hot bucket / hot
         // stratum could concentrate work on a single reducer
         Seq("j_multiway_star", "dd_dup_clusters", "dd_minhash_lsh",
-          "dd_simhash", "samp_stratified", "dd_paragraph", "op_salted_join")
+          "dd_simhash", "samp_stratified", "dd_paragraph", "op_salted_join",
+          "op_cdc_upsert")
       else
         Seq("b5_group_agg", "b1_filter_compound", "j_multiway_star",
           "b6_theta_distinct", "b8_freq_topk", "dd_minhash_lsh", "ann_lsh_topk",
@@ -120,7 +127,8 @@ object ScaleCheck {
           "b7_kll_grouped", "ann_ivf_bigk",
           "tx_vocab_coverage", "emb_knn_classify", "dd_containment",
           "dd_paragraph", "fn_array", "srch_phrase", "fn_map", "ann_pq_topk",
-          "op_salted_join", "emb_pca_project")
+          "op_salted_join", "emb_pca_project", "op_cdc_upsert", "op_funnel",
+          "op_transitions", "wf_rolling_range")
     val selected = if (only.isEmpty) names else names.filter(only)
     // dd_semdedup is excluded the same way dd_embed_cosine is: replicated
     // embeddings are bit-identical across copies, so k-fold data has k²

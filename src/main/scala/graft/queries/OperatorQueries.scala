@@ -196,6 +196,135 @@ object OperatorQueries {
         .agg(count(lit(1)).as("n"),
           sum(col("l_quantity").cast(LongType)).as("qty"))
         .orderBy(col("o_orderstatus"))
+    },
+
+    // CDC COMPACTION / latest-state upsert: collapse an event log to one
+    // current row per key (the materialize-the-snapshot step every
+    // incremental pipeline runs before serving). Spark-first: `max_by`
+    // keyed on (ts, event_id) — an ALGEBRAIC aggregate, so the compaction
+    // is partial+final: each mapper combines its rows down to ONE row per
+    // key before the exchange, so the shuffle carries keys, not the log.
+    // The row_number()-over-ORDER-BY formulation the oracle uses ships
+    // EVERY event through the exchange and sorts whole partitions just to
+    // discard all but rank 1. (Struct-payload max_by buffers aren't
+    // hash-aggregable, so Spark picks SortAggregate — the sort is
+    // mapper-local over rows it already holds; the map-side combine is
+    // what survives 100 TB.) Timestamps exported as epoch micros (fixture
+    // is µs-aligned; asserted tie-free per user).
+    QueryDef("op_cdc_upsert", Some(
+      """SELECT user_id, event_id AS last_event_id, event_type AS last_type,
+        |  value AS last_value, epoch_us(ts) AS last_ts_us
+        |FROM events
+        |QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+        |ORDER BY user_id""".stripMargin)) { (s, d) =>
+      ev(s, d)
+        .groupBy(col("user_id"))
+        .agg(max_by(
+          struct(col("event_id"), col("event_type"), col("value"), col("ts")),
+          struct(col("ts"), col("event_id"))).as("last"))
+        .select(col("user_id"),
+          col("last.event_id").as("last_event_id"),
+          col("last.event_type").as("last_type"),
+          col("last.value").as("last_value"),
+          unix_micros(col("last.ts")).as("last_ts_us"))
+        .orderBy(col("user_id"))
+    },
+
+    // FUNNEL: per-user staged conversion (first view → first click AFTER
+    // that view → first purchase AFTER that click), the event-analytics
+    // op behind every "where do users drop off" question. Each stage is
+    // one conditional min aggregate joined back on the key — three
+    // groupBys and two joins ALL partitioned on user_id, so after the
+    // first exchange the rest are co-partitioned (no second corpus
+    // shuffle shape; the stage frames are one row per user). A
+    // sort-within-user formulation would work in one pass but pays a
+    // per-key full sort; conditional mins are algebraic and map-side
+    // combined. LEFT joins keep users who stall mid-funnel (null later
+    // stages) — the drop-off signal itself.
+    QueryDef("op_funnel", Some(
+      """WITH v AS (SELECT user_id, min(ts) AS tv FROM events
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (SELECT e.user_id, min(e.ts) AS tc FROM events e
+        |  JOIN v ON e.user_id = v.user_id AND e.ts > v.tv
+        |  WHERE e.event_type = 'click' GROUP BY e.user_id),
+        |p AS (SELECT e.user_id, min(e.ts) AS tp FROM events e
+        |  JOIN c ON e.user_id = c.user_id AND e.ts > c.tc
+        |  WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+        |SELECT v.user_id, epoch_us(tv) AS view_us,
+        |  epoch_us(tc) AS click_us, epoch_us(tp) AS purchase_us
+        |FROM v LEFT JOIN c ON v.user_id = c.user_id
+        |LEFT JOIN p ON v.user_id = p.user_id
+        |ORDER BY v.user_id""".stripMargin)) { (s, d) =>
+      val e = ev(s, d).select(col("user_id"), col("event_type"), col("ts"))
+      val v = e.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("tv"))
+      val c = e.filter(col("event_type") === "click")
+        .join(v, Seq("user_id"))
+        .filter(col("ts") > col("tv"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("tc"))
+      val p = e.filter(col("event_type") === "purchase")
+        .join(c, Seq("user_id"))
+        .filter(col("ts") > col("tc"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("tp"))
+      v.join(c, Seq("user_id"), "left")
+        .join(p, Seq("user_id"), "left")
+        .select(col("user_id"), unix_micros(col("tv")).as("view_us"),
+          unix_micros(col("tc")).as("click_us"), unix_micros(col("tp")).as("purchase_us"))
+        .orderBy(col("user_id"))
+    },
+
+    // EVENT-TRANSITION MATRIX: (event_type → next event_type) counts per
+    // user timeline — the Markov-chain dataset prep for sequence modeling
+    // (and the sanity check behind "what actually follows a signup").
+    // One key-partitioned sort for the lead() window (same exchange shape
+    // as sessionize), then the pair counts collapse to |types|² keys —
+    // the second aggregate exchange carries ~25 rows per task regardless
+    // of corpus size. Tie-free order (asserted on the fixture) makes
+    // lead() deterministic; event_id breaks any future tie.
+    QueryDef("op_transitions", Some(
+      """SELECT event_type AS src, next_type AS dst, count(*) AS n FROM (
+        |  SELECT event_type,
+        |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+        |  FROM events)
+        |WHERE next_type IS NOT NULL
+        |GROUP BY src, dst ORDER BY src, dst""".stripMargin)) { (s, d) =>
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      ev(s, d)
+        .select(col("event_type").as("src"),
+          lead(col("event_type"), 1).over(w).as("dst"))
+        .filter(col("dst").isNotNull)
+        .groupBy(col("src"), col("dst"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("src"), col("dst"))
+    },
+
+    // ROLLING RANGE WINDOW: per-event trailing-1-hour activity (count +
+    // exact decimal sum) — the time-range window frame the analytic
+    // suite lacked (wf_analytic is row-framed). Ordering column is epoch
+    // SECONDS as a BIGINT so Spark's rangeBetween and the oracle's RANGE
+    // BETWEEN share one integer frame definition; the frame is a value
+    // range, so same-second rows land in the same frame regardless of
+    // intra-second order — no tie nondeterminism. One exchange (hash by
+    // user) + one in-partition sort; the sum is decimal-exact on both
+    // engines, cast to double only at output.
+    QueryDef("wf_rolling_range", Some(
+      """SELECT event_id, n_1h, CAST(s_1h AS DOUBLE) AS sum_1h FROM (
+        |  SELECT event_id,
+        |    count(*) OVER w AS n_1h,
+        |    sum(CAST(value AS DECIMAL(18,2))) OVER w AS s_1h
+        |  FROM (SELECT event_id, user_id, value, epoch_us(ts) // 1000000 AS sec FROM events)
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY sec
+        |    RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW))
+        |ORDER BY event_id""".stripMargin)) { (s, d) =>
+      val w = Window.partitionBy(col("user_id")).orderBy(col("sec"))
+        .rangeBetween(-3600, 0)
+      ev(s, d)
+        .select(col("event_id"), col("user_id"), col("value"),
+          (unix_micros(col("ts")) / 1000000L).cast(LongType).as("sec"))
+        .select(col("event_id"),
+          count(lit(1)).over(w).as("n_1h"),
+          sum(col("value").cast(DecimalType(18, 2))).over(w).cast(DoubleType).as("sum_1h"))
+        .orderBy(col("event_id"))
     }
   )
 }

@@ -385,11 +385,11 @@ object StreamingQueries {
         // append mode finalizes it; second round guarantees a batch runs
         // after the watermark update
         Seq(50L, 100L).foreach { h =>
-          feed.addData(Seq((-1L, -1L, " sentinel", hi + h * 3600L * 1000000L)))
+          feed.addData(Seq((-1L, -1L, "\u0000sentinel", hi + h * 3600L * 1000000L)))
           q.processAllAvailable()
         }
       } finally q.stop()
-      s.table(sink).filter(col("event_type") =!= " sentinel")
+      s.table(sink).filter(col("event_type") =!= "\u0000sentinel")
         .orderBy(col("win_start_us"), col("event_type"))
     }
   )

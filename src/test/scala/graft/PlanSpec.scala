@@ -294,4 +294,35 @@ class PlanSpec extends AnyFunSuite {
     val p = finalPlan(df).toString
     assert(p.contains("PushedFilters: [IsNotNull(event_type), EqualTo(event_type,click)]"), p)
   }
+
+  test("cdc compaction combines map-side; the exchange carries keys, not the log") {
+    // the whole point of the max_by formulation: a partial aggregate
+    // BEFORE the exchange (one row per key per mapper crosses the wire),
+    // and no WindowExec ranking whole shuffled partitions
+    val p = planStr("op_cdc_upsert")
+    assert(!p.contains("Window"), s"compaction must not rank via a window sort:\n$p")
+    assert(p.contains("partial_max_by"), s"compaction must combine map-side:\n$p")
+    val agg = "SortAggregate".r.findAllIn(p).size + "HashAggregate".r.findAllIn(p).size
+    assert(agg >= 2, s"compaction must be partial+final:\n$p")
+  }
+
+  test("funnel stages stay co-partitioned on the user key") {
+    // after the first hash exchange on user_id, the stage joins and later
+    // aggregates must reuse that partitioning — no second exchange SHAPE
+    // (every exchange in the plan hashes on user_id alone)
+    val p = planStr("op_funnel")
+    val exchanges = p.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(exchanges.nonEmpty, p)
+    assert(exchanges.forall(_.contains("user_id")),
+      s"every funnel exchange must key on user_id:\n${exchanges.mkString("\n")}")
+  }
+
+  test("transition matrix second aggregate carries type-pair keys, not events") {
+    val p = planStr("op_transitions")
+    // one window exchange (user timeline) + one aggregate exchange whose
+    // keys are the (src, dst) pair — partial+final so each task emits
+    // ~|types|^2 rows into the final exchange
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+    assert(p.contains("Window"), p)
+  }
 }
