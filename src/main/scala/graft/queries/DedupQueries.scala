@@ -300,8 +300,13 @@ object DedupQueries {
         .filter(col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
           bit_count(col("a.fp").bitwiseXOR(col("b.fp"))).as("hamming"))
-        .dropDuplicates("doc_a", "doc_b")
+        // verify BEFORE deduping: hamming is a pure function of the pair
+        // (identical for every chunk-collision copy), so the <=3 filter
+        // drops the same pairs either way — but running it first means
+        // the dedup exchange carries only verified matches, not every
+        // candidate the bucketing produced
         .filter(col("hamming") <= 3)
+        .dropDuplicates("doc_a", "doc_b")
         .orderBy(col("doc_a"), col("doc_b"))
     },
 

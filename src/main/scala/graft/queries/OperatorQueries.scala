@@ -298,6 +298,46 @@ object OperatorQueries {
         .orderBy(col("src"), col("dst"))
     },
 
+    // SCD2 / HISTORY BUILD: collapse each user's event stream into
+    // validity intervals — consecutive same-type runs become one
+    // [valid_from, valid_to) row, the last run open-ended (NULL). The
+    // gaps-and-islands pattern: the difference of two row_numbers (one
+    // over the timeline, one over the per-type timeline) is constant
+    // exactly within a consecutive run. Scale shape: every window and
+    // the run aggregate are partitioned on user_id — ONE exchange shape;
+    // the second window (lead for the interval end) runs over the RUNS
+    // frame, one row per run, not per event. Deterministic: per-user ts
+    // are tie-free (asserted), event_id breaks any future tie.
+    QueryDef("op_scd2", Some(
+      """WITH r AS (
+        |  SELECT user_id, event_type, ts, event_id,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |    - row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS grp
+        |  FROM events),
+        |i AS (
+        |  SELECT user_id, event_type, min(ts) AS vf, count(*) AS n_events
+        |  FROM r GROUP BY user_id, event_type, grp)
+        |SELECT user_id, event_type, epoch_us(vf) AS valid_from_us,
+        |  epoch_us(lead(vf) OVER (PARTITION BY user_id ORDER BY vf)) AS valid_to_us,
+        |  n_events
+        |FROM i ORDER BY user_id, valid_from_us""".stripMargin)) { (s, d) =>
+      val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val byUserType = Window.partitionBy(col("user_id"), col("event_type"))
+        .orderBy(col("ts"), col("event_id"))
+      val runs = ev(s, d)
+        .select(col("user_id"), col("event_type"), col("ts"),
+          (row_number().over(byUser) - row_number().over(byUserType)).as("grp"))
+        .groupBy(col("user_id"), col("event_type"), col("grp"))
+        .agg(min(col("ts")).as("vf"), count(lit(1)).as("n_events"))
+      val byStart = Window.partitionBy(col("user_id")).orderBy(col("vf"))
+      runs
+        .select(col("user_id"), col("event_type"),
+          unix_micros(col("vf")).as("valid_from_us"),
+          unix_micros(lead(col("vf"), 1).over(byStart)).as("valid_to_us"),
+          col("n_events"))
+        .orderBy(col("user_id"), col("valid_from_us"))
+    },
+
     // ROLLING RANGE WINDOW: per-event trailing-1-hour activity (count +
     // exact decimal sum) — the time-range window frame the analytic
     // suite lacked (wf_analytic is row-framed). Ordering column is epoch

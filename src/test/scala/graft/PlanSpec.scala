@@ -317,6 +317,18 @@ class PlanSpec extends AnyFunSuite {
       s"every funnel exchange must key on user_id:\n${exchanges.mkString("\n")}")
   }
 
+  test("scd2 history build rides one user-keyed exchange end to end") {
+    // both row_number windows, the run aggregate, and the lead window
+    // all cluster on user_id (or a superset) — hashpartitioning(user_id)
+    // satisfies every one of them, so the whole pipeline should need
+    // exactly one hash exchange
+    val p = planStr("op_scd2")
+    val exchanges = p.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(exchanges.size == 1,
+      s"scd2 must reuse one user_id exchange:\n${exchanges.mkString("\n")}\n$p")
+    assert(exchanges.head.contains("user_id"), exchanges.head)
+  }
+
   test("transition matrix second aggregate carries type-pair keys, not events") {
     val p = planStr("op_transitions")
     // one window exchange (user timeline) + one aggregate exchange whose
