@@ -391,6 +391,70 @@ object StreamingQueries {
       } finally q.stop()
       s.table(sink).filter(col("event_type") =!= "\u0000sentinel")
         .orderBy(col("win_start_us"), col("event_type"))
+    },
+
+    // Streaming CDC / latest-state maintenance — the streaming twin of
+    // op_cdc_upsert: the continuously-updated one-row-per-key snapshot a
+    // serving layer reads. Spark-first shape: a streaming `max_by`
+    // aggregation keyed on (ts, event_id) — state is exactly ONE row per
+    // user (the algebraic partial), bounded by construction with no
+    // watermark needed: that bounded-state property IS the CDC contract,
+    // and it holds whether the log replays in order or not (max_by is
+    // order-insensitive, so this differential certifies cross-batch
+    // state merge under any slicing). Complete output mode makes the
+    // memory sink hold the current snapshot after every batch — the
+    // test-harness stand-in for the keyed upsert sink (a KV store or
+    // MERGE-capable table) a deployment writes through foreachBatch.
+    // Drained snapshot == batch compaction row-for-row; same oracle as
+    // op_cdc_upsert.
+    QueryDef("ss_cdc", Some(
+      """SELECT user_id, event_id AS last_event_id, event_type AS last_type,
+        |  value AS last_value, epoch_us(ts) AS last_ts_us
+        |FROM events
+        |QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+        |ORDER BY user_id""".stripMargin)) { (s, d) =>
+      import s.implicits._
+      implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val rows = Tables.load(s, d, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"), unix_micros(col("ts")).as("us"))
+        .orderBy(col("us"), col("event_id"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3), r.getLong(4)))
+      val (lo, hi) = (rows.head._5, rows.last._5)
+      val nSlices = s.conf.get("spark.graft.ssjoin.slices", "4").toInt
+      val sliceUs = (hi - lo) / nSlices + 1
+
+      val feed = MemoryStream[(Long, Long, String, Double, Long)]
+      val snapshot = feed.toDF().toDF("event_id", "user_id", "event_type", "value", "us")
+        .withColumn("ts", timestamp_micros(col("us")))
+        .groupBy(col("user_id"))
+        .agg(max_by(
+          struct(col("event_id"), col("event_type"), col("value"), col("ts")),
+          struct(col("ts"), col("event_id"))).as("last"))
+        .select(col("user_id"),
+          col("last.event_id").as("last_event_id"),
+          col("last.event_type").as("last_type"),
+          col("last.value").as("last_value"),
+          unix_micros(col("last.ts")).as("last_ts_us"))
+
+      val sink = "ss_cdc_sink"
+      s.catalog.dropTempView(sink)
+      val savedParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions",
+        s.conf.get("spark.graft.ssjoin.parts", "4"))
+      val q =
+        try snapshot.writeStream.format("memory").queryName(sink)
+          .outputMode("complete").start()
+        finally s.conf.set("spark.sql.shuffle.partitions", savedParts)
+      try {
+        (0 until nSlices).foreach { k =>
+          val (from, until) = (lo + k * sliceUs, lo + (k + 1) * sliceUs)
+          feed.addData(rows.filter(r => r._5 >= from && r._5 < until).toSeq)
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+      s.table(sink).orderBy(col("user_id"))
     }
   )
 }
