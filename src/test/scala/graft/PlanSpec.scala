@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.functions.{col, count, lit, to_date}
 import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
 import org.apache.spark.sql.execution.debug
 import org.scalatest.funsuite.AnyFunSuite
@@ -315,6 +316,57 @@ class PlanSpec extends AnyFunSuite {
     assert(exchanges.nonEmpty, p)
     assert(exchanges.forall(_.contains("user_id")),
       s"every funnel exchange must key on user_id:\n${exchanges.mkString("\n")}")
+  }
+
+  test("runtime bloom filter prunes the fact side of a selective shuffle join") {
+    // the 100 TB lever for selective-dim shuffle joins: Catalyst injects a
+    // bloom_filter_agg over the filtered dim keys and a might_contain
+    // filter on the fact scan, so most fact rows die before the exchange.
+    // Thresholds are tuned down because the fixture is tiny; at real scale
+    // the defaults (10 GB application side) trigger on their own.
+    val saved = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.autoBroadcastJoinThreshold").map(k => k -> spark.conf.get(k))
+    spark.conf.set(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force shuffle join
+    try {
+      val d = graft.sources.Tables.load(spark, sfDir, "orders")
+        .filter(col("o_totalprice") > 400000)
+      val f = graft.sources.Tables.load(spark, sfDir, "lineitem")
+      val j = f.join(d, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderstatus")).agg(count(lit(1)).as("n"))
+      val p = finalPlan(j).toString
+      assert(p.contains("might_contain"),
+        s"fact side must be bloom-pruned before the exchange:\n$p")
+      assert(p.contains("bloom_filter_agg"), p)
+    } finally saved.foreach { case (k, v) => spark.conf.set(k, v) }
+  }
+
+  test("date-partitioned layout prunes partitions at the scan") {
+    // the data-layout half of scan discipline: a pipeline that writes its
+    // event log partitioned by day gets day-ranged reads that never open
+    // the other days' files — PartitionFilters at the scan, not a
+    // post-read filter. (Row-group min/max pruning inside files comes
+    // free from parquet once data is additionally sorted in-partition.)
+    val dir = s"/tmp/graft_layout_${java.util.UUID.randomUUID().toString.take(8)}"
+    val ev = graft.sources.Tables.load(spark, sfDir, "events")
+    try {
+      ev.withColumn("day", to_date(col("ts")))
+        .write.partitionBy("day").parquet(dir)
+      val read = spark.read.parquet(dir)
+        .filter(col("day") === "2024-01-05")
+        .select(col("event_id"), col("user_id"))
+      val p = finalPlan(read).toString
+      val scan = p.linesIterator.find(_.contains("FileScan parquet")).getOrElse(fail(p))
+      assert(scan.contains("PartitionFilters: [isnotnull(day"), scan)
+      assert(scan.contains("(day"), scan) // the equality predicate is partition-level
+      // and it is NOT also a post-scan data filter
+      assert(!p.contains("PushedFilters: [IsNotNull(day"), p)
+      val expected = ev.filter(to_date(col("ts")) === "2024-01-05").count()
+      assert(read.count() == expected)
+    } finally
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
   }
 
   test("scd2 history build rides one user-keyed exchange end to end") {
