@@ -118,6 +118,38 @@ object BqlQueries {
           "WHERE e >= 0.3 ORDER BY vec_id, ev")
     },
 
+    // B2 COPY-mode projection end-to-end: `SELECT *, expr AS x` keeps
+    // every source column and appends computed ones — bullet-core's COPY
+    // projection (vs PASSTHROUGH/NO_COPY), here one Catalyst projection
+    // with the star expanded at compile time. IN-list predicate rides
+    // along (compiles to a pushable OR chain). ts is exported as epoch
+    // micros so the star expansion stays integer-exact on both engines.
+    QueryDef("bql_copy_project", Some(
+      """SELECT event_id, epoch_us(ts) AS ts, user_id, event_type, value, props,
+        |  value * 0.5 + user_id AS score
+        |FROM events WHERE event_type IN ('click', 'purchase')
+        |ORDER BY event_id""".stripMargin)) { (s, d) =>
+      import org.apache.spark.sql.functions.{col, unix_micros}
+      val e = Tables.load(s, d, "events").withColumn("ts", unix_micros(col("ts")))
+      Compiler.compile(
+        "SELECT *, value * 0.5 + user_id AS score FROM STREAM " +
+          "WHERE event_type IN ('click', 'purchase') ORDER BY event_id")._2(e)
+    },
+
+    // B11+B12 culling end-to-end: ORDER BY ... LIMIT through BQL must
+    // compile to the top-n physical shape (TakeOrderedAndProject — heap
+    // select per partition, merge k, never a global sort; plan-gated in
+    // PlanSpec). Ties on value are broken by event_id so the k-row
+    // result set is deterministic on both engines.
+    QueryDef("bql_orderby_limit", Some(
+      """SELECT event_id, user_id, value FROM events
+        |WHERE event_type = 'purchase'
+        |ORDER BY value DESC, event_id LIMIT 50""".stripMargin)) { (s, d) =>
+      bql(s, d, "events",
+        "SELECT event_id, user_id, value FROM STREAM " +
+          "WHERE event_type == 'purchase' ORDER BY value DESC, event_id LIMIT 50")
+    },
+
     // B3 scalar-expression breadth end-to-end: IF, JSON-path extraction +
     // CAST, XOR, RLIKE, BETWEEN and LIKE all through text → AST →
     // Catalyst. Every op maps to a built-in Column (when/otherwise,

@@ -318,6 +318,11 @@ class PlanSpec extends AnyFunSuite {
       s"every funnel exchange must key on user_id:\n${exchanges.mkString("\n")}")
   }
 
+  test("bql ORDER BY + LIMIT compiles to top-n, not a global sort") {
+    val p = planStr("bql_orderby_limit")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
   test("runtime bloom filter prunes the fact side of a selective shuffle join") {
     // the 100 TB lever for selective-dim shuffle joins: Catalyst injects a
     // bloom_filter_agg over the filtered dim keys and a might_contain
