@@ -146,10 +146,98 @@ object Multimodal {
       out
     }
 
-  /** Format dispatch: a real decoder where pure JVM suffices (PPM); the
-    * documented stub histogram for codec-requiring formats. */
+  /** WAV format tag — the audio modality's real pure-JVM decode path
+    * (RIFF/PCM needs no codec, only container parsing). */
+  val WavFormat = "audio/wav"
+
+  /** Minimal WAV (RIFF, PCM s16le, mono) encoder: canonical 44-byte
+    * header + little-endian samples. Real format — any audio tool reads
+    * the output — and the fixture generator for the oracle-backed audio
+    * decode query. */
+  def encodeWavPcm16(sampleRate: Int, samples: Array[Short]): Array[Byte] = {
+    val dataLen = samples.length * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1) // PCM
+      .putShort(1) // mono
+      .putInt(sampleRate)
+      .putInt(sampleRate * 2) // byte rate
+      .putShort(2) // block align
+      .putShort(16) // bits per sample
+      .put("data".getBytes("US-ASCII")).putInt(dataLen)
+    samples.foreach(bb.putShort)
+    bb.array()
+  }
+
+  /** REAL WAV decode: walks the RIFF chunk list (tolerating extra chunks
+    * before `data`, as real encoders emit), validates PCM s16le mono, and
+    * returns (sampleRate, samples). None for anything malformed — a
+    * pipeline drops bad blobs, it never crashes an executor. */
+  def decodeWavPcm16(payload: Array[Byte]): Option[(Int, Array[Short])] = {
+    if (payload == null || payload.length < 44) return None
+    val bb = java.nio.ByteBuffer.wrap(payload).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def tag(): String = { val b = new Array[Byte](4); bb.get(b); new String(b, "US-ASCII") }
+    if (tag() != "RIFF") return None
+    bb.getInt // riff size (untrusted; we bound by the actual buffer)
+    if (tag() != "WAVE") return None
+    var rate = -1
+    var ok = false
+    while (bb.remaining() >= 8) {
+      val id = tag(); val len = bb.getInt
+      if (len < 0 || len > bb.remaining()) return None
+      if (id == "fmt ") {
+        if (len < 16) return None
+        val p0 = bb.position()
+        val fmt = bb.getShort; val ch = bb.getShort; rate = bb.getInt
+        bb.getInt; bb.getShort
+        val bits = bb.getShort
+        if (fmt != 1 || ch != 1 || bits != 16) return None
+        ok = true
+        bb.position(p0 + len)
+      } else if (id == "data") {
+        if (!ok || rate <= 0) return None // fmt must precede data
+        val n = len / 2
+        val out = new Array[Short](n)
+        var i = 0
+        while (i < n) { out(i) = bb.getShort; i += 1 }
+        return Some((rate, out))
+      } else bb.position(bb.position() + len + (len & 1)) // skip, pad to even
+    }
+    None
+  }
+
+  /** Audio feature kernel over a decoded PCM stream — integer-exact
+    * features (all magnitudes < 2^24, so their Float carriage is exact):
+    * [rate, channels, n, sum, maxAbs, zeroCrossings, 0…]. */
+  def decodeWavFeatures(payload: Array[Byte]): Array[Float] = {
+    val out = new Array[Float](featureDim)
+    decodeWavPcm16(payload) match {
+      case None => out
+      case Some((rate, s)) =>
+        var sum = 0L; var maxAbs = 0L; var zx = 0L
+        var i = 0
+        while (i < s.length) {
+          sum += s(i)
+          if (math.abs(s(i).toLong) > maxAbs) maxAbs = math.abs(s(i).toLong)
+          if (i > 0 && (s(i) < 0) != (s(i - 1) < 0)) zx += 1
+          i += 1
+        }
+        out(0) = rate; out(1) = 1; out(2) = s.length
+        out(3) = sum; out(4) = maxAbs; out(5) = zx
+        out
+    }
+  }
+
+  /** Format dispatch: real decoders where pure JVM suffices (PPM image,
+    * WAV audio); the documented stub histogram for codec-requiring
+    * formats. */
   def decode(payload: Array[Byte], format: String): Array[Float] =
-    if (format == PpmFormat) decodePpmP6(payload) else decodeToFeatures(payload)
+    if (format == PpmFormat) decodePpmP6(payload)
+    else if (format == WavFormat) decodeWavFeatures(payload)
+    else decodeToFeatures(payload)
 
   /** STUB frame sampler: every `stride`-th window of `frameBytes` bytes —
     * the shape of video frame extraction (n_frames × frame payload). */

@@ -40,7 +40,62 @@ object MultimodalQueries {
     }(enc)
   }
 
+  /** Deterministic PCM fixture for the audio decode query: per doc, a
+    * mono s16le WAV of (8 + id%33) samples at (8000 + (id%4)*4000) Hz
+    * with s_i = ((id*31 + i*17) mod 2048) - 1024 — every sample is a
+    * closed form of (doc_id, i), so the oracle reproduces the decoded
+    * feature arithmetic exactly. */
+  private def wavPayloads(s: org.apache.spark.sql.SparkSession, d: String) = {
+    val docs = Tables.load(s, d, "documents").select(col("doc_id"))
+    val enc = org.apache.spark.sql.Encoders.row(StructType(Seq(
+      StructField("doc_id", LongType), StructField("payload", BinaryType))))
+    docs.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val n = (8 + id % 33).toInt
+        val rate = (8000 + (id % 4) * 4000).toInt
+        val samples = Array.tabulate[Short](n)(i =>
+          ((id * 31 + i * 17) % 2048 - 1024).toShort)
+        org.apache.spark.sql.Row(id, Multimodal.encodeWavPcm16(rate, samples))
+      }
+    }(enc)
+  }
+
   val defs: Seq[QueryDef] = Seq(
+
+    // The REAL audio decode path — the WAV twin of mm_features_ppm:
+    // deterministic mono PCM s16le WAVs are synthesized per doc (RIFF
+    // container, closed-form samples), round-tripped through the
+    // pure-JVM RIFF/PCM parser, and the decoded rate/count/sum/peak/
+    // zero-crossing features are oracle-checked against the generator's
+    // arithmetic — encode→parse→feature must reproduce it exactly, all
+    // integer math. With PPM (image) and WAV (audio) both real, the
+    // stub kernel remains only for formats that need native codecs.
+    QueryDef("mm_audio_wav", Some(
+      """WITH m AS (SELECT doc_id, 8 + doc_id % 33 AS n,
+        |    8000 + (doc_id % 4) * 4000 AS rate
+        |  FROM documents),
+        |s AS (SELECT doc_id, n, rate, unnest(range(0, n)) AS i FROM m),
+        |v AS (SELECT doc_id, n, rate, i,
+        |    (doc_id * 31 + i * 17) % 2048 - 1024 AS sv FROM s),
+        |w AS (SELECT *, lag(sv) OVER (PARTITION BY doc_id ORDER BY i) AS prev FROM v)
+        |SELECT doc_id, any_value(rate) AS sample_rate,
+        |  CAST(1 AS BIGINT) AS channels, any_value(n) AS n_samples,
+        |  CAST(sum(sv) AS BIGINT) AS sum_s, CAST(max(abs(sv)) AS BIGINT) AS max_abs,
+        |  CAST(sum(CASE WHEN prev IS NOT NULL AND (sv < 0) <> (prev < 0)
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS zero_x
+        |FROM w GROUP BY doc_id ORDER BY doc_id""".stripMargin)) { (s, d) =>
+      val ingested = Multimodal.ingest(wavPayloads(s, d), "payload", Multimodal.WavFormat)
+      Multimodal.extractFeatures(s, ingested)
+        .select(col("doc_id"),
+          element_at(col("features"), 1).cast(LongType).as("sample_rate"),
+          element_at(col("features"), 2).cast(LongType).as("channels"),
+          element_at(col("features"), 3).cast(LongType).as("n_samples"),
+          element_at(col("features"), 4).cast(LongType).as("sum_s"),
+          element_at(col("features"), 5).cast(LongType).as("max_abs"),
+          element_at(col("features"), 6).cast(LongType).as("zero_x"))
+        .orderBy(col("doc_id"))
+    },
 
     // Ingest contract: payload + typed metadata. Metadata is
     // SQL-expressible → full oracle (md5 of the bytes == md5 of the text

@@ -205,6 +205,41 @@ class IngestAndMultimodalSpec extends AnyFunSuite {
       Multimodal.decodeToFeatures(enc).toSeq)
   }
 
+  test("WAV PCM decoder: roundtrip, chunk walking, malformed safety") {
+    val samples = Array[Short](100, -200, 300, -400, 0, 500)
+    val enc = Multimodal.encodeWavPcm16(16000, samples)
+    assert(enc.length == 44 + samples.length * 2)
+    val Some((rate, dec)) = Multimodal.decodeWavPcm16(enc)
+    assert(rate == 16000 && dec.toSeq == samples.toSeq)
+    // feature kernel: integer-exact rate/ch/n/sum/peak/zero-crossings
+    val f = Multimodal.decodeWavFeatures(enc)
+    assert(f.take(6).toSeq == Seq(16000f, 1f, 6f, 300f, 500f, 4f))
+    // real encoders put extra chunks (LIST/INFO) before data — the chunk
+    // walk must skip them, including the odd-length pad byte
+    val extra = "LIST".getBytes("US-ASCII") ++
+      Array[Byte](3, 0, 0, 0) ++ Array[Byte](1, 2, 3, 0) // len 3 + pad
+    val withChunk = enc.take(12) ++ extra ++ enc.drop(12)
+    // fix RIFF size (not load-bearing for our parser, but keep it honest)
+    val Some((r2, d2)) = Multimodal.decodeWavPcm16(withChunk)
+    assert(r2 == 16000 && d2.toSeq == samples.toSeq)
+    // malformed payloads decode to None / zero features, never throw
+    assert(Multimodal.decodeWavPcm16("RIFFxxxxWAVE".getBytes).isEmpty)
+    assert(Multimodal.decodeWavPcm16("not a riff file at all....................................".getBytes).isEmpty)
+    assert(Multimodal.decodeWavPcm16(enc.take(30)).isEmpty) // truncated
+    assert(Multimodal.decodeWavPcm16(Array.empty[Byte]).isEmpty)
+    assert(Multimodal.decodeWavPcm16(null).isEmpty)
+    // a data chunk claiming more bytes than the buffer holds must fail
+    val lied = enc.clone()
+    lied(40) = 127 // inflate data-chunk length field
+    assert(Multimodal.decodeWavPcm16(lied).isEmpty)
+    // stereo / non-PCM / non-16-bit are rejected (fmt gate)
+    val stereo = enc.clone()
+    stereo(22) = 2 // channels field
+    assert(Multimodal.decodeWavPcm16(stereo).isEmpty)
+    // format dispatch routes WAV to the real decoder
+    assert(Multimodal.decode(enc, Multimodal.WavFormat).toSeq == f.toSeq)
+  }
+
   test("PPM P6 nearest-neighbor resize: exact sample positions, malformed safety") {
     // 4x2 source with distinct per-pixel values; resize to 2x2 samples
     // (x*4/2, y*2/2) = source pixels (0,0),(2,0),(0,1),(2,1)
