@@ -128,7 +128,8 @@ object ScaleCheck {
           "tx_vocab_coverage", "emb_knn_classify", "dd_containment",
           "dd_paragraph", "fn_array", "srch_phrase", "fn_map", "ann_pq_topk",
           "op_salted_join", "emb_pca_project", "op_cdc_upsert", "op_funnel",
-          "op_transitions", "wf_rolling_range", "op_scd2")
+          "op_transitions", "wf_rolling_range", "op_scd2", "fn_quantile_bin",
+          "dd_keep_best")
     val selected = if (only.isEmpty) names else names.filter(only)
     // dd_semdedup is excluded the same way dd_embed_cosine is: replicated
     // embeddings are bit-identical across copies, so k-fold data has k²

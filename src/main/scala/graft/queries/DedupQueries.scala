@@ -180,6 +180,42 @@ object DedupQueries {
         .orderBy(col("doc_id"))
     },
 
+    // Quality-policy canonicalization — the "which copy survives" step
+    // that dd_canonical_corpus (keep min doc_id) leaves to policy: per
+    // duplicate cluster, keep the HIGHEST-QUALITY member (longest
+    // n_chars, doc_id as the deterministic tie-break) — the standard
+    // curation choice (the longest copy is usually the least truncated).
+    // Selection is an algebraic max_by over the cluster label — the same
+    // map-side-combining compaction shape as op_cdc_upsert, so the
+    // per-cluster pick never sorts or ranks; cluster sizes ride along as
+    // a count. At 100 TB the labels come from dd_minhash_lsh pairs
+    // instead of the exact (quadratic-guarded) graph.
+    QueryDef("dd_keep_best", Some(
+      s"""$clusterCte
+        |SELECT cluster_id, doc_id AS keep_id, n_chars AS keep_n_chars,
+        |  n_docs
+        |FROM (
+        |  SELECT l.cluster_id, d.doc_id, d.n_chars,
+        |    count(*) OVER (PARTITION BY l.cluster_id) AS n_docs,
+        |    row_number() OVER (PARTITION BY l.cluster_id
+        |      ORDER BY d.n_chars DESC, d.doc_id DESC) AS rn
+        |  FROM lab l JOIN documents d ON l.doc_id = d.doc_id)
+        |WHERE rn = 1 ORDER BY cluster_id""".stripMargin)) { (s, d) =>
+      val labels = graft.operators.ConnectedComponents
+        .components(exactPairGraph(s, d, "dd_keep_best"))
+        .select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
+      labels
+        .join(docs(s, d).select(col("doc_id"), col("n_chars")), Seq("doc_id"))
+        .groupBy(col("cluster_id"))
+        .agg(
+          max_by(struct(col("doc_id"), col("n_chars")),
+            struct(col("n_chars"), col("doc_id"))).as("best"),
+          count(lit(1)).as("n_docs"))
+        .select(col("cluster_id"), col("best.doc_id").as("keep_id"),
+          col("best.n_chars").as("keep_n_chars"), col("n_docs"))
+        .orderBy(col("cluster_id"))
+    },
+
     // Paragraph-level (sub-document) dedup — the pass that catches
     // repeated boilerplate INSIDE otherwise-distinct documents (headers,
     // license blocks, navigation chrome), which doc-level dedup never

@@ -189,6 +189,28 @@ object FunctionQueries {
           aggregate(map_values(col("tf")), lit(0L), (a, x) => a + x).as("n_tokens"),
           map_contains_key(col("tf"), "spark").as("has_spark"))
         .orderBy(col("doc_id"))
+    },
+
+    // Quantile binning (feature prep): per-SOURCE length deciles via
+    // ntile — the discretization step before bucketed training features
+    // or stratified length sampling. Partitioned by source so the window
+    // never degenerates to one global partition (a global ntile would
+    // serialize the corpus through one task; per-stratum binning is both
+    // the statistically right grain and the scale-safe plan: one hash
+    // exchange, in-partition sort). ntile's bucket arithmetic (first
+    // n_rows % k buckets get the extra row) is identical in Spark and
+    // DuckDB, and the (n_chars, doc_id) order is tie-free, so bucket
+    // edges match exactly.
+    QueryDef("fn_quantile_bin", Some(
+      """SELECT doc_id, source, n_chars,
+        |  CAST(ntile(10) OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS BIGINT) AS decile
+        |FROM documents ORDER BY doc_id""".stripMargin)) { (s, d) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source")).orderBy(col("n_chars"), col("doc_id"))
+      Tables.load(s, d, "documents")
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          ntile(10).over(w).cast(LongType).as("decile"))
+        .orderBy(col("doc_id"))
     }
   )
 }
