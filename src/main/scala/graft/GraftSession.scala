@@ -24,6 +24,11 @@ object GraftSession {
     .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
     .config("spark.sql.adaptive.skewJoin.enabled", "true")
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // Fixture timestamps are written without isAdjustedToUTC; read them as
+    // TIMESTAMP (LTZ) rather than TIMESTAMP_NTZ so the whole engine keeps a
+    // single timestamp type. Under the UTC session timezone this is
+    // value-identical to what DuckDB's naive read of the same parquet sees.
+    .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     .config("spark.sql.parquet.filterPushdown", "true")
     .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
     .config("spark.ui.enabled", "false")

@@ -28,12 +28,20 @@ object Tables {
     // Defensive: entry points set this at build time; setting it again at
     // runtime is a no-op but protects ad-hoc sessions (it is a runtime conf).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     val df = spark.read.parquet(path(sfDir, name))
-    // nanos->micros only when ts actually arrives as a raw long (the
-    // driver fixtures); re-written copies already carry TimestampType
+    // Normalize events.ts to TimestampType (micros, LTZ) whatever the
+    // fixture generation wrote: TIMESTAMP(NANOS) arrives as a raw long
+    // (nanosAsLong), tz-naive micros can arrive as TIMESTAMP_NTZ if a
+    // session was built without our conf. Under the UTC session timezone
+    // the NTZ cast is value-identical (same micros), matching DuckDB's
+    // naive read of the same parquet.
     if (name == "events" &&
         df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
       df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    else if (name == "events" &&
+        df.schema("ts").dataType == org.apache.spark.sql.types.TimestampNTZType)
+      df.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
     else df
   }
 
