@@ -42,4 +42,13 @@ package object functions {
     * `array<float>` embedding. */
   def lsh_bucket(vec: Column, seed: Long = 7L, nBits: Int = 8): Column =
     col(HyperplaneLshBucket(ColumnBridge.expression(vec), seed, nBits))
+
+  /** Bounded-heap top-k aggregate: the k SMALLEST values of `e` as an
+    * ascending array. Partial+final (each map task keeps <= k per group),
+    * so per-group ranking never shuffles the full candidate set — the
+    * scale-path replacement for `row_number().over(partitionBy(...))`.
+    * Encode descending keys by negation: `topk_min(struct(-score, id), k)`
+    * ranks by score desc, id asc. */
+  def topk_min(e: Column, k: Int): Column =
+    col(TopKMin(ColumnBridge.expression(e), k).toAggregateExpression())
 }

@@ -1,10 +1,9 @@
 package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.{cosine_sim, dot_product, lsh_bucket}
+import graft.functions.{cosine_sim, dot_product, lsh_bucket, topk_min}
 import graft.sources.Tables
 
 /** Approximate-nearest-neighbor search over the `embeddings` table.
@@ -210,6 +209,22 @@ object SimilarityQueries {
     * vote table is a meaningful accuracy sample, still broadcast-tiny. */
   private val NClassify = 50
 
+  /** Per-probe top-k rank over a scored candidate frame
+    * `(qid, vec_id, cos)` — by cos desc, vec_id asc, emitting
+    * `(qid, rank, vec_id)` ordered, exactly the old
+    * `row_number().over(partitionBy(qid))` contract WITHOUT the window:
+    * the bounded-heap aggregate keeps <= k rows per probe per map task,
+    * so the exchange carries |probes| x k rows however large the scored
+    * candidate set is (for the PQ ADC pass that set is the whole corpus).
+    * Negated cos encodes the descending key; (cos, vec_id) is unique per
+    * probe, so the ordering is total and the result deterministic. */
+  private def rankTopK(scored: DataFrame, k: Int): DataFrame =
+    scored.groupBy(col("qid"))
+      .agg(topk_min(struct((-col("cos")).as("nc"), col("vec_id").as("vec_id")), k).as("tk"))
+      .select(col("qid"), posexplode(col("tk")).as(Seq("pos", "st")))
+      .select(col("qid"), (col("pos") + 1).as("rank"), col("st.vec_id").as("vec_id"))
+      .orderBy(col("qid"), col("rank"))
+
   /** Shared IVF search body: train (bounded driver Lloyd), assign the
     * corpus (literal or join-shaped per the k threshold — Ivf.assigned),
     * probe the nProbe nearest lists with exact cosine. */
@@ -226,14 +241,9 @@ object SimilarityQueries {
           slice(sort_array(Ivf.simStructs(col("embedding"), cents), asc = false),
             1, nProbe),
           x => x.getField("i"))).as("cl"))
-    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
-    corpus.join(broadcast(probes),
+    rankTopK(corpus.join(broadcast(probes),
         Seq("cl")).filter(col("vec_id") =!= col("qid"))
-      .select(col("qid"), col("vec_id"), cosine_sim(col("qe"), col("embedding")).as("cos"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= K)
-      .select(col("qid"), col("rank"), col("vec_id"))
-      .orderBy(col("qid"), col("rank"))
+      .select(col("qid"), col("vec_id"), cosine_sim(col("qe"), col("embedding")).as("cos")), K)
   }
 
   val defs: Seq[QueryDef] = Seq(
@@ -254,14 +264,9 @@ object SimilarityQueries {
         dot_product(col("embedding"), col("embedding")).as("nsq"))
       val q = e.select(col("vec_id").as("qid"), col("embedding").as("qe"), col("nsq").as("qn"))
         .filter(col("qid") < NQueries)
-      val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
-      e.join(broadcast(q), col("vec_id") =!= col("qid"))
+      rankTopK(e.join(broadcast(q), col("vec_id") =!= col("qid"))
         .select(col("qid"), col("vec_id"),
-          (dot_product(col("qe"), col("embedding")) / sqrt(col("qn") * col("nsq"))).as("cos"))
-        .withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= K)
-        .select(col("qid"), col("rank"), col("vec_id"))
-        .orderBy(col("qid"), col("rank"))
+          (dot_product(col("qe"), col("embedding")) / sqrt(col("qn") * col("nsq"))).as("cos")), K)
     },
 
     // Filtered vector search: top-k restricted to candidates passing a
@@ -289,14 +294,9 @@ object SimilarityQueries {
       val q = all.filter(col("vec_id") < NQueries)
         .select(col("vec_id").as("qid"), col("embedding").as("qe"),
           dot_product(col("embedding"), col("embedding")).as("qn"))
-      val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
-      e.join(broadcast(q), col("vec_id") =!= col("qid"))
+      rankTopK(e.join(broadcast(q), col("vec_id") =!= col("qid"))
         .select(col("qid"), col("vec_id"),
-          (dot_product(col("qe"), col("embedding")) / sqrt(col("qn") * col("nsq"))).as("cos"))
-        .withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= K)
-        .select(col("qid"), col("rank"), col("vec_id"))
-        .orderBy(col("qid"), col("rank"))
+          (dot_product(col("qe"), col("embedding")) / sqrt(col("qn") * col("nsq"))).as("cos")), K)
     },
 
     // LSH-bucketed ANN: multi-table random-hyperplane LSH (L tables x b
@@ -322,15 +322,13 @@ object SimilarityQueries {
             struct(lit(tb).as("tb"),
               lsh_bucket(col("embedding"), 100L + tb, nBits).bitwiseXOR(m).as("probe"))): _*)).as("qb"))
         .select(col("qid"), col("qe"), col("qb.tb").as("qtb"), col("qb.probe").as("probe"))
-      val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
-      corpus.join(broadcast(q),
+      // distinct() collapses the same (probe, candidate) pair found by
+      // several tables BEFORE ranking (hash exchange over all 32
+      // partitions — balanced, unlike the old per-probe window sort)
+      rankTopK(corpus.join(broadcast(q),
           col("tb") === col("qtb") && col("bucket") === col("probe") && col("vec_id") =!= col("qid"))
         .select(col("qid"), col("vec_id"), cosine_sim(col("qe"), col("embedding")).as("cos"))
-        .distinct()
-        .withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= K)
-        .select(col("qid"), col("rank"), col("vec_id"))
-        .orderBy(col("qid"), col("rank"))
+        .distinct(), K)
     },
 
     // PCA projection audit — dimensionality reduction as a first-class
@@ -472,25 +470,26 @@ object SimilarityQueries {
         dot_product(sub(col("qe"), mi), element_at(typedLit(books(mi).map(_.toSeq)), col(s"c$mi") + 1))
       }.reduce(_ + _)
       val shortK = Ivf.intConf(s, "spark.graft.pq.shortlist", 100)
-      val ws = Window.partitionBy(col("qid")).orderBy(col("acos").desc, col("vec_id"))
+      // shortlist rank: the ADC pass scores the ENTIRE corpus per probe,
+      // so this is the one stage where ranking shape decides 100 TB
+      // viability — the bounded-heap aggregate keeps <= shortK rows per
+      // probe per map task and the exchange carries |probes| x shortK
+      // rows, vs. the old per-probe window sort that shuffled every
+      // scored row into |probes| reducers
       val shortlist = corpus.join(broadcast(probes), col("vec_id") =!= col("qid"))
         .select(col("qid"), col("vec_id"), (adc / sqrt(col("qn") * col("rn2"))).as("acos"))
-        .withColumn("srank", row_number().over(ws))
-        .filter(col("srank") <= shortK)
-        .select(col("qid"), col("vec_id"))
+        .groupBy(col("qid"))
+        .agg(topk_min(struct((-col("acos")).as("na"), col("vec_id").as("vec_id")), shortK).as("tk"))
+        .select(col("qid"), explode(col("tk")).as("st"))
+        .select(col("qid"), col("st.vec_id").as("vec_id"))
       // refine: exact cosine over the shortlist only — both joins
       // broadcast (|queries|·shortlist rows), the corpus is never
       // shuffled and only shortlisted vectors are fetched
-      val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
-      e.join(broadcast(shortlist), Seq("vec_id"))
+      rankTopK(e.join(broadcast(shortlist), Seq("vec_id"))
         .join(broadcast(probes), Seq("qid"))
         .select(col("qid"), col("vec_id"),
           (dot_product(col("qe"), col("embedding")) /
-            sqrt(col("qn") * dot_product(col("embedding"), col("embedding")))).as("cos"))
-        .withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= K)
-        .select(col("qid"), col("rank"), col("vec_id"))
-        .orderBy(col("qid"), col("rank"))
+            sqrt(col("qn") * dot_product(col("embedding"), col("embedding")))).as("cos")), K)
     },
 
     // Per-label embedding audit — the "did an ingest batch corrupt this
@@ -564,20 +563,30 @@ object SimilarityQueries {
       val q = e.filter(col("vec_id") < NClassify)
         .select(col("vec_id").as("qid"), col("embedding").as("qe"),
           col("label").as("qlabel"), col("nsq").as("qn"))
-      val wNN = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
-      val wVote = Window.partitionBy(col("qid")).orderBy(col("votes").desc, col("label"))
-      e.join(broadcast(q), col("vec_id") =!= col("qid"))
+      // neighbor top-K via the bounded-heap aggregate (same shape as
+      // rankTopK, with the neighbor's label and the probe's true label
+      // riding along as payload fields — (cos, vec_id) stays the total
+      // ordering, so the extra fields never influence rank)
+      val nn = e.join(broadcast(q), col("vec_id") =!= col("qid"))
         .select(col("qid"), col("qlabel"), col("label"), col("vec_id"),
           (dot_product(col("qe"), col("embedding")) / sqrt(col("qn") * col("nsq"))).as("cos"))
-        .withColumn("rank", row_number().over(wNN))
-        .filter(col("rank") <= K)
-        .groupBy(col("qid"), col("label"))
+        .groupBy(col("qid"))
+        .agg(topk_min(struct((-col("cos")).as("nc"), col("vec_id").as("vec_id"),
+          col("label").as("label"), col("qlabel").as("qlabel")), K).as("tk"))
+        .select(col("qid"), explode(col("tk")).as("st"))
+        .select(col("qid"), col("st.label").as("label"), col("st.qlabel").as("qlabel"))
+      // majority vote: argmax by (votes desc, label asc) — max_by over a
+      // (votes, -label) ordering struct, no per-probe window needed
+      nn.groupBy(col("qid"), col("label"))
         // qlabel is functionally determined by qid — first() is exact here
         .agg(first(col("qlabel")).as("true_label"), count(lit(1)).as("votes"))
-        .withColumn("r", row_number().over(wVote))
-        .filter(col("r") === 1)
-        .select(col("qid"), col("true_label"), col("label").as("pred_label"), col("votes"),
-          when(col("label") === col("true_label"), 1).otherwise(0).as("correct"))
+        .groupBy(col("qid"))
+        .agg(max_by(
+          struct(col("true_label"), col("label").as("pred_label"), col("votes")),
+          struct(col("votes"), (-col("label")).as("nl"))).as("w"))
+        .select(col("qid"), col("w.true_label").as("true_label"),
+          col("w.pred_label").as("pred_label"), col("w.votes").as("votes"),
+          when(col("w.pred_label") === col("w.true_label"), 1).otherwise(0).as("correct"))
         .orderBy(col("qid"))
     }
   )

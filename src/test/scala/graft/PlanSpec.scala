@@ -270,6 +270,23 @@ class PlanSpec extends AnyFunSuite {
       s"probe and shortlist joins must broadcast:\n$pq")
   }
 
+  test("ann family ranks via the bounded-heap aggregate — no per-probe window sort") {
+    // the round-7 finding: row_number().over(partitionBy(qid)) shuffles
+    // every scored candidate into |probes| reducers — for the PQ ADC pass
+    // that is the whole corpus into 5 tasks. The topk_min aggregate keeps
+    // <= k rows per probe per map task, so the exchange is |probes| x k
+    // regardless of candidate-set size.
+    for (n <- Seq("ann_brute_topk", "ann_filtered_topk", "ann_lsh_topk",
+        "ann_ivf_topk", "ann_pq_topk", "emb_knn_classify")) {
+      val p = planStr(n)
+      assert(!p.contains("Window"), s"$n must not rank via a window sort:\n$p")
+      assert(p.contains("ObjectHashAggregate"),
+        s"$n must rank via the topk_min object aggregate:\n$p")
+      assert(p.contains("partial_topk_min"),
+        s"$n's rank must combine map-side (partial+final):\n$p")
+    }
+  }
+
   test("salted join spreads the key across salt-qualified exchanges") {
     val sj = planStr("op_salted_join")
     val ex = sj.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
