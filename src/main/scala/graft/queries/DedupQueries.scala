@@ -30,11 +30,11 @@ object DedupQueries {
     * the ground-truth pair source shared by clustering and canonical-
     * corpus materialization. Postings-list expansion: one shuffle on the
     * shingle hash, pair counts combined map-side, per-doc shingle counts
-    * rejoined via two broadcasts. Quadratic-guarded; `dd_minhash_lsh`
-    * produces the same (doc_a, doc_b) shape at scale. */
+    * rejoined via two broadcasts (bounded by the quadratic guard — the
+    * minhash path of [[pairGraph]] joins instead). */
   private def exactPairGraph(s: SparkSession, d: String, name: String): DataFrame = {
     val base = graft.operators.QuadraticGuard
-      .check(docs(s, d), name, "dd_minhash_lsh")
+      .check(docs(s, d), name, "spark.graft.dedup.pairSource=minhash")
       .select(col("doc_id"), ngram_hashes(toks, 3).as("hs"))
     val nsh = base.select(col("doc_id"), size(col("hs")).cast(LongType).as("nsh"))
     val sh = base.select(col("doc_id"), explode(col("hs")).as("h"))
@@ -50,6 +50,63 @@ object DedupQueries {
       .join(broadcast(nsh.select(col("doc_id").as("doc_b"), col("nsh").as("nb"))), "doc_b")
       .filter(col("inter") * lit(1.0) / (col("na") + col("nb") - col("inter")) >= 0.5)
       .select(col("doc_a"), col("doc_b"))
+  }
+
+  /** MinHash+LSH candidate pairs verified at estimated Jaccard ≥ 0.5 —
+    * the body of `dd_minhash_lsh` and the scale-path pair source for the
+    * cluster family. Linear in the corpus (capped postings, ids-only band
+    * exchanges); the signature rejoins for the verify are JOINS, not
+    * broadcasts — the per-doc signature frame is corpus-sized. */
+  private def minhashPairs(s: SparkSession, d: String): DataFrame = {
+    val bands = 16
+    val rowsPerBand = 4
+    val cap = graft.operators.HotBuckets.maxBucket(s)
+    val sig = docs(s, d).select(col("doc_id"), minhash_sig(toks, 3, bands * rowsPerBand).as("sig"))
+    val banded = sig.select(col("doc_id"),
+      explode(array((0 until bands).map(bnd =>
+        xxhash64(lit(bnd), slice(col("sig"), bnd * rowsPerBand + 1, rowsPerBand))): _*)).as("bkey"))
+    val postings = banded.groupBy(col("bkey"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+      .filter(size(col("ds")) > 1)
+    val pairs = graft.operators.HotBuckets
+      .capObserve(postings, "ds", cap, "dd_minhash_lsh")
+      .select(explode(col("ds")).as("doc_a"), col("ds"))
+      .select(col("doc_a"), explode(col("ds")).as("doc_b"))
+      .filter(col("doc_a") < col("doc_b"))
+      // dedupe pairs BEFORE the signature comparison: a pair colliding in
+      // k bands would otherwise pay the 64-slot zip k times
+      .dropDuplicates("doc_a", "doc_b")
+    pairs
+      .join(sig.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
+      .join(sig.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        (size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), b => b))
+          .cast(DoubleType) / (bands * rowsPerBand)).as("est_jaccard"))
+      .filter(col("est_jaccard") >= 0.5)
+  }
+
+  /** The cluster family's pair source, switched by
+    * `spark.graft.dedup.pairSource`:
+    *  - `exact` (default): [[exactPairGraph]] — ground truth, quadratic-
+    *    guarded, for corpora the guard admits;
+    *  - `minhash`: [[minhashPairs]] — the linear scale path; clusters
+    *    become approximate (recall-gated vs exact in CorpusPipelineSpec)
+    *    but the plan survives any corpus size.
+    * The result is persisted and memoized per (session, dir, source), so
+    * `dd_dup_clusters` / `dd_canonical_corpus` / `dd_keep_best` in one
+    * session share ONE pair-graph computation instead of recomputing the
+    * postings pass three times. The cached frame is near-dup pairs only —
+    * small by construction (capped buckets / guarded input). */
+  private val pairGraphCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
+
+  private def pairGraph(s: SparkSession, d: String): DataFrame = {
+    val mode = s.conf.get("spark.graft.dedup.pairSource", "exact")
+    pairGraphCache.computeIfAbsent((s, d, mode), _ => (mode match {
+      case "minhash" => minhashPairs(s, d).select(col("doc_a"), col("doc_b"))
+      case _ => exactPairGraph(s, d,
+        "dd_dup_clusters/dd_canonical_corpus/dd_keep_best (pairSource=exact)")
+    }).persist())
   }
 
   /** Oracle CTE prefix shared by the cluster-shaped queries: exact pair
@@ -153,9 +210,11 @@ object DedupQueries {
       // propagation (one join+groupBy per round, O(diameter)) with an
       // automatic switch to large-star/small-star (O(log n) rounds) if
       // the duplicate graph turns out chain-shaped — see
-      // operators/ConnectedComponents.scala
+      // operators/ConnectedComponents.scala. The pair source is the
+      // shared pairGraph: exact (oracle ground truth) by default,
+      // minhash past the guard via spark.graft.dedup.pairSource.
       graft.operators.ConnectedComponents
-        .components(exactPairGraph(s, d, "dd_dup_clusters"))
+        .components(pairGraph(s, d))
         .select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
         .orderBy(col("doc_id"))
     },
@@ -165,15 +224,16 @@ object DedupQueries {
     // component label) plus every doc in no cluster. The drop set is the
     // clustered non-representatives: tiny next to the corpus, so the
     // anti-join broadcasts under AQE; the corpus side streams through
-    // unshuffled. At 100 TB the same plan runs off dd_minhash_lsh pairs
-    // instead of the exact (quadratic-guarded) graph.
+    // unshuffled. At 100 TB set spark.graft.dedup.pairSource=minhash and
+    // the same plan runs off the LSH pair source instead of the exact
+    // (quadratic-guarded) graph.
     QueryDef("dd_canonical_corpus", Some(
       s"""$clusterCte
         |SELECT doc_id, lang, n_chars FROM documents
         |WHERE doc_id NOT IN (SELECT doc_id FROM lab WHERE doc_id <> cluster_id)
         |ORDER BY doc_id""".stripMargin)) { (s, d) =>
       val labels = graft.operators.ConnectedComponents
-        .components(exactPairGraph(s, d, "dd_canonical_corpus"))
+        .components(pairGraph(s, d))
       val drop = labels.filter(col("id") =!= col("lbl")).select(col("id").as("doc_id"))
       docs(s, d).join(drop, Seq("doc_id"), "left_anti")
         .select(col("doc_id"), col("lang"), col("n_chars"))
@@ -188,8 +248,9 @@ object DedupQueries {
     // Selection is an algebraic max_by over the cluster label — the same
     // map-side-combining compaction shape as op_cdc_upsert, so the
     // per-cluster pick never sorts or ranks; cluster sizes ride along as
-    // a count. At 100 TB the labels come from dd_minhash_lsh pairs
-    // instead of the exact (quadratic-guarded) graph.
+    // a count. At 100 TB set spark.graft.dedup.pairSource=minhash and the
+    // labels come from the LSH pair source instead of the exact
+    // (quadratic-guarded) graph.
     QueryDef("dd_keep_best", Some(
       s"""$clusterCte
         |SELECT cluster_id, doc_id AS keep_id, n_chars AS keep_n_chars,
@@ -202,7 +263,7 @@ object DedupQueries {
         |  FROM lab l JOIN documents d ON l.doc_id = d.doc_id)
         |WHERE rn = 1 ORDER BY cluster_id""".stripMargin)) { (s, d) =>
       val labels = graft.operators.ConnectedComponents
-        .components(exactPairGraph(s, d, "dd_keep_best"))
+        .components(pairGraph(s, d))
         .select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
       labels
         .join(docs(s, d).select(col("doc_id"), col("n_chars")), Seq("doc_id"))
@@ -280,32 +341,7 @@ object DedupQueries {
     // candidate pair for the verify. Band-hash collisions only ever ADD
     // candidates, which the exact slot-match verify then rejects.
     QueryDef("dd_minhash_lsh", None) { (s, d) =>
-      val bands = 16
-      val rowsPerBand = 4
-      val cap = graft.operators.HotBuckets.maxBucket(s)
-      val sig = docs(s, d).select(col("doc_id"), minhash_sig(toks, 3, bands * rowsPerBand).as("sig"))
-      val banded = sig.select(col("doc_id"),
-        explode(array((0 until bands).map(bnd =>
-          xxhash64(lit(bnd), slice(col("sig"), bnd * rowsPerBand + 1, rowsPerBand))): _*)).as("bkey"))
-      val postings = banded.groupBy(col("bkey"))
-        .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
-        .filter(size(col("ds")) > 1)
-      val pairs = graft.operators.HotBuckets
-        .capObserve(postings, "ds", cap, "dd_minhash_lsh")
-        .select(explode(col("ds")).as("doc_a"), col("ds"))
-        .select(col("doc_a"), explode(col("ds")).as("doc_b"))
-        .filter(col("doc_a") < col("doc_b"))
-        // dedupe pairs BEFORE the signature comparison: a pair colliding in
-        // k bands would otherwise pay the 64-slot zip k times
-        .dropDuplicates("doc_a", "doc_b")
-      pairs
-        .join(sig.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
-        .join(sig.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
-        .select(col("doc_a"), col("doc_b"),
-          (size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), b => b))
-            .cast(DoubleType) / (bands * rowsPerBand)).as("est_jaccard"))
-        .filter(col("est_jaccard") >= 0.5)
-        .orderBy(col("doc_a"), col("doc_b"))
+      minhashPairs(s, d).orderBy(col("doc_a"), col("doc_b"))
     },
 
     // SimHash near-dup: 64-bit fingerprint per doc; candidates share one of

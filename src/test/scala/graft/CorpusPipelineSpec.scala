@@ -58,4 +58,56 @@ class CorpusPipelineSpec extends AnyFunSuite {
       s"-> decontaminated ${afterDecon.size}")
     assert(afterDecon.nonEmpty)
   }
+
+  test("cluster family runs off minhash pairs past the quadratic guard (pairSource=minhash)") {
+    // ground truth: exact-pair clusters (the oracle-checked default path)
+    val exact = run("dd_dup_clusters").collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val exactLbl = exact.toMap
+    val coClustered = for {
+      (a, la) <- exact; (b, lb) <- exact if a < b && la == lb
+    } yield (a, b)
+    assert(coClustered.nonEmpty, "fixture must have multi-doc clusters")
+
+    val conf = spark.conf
+    conf.set("spark.graft.dedup.pairSource", "minhash")
+    // prove the family no longer REFUSES past the guard: with the guard
+    // lowered below the fixture size, the exact path would throw — the
+    // minhash path must not consult it at all
+    conf.set(graft.operators.QuadraticGuard.MaxRowsKey, "10")
+    try {
+      val mh = run("dd_dup_clusters").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val hits = coClustered.count { case (a, b) =>
+        mh.get(a).exists(la => mh.get(b).contains(la))
+      }
+      val recall = hits.toDouble / coClustered.size
+      info(f"minhash-fed cluster recall vs exact: $recall%.2f (${mh.size} labeled docs)")
+      assert(recall >= 0.7, f"minhash-fed clusters recovered only $recall%.2f of exact pairs")
+
+      // downstream consumers run on the same (shared, persisted) source
+      val canon = run("dd_canonical_corpus").select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(canon.nonEmpty, "canonical corpus must materialize on the minhash path")
+      val kb = run("dd_keep_best").collect()
+      assert(kb.nonEmpty && kb.forall(r => r.getLong(3) >= 2),
+        "keep_best clusters must be real multi-doc clusters")
+      // every minhash cluster label is its component's min doc id, so the
+      // canonical keep-set must contain each cluster's label
+      assert(mh.values.toSet.subsetOf(canon), "cluster representatives must survive the drop")
+
+      // scale posture: the minhash pair path must not FORCE corpus-sized
+      // broadcasts the way the guarded exact path's nsh rejoin does —
+      // no broadcast hint anywhere in the minhash query's logical plan
+      val lp = SparkEntry.queries("dd_minhash_lsh")(spark, sfDir)
+        .queryExecution.analyzed.toString
+      assert(!lp.contains("ResolvedHint"),
+        s"minhash pair source must leave join strategy to Catalyst:\n$lp")
+    } finally {
+      conf.unset("spark.graft.dedup.pairSource")
+      conf.unset(graft.operators.QuadraticGuard.MaxRowsKey)
+    }
+    // and the exact path is untouched: rerun reproduces the same labels
+    val again = run("dd_dup_clusters").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(again == exactLbl, "default path must be byte-identical after the minhash run")
+  }
 }
