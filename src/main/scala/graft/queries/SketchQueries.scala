@@ -111,6 +111,55 @@ object SketchQueries {
         .limit(10)
     },
 
+    // B6/B7 sketch-state INTERCHANGE — the headline reason mergeable
+    // sketches exist at scale: aggregate each "day" to serialized sketch
+    // state (binary columns), persist/ship those partials, and roll them
+    // up later WITHOUT rescanning the raw data. Here both hops run in one
+    // query (day partials -> theta_union_agg / kll_merge_agg_double), but
+    // the binary `tsk`/`ksk` columns are exactly what a daily job would
+    // write to parquet and a weekly job would merge — the incremental-
+    // aggregation contract Bullet's DataSketches aggregates are built on
+    // (SURVEY.md §2.B B6–B8). Sketches are exact at oracle scale (events
+    // per day ≪ 65535, distinct users ≪ 4096 nominal), so the DuckDB
+    // oracle checks the estimates as exact counts/quantiles; merged ≡
+    // single-pass parity is additionally spec-gated at both fixtures.
+    // Scale shape: first aggregate shuffles (day, partial-sketch) pairs —
+    // O(days × sketch) — and the rollup is a second O(days) aggregate;
+    // raw user_ids/values never cross the wire twice.
+    QueryDef("b6_theta_merge", Some(
+      """WITH e AS (SELECT strftime(ts, '%Y-%m-%d') AS day, user_id, value FROM events),
+        |d AS (SELECT day, count(DISTINCT user_id) AS day_users FROM e GROUP BY day),
+        |dq AS (SELECT day, min(v) AS day_p50 FROM (
+        |    SELECT day, value AS v,
+        |      row_number() OVER (PARTITION BY day ORDER BY value) AS rn,
+        |      count(*) OVER (PARTITION BY day) AS n FROM e)
+        |  WHERE rn >= ceil(0.5 * n) GROUP BY day),
+        |tot AS (SELECT count(DISTINCT user_id) AS total_users FROM e),
+        |tq AS (SELECT min(v) AS total_p50 FROM (
+        |    SELECT value AS v, row_number() OVER (ORDER BY value) AS rn,
+        |      count(*) OVER () AS n FROM e)
+        |  WHERE rn >= ceil(0.5 * n))
+        |SELECT day, day_users, day_p50, total_users, total_p50
+        |FROM d JOIN dq USING (day), tot, tq ORDER BY day""".stripMargin)) { (s, d) =>
+      val e = t(s, d, "events")
+        .select(date_format(col("ts"), "yyyy-MM-dd").as("day"), col("user_id"), col("value"))
+      val partials = e.groupBy(col("day")).agg(
+        expr("theta_sketch_agg(user_id)").as("tsk"),
+        expr("kll_sketch_agg_double(value, 65535)").as("ksk"))
+      val rollup = partials.agg(
+        expr("theta_sketch_estimate(theta_union_agg(tsk))").as("total_users"),
+        expr("element_at(kll_sketch_get_quantile_double(kll_merge_agg_double(ksk), array(0.5D)), 1)")
+          .as("total_p50"))
+      partials
+        .select(col("day"),
+          expr("theta_sketch_estimate(tsk)").as("day_users"),
+          expr("element_at(kll_sketch_get_quantile_double(ksk, array(0.5D)), 1)").as("day_p50"))
+        .crossJoin(broadcast(rollup))
+        .select(col("day"), col("day_users"), col("day_p50"),
+          col("total_users"), col("total_p50"))
+        .orderBy(col("day"))
+    },
+
     // B5 cardinality-cap guard (Bullet caps GROUP cardinality at
     // bullet.query.aggregation.max.size=500 via a sketch over group keys):
     // report the would-be group count cheaply with a Theta sketch over the

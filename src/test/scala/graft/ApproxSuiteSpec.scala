@@ -410,6 +410,38 @@ class ApproxSuiteSpec extends AnyFunSuite {
     assert(math.abs(rank - 0.5) < 0.03)
   }
 
+  test("sketch-state interchange: merged day partials == single-pass sketch") {
+    // the b6_theta_merge contract: serialized per-day sketch state (binary
+    // columns — what a daily job would persist) unioned later must give
+    // the same estimate as one pass over the raw data. Exact at these
+    // cardinalities, so equality is strict, on both fixtures.
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.BinaryType
+    for (dir <- Seq("/root/testdata/sf0.001", sfDir)) {
+      val e = graft.sources.Tables.load(spark, dir, "events")
+        .select(date_format(col("ts"), "yyyy-MM-dd").as("day"), col("user_id"), col("value"))
+      val partials = e.groupBy(col("day")).agg(
+        expr("theta_sketch_agg(user_id)").as("tsk"),
+        expr("kll_sketch_agg_double(value, 65535)").as("ksk"))
+      assert(partials.schema("tsk").dataType == BinaryType,
+        "theta partial state must be an interchangeable binary column")
+      assert(partials.schema("ksk").dataType == BinaryType,
+        "kll partial state must be an interchangeable binary column")
+      val merged = partials.agg(
+        expr("theta_sketch_estimate(theta_union_agg(tsk))").as("mu"),
+        expr("element_at(kll_sketch_get_quantile_double(kll_merge_agg_double(ksk), array(0.5D)), 1)")
+          .as("mq")).head()
+      val direct = e.agg(
+        expr("theta_sketch_estimate(theta_sketch_agg(user_id))"),
+        expr("element_at(kll_sketch_get_quantile_double(kll_sketch_agg_double(value, 65535), array(0.5D)), 1)"))
+        .head()
+      assert(merged.getLong(0) == direct.getLong(0),
+        s"$dir: merged theta ${merged.getLong(0)} != direct ${direct.getLong(0)}")
+      assert(merged.getDouble(1) == direct.getDouble(1),
+        s"$dir: merged kll median ${merged.getDouble(1)} != direct ${direct.getDouble(1)}")
+    }
+  }
+
   test("samp_mixture achieves the configured per-group keep rates") {
     import org.apache.spark.sql.functions._
     val docs = graft.sources.Tables.load(spark, sfDir, "documents")
