@@ -28,7 +28,8 @@ object Ast {
   /** Parser-internal: aggregate call in a select list; resolved into an
     * [[Agg]] before the Query is built and never reaches the compiler. */
   private[bql] final case class AggCall(fn: String, arg0: Option[Int], distinct: Boolean,
-      fields: Seq[String], probs: Seq[Double], arg: Option[Expr]) extends Expr
+      fields: Seq[String], probs: Seq[Double], arg: Option[Expr],
+      linearN: Option[Int] = None) extends Expr
 
   // ---- select list (B2) ----
   final case class SelectItem(expr: Expr, alias: Option[String])
@@ -49,8 +50,11 @@ object Ast {
   final case class TopKAgg(k: Int, fields: Seq[String], countName: String) extends Agg
   final case class QuantileAgg(field: String, probs: Seq[Double], name: String) extends Agg
   /** DISTRIBUTION PMF/CDF (B7): bin counts / cumulative probabilities at
-    * the given split points. */
-  final case class PmfAgg(field: String, points: Seq[Double], cdf: Boolean, name: String) extends Agg
+    * the given split points. `linearN = Some(n)` is bullet-core's
+    * generated-points form (LINEAR, n): n points evenly spaced between
+    * the DATA min and max, resolved at result time. */
+  final case class PmfAgg(field: String, points: Seq[Double], cdf: Boolean, name: String,
+      linearN: Option[Int] = None) extends Agg
 
   final case class AggOp(fn: String, arg: Option[Expr], name: String) // COUNT SUM MIN MAX AVG
 

@@ -194,7 +194,37 @@ object Compiler {
             s" array(${ps.mkString(",")}))").as("__qv"))
           .select(posexplode(col("__qv")).as(Seq("__i", name)))
           .select(element_at(lit(ps.toArray), col("__i") + 1).as("quantile"), col(name))
-      case PmfAgg(field, points, isCdf, name) =>
+      case PmfAgg(field, points, isCdf, name, Some(n)) =>
+        // LINEAR(n) for PMF/CDF: bullet-core generates n points evenly
+        // spaced between the DATA min and max. Two aggregates: a 1-row
+        // (min, max) stats frame broadcast-crossJoined onto the scan, then
+        // the same conditional-count binning with point EXPRESSIONS; the
+        // point values are reconstructed from the carried min/max after
+        // the aggregate. The second scan is what the domain costs a batch
+        // engine (the streaming path reads min/max off the KLL sketch).
+        val v = col(field)
+        val stats = df.agg(min(v).as("__lo"), max(v).as("__hi"))
+        val pt = (i: Int) =>
+          col("__lo") + (col("__hi") - col("__lo")) * lit(i.toDouble / (n - 1))
+        val joined = df.crossJoin(broadcast(stats))
+        val aggs: Seq[Column] =
+          if (isCdf) (0 until n).map(i => count(when(v <= pt(i), 1)))
+          else {
+            val lowest = count(when(v < pt(0), 1))
+            val mids = (1 until n).map(i => count(when(v >= pt(i - 1) && v < pt(i), 1)))
+            val highest = count(when(v >= pt(n - 1), 1))
+            lowest +: mids :+ highest
+          }
+        val binned = joined
+          .agg(array(aggs: _*).as("__bins"),
+            first(col("__lo")).as("__lo"), first(col("__hi")).as("__hi"))
+          .select(col("__lo"), col("__hi"), posexplode(col("__bins")).as(Seq("bin", name)))
+        if (isCdf)
+          binned.select(
+            (col("__lo") + (col("__hi") - col("__lo")) *
+              (col("bin").cast("double") / (n - 1))).as("point"), col(name))
+        else binned.select(col("bin"), col(name))
+      case PmfAgg(field, points, isCdf, name, None) =>
         // batch path is exact: conditional counts per interval
         // (bin 0 = (-inf, p0), bin i = [p_{i-1}, p_i), last = [p_n, inf));
         // CDF = count(v <= p_i). The streaming path estimates the same

@@ -135,18 +135,18 @@ object Parser {
       val agg: Agg =
         if (aggItems.isEmpty && groupKeys.isEmpty) RawAll
         else aggItems match {
-          case Seq((SelectItem(_, alias), AggCall("COUNT", _, true, fields, _, _)))
+          case Seq((SelectItem(_, alias), AggCall("COUNT", _, true, fields, _, _, _)))
               if groupKeys.isEmpty =>
             CountDistinctAgg(fields, alias.getOrElse("count_distinct"))
-          case Seq((SelectItem(_, alias), AggCall("TOP", Some(k), _, fields, _, _)))
+          case Seq((SelectItem(_, alias), AggCall("TOP", Some(k), _, fields, _, _, _)))
               if groupKeys.isEmpty =>
             TopKAgg(k, fields, alias.getOrElse("count"))
-          case Seq((SelectItem(_, alias), AggCall("QUANTILE", _, _, fields, probs, _)))
+          case Seq((SelectItem(_, alias), AggCall("QUANTILE", _, _, fields, probs, _, _)))
               if groupKeys.isEmpty =>
             QuantileAgg(fields.head, probs, alias.getOrElse("quantile"))
-          case Seq((SelectItem(_, alias), AggCall(k @ ("PMF" | "CDF"), _, _, fields, points, _)))
-              if groupKeys.isEmpty && points.nonEmpty =>
-            PmfAgg(fields.head, points, k == "CDF", alias.getOrElse(k.toLowerCase))
+          case Seq((SelectItem(_, alias), AggCall(k @ ("PMF" | "CDF"), _, _, fields, points, _, linearN)))
+              if groupKeys.isEmpty && (points.nonEmpty || linearN.nonEmpty) =>
+            PmfAgg(fields.head, points, k == "CDF", alias.getOrElse(k.toLowerCase), linearN)
           case _ =>
             val ops = aggItems.zipWithIndex.map { case ((SelectItem(_, alias), a), i) =>
               if (a.distinct || a.fn == "TOP" || a.fn == "QUANTILE" || a.fn == "PMF" || a.fn == "CDF")
@@ -351,11 +351,41 @@ object Parser {
           expect(")")
           AggCall("TOP", Some(k), distinct = false, fs.result(), Nil, None)
         case "QUANTILE" | "PMF" | "CDF" =>
+          // points: an explicit list, or bullet-core's generated forms
+          // LINEAR(count) / REGION(start, end, increment)
           val f = next()
           val ps = Vector.newBuilder[Double]
-          while (accept(",")) ps += next().toDouble
+          var linearN: Option[Int] = None
+          if (accept(",")) peekUp match {
+            case "LINEAR" =>
+              next(); expect(",")
+              val n = next().toInt
+              if (n < 2) throw new BqlParseException(s"LINEAR needs >= 2 points, got $n")
+              if (n > 10000) throw new BqlParseException(s"LINEAR point count $n exceeds 10000")
+              // QUANTILE's domain is [0,1] probabilities — static points;
+              // PMF/CDF's domain is the data's [min,max] — resolved at
+              // result time (linearN carries the count to the compiler)
+              if (fn == "QUANTILE") ps ++= (0 until n).map(i => i.toDouble / (n - 1))
+              else linearN = Some(n)
+            case "REGION" =>
+              next(); expect(",")
+              val lo = next().toDouble; expect(",")
+              val hi = next().toDouble; expect(",")
+              val step = next().toDouble
+              if (step <= 0 || hi < lo)
+                throw new BqlParseException(s"bad REGION($lo, $hi, $step): need start <= end, increment > 0")
+              if (fn == "QUANTILE" && (lo < 0 || hi > 1))
+                throw new BqlParseException(s"QUANTILE REGION bounds must lie in [0, 1], got [$lo, $hi]")
+              val n = math.floor((hi - lo) / step + 1e-9).toInt
+              if (n > 9999) throw new BqlParseException(
+                s"REGION($lo, $hi, $step) generates ${n + 1} points (> 10000)")
+              ps ++= (0 to n).map(i => lo + i * step)
+            case _ =>
+              ps += next().toDouble
+              while (accept(",")) ps += next().toDouble
+          }
           expect(")")
-          AggCall(fn, None, distinct = false, Seq(f), ps.result(), None)
+          AggCall(fn, None, distinct = false, Seq(f), ps.result(), None, linearN)
         case _ =>
           val e = expr(); expect(")")
           AggCall(fn, None, distinct = false, Nil, Nil, Some(e))

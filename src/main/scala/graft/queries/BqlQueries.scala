@@ -104,6 +104,52 @@ object BqlQueries {
       bql(s, d, "events", "SELECT CDF(value, 25, 50, 75) AS n FROM STREAM ORDER BY point")
     },
 
+    // B7 generated point specs (bullet-core's public forms beyond explicit
+    // lists): QUANTILE(f, LINEAR, n) = n evenly spaced probabilities in
+    // [0,1]; PMF/CDF(f, REGION, lo, hi, step) = static split points over
+    // the value domain; PMF/CDF(f, LINEAR, n) = n points spanning the
+    // DATA min..max, resolved at result time (the dynamic-domain form —
+    // batch pays a broadcast 1-row min/max stats frame, streaming reads
+    // min/max off the KLL sketch).
+    QueryDef("bql_quantile_linear", Some(
+      """WITH s AS (SELECT value AS v,
+        |    row_number() OVER (ORDER BY value) AS rn,
+        |    count(*) OVER () AS n FROM events),
+        |  p AS (SELECT unnest([0.0,0.25,0.5,0.75,1.0]) AS p)
+        |SELECT CAST(p.p AS DOUBLE) AS quantile, min(s.v) AS q
+        |FROM p, s WHERE s.rn >= ceil(p.p * s.n)
+        |GROUP BY p.p ORDER BY quantile""".stripMargin)) { (s, d) =>
+      bql(s, d, "events",
+        "SELECT QUANTILE(value, LINEAR, 5) AS q FROM STREAM ORDER BY quantile")
+    },
+
+    QueryDef("bql_pmf_region", Some(
+      """WITH c AS (SELECT
+        |  count(*) FILTER (WHERE value < 20) AS b0,
+        |  count(*) FILTER (WHERE value >= 20 AND value < 40) AS b1,
+        |  count(*) FILTER (WHERE value >= 40 AND value < 60) AS b2,
+        |  count(*) FILTER (WHERE value >= 60 AND value < 80) AS b3,
+        |  count(*) FILTER (WHERE value >= 80) AS b4 FROM events)
+        |SELECT unnest([0,1,2,3,4]) AS bin, unnest([b0,b1,b2,b3,b4]) AS n
+        |FROM c ORDER BY bin""".stripMargin)) { (s, d) =>
+      bql(s, d, "events",
+        "SELECT PMF(value, REGION, 20, 80, 20) AS n FROM STREAM ORDER BY bin")
+    },
+
+    QueryDef("bql_cdf_linear", Some(
+      // the dynamic-domain form: points are lo + (hi-lo)*f for f in
+      // {0, .25, .5, .75, 1} — both engines compute the identical
+      // double expression, so the point column hash-compares exactly
+      """WITH s AS (SELECT min(value) AS lo, max(value) AS hi FROM events),
+        |p AS (SELECT lo + (hi - lo) * f AS pt
+        |      FROM s, (SELECT unnest([0.0,0.25,0.5,0.75,1.0]) AS f))
+        |SELECT pt AS point,
+        |  (SELECT count(*) FROM events WHERE value <= pt) AS n
+        |FROM p ORDER BY point""".stripMargin)) { (s, d) =>
+      bql(s, d, "events",
+        "SELECT CDF(value, LINEAR, 5) AS n FROM STREAM ORDER BY point")
+    },
+
     // LATERAL VIEW EXPLODE (bullet-bql's explode surface): unnest a
     // list-typed field to one row per element, with the alias visible to
     // WHERE/SELECT. CAST to DOUBLE is an exact float32 widening on both

@@ -113,7 +113,7 @@ object QueryState {
     case qa: QuantileAgg => new KllState(qa.field, KllPresent.Quantiles(
       if (qa.probs.nonEmpty) qa.probs else Seq(0.25, 0.5, 0.75), qa.name))
     case pa: PmfAgg => new KllState(pa.field, KllPresent.Distribution(
-      pa.points, pa.cdf, pa.name))
+      pa.points, pa.cdf, pa.name, pa.linearN))
   }
 }
 
@@ -491,7 +491,10 @@ final class TopKState(tk: TopKAgg) extends QueryState with KeyedCombinable {
 sealed trait KllPresent
 object KllPresent {
   final case class Quantiles(probs: Seq[Double], name: String) extends KllPresent
-  final case class Distribution(points: Seq[Double], cdf: Boolean, name: String) extends KllPresent
+  /** `linearN = Some(n)` generates the n split points from the sketch's
+    * own min/max at present time (bullet-core's LINEAR point form). */
+  final case class Distribution(points: Seq[Double], cdf: Boolean, name: String,
+      linearN: Option[Int] = None) extends KllPresent
 }
 
 /** DISTRIBUTION (B7, all three forms: QUANTILE/PMF/CDF): per-batch KLL
@@ -527,7 +530,16 @@ final class KllState(field: String, presentAs: KllPresent)
         val schema = StructType(Seq(
           StructField("quantile", DoubleType), StructField(name, DoubleType)))
         probs.map(p => row(schema, p, sketch.getQuantile(p)))
-      case KllPresent.Distribution(points, isCdf, name) =>
+      case KllPresent.Distribution(points0, isCdf, name, linearN) =>
+        val points = linearN match {
+          case Some(np) =>
+            // the generated-domain form: n points evenly spaced between
+            // the sketch's exact min/max (KLL tracks both exactly)
+            val lo = sketch.getMinItem
+            val hi = sketch.getMaxItem
+            (0 until np).map(i => lo + (hi - lo) * (i.toDouble / (np - 1)))
+          case None => points0
+        }
         val n = sketch.getN
         if (isCdf) {
           // estimated count of values <= point (matches the batch path's

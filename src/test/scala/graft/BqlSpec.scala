@@ -50,6 +50,31 @@ class BqlSpec extends AnyFunSuite {
     assert(Parser.parse("SELECT * FROM STREAM").agg == Ast.RawAll)
   }
 
+  test("DISTRIBUTION generated point specs: LINEAR and REGION") {
+    // QUANTILE LINEAR n -> n evenly spaced probabilities incl. both ends
+    assert(Parser.parse("SELECT QUANTILE(v, LINEAR, 5) AS q FROM STREAM").agg ==
+      Ast.QuantileAgg("v", Seq(0.0, 0.25, 0.5, 0.75, 1.0), "q"))
+    // QUANTILE REGION over the probability domain
+    assert(Parser.parse("SELECT QUANTILE(v, REGION, 0.2, 0.8, 0.3) AS q FROM STREAM").agg ==
+      Ast.QuantileAgg("v", Seq(0.2, 0.5, 0.8), "q"))
+    // PMF/CDF REGION -> static value-domain split points
+    assert(Parser.parse("SELECT PMF(v, REGION, 20, 80, 20) AS n FROM STREAM").agg ==
+      Ast.PmfAgg("v", Seq(20.0, 40.0, 60.0, 80.0), cdf = false, "n"))
+    // PMF/CDF LINEAR -> dynamic data-domain points, count carried through
+    assert(Parser.parse("SELECT CDF(v, LINEAR, 11) AS n FROM STREAM").agg ==
+      Ast.PmfAgg("v", Nil, cdf = true, "n", linearN = Some(11)))
+    // malformed generator forms fail as parse errors
+    val badSpecs = Seq(
+      "SELECT QUANTILE(v, LINEAR, 1) AS q FROM STREAM", // < 2 points
+      "SELECT QUANTILE(v, LINEAR) AS q FROM STREAM", // missing count
+      "SELECT PMF(v, REGION, 80, 20, 10) AS n FROM STREAM", // end < start
+      "SELECT PMF(v, REGION, 20, 80, 0) AS n FROM STREAM", // zero step
+      "SELECT PMF(v, REGION, 20, 80) AS n FROM STREAM", // missing step
+      "SELECT QUANTILE(v, REGION, 0.5, 1.5, 0.25) AS q FROM STREAM", // prob > 1
+      "SELECT CDF(v, LINEAR, x) AS n FROM STREAM") // non-numeric count
+    badSpecs.foreach(b => assertThrows[BqlParseException](Parser.parse(b)))
+  }
+
   test("malformed input throws BqlParseException, never anything else") {
     val bad = Seq(
       "SELEKT * FROM STREAM", "SELECT * FROM TABLE", "SELECT FROM STREAM",
