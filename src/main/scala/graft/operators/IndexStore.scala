@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.{SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persistence seam for trained index artifacts (IVF centroids, PQ
+  * codebooks, PCA basis).
+  *
+  * The self-contained queries retrain per invocation so their result is a
+  * pure function of the input directory — right for the oracle gate,
+  * wrong for production: a 100 TB deployment trains ONCE per corpus
+  * snapshot, persists the artifact, and every subsequent job loads it
+  * (search scans only persisted codes; ingest assigns against persisted
+  * centroids). These artifacts are tiny (k x dim floats), so each writes
+  * as a single-file parquet table with an explicit ordinal column — float
+  * values round-trip bit-exactly through parquet, which is what makes
+  * persisted-then-loaded search row-identical to the self-contained run
+  * (IndexPersistenceSpec).
+  */
+object IndexStore {
+
+  /** IVF centroids as rows (ci, cent: array<float>). */
+  def saveIvf(s: SparkSession, path: String, cents: Seq[Array[Float]]): Unit = {
+    import s.implicits._
+    cents.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toDF("ci", "cent")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  def loadIvf(s: SparkSession, path: String): Seq[Array[Float]] =
+    s.read.parquet(path).orderBy(col("ci")).collect()
+      .map(_.getSeq[Float](1).toArray).toSeq
+
+  /** PQ codebooks as rows (mi, ki, cent: array<float>) — subspace-major. */
+  def savePq(s: SparkSession, path: String, books: Seq[Seq[Array[Float]]]): Unit = {
+    import s.implicits._
+    (for ((book, mi) <- books.zipWithIndex; (c, ki) <- book.zipWithIndex)
+      yield (mi, ki, c.toSeq)).toDF("mi", "ki", "cent")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  def loadPq(s: SparkSession, path: String): Seq[Seq[Array[Float]]] =
+    s.read.parquet(path).orderBy(col("mi"), col("ki")).collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](2).toArray))
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map(_._2.map(_._2).toSeq)
+
+  /** PCA basis as rows (r, eigenvalue, vec: array<double>); the sample
+    * mean rides as row r = -1 (eigenvalue 0). */
+  def savePca(s: SparkSession, path: String, mean: Array[Double],
+      vals: Array[Double], vecs: Array[Array[Double]]): Unit = {
+    import s.implicits._
+    val rows = (-1, 0.0, mean.toSeq) +:
+      vals.zip(vecs).zipWithIndex.map { case ((v, vec), r) => (r, v, vec.toSeq) }.toSeq
+    rows.toDF("r", "eigenvalue", "vec").coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  def loadPca(s: SparkSession, path: String)
+      : (Array[Double], Array[Double], Array[Array[Double]]) = {
+    val rows = s.read.parquet(path).orderBy(col("r")).collect()
+    val mean = rows.head.getSeq[Double](2).toArray
+    val comps = rows.tail
+    (mean, comps.map(_.getDouble(1)), comps.map(_.getSeq[Double](2).toArray))
+  }
+}

@@ -23,7 +23,7 @@ import graft.sources.Tables
   * (`ann_ivf_topk`) and semantic dedup (`dd_semdedup`). Training touches a
   * bounded deterministic sample; assignment is a linear codegen'd pass
   * against broadcast-literal centroids. */
-private[queries] object Ivf {
+private[graft] object Ivf {
 
   def intConf(s: SparkSession, key: String, dflt: Int): Int =
     s.conf.getOption(key).map(_.toInt).getOrElse(dflt)
@@ -146,7 +146,7 @@ private[queries] object Ivf {
   * m=8, k=16 — so the SEARCH scan reads 32× less than the raw corpus.
   * Distances are computed asymmetrically (ADC): the query stays exact,
   * the corpus side is reconstructed per subspace from the code's centroid. */
-private[queries] object Pq {
+private[graft] object Pq {
 
   /** Per-subspace codebooks via farthest-point init + Lloyd on the driver
     * sample (same rationale as Ivf.train: the sample is bounded by
@@ -197,6 +197,33 @@ private[queries] object Pq {
       cents
     }
   }
+
+  /** Reconstructed squared norms per codebook entry (ADC denominators). */
+  def norms(books: Seq[Seq[Array[Float]]]): Seq[Array[Double]] =
+    books.map(_.map(c => c.map(x => x.toDouble * x).sum).toArray)
+
+  /** Codegen ENCODE pass over `(vec_id, embedding)`: m byte-sized code
+    * columns `c0..c{m-1}` (per-subspace argmin L2 as argmax(2·dot − |c|²,
+    * idx) — constant |sub|² dropped, struct ordering keeps the highest
+    * index on ties like the driver trainer) plus the reconstructed
+    * squared norm `rn2`. This IS the codes table a deployment persists
+    * once per corpus snapshot (IndexStore); every later search scans only
+    * its output. */
+  def encode(e: DataFrame, books: Seq[Seq[Array[Float]]], subDim: Int): DataFrame = {
+    val m = books.size
+    val ns = norms(books)
+    def sub(v: Column, mi: Int): Column = slice(v, mi * subDim + 1, subDim)
+    val codeCols = (0 until m).map { mi =>
+      array_max(array(books(mi).zipWithIndex.map { case (c, k) =>
+        struct(
+          (graft.functions.dot_product(sub(col("embedding"), mi), typedLit(c)) * 2 - ns(mi)(k))
+            .as("s"),
+          lit(k).as("i"))
+      }: _*)).getField("i").as(s"c$mi")
+    }
+    val rn2 = (0 until m).map(mi => element_at(typedLit(ns(mi)), col(s"c$mi") + 1)).reduce(_ + _)
+    e.select(col("vec_id") +: codeCols: _*).withColumn("rn2", rn2)
+  }
 }
 
 object SimilarityQueries {
@@ -224,6 +251,45 @@ object SimilarityQueries {
       .select(col("qid"), posexplode(col("tk")).as(Seq("pos", "st")))
       .select(col("qid"), (col("pos") + 1).as("rank"), col("st.vec_id").as("vec_id"))
       .orderBy(col("qid"), col("rank"))
+
+  /** The search half of the PQ pipeline: ADC shortlist over a CODES table
+    * (persisted or freshly encoded — `(vec_id, c0.., rn2)`) + exact-cosine
+    * refine. `vectors` is touched only for the probe set and the
+    * shortlist point-fetch (|probes| x shortK rows), so a deployment that
+    * persisted the codes table (IndexStore + Pq.encode) pays scan IO of
+    * codes alone — the "search reads only codes" contract, proven
+    * row-identical to the self-contained query in IndexPersistenceSpec. */
+  private[graft] def pqSearch(codes: DataFrame, vectors: DataFrame,
+      books: Seq[Seq[Array[Float]]], subDim: Int, shortK: Int): DataFrame = {
+    val m = books.size
+    val probes = vectors.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        dot_product(col("embedding"), col("embedding")).as("qn"))
+    def sub(v: Column, mi: Int): Column = slice(v, mi * subDim + 1, subDim)
+    val adc = (0 until m).map { mi =>
+      dot_product(sub(col("qe"), mi), element_at(typedLit(books(mi).map(_.toSeq)), col(s"c$mi") + 1))
+    }.reduce(_ + _)
+    // shortlist rank: the ADC pass scores the ENTIRE corpus per probe,
+    // so this is the one stage where ranking shape decides 100 TB
+    // viability — the bounded-heap aggregate keeps <= shortK rows per
+    // probe per map task and the exchange carries |probes| x shortK
+    // rows, vs. a per-probe window sort that would shuffle every
+    // scored row into |probes| reducers
+    val shortlist = codes.join(broadcast(probes), col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"), (adc / sqrt(col("qn") * col("rn2"))).as("acos"))
+      .groupBy(col("qid"))
+      .agg(topk_min(struct((-col("acos")).as("na"), col("vec_id").as("vec_id")), shortK).as("tk"))
+      .select(col("qid"), explode(col("tk")).as("st"))
+      .select(col("qid"), col("st.vec_id").as("vec_id"))
+    // refine: exact cosine over the shortlist only — both joins
+    // broadcast (|queries|·shortlist rows), the corpus is never
+    // shuffled and only shortlisted vectors are fetched
+    rankTopK(vectors.join(broadcast(shortlist), Seq("vec_id"))
+      .join(broadcast(probes), Seq("qid"))
+      .select(col("qid"), col("vec_id"),
+        (dot_product(col("qe"), col("embedding")) /
+          sqrt(col("qn") * dot_product(col("embedding"), col("embedding")))).as("cos")), K)
+  }
 
   /** Shared IVF search body: train (bounded driver Lloyd), assign the
     * corpus (literal or join-shaped per the k threshold — Ivf.assigned),
@@ -441,55 +507,17 @@ object SimilarityQueries {
       val subDim = Ivf.intConf(s, "spark.graft.pq.subDim", 8)
       val iters = Ivf.intConf(s, "spark.graft.ivf.iters", 3)
       val trainSample = Ivf.intConf(s, "spark.graft.ivf.trainSample", 2000)
+      val shortK = Ivf.intConf(s, "spark.graft.pq.shortlist", 100)
       val e = emb(s, d).select(col("vec_id"), col("embedding"))
       val sample: Array[Array[Float]] = e.orderBy(xxhash64(col("vec_id"))).limit(trainSample)
         .collect().map(_.getSeq[Float](1).toArray)
       val dim = sample.head.length
-      val m = dim / subDim
-      val books = Pq.train(sample, m, kCodes, iters)
-      val norms: Seq[Array[Double]] = books.map(_.map(c => c.map(x => x.toDouble * x).sum).toArray)
-
-      def sub(v: Column, mi: Int): Column = slice(v, mi * subDim + 1, subDim)
-      // per-subspace argmin L2 as argmax(2·dot − |c|², idx) — constant
-      // |sub|² dropped, struct ordering keeps the highest index on ties
-      // exactly like the driver trainer
-      val codeCols = (0 until m).map { mi =>
-        array_max(array(books(mi).zipWithIndex.map { case (c, k) =>
-          struct((dot_product(sub(col("embedding"), mi), typedLit(c)) * 2 - norms(mi)(k)).as("s"),
-            lit(k).as("i"))
-        }: _*)).getField("i").as(s"c$mi")
-      }
-      val encoded = e.select(col("vec_id") +: codeCols: _*)
-      val rn2 = (0 until m).map(mi => element_at(typedLit(norms(mi)), col(s"c$mi") + 1)).reduce(_ + _)
-      val corpus = encoded.withColumn("rn2", rn2)
-
-      val probes = e.filter(col("vec_id") < NQueries)
-        .select(col("vec_id").as("qid"), col("embedding").as("qe"),
-          dot_product(col("embedding"), col("embedding")).as("qn"))
-      val adc = (0 until m).map { mi =>
-        dot_product(sub(col("qe"), mi), element_at(typedLit(books(mi).map(_.toSeq)), col(s"c$mi") + 1))
-      }.reduce(_ + _)
-      val shortK = Ivf.intConf(s, "spark.graft.pq.shortlist", 100)
-      // shortlist rank: the ADC pass scores the ENTIRE corpus per probe,
-      // so this is the one stage where ranking shape decides 100 TB
-      // viability — the bounded-heap aggregate keeps <= shortK rows per
-      // probe per map task and the exchange carries |probes| x shortK
-      // rows, vs. the old per-probe window sort that shuffled every
-      // scored row into |probes| reducers
-      val shortlist = corpus.join(broadcast(probes), col("vec_id") =!= col("qid"))
-        .select(col("qid"), col("vec_id"), (adc / sqrt(col("qn") * col("rn2"))).as("acos"))
-        .groupBy(col("qid"))
-        .agg(topk_min(struct((-col("acos")).as("na"), col("vec_id").as("vec_id")), shortK).as("tk"))
-        .select(col("qid"), explode(col("tk")).as("st"))
-        .select(col("qid"), col("st.vec_id").as("vec_id"))
-      // refine: exact cosine over the shortlist only — both joins
-      // broadcast (|queries|·shortlist rows), the corpus is never
-      // shuffled and only shortlisted vectors are fetched
-      rankTopK(e.join(broadcast(shortlist), Seq("vec_id"))
-        .join(broadcast(probes), Seq("qid"))
-        .select(col("qid"), col("vec_id"),
-          (dot_product(col("qe"), col("embedding")) /
-            sqrt(col("qn") * dot_product(col("embedding"), col("embedding")))).as("cos")), K)
+      val books = Pq.train(sample, dim / subDim, kCodes, iters)
+      // encode + search fuse into one pass here (the scan reads vectors to
+      // encode them anyway); a deployment persists Pq.encode's output once
+      // per snapshot (IndexStore) and searches over codes alone — the
+      // persisted variant is proven row-identical in IndexPersistenceSpec
+      pqSearch(Pq.encode(e, books, subDim), e, books, subDim, shortK)
     },
 
     // Per-label embedding audit — the "did an ingest batch corrupt this

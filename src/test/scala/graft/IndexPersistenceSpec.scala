@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.IndexStore
+import graft.queries.{Ivf, Pq, SimilarityQueries}
+
+/** The train-once persistence seam: trained artifacts (IVF centroids, PQ
+  * codebooks + codes, PCA basis) must survive a save/load round-trip
+  * BIT-EXACTLY, so a deployment that trains once per corpus snapshot and
+  * searches from the persisted artifact gets row-identical results to the
+  * self-contained queries the oracle gate checks. */
+class IndexPersistenceSpec extends AnyFunSuite {
+  private val sfDir = "/root/testdata/sf0.001"
+  private lazy val spark: SparkSession = GraftSession.local(4)
+  private def tmp(name: String) = s"/tmp/graft_index_spec/$name"
+
+  private def embeddings = graft.sources.Tables.load(spark, sfDir, "embeddings")
+    .select(col("vec_id"), col("embedding"))
+
+  test("IVF centroids round-trip bit-exactly; assignment from loaded centroids is identical") {
+    val cents = Ivf.train(embeddings, kClusters = 10, iters = 3, trainSample = 2000)
+    IndexStore.saveIvf(spark, tmp("ivf"), cents)
+    val loaded = IndexStore.loadIvf(spark, tmp("ivf"))
+    assert(loaded.size == cents.size)
+    assert(loaded.zip(cents).forall { case (a, b) => a.sameElements(b) },
+      "centroid floats must round-trip bit-exactly through parquet")
+    val direct = Ivf.assigned(embeddings, cents).collect()
+      .map(r => r.getLong(0) -> r.getInt(2)).toMap
+    val fromLoaded = Ivf.assigned(embeddings, loaded).collect()
+      .map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(direct == fromLoaded, "assignment must be identical from persisted centroids")
+  }
+
+  test("PQ search from a persisted codes table == self-contained ann_pq_topk") {
+    val subDim = 8
+    val e = embeddings
+    val sample = e.orderBy(xxhash64(col("vec_id"))).limit(2000)
+      .collect().map(_.getSeq[Float](1).toArray)
+    val books = Pq.train(sample, sample.head.length / subDim, 16, 3)
+
+    // persist both artifacts: codebooks and the encoded codes table
+    IndexStore.savePq(spark, tmp("pq_books"), books)
+    Pq.encode(e, books, subDim).write.mode("overwrite").parquet(tmp("pq_codes"))
+
+    val loadedBooks = IndexStore.loadPq(spark, tmp("pq_books"))
+    assert(loadedBooks.size == books.size &&
+      loadedBooks.zip(books).forall { case (a, b) =>
+        a.size == b.size && a.zip(b).forall { case (x, y) => x.sameElements(y) }
+      }, "codebooks must round-trip bit-exactly")
+
+    val codes = spark.read.parquet(tmp("pq_codes"))
+    val persisted = SimilarityQueries.pqSearch(codes, e, loadedBooks, subDim, shortK = 100)
+    val selfContained = SparkEntry.queries("ann_pq_topk")(spark, sfDir)
+    assert(persisted.collect().toSeq == selfContained.collect().toSeq,
+      "search over persisted codes must be row-identical to the self-contained query")
+
+    // the "search reads only codes" claim, on the plan: the ADC stage's
+    // file scan reads the codes parquet (c*/rn2 columns), and the only
+    // embeddings reads are the broadcast probe/refine sides
+    val plan = persisted.queryExecution.executedPlan.toString
+    assert(plan.contains("pq_codes"), s"search must scan the persisted codes table:\n$plan")
+  }
+
+  test("PCA basis round-trips bit-exactly") {
+    import graft.operators.Pca
+    val sample = embeddings.orderBy(xxhash64(col("vec_id"))).limit(500)
+      .collect().map(_.getSeq[Float](1).toArray)
+    val (mean, cov) = Pca.meanCov(sample)
+    val (vals, vecs) = Pca.topComponents(cov, 4)
+    IndexStore.savePca(spark, tmp("pca"), mean, vals, vecs)
+    val (m2, v2, e2) = IndexStore.loadPca(spark, tmp("pca"))
+    assert(m2.sameElements(mean))
+    assert(v2.sameElements(vals))
+    assert(e2.zip(vecs).forall { case (a, b) => a.sameElements(b) })
+  }
+}
