@@ -111,6 +111,38 @@ object SketchQueries {
         .limit(10)
     },
 
+    // B8 grouped: per-key frequent items — the grouped shape Bullet's TOP K
+    // only offers globally (the B7 b7_kll_grouped story, applied to B8).
+    // Each group's frequent-items sketch is mergeable bounded state
+    // combined map-side (ObjectHashAggregate partial+final), so 100 TB
+    // pays one shuffle of (group, sketch) pairs, never of raw rows;
+    // maxItemsTracked=4096 ≥ fixture cardinality keeps counts exact. The
+    // sketch's own tie order is arbitrary, so a second bounded-heap pass
+    // (topk_min — |groups| x k exchange) re-ranks deterministically by
+    // (count desc, user_id) before emitting rank.
+    QueryDef("b8_topk_grouped", Some(
+      """WITH c AS (SELECT event_type, user_id, count(*) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |r AS (SELECT event_type, user_id, cnt,
+        |  row_number() OVER (PARTITION BY event_type ORDER BY cnt DESC, user_id) AS rnk
+        |  FROM c)
+        |SELECT event_type, rnk, user_id, cnt FROM r WHERE rnk <= 5
+        |ORDER BY event_type, rnk""".stripMargin)) { (s, d) =>
+      import graft.functions.topk_min
+      t(s, d, "events")
+        .groupBy(col("event_type"))
+        .agg(expr("approx_top_k(user_id, 2000, 4096)").as("tk"))
+        .select(col("event_type"), explode(col("tk")).as("e"))
+        .select(col("event_type"), col("e.item").as("user_id"), col("e.count").as("cnt"))
+        .groupBy(col("event_type"))
+        .agg(topk_min(struct((-col("cnt")).as("nc"), col("user_id").as("user_id"),
+          col("cnt").as("cnt")), 5).as("tk"))
+        .select(col("event_type"), posexplode(col("tk")).as(Seq("pos", "st")))
+        .select(col("event_type"), (col("pos") + 1).as("rnk"),
+          col("st.user_id").as("user_id"), col("st.cnt").as("cnt"))
+        .orderBy(col("event_type"), col("rnk"))
+    },
+
     // B6/B7 sketch-state INTERCHANGE — the headline reason mergeable
     // sketches exist at scale: aggregate each "day" to serialized sketch
     // state (binary columns), persist/ship those partials, and roll them

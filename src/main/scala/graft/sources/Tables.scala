@@ -32,17 +32,20 @@ object Tables {
     val df = spark.read.parquet(path(sfDir, name))
     // Normalize events.ts to TimestampType (micros, LTZ) whatever the
     // fixture generation wrote: TIMESTAMP(NANOS) arrives as a raw long
-    // (nanosAsLong), tz-naive micros can arrive as TIMESTAMP_NTZ if a
-    // session was built without our conf. Under the UTC session timezone
-    // the NTZ cast is value-identical (same micros), matching DuckDB's
-    // naive read of the same parquet.
+    // (nanosAsLong).
     if (name == "events" &&
         df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
       df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
     else if (name == "events" &&
-        df.schema("ts").dataType == org.apache.spark.sql.types.TimestampNTZType)
+        df.schema("ts").dataType == org.apache.spark.sql.types.TimestampNTZType) {
+      // Unreachable when the confs above took effect before the read (NTZ
+      // inference is off); kept as defense-in-depth for exotic session
+      // setups. The NTZ->LTZ cast reinterprets wall-clock fields in the
+      // SESSION timezone, so it is value-identical only under UTC — pin
+      // it rather than silently shifting every value by the local offset.
+      spark.conf.set("spark.sql.session.timeZone", "UTC")
       df.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
-    else df
+    } else df
   }
 
   /** Register every fixture table as a temp view (for spark.sql paths). */
