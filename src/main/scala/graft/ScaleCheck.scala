@@ -48,6 +48,17 @@ object ScaleCheck {
           when(col("doc_id") % 10 === 0, lit(template)).otherwise(col("text")))
         .withColumn("lang",
           when(col("doc_id") % 10 === 0, lit("hotl")).otherwise(col("lang")))
+    // 10% of vectors become copies of ONE vector — a degenerate hot LSH
+    // bucket / hot PQ cell, and (because vector content is identical
+    // across replication copies) the hot bucket grows with k. The ANN
+    // plans must stay linear: candidate work is bucket-bounded and the
+    // bounded-heap topk keeps every rank exchange at |probes| x k rows.
+    // Probe 0 (vec_id 0) IS the hot vector, so the hottest probe's
+    // candidate set is the full 10% slice — the worst case on purpose.
+    case "embeddings" =>
+      df.withColumn("embedding",
+        when(col("vec_id") % 10 === 0,
+          typedLit((0 until 64).map(i => (0.1f + 0.01f * i)))).otherwise(col("embedding")))
     case _ => df
   }
 
@@ -113,7 +124,7 @@ object ScaleCheck {
         Seq("j_multiway_star", "dd_dup_clusters", "dd_minhash_lsh",
           "dd_simhash", "samp_stratified", "dd_paragraph", "op_salted_join",
           "op_cdc_upsert", "op_funnel", "op_scd2", "wf_rolling_range",
-          "dd_keep_best")
+          "dd_keep_best", "ann_lsh_topk", "ann_pq_topk")
       else
         Seq("b5_group_agg", "b1_filter_compound", "j_multiway_star",
           "b6_theta_distinct", "b8_freq_topk", "dd_minhash_lsh", "ann_lsh_topk",
