@@ -145,6 +145,34 @@ object SamplingQueries {
           floor((col("cum") - col("tokens")) / 4096).cast("long").as("shard"),
           col("tokens"))
         .orderBy(col("doc_id"))
+    },
+
+    // Per-group cap — "keep the best N documents per source", the
+    // domain-balancing step that stops one crawl/domain from dominating
+    // the training mixture (every mixture recipe caps domains before
+    // weighting them). Quality policy matches dd_keep_best: longest
+    // n_chars, doc_id as the deterministic tie-break. The per-group rank
+    // is the bounded-heap topk_min aggregate — each map task keeps <= N
+    // rows per source and the exchange carries |sources| x N rows, so
+    // the cap costs one partial+final aggregate however large the
+    // corpus (a row_number window here would sort every group in one
+    // task; plan-gated against WindowExec in PlanSpec).
+    QueryDef("samp_group_cap", Some(
+      """SELECT source, rnk, doc_id, n_chars FROM (
+        |  SELECT source, doc_id, n_chars,
+        |    row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rnk
+        |  FROM documents) WHERE rnk <= 5
+        |ORDER BY source, rnk""".stripMargin)) { (s, d) =>
+      import graft.functions.topk_min
+      val capN = s.conf.get("spark.graft.groupCap", "5").toInt
+      Tables.load(s, d, "documents")
+        .groupBy(col("source"))
+        .agg(topk_min(struct((-col("n_chars")).as("nq"), col("doc_id").as("doc_id"),
+          col("n_chars").as("n_chars")), capN).as("tk"))
+        .select(col("source"), posexplode(col("tk")).as(Seq("pos", "st")))
+        .select(col("source"), (col("pos") + 1).as("rnk"),
+          col("st.doc_id").as("doc_id"), col("st.n_chars").as("n_chars"))
+        .orderBy(col("source"), col("rnk"))
     }
   )
 

@@ -277,7 +277,7 @@ class PlanSpec extends AnyFunSuite {
     // <= k rows per probe per map task, so the exchange is |probes| x k
     // regardless of candidate-set size.
     for (n <- Seq("ann_brute_topk", "ann_filtered_topk", "ann_lsh_topk",
-        "ann_ivf_topk", "ann_pq_topk", "emb_knn_classify")) {
+        "ann_ivf_topk", "ann_pq_topk", "emb_knn_classify", "samp_group_cap")) {
       val p = planStr(n)
       assert(!p.contains("Window"), s"$n must not rank via a window sort:\n$p")
       assert(p.contains("ObjectHashAggregate"),
