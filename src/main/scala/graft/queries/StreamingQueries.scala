@@ -455,6 +455,59 @@ object StreamingQueries {
         }
       } finally q.stop()
       s.table(sink).orderBy(col("user_id"))
+    },
+
+    // Stream-static ENRICHMENT — the most common streaming join in
+    // production (attach dimension attributes to a live stream) and the
+    // stateless complement of the stream-stream joins above: the static
+    // side is a broadcast table, so every micro-batch joins map-side
+    // with NO streaming state, no watermark, and no shuffle of the
+    // stream. LEFT semantics are part of the contract (an event whose
+    // user is absent from the dimension must still flow, null-padded) —
+    // the dimension is cut to c_custkey <= 100 so the fixture exercises
+    // both matched and unmatched rows. Differential: drained streaming
+    // result == batch LEFT JOIN, row-for-row.
+    QueryDef("ss_enrich", Some(
+      """SELECT e.event_id, e.user_id, c.c_name, c.c_mktsegment
+        |FROM events e LEFT JOIN (SELECT * FROM customer WHERE c_custkey <= 100) c
+        |  ON e.user_id = c.c_custkey
+        |ORDER BY e.event_id""".stripMargin)) { (s, d) =>
+      import s.implicits._
+      implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val rows = Tables.load(s, d, "events")
+        .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"))
+        .orderBy(col("us"), col("event_id"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      val (lo, hi) = (rows.head._3, rows.last._3)
+      val nSlices = s.conf.get("spark.graft.ssjoin.slices", "4").toInt
+      val sliceUs = (hi - lo) / nSlices + 1
+
+      val dim = broadcast(Tables.load(s, d, "customer")
+        .filter(col("c_custkey") <= 100)
+        .select(col("c_custkey"), col("c_name"), col("c_mktsegment")))
+      val feed = MemoryStream[(Long, Long, Long)]
+      val enriched = feed.toDF().toDF("event_id", "user_id", "us")
+        .join(dim, col("user_id") === col("c_custkey"), "left")
+        .select(col("event_id"), col("user_id"), col("c_name"), col("c_mktsegment"))
+
+      val sink = "ss_enrich_sink"
+      s.catalog.dropTempView(sink)
+      val savedParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions",
+        s.conf.get("spark.graft.ssjoin.parts", "4"))
+      val q =
+        try enriched.writeStream.format("memory").queryName(sink)
+          .outputMode("append").start()
+        finally s.conf.set("spark.sql.shuffle.partitions", savedParts)
+      try {
+        (0 until nSlices).foreach { k =>
+          val (from, until) = (lo + k * sliceUs, lo + (k + 1) * sliceUs)
+          feed.addData(rows.filter(r => r._3 >= from && r._3 < until).toSeq)
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+      s.table(sink).orderBy(col("event_id"))
     }
   )
 }
