@@ -211,6 +211,40 @@ object FunctionQueries {
         .select(col("doc_id"), col("source"), col("n_chars"),
           ntile(10).over(w).cast(LongType).as("decile"))
         .orderBy(col("doc_id"))
+    },
+
+    // Per-group winsorization (percentile clamp) — the outlier-taming
+    // step feature prep runs before z-scoring or bucketing: clamp each
+    // doc's length to its language's [p05, p95]. Scale shape: the
+    // per-group bounds come from ONE mergeable KLL sketch per group
+    // (exact below 65k rows/group — the same inclusive-rank convention
+    // the b7 oracles reproduce), then the tiny |groups|-row bounds frame
+    // broadcast-joins back onto the corpus for a shuffle-free clamp pass.
+    // Integer domain end to end: the quantile of an integer column is an
+    // actual data value, so the double->long cast is exact and the
+    // greatest/least clamp hash-compares exactly.
+    QueryDef("fn_winsorize", Some(
+      """WITH r AS (SELECT lang, n_chars,
+        |    row_number() OVER (PARTITION BY lang ORDER BY n_chars) AS rn,
+        |    count(*) OVER (PARTITION BY lang) AS n FROM documents),
+        |q AS (SELECT lang,
+        |    min(CASE WHEN rn >= ceil(0.05 * n) THEN n_chars END) AS lo,
+        |    min(CASE WHEN rn >= ceil(0.95 * n) THEN n_chars END) AS hi
+        |  FROM r GROUP BY lang)
+        |SELECT d.doc_id, d.lang, d.n_chars, q.lo, q.hi,
+        |  greatest(q.lo, least(q.hi, d.n_chars)) AS clamped
+        |FROM documents d JOIN q USING (lang) ORDER BY d.doc_id""".stripMargin)) { (s, d) =>
+      val docs = Tables.load(s, d, "documents")
+      val q = docs.groupBy(col("lang"))
+        .agg(expr("kll_sketch_get_quantile_double(" +
+          "kll_sketch_agg_double(CAST(n_chars AS DOUBLE), 65535), array(0.05D, 0.95D))").as("qs"))
+        .select(col("lang"),
+          element_at(col("qs"), 1).cast(LongType).as("lo"),
+          element_at(col("qs"), 2).cast(LongType).as("hi"))
+      docs.join(broadcast(q), Seq("lang"))
+        .select(col("doc_id"), col("lang"), col("n_chars"), col("lo"), col("hi"),
+          greatest(col("lo"), least(col("hi"), col("n_chars"))).as("clamped"))
+        .orderBy(col("doc_id"))
     }
   )
 }
