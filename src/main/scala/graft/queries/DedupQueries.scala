@@ -431,11 +431,9 @@ object DedupQueries {
       val nAssign = Ivf.intConf(s, "spark.graft.semdedup.nAssign", 3)
       val e = emb(s, d).select(col("vec_id"), col("embedding"))
       val cents = Ivf.train(e, kClusters, iters, trainSample)
-      val assigned = e.select(col("vec_id"),
-        explode(transform(
-          slice(sort_array(Ivf.simStructs(col("embedding"), cents), asc = false),
-            1, nAssign),
-          x => x.getField("i"))).as("cl"))
+      // literal or join-shaped per the k threshold (Ivf.multiAssigned) —
+      // index-scale k takes the broadcast-join + bounded-heap path
+      val assigned = Ivf.multiAssigned(e, cents, nAssign)
       val cands = assigned.select(col("cl"), col("vec_id").as("vec_a"))
         .join(assigned.select(col("cl"), col("vec_id").as("vec_b")), Seq("cl"))
         .filter(col("vec_a") < col("vec_b"))

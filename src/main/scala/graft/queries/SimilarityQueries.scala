@@ -76,6 +76,40 @@ private[graft] object Ivf {
         max(col("__sc")).getField("i").as("cl"))
   }
 
+  /** Multi-assignment `(vec_id, cl)` — one row per vector per its
+    * nAssign nearest clusters (semantic dedup's boundary-pair recovery).
+    * Same literal/join split as [[assigned]]: below the threshold the
+    * nAssign picks come from a sorted literal struct array; at or above
+    * it (index-scale k, where a k-term expression tree defeats codegen)
+    * the centroids broadcast as a DataFrame and the per-vector top
+    * nAssign is the bounded-heap topk_min — partial aggregation keeps
+    * nAssign structs per vector map-side, so the ONE corpus exchange
+    * carries (vec_id, nAssign entries), never k scores. Tiebreak parity
+    * with the literal path (best score, then HIGHEST index) is encoded
+    * by negating both fields of the ordering struct; forced-path
+    * row-parity is spec-gated (ApproxSuiteSpec). */
+  def multiAssigned(e: DataFrame, cents: Seq[Array[Float]], nAssign: Int): DataFrame = {
+    val threshold = intConf(e.sparkSession, "spark.graft.ivf.joinAssignThreshold", 256)
+    if (cents.size < threshold)
+      e.select(col("vec_id"),
+        explode(transform(
+          slice(sort_array(simStructs(col("embedding"), cents), asc = false), 1, nAssign),
+          x => x.getField("i"))).as("cl"))
+    else {
+      val s = e.sparkSession
+      import s.implicits._
+      val cdf = cents.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toDF("__ci", "__cent")
+      e.crossJoin(broadcast(cdf))
+        .select(col("vec_id"),
+          struct((-graft.functions.cosine_sim(col("embedding"), col("__cent"))).as("ns"),
+            (-col("__ci")).as("nci")).as("__sc"))
+        .groupBy(col("vec_id"))
+        .agg(graft.functions.topk_min(col("__sc"), nAssign).as("tk"))
+        .select(col("vec_id"), explode(col("tk")).as("st"))
+        .select(col("vec_id"), (-col("st.nci")).as("cl"))
+    }
+  }
+
   /** Train centroids: deterministic farthest-point init over a hash-min
     * candidate pool, then `iters` Lloyd passes — ON THE DRIVER, over the
     * bounded sample collected once. The sample is ≤ `trainSample` vectors

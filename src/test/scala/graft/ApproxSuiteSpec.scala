@@ -168,6 +168,27 @@ class ApproxSuiteSpec extends AnyFunSuite {
     }
   }
 
+  test("ivf join-shaped MULTI-assignment is row-identical to the literal path") {
+    // dd_semdedup's boundary-pair recovery at index-scale k: the
+    // broadcast-join + bounded-heap top-nAssign must pick the same
+    // (vector, cluster) rows as the sorted-literal-array path, including
+    // the tiebreak (best score, then highest index).
+    import org.apache.spark.sql.functions.col
+    val e = graft.sources.Tables.load(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val cents = graft.queries.Ivf.train(e, kClusters = 12, iters = 3, trainSample = 2000)
+    def rows(threshold: String): Set[(Long, Int)] = {
+      spark.conf.set("spark.graft.ivf.joinAssignThreshold", threshold)
+      try graft.queries.Ivf.multiAssigned(e, cents, nAssign = 3).collect()
+        .map(r => (r.getLong(0), r.getInt(1))).toSet
+      finally spark.conf.unset("spark.graft.ivf.joinAssignThreshold")
+    }
+    val lit = rows("100000")
+    val joined = rows("0")
+    assert(lit.nonEmpty && lit == joined,
+      s"multi-assign paths diverged: literal ${lit.size} rows, join ${joined.size}")
+  }
+
   test("ivf join-shaped assignment is row-identical to the literal path") {
     // past spark.graft.ivf.joinAssignThreshold the corpus assignment runs
     // as broadcast-centroids-DataFrame + max(struct) argmax instead of a
