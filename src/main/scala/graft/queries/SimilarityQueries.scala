@@ -335,12 +335,15 @@ object SimilarityQueries {
     val cents = Ivf.train(e, kClusters, iters, trainSample)
 
     val corpus = Ivf.assigned(e, cents)
-    val probes = e.filter(col("vec_id") < NQueries)
-      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
-        explode(transform(
-          slice(sort_array(Ivf.simStructs(col("embedding"), cents), asc = false),
-            1, nProbe),
-          x => x.getField("i"))).as("cl"))
+    // probe-list selection is the same nearest-clusters problem as
+    // semdedup's multi-assignment — share Ivf.multiAssigned so index-
+    // scale k takes the join path on the probe side too (a k-term
+    // literal expression is a compile-time problem regardless of the
+    // row count it runs over)
+    val probeBase = e.filter(col("vec_id") < NQueries)
+    val probes = Ivf.multiAssigned(probeBase, cents, nProbe)
+      .withColumnRenamed("vec_id", "qid")
+      .join(probeBase.select(col("vec_id").as("qid"), col("embedding").as("qe")), Seq("qid"))
     rankTopK(corpus.join(broadcast(probes),
         Seq("cl")).filter(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id"), cosine_sim(col("qe"), col("embedding")).as("cos")), K)
