@@ -124,7 +124,7 @@ object ScaleCheck {
         Seq("j_multiway_star", "dd_dup_clusters", "dd_minhash_lsh",
           "dd_simhash", "samp_stratified", "dd_paragraph", "op_salted_join",
           "op_cdc_upsert", "op_funnel", "op_scd2", "wf_rolling_range",
-          "dd_keep_best", "ann_lsh_topk", "ann_pq_topk")
+          "dd_keep_best", "ann_lsh_topk", "ann_pq_topk", "op_retention")
       else
         Seq("b5_group_agg", "b1_filter_compound", "j_multiway_star",
           "b6_theta_distinct", "b8_freq_topk", "dd_minhash_lsh", "ann_lsh_topk",

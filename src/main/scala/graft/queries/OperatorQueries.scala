@@ -365,6 +365,43 @@ object OperatorQueries {
           count(lit(1)).over(w).as("n_1h"),
           sum(col("value").cast(DecimalType(18, 2))).over(w).cast(DoubleType).as("sum_1h"))
         .orderBy(col("event_id"))
+    },
+
+    // Cohort retention — the product-analytics staple over an event log:
+    // users cohorted by first-seen day, retention = distinct users with
+    // ANY activity exactly d days later (d in 0/1/3/7), next to the
+    // cohort's size. Scale shape: the cohort assignment is an algebraic
+    // MIN per user (map-side combined), the activity join rides the same
+    // user_id key (co-partitioned with the cohort frame), the per-user
+    // (cohort, delta) pairs dedupe in one hash exchange, and the final
+    // matrix is |days| x |deltas| keys with the tiny per-cohort sizes
+    // frame joined back broadcast. No windows, no per-user sort — every
+    // reduction is algebraic, so a hot user (10% of the log) folds
+    // map-side exactly like op_cdc_upsert.
+    QueryDef("op_retention", Some(
+      """WITH f AS (SELECT user_id, min(CAST(ts AS DATE)) AS c FROM events GROUP BY user_id),
+        |a AS (SELECT DISTINCT e.user_id, f.c,
+        |        date_diff('day', f.c, CAST(e.ts AS DATE)) AS d
+        |      FROM events e JOIN f USING (user_id)),
+        |coh AS (SELECT c, count(*) AS n_cohort FROM f GROUP BY c)
+        |SELECT strftime(a.c, '%Y-%m-%d') AS cohort_day, a.d, count(*) AS n_retained,
+        |  any_value(coh.n_cohort) AS n_cohort
+        |FROM a JOIN coh USING (c)
+        |WHERE a.d IN (0, 1, 3, 7)
+        |GROUP BY a.c, a.d ORDER BY cohort_day, d""".stripMargin)) { (s, d) =>
+      val e = Tables.load(s, d, "events").select(col("user_id"), to_date(col("ts")).as("day"))
+      val f = e.groupBy(col("user_id")).agg(min(col("day")).as("c"))
+      val coh = f.groupBy(col("c")).agg(count(lit(1)).as("n_cohort"))
+      e.join(f, Seq("user_id"))
+        .select(col("user_id"), col("c"), datediff(col("day"), col("c")).cast(LongType).as("d"))
+        .distinct()
+        .filter(col("d").isin(0L, 1L, 3L, 7L))
+        .groupBy(col("c"), col("d"))
+        .agg(count(lit(1)).as("n_retained"))
+        .join(broadcast(coh), Seq("c"))
+        .select(date_format(col("c"), "yyyy-MM-dd").as("cohort_day"),
+          col("d"), col("n_retained"), col("n_cohort"))
+        .orderBy(col("cohort_day"), col("d"))
     }
   )
 }
