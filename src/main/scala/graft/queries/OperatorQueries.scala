@@ -402,6 +402,34 @@ object OperatorQueries {
         .select(date_format(col("c"), "yyyy-MM-dd").as("cohort_day"),
           col("d"), col("n_retained"), col("n_cohort"))
         .orderBy(col("cohort_day"), col("d"))
+    },
+
+    // Per-key forward fill (gap filling) — the imputation pass for
+    // sparse per-entity readings: carry each user's last known value
+    // forward across events where the reading is missing ('scroll'
+    // events stand in for the missing-measurement rows). One user-keyed
+    // ordered window (`last(..., ignoreNulls)` over an unbounded-
+    // preceding frame) — the op_scd2 shape: a single hash exchange on
+    // user_id, the per-user timeline sorted once within its task. No
+    // float arithmetic (values are copied, not computed), so the double
+    // column hash-compares exactly.
+    QueryDef("op_gap_fill", Some(
+      """SELECT event_id, user_id, v,
+        |  last_value(v IGNORE NULLS) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+        |FROM (SELECT event_id, user_id, ts,
+        |        CASE WHEN event_type <> 'scroll' THEN value END AS v
+        |      FROM events)
+        |ORDER BY event_id""".stripMargin)) { (s, d) =>
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.load(s, d, "events")
+        .select(col("event_id"), col("user_id"), col("ts"),
+          when(col("event_type") =!= "scroll", col("value")).as("v"))
+        .withColumn("filled", last(col("v"), ignoreNulls = true).over(w))
+        .select(col("event_id"), col("user_id"), col("v"), col("filled"))
+        .orderBy(col("event_id"))
     }
   )
 }
