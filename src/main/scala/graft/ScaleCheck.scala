@@ -141,7 +141,8 @@ object ScaleCheck {
           "dd_paragraph", "fn_array", "srch_phrase", "fn_map", "ann_pq_topk",
           "op_salted_join", "emb_pca_project", "op_cdc_upsert", "op_funnel",
           "op_transitions", "wf_rolling_range", "op_scd2", "fn_quantile_bin",
-          "dd_keep_best")
+          "dd_keep_best", "b6_theta_merge", "b8_topk_grouped", "samp_group_cap",
+          "fn_winsorize", "op_retention", "op_gap_fill", "bql_cdf_linear")
     val selected = if (only.isEmpty) names else names.filter(only)
     // dd_semdedup is excluded the same way dd_embed_cosine is: replicated
     // embeddings are bit-identical across copies, so k-fold data has k²
