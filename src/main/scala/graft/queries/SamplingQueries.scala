@@ -173,6 +173,35 @@ object SamplingQueries {
         .select(col("source"), (col("pos") + 1).as("rnk"),
           col("st.doc_id").as("doc_id"), col("st.n_chars").as("n_chars"))
         .orderBy(col("source"), col("rnk"))
+    },
+
+    // Importance-weighted sampling — keep each doc with probability
+    // proportional to a per-row weight (here quality ∝ length, capped at
+    // 1), still fully DETERMINISTIC: the acceptance draw is the doc's
+    // md5 prefix read as a 16-bit fraction, compared against the weight
+    // scaled to the same 16-bit space (max 65535, so a weight of 1.0
+    // keeps everything except the 1-in-65536 prefix 'ffff' — the price of
+    // a fixed-width compare) AS EQUAL-LENGTH HEX STRINGS
+    // (lexicographic == numeric for fixed-width hex — the same
+    // cross-engine trick as samp_hash_sample, generalized from a fixed
+    // threshold to a per-row one). This is the resampling step
+    // importance-weighting recipes (DSIR-style) run after scoring:
+    // reproducible across engines, partitionings, and cluster sizes,
+    // unlike an RNG sample. One linear codegen pass, no shuffle (the
+    // ORDER BY is oracle determinism only).
+    QueryDef("samp_weighted", Some(
+      """SELECT doc_id, n_chars,
+        |  CAST(floor(least(1.0, n_chars / 800.0) * 65535) AS BIGINT) AS w16
+        |FROM documents
+        |WHERE substr(md5(text), 1, 4) < printf('%04x',
+        |  CAST(floor(least(1.0, n_chars / 800.0) * 65535) AS BIGINT))
+        |ORDER BY doc_id""".stripMargin)) { (s, d) =>
+      val w16 = floor(least(lit(1.0), col("n_chars") / 800.0) * 65535).cast("long")
+      Tables.load(s, d, "documents")
+        .withColumn("w16", w16)
+        .filter(substring(md5(col("text")), 1, 4) < format_string("%04x", col("w16")))
+        .select(col("doc_id"), col("n_chars"), col("w16"))
+        .orderBy(col("doc_id"))
     }
   )
 
