@@ -191,25 +191,56 @@ object FunctionQueries {
         .orderBy(col("doc_id"))
     },
 
-    // Quantile binning (feature prep): per-SOURCE length deciles via
-    // ntile — the discretization step before bucketed training features
-    // or stratified length sampling. Partitioned by source so the window
-    // never degenerates to one global partition (a global ntile would
-    // serialize the corpus through one task; per-stratum binning is both
-    // the statistically right grain and the scale-safe plan: one hash
-    // exchange, in-partition sort). ntile's bucket arithmetic (first
-    // n_rows % k buckets get the extra row) is identical in Spark and
-    // DuckDB, and the (n_chars, doc_id) order is tie-free, so bucket
-    // edges match exactly.
+    // Quantile binning (feature prep): per-SOURCE length deciles — the
+    // discretization step before bucketed training features or stratified
+    // length sampling. Scale shape: `source` is a LOW-cardinality key
+    // (~tens of values in a real corpus), so a per-source ntile window
+    // would sort each stratum's entire document set in ONE task — a
+    // parallelism ceiling no cluster size fixes. Instead the per-source
+    // decile CUT POINTS come from one mergeable KLL sketch per source
+    // (exact below 65k rows/group, inclusive-rank convention — the same
+    // fn_winsorize uses and the b7 oracles reproduce), then the tiny
+    // |sources|×9 cuts frame broadcast-joins back for a shuffle-free,
+    // sort-free binning pass: decile(x) = 1 + |{cuts c : c < x}|.
+    // Value-based assignment means ties share a decile (the statistically
+    // right call for discretization); the oracle states the identical
+    // bounds-based rule, and the integer domain makes the double->long
+    // cut-point cast exact.
     QueryDef("fn_quantile_bin", Some(
-      """SELECT doc_id, source, n_chars,
-        |  CAST(ntile(10) OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS BIGINT) AS decile
-        |FROM documents ORDER BY doc_id""".stripMargin)) { (s, d) =>
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("source")).orderBy(col("n_chars"), col("doc_id"))
-      Tables.load(s, d, "documents")
+      """WITH r AS (SELECT source, n_chars,
+        |    row_number() OVER (PARTITION BY source ORDER BY n_chars) AS rn,
+        |    count(*) OVER (PARTITION BY source) AS n FROM documents),
+        |q AS (SELECT source,
+        |    min(CASE WHEN rn >= ceil(0.1 * n) THEN n_chars END) AS c1,
+        |    min(CASE WHEN rn >= ceil(0.2 * n) THEN n_chars END) AS c2,
+        |    min(CASE WHEN rn >= ceil(0.3 * n) THEN n_chars END) AS c3,
+        |    min(CASE WHEN rn >= ceil(0.4 * n) THEN n_chars END) AS c4,
+        |    min(CASE WHEN rn >= ceil(0.5 * n) THEN n_chars END) AS c5,
+        |    min(CASE WHEN rn >= ceil(0.6 * n) THEN n_chars END) AS c6,
+        |    min(CASE WHEN rn >= ceil(0.7 * n) THEN n_chars END) AS c7,
+        |    min(CASE WHEN rn >= ceil(0.8 * n) THEN n_chars END) AS c8,
+        |    min(CASE WHEN rn >= ceil(0.9 * n) THEN n_chars END) AS c9
+        |  FROM r GROUP BY source)
+        |SELECT d.doc_id, d.source, d.n_chars,
+        |  CAST(1 + CASE WHEN d.n_chars > q.c1 THEN 1 ELSE 0 END
+        |     + CASE WHEN d.n_chars > q.c2 THEN 1 ELSE 0 END
+        |     + CASE WHEN d.n_chars > q.c3 THEN 1 ELSE 0 END
+        |     + CASE WHEN d.n_chars > q.c4 THEN 1 ELSE 0 END
+        |     + CASE WHEN d.n_chars > q.c5 THEN 1 ELSE 0 END
+        |     + CASE WHEN d.n_chars > q.c6 THEN 1 ELSE 0 END
+        |     + CASE WHEN d.n_chars > q.c7 THEN 1 ELSE 0 END
+        |     + CASE WHEN d.n_chars > q.c8 THEN 1 ELSE 0 END
+        |     + CASE WHEN d.n_chars > q.c9 THEN 1 ELSE 0 END AS BIGINT) AS decile
+        |FROM documents d JOIN q USING (source) ORDER BY d.doc_id""".stripMargin)) { (s, d) =>
+      val docs = Tables.load(s, d, "documents")
+      val cuts = docs.groupBy(col("source"))
+        .agg(expr("kll_sketch_get_quantile_double(" +
+          "kll_sketch_agg_double(CAST(n_chars AS DOUBLE), 65535), " +
+          "array(0.1D, 0.2D, 0.3D, 0.4D, 0.5D, 0.6D, 0.7D, 0.8D, 0.9D))").as("qs"))
+        .select(col("source"), transform(col("qs"), x => x.cast(LongType)).as("cuts"))
+      docs.join(broadcast(cuts), Seq("source"))
         .select(col("doc_id"), col("source"), col("n_chars"),
-          ntile(10).over(w).cast(LongType).as("decile"))
+          (lit(1) + size(filter(col("cuts"), c => c < col("n_chars")))).cast(LongType).as("decile"))
         .orderBy(col("doc_id"))
     },
 

@@ -101,6 +101,14 @@ class PlanSpec extends AnyFunSuite {
       s"cdf running sum must be a broadcast range-join:\n$pmf")
   }
 
+  test("quantile binning broadcasts KLL cut points; no per-stratum window sort") {
+    val p = planStr("fn_quantile_bin")
+    assert(!p.contains("Window"),
+      s"fn_quantile_bin must bin via broadcast cut points, not a per-source ntile window:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the |sources|x9 cuts frame must broadcast-join back onto the corpus:\n$p")
+  }
+
   test("decontamination broadcasts the eval shingle set; corpus never shuffles shingles") {
     val p = planStr("tx_decontaminate")
     assert(p.contains("BroadcastHashJoin"), s"eval side must broadcast:\n$p")
