@@ -55,7 +55,8 @@ object Bench {
       "bql_orderby_limit", "mm_audio_wav", "fn_quantile_bin", "dd_keep_best",
       "b6_theta_merge", "b8_topk_grouped", "bql_quantile_linear",
       "bql_pmf_region", "bql_cdf_linear", "samp_group_cap", "ss_enrich",
-      "fn_winsorize", "op_retention", "op_gap_fill", "samp_weighted")
+      "fn_winsorize", "op_retention", "op_gap_fill", "samp_weighted",
+      "mm_features_png")
     val baselineSubset = results.view.filterKeys(!addedSinceBaseline.contains(_))
     val subtotal = baselineSubset.values.sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +

@@ -7,9 +7,11 @@ import org.apache.spark.sql.types._
 /** Multimodal column plumbing: image/audio/video as opaque `binary` columns
   * with typed metadata, processed batch-wise per partition.
   *
-  * The container has no media codecs, so the decode kernel is a STUB — a
-  * deterministic fake (byte histogram / strided sampling) standing in for
-  * libjpeg/ffmpeg — but everything Spark-side is real and tested: the
+  * Decode is REAL wherever a JVM can do it without native libs — PPM and
+  * WAV by hand-rolled container parsing, PNG/JPEG/BMP/GIF through
+  * `javax.imageio`'s pure-Java codecs — and a STUB (deterministic byte
+  * histogram standing in for ffmpeg et al.) only for formats that
+  * genuinely need native codecs. Everything Spark-side is real and tested: the
   * schema contract, the per-partition batch iteration (the Scala analog of
   * `mapInPandas` batches: one buffer reused per partition, codec state
   * initialized once per partition, not per row), partition sizing, and the
@@ -146,6 +148,66 @@ object Multimodal {
       out
     }
 
+  /** Formats the JDK's pure-Java ImageIO codecs decode for real — no
+    * native libs needed. PNG is lossless, so encode→decode round-trips
+    * byte-exactly and the feature oracle can be closed-form; JPEG decodes
+    * too but lossily (no exact oracle), so the PNG path is the
+    * oracle-gated one. */
+  val PngFormat = "image/png"
+  val ImageIOFormats: Set[String] = Set(PngFormat, "image/jpeg", "image/bmp", "image/gif")
+
+  // Never spill decode scratch to tmp files on executors: ImageIO's
+  // default disk cache turns every decode into file I/O.
+  javax.imageio.ImageIO.setUseCache(false)
+
+  /** PNG encoder via the JDK codec: packed RGB triplets (the PPM raster
+    * layout) → TYPE_INT_RGB BufferedImage → ImageIO. Real PNG bytes — any
+    * image tool reads the output — and the fixture generator for the
+    * oracle-backed ImageIO decode query. */
+  def encodePng(w: Int, h: Int, pixels: Array[Byte]): Array[Byte] = {
+    require(pixels.length == w * h * 3, s"need ${w * h * 3} bytes, got ${pixels.length}")
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var i = 0
+    while (i < w * h) {
+      img.setRGB(i % w, i / w,
+        ((pixels(3 * i) & 0xff) << 16) | ((pixels(3 * i + 1) & 0xff) << 8) | (pixels(3 * i + 2) & 0xff))
+      i += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** REAL decode kernel for JDK-decodable image formats (PNG/JPEG/BMP/GIF)
+    * via `javax.imageio` — pure-Java codecs shipped in every JDK. Same
+    * feature contract as the PPM path: integer-valued floats
+    * [w, h, 255, sumR, sumG, sumB, nPixels, 0…]. Malformed payloads
+    * (ImageIO returns null / throws) decode to the zero vector — a
+    * pipeline drops them; it must never crash an executor. */
+  def decodeImageIOFeatures(payload: Array[Byte]): Array[Float] = {
+    val out = new Array[Float](featureDim)
+    if (payload == null || payload.isEmpty) return out
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      catch { case _: Exception => null }
+    if (img == null) return out
+    val w = img.getWidth; val h = img.getHeight
+    var sr = 0L; var sg = 0L; var sb = 0L
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        sr += (rgb >> 16) & 0xff; sg += (rgb >> 8) & 0xff; sb += rgb & 0xff
+        x += 1
+      }
+      y += 1
+    }
+    out(0) = w; out(1) = h; out(2) = 255
+    out(3) = sr; out(4) = sg; out(5) = sb; out(6) = w.toLong * h
+    out
+  }
+
   /** WAV format tag — the audio modality's real pure-JVM decode path
     * (RIFF/PCM needs no codec, only container parsing). */
   val WavFormat = "audio/wav"
@@ -231,11 +293,13 @@ object Multimodal {
     }
   }
 
-  /** Format dispatch: real decoders where pure JVM suffices (PPM image,
-    * WAV audio); the documented stub histogram for codec-requiring
-    * formats. */
+  /** Format dispatch: real decoders where pure JVM suffices (PPM raster,
+    * PNG/JPEG/BMP/GIF via ImageIO, WAV audio); the documented stub
+    * histogram only for formats that genuinely need native codecs
+    * (video, modern image/audio codecs). */
   def decode(payload: Array[Byte], format: String): Array[Float] =
     if (format == PpmFormat) decodePpmP6(payload)
+    else if (ImageIOFormats.contains(format)) decodeImageIOFeatures(payload)
     else if (format == WavFormat) decodeWavFeatures(payload)
     else decodeToFeatures(payload)
 

@@ -40,6 +40,34 @@ object MultimodalQueries {
     }(enc)
   }
 
+  /** The PPM fixture's PNG twin: identical closed-form two-tone raster,
+    * encoded through the JDK's ImageIO PNG codec instead of a hand-rolled
+    * header. PNG is lossless, so the decode query's oracle is the same
+    * closed form — what the hash compare certifies is a REAL codec
+    * round-trip (zlib deflate → inflate → pixel access), not string
+    * plumbing. */
+  private def pngPayloads(s: org.apache.spark.sql.SparkSession, d: String) = {
+    val docs = Tables.load(s, d, "documents").select(col("doc_id"))
+    val enc = org.apache.spark.sql.Encoders.row(StructType(Seq(
+      StructField("doc_id", LongType), StructField("payload", BinaryType))))
+    docs.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val w = (4 + id % 5).toInt; val h = (3 + id % 4).toInt
+        val n = w * h; val na = n / 2
+        val px = new Array[Byte](n * 3)
+        var i = 0
+        while (i < n) {
+          px(3 * i) = (if (i < na) id % 256 else (id * 3) % 256).toByte
+          px(3 * i + 1) = (if (i < na) (id * 7) % 256 else (id * 11) % 256).toByte
+          px(3 * i + 2) = (if (i < na) (id * 13) % 256 else (id * 17) % 256).toByte
+          i += 1
+        }
+        org.apache.spark.sql.Row(id, Multimodal.encodePng(w, h, px))
+      }
+    }(enc)
+  }
+
   /** Deterministic PCM fixture for the audio decode query: per doc, a
     * mono s16le WAV of (8 + id%33) samples at (8000 + (id%4)*4000) Hz
     * with s_i = ((id*31 + i*17) mod 2048) - 1024 — every sample is a
@@ -142,6 +170,37 @@ object MultimodalQueries {
         |  na * ((doc_id * 13) % 256) + (n - na) * ((doc_id * 17) % 256) AS sum_b
         |FROM m ORDER BY doc_id""".stripMargin)) { (s, d) =>
       val ingested = Multimodal.ingest(ppmPayloads(s, d), "payload", Multimodal.PpmFormat)
+      Multimodal.extractFeatures(s, ingested)
+        .select(col("doc_id"),
+          element_at(col("features"), 1).cast(LongType).as("w"),
+          element_at(col("features"), 2).cast(LongType).as("h"),
+          element_at(col("features"), 3).cast(LongType).as("maxval"),
+          element_at(col("features"), 4).cast(LongType).as("sum_r"),
+          element_at(col("features"), 5).cast(LongType).as("sum_g"),
+          element_at(col("features"), 6).cast(LongType).as("sum_b"))
+        .orderBy(col("doc_id"))
+    },
+
+    // The JDK-codec decode path: the same two-tone fixture as
+    // mm_features_ppm, but written as REAL PNG bytes (BufferedImage →
+    // ImageIO zlib-deflate encode) and decoded back through
+    // javax.imageio's pure-Java PNG codec. Lossless format → the decoded
+    // dimensions + channel sums hash-match the same closed form, so the
+    // certificate covers a full compressed-codec round trip. This retires
+    // the "stub kernel for anything non-PPM" caveat: PNG/JPEG/BMP/GIF all
+    // dispatch to ImageIO now; the stub remains only for formats needing
+    // native libs (video, webp, …).
+    QueryDef("mm_features_png", Some(
+      """WITH m AS (SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h,
+        |    (4 + doc_id % 5) * (3 + doc_id % 4) AS n,
+        |    ((4 + doc_id % 5) * (3 + doc_id % 4)) // 2 AS na
+        |  FROM documents)
+        |SELECT doc_id, w, h, CAST(255 AS BIGINT) AS maxval,
+        |  na * (doc_id % 256) + (n - na) * ((doc_id * 3) % 256) AS sum_r,
+        |  na * ((doc_id * 7) % 256) + (n - na) * ((doc_id * 11) % 256) AS sum_g,
+        |  na * ((doc_id * 13) % 256) + (n - na) * ((doc_id * 17) % 256) AS sum_b
+        |FROM m ORDER BY doc_id""".stripMargin)) { (s, d) =>
+      val ingested = Multimodal.ingest(pngPayloads(s, d), "payload", Multimodal.PngFormat)
       Multimodal.extractFeatures(s, ingested)
         .select(col("doc_id"),
           element_at(col("features"), 1).cast(LongType).as("w"),

@@ -205,6 +205,28 @@ class IngestAndMultimodalSpec extends AnyFunSuite {
       Multimodal.decodeToFeatures(enc).toSeq)
   }
 
+  test("PNG via ImageIO: lossless encode→decode roundtrip, malformed safety, dispatch") {
+    val px = Array[Byte](10, 20, 30, 40, 50, 60, 70, 80, 90, 100, 110, 120)
+    val enc = Multimodal.encodePng(2, 2, px)
+    // real PNG bytes: magic signature
+    assert((enc(0) & 0xff) == 0x89 && enc(1) == 'P' && enc(2) == 'N' && enc(3) == 'G')
+    val f = Multimodal.decodeImageIOFeatures(enc)
+    assert(f.take(7).toSeq == Seq(2f, 2f, 255f, (10 + 40 + 70 + 100).toFloat,
+      (20 + 50 + 80 + 110).toFloat, (30 + 60 + 90 + 120).toFloat, 4f))
+    // same raster through the PPM path decodes to identical features
+    assert(Multimodal.decodePpmP6(Multimodal.encodePpmP6(2, 2, px)).toSeq == f.toSeq)
+    // malformed payloads decode to the zero vector, never throw
+    assert(Multimodal.decodeImageIOFeatures("not a png".getBytes).toSeq == Seq.fill(16)(0f))
+    assert(Multimodal.decodeImageIOFeatures(enc.take(12)).toSeq == Seq.fill(16)(0f))
+    assert(Multimodal.decodeImageIOFeatures(Array.empty).toSeq == Seq.fill(16)(0f))
+    assert(Multimodal.decodeImageIOFeatures(null).toSeq == Seq.fill(16)(0f))
+    // dispatch: every ImageIO format tag routes to the real decoder
+    for (fmt <- Multimodal.ImageIOFormats)
+      assert(Multimodal.decode(enc, fmt).toSeq == f.toSeq, fmt)
+    assert(Multimodal.decode(enc, "text/plain").toSeq ==
+      Multimodal.decodeToFeatures(enc).toSeq)
+  }
+
   test("WAV PCM decoder: roundtrip, chunk walking, malformed safety") {
     val samples = Array[Short](100, -200, 300, -400, 0, 500)
     val enc = Multimodal.encodeWavPcm16(16000, samples)
