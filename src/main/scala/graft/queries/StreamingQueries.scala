@@ -508,6 +508,64 @@ object StreamingQueries {
         }
       } finally q.stop()
       s.table(sink).orderBy(col("event_id"))
+    },
+
+    // Online index maintenance — the streaming half of the train-once
+    // persistence seam (operators/IndexStore): a production ANN
+    // deployment trains its coarse quantizer once per corpus snapshot,
+    // persists it, and every ingest micro-batch assigns NEW vectors
+    // against the LOADED artifact. This query exercises exactly that
+    // path: train → IndexStore.saveIvf → loadIvf (parquet round-trip is
+    // bit-exact, so loaded ≡ trained — IndexPersistenceSpec), then replay
+    // the embeddings table as a vector stream and assign each micro-batch
+    // with the broadcast-literal loaded centroids. Assignment is
+    // STATELESS (a codegen map — no watermark, no state store, no
+    // shuffle of the stream), so at 100 TB/day of ingest the per-batch
+    // cost is one linear pass; the differential contract (drained ≡ the
+    // batch Ivf.assigned over the same centroids, row-for-row) is gated
+    // in IndexPersistenceSpec.
+    QueryDef("ss_ann_assign", None) { (s, d) =>
+      import s.implicits._
+      implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val e = Tables.load(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+      val kClusters = Ivf.intConf(s, "spark.graft.ivf.k", 16)
+      val iters = Ivf.intConf(s, "spark.graft.ivf.iters", 3)
+      val trainSample = Ivf.intConf(s, "spark.graft.ivf.trainSample", 2000)
+      val idxPath = s.conf.getOption("spark.graft.index.dir")
+        .getOrElse("/tmp/graft_index_store") + "/ivf_" +
+        java.lang.Long.toHexString(
+          scala.util.hashing.MurmurHash3.stringHash(d).toLong & 0xffffffffL)
+      graft.operators.IndexStore.saveIvf(s, idxPath,
+        Ivf.train(e, kClusters, iters, trainSample))
+      val cents = graft.operators.IndexStore.loadIvf(s, idxPath)
+
+      val rows = e.orderBy(col("vec_id")).collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1)))
+      val nSlices = s.conf.get("spark.graft.ssjoin.slices", "4").toInt
+      val per = rows.length / nSlices + 1
+
+      val feed = MemoryStream[(Long, Seq[Float])]
+      val assignedStream = feed.toDF().toDF("vec_id", "embedding")
+        .select(col("vec_id"), Ivf.assign(col("embedding"), cents).as("cl"))
+
+      val sink = "ss_ann_assign_sink"
+      s.catalog.dropTempView(sink)
+      val savedParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions",
+        s.conf.get("spark.graft.ssjoin.parts", "4"))
+      val q =
+        try assignedStream.writeStream.format("memory").queryName(sink)
+          .outputMode("append").start()
+        finally s.conf.set("spark.sql.shuffle.partitions", savedParts)
+      try {
+        rows.grouped(per).foreach { slice =>
+          feed.addData(slice.toSeq)
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+      s.table(sink)
+        .select(col("vec_id"), col("cl").cast(org.apache.spark.sql.types.LongType).as("cl"))
+        .orderBy(col("vec_id"))
     }
   )
 }

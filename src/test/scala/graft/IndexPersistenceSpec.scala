@@ -64,6 +64,22 @@ class IndexPersistenceSpec extends AnyFunSuite {
     assert(plan.contains("pq_codes"), s"search must scan the persisted codes table:\n$plan")
   }
 
+  test("streaming assignment against the persisted index == batch assignment (ss_ann_assign)") {
+    // the query itself trains deterministically, persists via IndexStore,
+    // RELOADS, and assigns a replayed vector stream per micro-batch; the
+    // differential contract is drained ≡ batch assignment over
+    // identically-trained centroids
+    val drained = SparkEntry.queries("ss_ann_assign")(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val k = spark.conf.getOption("spark.graft.ivf.k").map(_.toInt).getOrElse(16)
+    val cents = Ivf.train(embeddings, k, iters = 3, trainSample = 2000)
+    val batch = Ivf.assigned(embeddings, cents).collect()
+      .map(r => r.getLong(0) -> r.getInt(2).toLong).toMap
+    assert(drained.size == batch.size)
+    assert(drained == batch,
+      "per-micro-batch assignment from the persisted quantizer must equal the batch pass")
+  }
+
   test("PCA basis round-trips bit-exactly") {
     import graft.operators.Pca
     val sample = embeddings.orderBy(xxhash64(col("vec_id"))).limit(500)
