@@ -30,6 +30,17 @@ import org.apache.spark.sql.types.{ArrayType, DataType}
   * make the ordering total (include a unique id in the struct) for a
   * deterministic result — every call site here does.
   *
+  * NaN caveat: negation does NOT reproduce the window contract for NaN
+  * scores. Spark's ordering sorts NaN GREATEST, so `ORDER BY score DESC`
+  * ranked a NaN first, while `topk_min(struct(-score, ...))` sorts the
+  * (still-NaN) negation LAST and drops it once k real scores exist — a
+  * zero-norm embedding (cosine 0/0) silently vanishes from the top-k
+  * instead of leading it. Callers that can produce NaN and want the old
+  * behavior must guard (filter NaN rows, or null the struct so the
+  * null-skip path drops them explicitly — see TopKRankSpec's null-key
+  * test). The engine's call sites cannot produce NaN (cosine_sim returns
+  * 0 for zero-norm inputs), so none guard.
+  *
   * The reference has no ranking operator at all (its closest is TOP K
   * frequent-items, SURVEY.md §2 B8); this is part of the ANN/search
   * extension surface.

@@ -92,21 +92,75 @@ object DedupQueries {
     *  - `minhash`: [[minhashPairs]] — the linear scale path; clusters
     *    become approximate (recall-gated vs exact in CorpusPipelineSpec)
     *    but the plan survives any corpus size.
-    * The result is persisted and memoized per (session, dir, source), so
-    * `dd_dup_clusters` / `dd_canonical_corpus` / `dd_keep_best` in one
-    * session share ONE pair-graph computation instead of recomputing the
-    * postings pass three times. The cached frame is near-dup pairs only —
-    * small by construction (capped buckets / guarded input). */
+    * The result is persisted and memoized per (session, dir, source,
+    * conf fingerprint), so `dd_dup_clusters` / `dd_canonical_corpus` /
+    * `dd_keep_best` in one session share ONE pair-graph computation
+    * instead of recomputing the postings pass three times. The cached
+    * frame is near-dup pairs only — small by construction (capped
+    * buckets / guarded input).
+    *
+    * Lifecycle: the key includes the confs the build depends on
+    * (`spark.graft.lsh.maxBucket` for minhash; the quadratic-guard
+    * opt-in/limit for exact), so changing them mid-session computes a
+    * fresh graph rather than silently serving a stale one; any
+    * key-or-insert miss first EVICTS (unpersists) that session's other
+    * entries for the same dir — the common "conf changed / fixture
+    * regenerated" path — and [[clearPairGraphCache]] unpersists and
+    * drops everything (call it when a session closes, or from tests that
+    * need to observe a fresh build). */
   private val pairGraphCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String, String), DataFrame]()
+
+  /** The confs a pair-graph build bakes in, per mode — part of the cache
+    * key so later lookups under different confs miss instead of lying. */
+  private def pairGraphConfKey(s: SparkSession, mode: String): String = mode match {
+    case "minhash" =>
+      s"${graft.operators.HotBuckets.MaxBucketKey}=${graft.operators.HotBuckets.maxBucket(s)}"
+    case _ =>
+      s"${graft.operators.QuadraticGuard.OptInKey}=" +
+        s"${s.conf.get(graft.operators.QuadraticGuard.OptInKey, "false")};" +
+        s"${graft.operators.QuadraticGuard.MaxRowsKey}=" +
+        s"${s.conf.get(graft.operators.QuadraticGuard.MaxRowsKey, "")}"
+  }
+
+  /** Test/diagnostic view of the live cache entries. */
+  private[graft] def pairGraphCacheEntries: Seq[DataFrame] = {
+    import scala.jdk.CollectionConverters._
+    pairGraphCache.values.asScala.toSeq
+  }
+
+  /** Unpersist and drop every cached pair graph (all sessions). */
+  def clearPairGraphCache(): Unit = {
+    val it = pairGraphCache.entrySet().iterator()
+    while (it.hasNext) {
+      try it.next().getValue.unpersist(blocking = false)
+      catch { case _: Exception => () } // session may already be stopped
+      it.remove()
+    }
+  }
 
   private def pairGraph(s: SparkSession, d: String): DataFrame = {
     val mode = s.conf.get("spark.graft.dedup.pairSource", "exact")
-    pairGraphCache.computeIfAbsent((s, d, mode), _ => (mode match {
-      case "minhash" => minhashPairs(s, d).select(col("doc_a"), col("doc_b"))
-      case _ => exactPairGraph(s, d,
-        "dd_dup_clusters/dd_canonical_corpus/dd_keep_best (pairSource=exact)")
-    }).persist())
+    val key = (s, d, mode, pairGraphConfKey(s, mode))
+    val hit = pairGraphCache.get(key)
+    if (hit != null) hit
+    else {
+      // miss: evict superseded builds for this (session, dir) — a conf
+      // change or mode flip must not leave stale persisted blocks behind
+      val it = pairGraphCache.entrySet().iterator()
+      while (it.hasNext) {
+        val en = it.next()
+        if (en.getKey._1 == s && en.getKey._2 == d) {
+          en.getValue.unpersist(blocking = false)
+          it.remove()
+        }
+      }
+      pairGraphCache.computeIfAbsent(key, _ => (mode match {
+        case "minhash" => minhashPairs(s, d).select(col("doc_a"), col("doc_b"))
+        case _ => exactPairGraph(s, d,
+          "dd_dup_clusters/dd_canonical_corpus/dd_keep_best (pairSource=exact)")
+      }).persist())
+    }
   }
 
   /** Oracle CTE prefix shared by the cluster-shaped queries: exact pair

@@ -41,9 +41,15 @@ object Tables {
       // Unreachable when the confs above took effect before the read (NTZ
       // inference is off); kept as defense-in-depth for exotic session
       // setups. The NTZ->LTZ cast reinterprets wall-clock fields in the
-      // SESSION timezone, so it is value-identical only under UTC — pin
-      // it rather than silently shifting every value by the local offset.
-      spark.conf.set("spark.sql.session.timeZone", "UTC")
+      // SESSION timezone, so it is value-identical only under UTC — and
+      // mutating the session timezone here would silently change every
+      // other timezone-dependent expression in the session, so fail fast
+      // instead and let the caller fix the session setup.
+      require(spark.conf.get("spark.sql.session.timeZone") == "UTC",
+        "events.ts arrived as TIMESTAMP_NTZ in a non-UTC session; the NTZ->LTZ " +
+          "normalization is only value-preserving under UTC. Build the session " +
+          "through GraftSession.configure (which pins UTC) or set " +
+          "spark.sql.session.timeZone=UTC before loading tables.")
       df.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
     } else df
   }

@@ -59,6 +59,49 @@ class CorpusPipelineSpec extends AnyFunSuite {
     assert(afterDecon.nonEmpty)
   }
 
+  test("pair graph cache lifecycle: reuse, conf invalidation, clear unpersists") {
+    import graft.queries.DedupQueries
+    import org.apache.spark.storage.StorageLevel
+    // Dataset.storageLevel resolves through the CacheManager by logical
+    // plan, and a rebuilt graph has an IDENTICAL plan (only runtime confs
+    // changed) — so persisted-block accounting must come from the
+    // SparkContext's persistent-RDD registry, not the frames.
+    def nPersist = spark.sparkContext.getPersistentRDDs.size
+    DedupQueries.clearPairGraphCache()
+    assert(DedupQueries.pairGraphCacheEntries.isEmpty)
+    val base = nPersist
+
+    run("dd_dup_clusters").collect()
+    val e1 = DedupQueries.pairGraphCacheEntries
+    assert(e1.size == 1, "one shared pair graph after the first consumer")
+    assert(e1.head.storageLevel != StorageLevel.NONE, "the shared frame must be persisted")
+    val n1 = nPersist
+    assert(n1 == base + 1, "exactly one persisted pair-graph RDD")
+
+    run("dd_keep_best").collect()
+    val e2 = DedupQueries.pairGraphCacheEntries
+    assert(e2.size == 1 && (e2.head eq e1.head),
+      "the second consumer must reuse the same persisted frame, not rebuild")
+    assert(nPersist == n1, "reuse must not add persisted blocks")
+
+    // a conf the exact build bakes in changes -> the lookup must MISS
+    // (fresh build) and the superseded entry must be unpersisted, not
+    // silently served stale / left accumulating
+    spark.conf.set(graft.operators.QuadraticGuard.MaxRowsKey, "999999")
+    try {
+      run("dd_dup_clusters").collect()
+      val e3 = DedupQueries.pairGraphCacheEntries
+      assert(e3.size == 1 && !(e3.head eq e1.head),
+        "a guard-conf change must invalidate the cached pair graph")
+      assert(nPersist == n1,
+        "eviction must unpersist the superseded entry (no accumulation)")
+    } finally spark.conf.unset(graft.operators.QuadraticGuard.MaxRowsKey)
+
+    DedupQueries.clearPairGraphCache()
+    assert(DedupQueries.pairGraphCacheEntries.isEmpty)
+    assert(nPersist == base, "clear must unpersist every entry")
+  }
+
   test("cluster family runs off minhash pairs past the quadratic guard (pairSource=minhash)") {
     // ground truth: exact-pair clusters (the oracle-checked default path)
     val exact = run("dd_dup_clusters").collect()
