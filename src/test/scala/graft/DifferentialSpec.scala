@@ -279,6 +279,65 @@ class DifferentialSpec extends AnyFunSuite {
     }
   }
 
+  /** The TIME twin of the cumulative-RECORD differential, through the
+    * same full text→AST→engine path: EVERY(n, TIME, ALL) closes windows
+    * off the engine CLOCK (processBatch/tick), not record counts, and the
+    * cumulative state must still converge to the one-shot batch result. */
+  test("cumulative TIME window's final emission equals the batch result") {
+    val shapes = Seq(
+      "SELECT COUNT(*) AS cnt, SUM(user_id) AS su FROM STREAM WHERE value > 100",
+      "SELECT event_type AS k, COUNT(*) AS cnt FROM STREAM GROUP BY event_type ORDER BY k",
+      "SELECT COUNT(DISTINCT user_id) AS nd FROM STREAM")
+    shapes.foreach { bql =>
+      val want = batchCanon(bql)
+      var now = 1000000L
+      val e = new MultiQueryEngine(spark, () => now)
+      assert(e.submit("w", s"$bql WINDOWING EVERY(100, TIME, ALL)").isRight)
+      val per = 250
+      (0 until 4).foreach { i =>
+        e.processBatch(events.filter(
+          col("event_id") >= i * per && col("event_id") < (i + 1) * per))
+        now += 100 // cross the window boundary: the close must come from
+        e.tick()   // the clock tick, data or no data
+      }
+      val wins = e.drainResults().filter(_.kind == ResultKind.Window)
+      assert(wins.size == 4, s"one TIME close per tick for $bql, got ${wins.size}")
+      val last = canon(wins.last.clip.records.map(m =>
+        Row.fromSeq(m.toSeq.sortBy(_._1).map(_._2))))
+      assert(last == want, s"cumulative TIME drift for: $bql\n  want=$want\n  got=$last")
+    }
+  }
+
+  /** And the sliced twin: EVERY(n, TIME, WINDOW) resets state per close,
+    * so with one batch fed per clock window each emission must equal the
+    * batch plan over exactly that slice — proving the TIME reset path
+    * agrees with batch semantics, not only the cumulative merge path. */
+  test("sliced TIME window: every emission equals the batch plan over its slice") {
+    val shapes = Seq(
+      "SELECT event_type AS k, COUNT(*) AS cnt, SUM(user_id) AS su FROM STREAM " +
+        "GROUP BY event_type ORDER BY k",
+      "SELECT COUNT(*) AS cnt, MIN(event_id) AS mn, MAX(event_id) AS mx FROM STREAM",
+      "SELECT COUNT(DISTINCT user_id) AS nd FROM STREAM")
+    shapes.foreach { bql =>
+      var now = 1000000L
+      val e = new MultiQueryEngine(spark, () => now)
+      assert(e.submit("w", s"$bql WINDOWING EVERY(100, TIME, WINDOW)").isRight)
+      val per = 250
+      val slices = (0 until 4).map(i => events.filter(
+        col("event_id") >= i * per && col("event_id") < (i + 1) * per))
+      slices.foreach { s => e.processBatch(s); now += 100; e.tick() }
+      val wins = e.drainResults().filter(_.kind == ResultKind.Window)
+      assert(wins.size == 4, s"expected 4 sliced TIME emissions for $bql, got ${wins.size}")
+      wins.zip(slices).zipWithIndex.foreach { case ((w, s), i) =>
+        val df = Compiler.compile(bql)._2(s)
+        val want = canon(df.select(df.columns.sorted.map(col): _*).collect().toSeq)
+        val got = canon(w.clip.records.map(m =>
+          Row.fromSeq(m.toSeq.sortBy(_._1).map(_._2))))
+        assert(got == want, s"TIME window $i drift for: $bql\n  want=$want\n  got=$got")
+      }
+    }
+  }
+
   test("batch-count invariance: 1 batch == 7 batches for stateful shapes") {
     (1 to 15).foreach { _ =>
       val bql = genQuery()
