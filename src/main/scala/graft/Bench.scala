@@ -56,7 +56,8 @@ object Bench {
       "b6_theta_merge", "b8_topk_grouped", "bql_quantile_linear",
       "bql_pmf_region", "bql_cdf_linear", "samp_group_cap", "ss_enrich",
       "fn_winsorize", "op_retention", "op_gap_fill", "samp_weighted",
-      "mm_features_png", "ss_ann_assign")
+      "mm_features_png", "ss_ann_assign", "samp_temperature", "samp_exact_n",
+      "fn_robust_zscore", "tx_remove_boilerplate", "op_bucketed_join")
     val baselineSubset = results.view.filterKeys(!addedSinceBaseline.contains(_))
     val subtotal = baselineSubset.values.sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +

@@ -48,6 +48,13 @@ object ScaleCheck {
           when(col("doc_id") % 10 === 0, lit(template)).otherwise(col("text")))
         .withColumn("lang",
           when(col("doc_id") % 10 === 0, lit("hotl")).otherwise(col("lang")))
+        // one SOURCE stratum holds 10% of the corpus — the hot
+        // low-cardinality stratum fn_quantile_bin / samp_group_cap /
+        // samp_stratified key on. A per-stratum sort (the retired ntile
+        // plan) would serialize the hot stratum in one task; the KLL
+        // cut-point / bounded-heap plans combine it map-side.
+        .withColumn("source",
+          when(col("doc_id") % 10 === 0, lit("hotsrc")).otherwise(col("source")))
     // 10% of vectors become copies of ONE vector — a degenerate hot LSH
     // bucket / hot PQ cell, and (because vector content is identical
     // across replication copies) the hot bucket grows with k. The ANN
@@ -101,11 +108,19 @@ object ScaleCheck {
     }
     def buildAll(dir: String, copies: Int): Unit = {
       val r = replicate(dir, copies) _
+      // nation/region are FIXED-cardinality dims: real scale-up grows
+      // facts, not the 25-nation/5-region tables. Replicating them with
+      // unshifted keys (as rounds 4-8 did) makes every c_nationkey match
+      // k nation rows and every n_regionkey k region rows — a k²
+      // many-to-many row explosion through the star join that measures
+      // the fixture, not the plan (the round-8 "j_multiway_star 4.7,
+      // genuine fact-side growth" reading, and a 57x blow-up at 32x).
+      val r1 = replicate(dir, 1) _
       r("lineitem", Seq("l_orderkey"), 100000000L)
       r("orders", Seq("o_orderkey", "o_custkey"), 100000000L)
       r("customer", Seq("c_custkey"), 100000000L)
-      r("nation", Seq.empty, 0L)
-      r("region", Seq.empty, 0L)
+      r1("nation", Seq.empty, 0L)
+      r1("region", Seq.empty, 0L)
       r("supplier", Seq("s_suppkey"), 100000000L)
       r("part", Seq("p_partkey"), 100000000L)
       r("events", Seq("event_id", "user_id"), 100000000L)
@@ -124,7 +139,8 @@ object ScaleCheck {
         Seq("j_multiway_star", "dd_dup_clusters", "dd_minhash_lsh",
           "dd_simhash", "samp_stratified", "dd_paragraph", "op_salted_join",
           "op_cdc_upsert", "op_funnel", "op_scd2", "wf_rolling_range",
-          "dd_keep_best", "ann_lsh_topk", "ann_pq_topk", "op_retention")
+          "dd_keep_best", "ann_lsh_topk", "ann_pq_topk", "op_retention",
+          "fn_quantile_bin", "samp_group_cap", "samp_weighted", "ss_enrich")
       else
         Seq("b5_group_agg", "b1_filter_compound", "j_multiway_star",
           "b6_theta_distinct", "b8_freq_topk", "dd_minhash_lsh", "ann_lsh_topk",
@@ -142,7 +158,8 @@ object ScaleCheck {
           "op_salted_join", "emb_pca_project", "op_cdc_upsert", "op_funnel",
           "op_transitions", "wf_rolling_range", "op_scd2", "fn_quantile_bin",
           "dd_keep_best", "b6_theta_merge", "b8_topk_grouped", "samp_group_cap",
-          "fn_winsorize", "op_retention", "op_gap_fill", "bql_cdf_linear")
+          "fn_winsorize", "op_retention", "op_gap_fill", "bql_cdf_linear",
+          "samp_weighted", "ss_enrich", "mm_features_png", "ss_ann_assign")
     val selected = if (only.isEmpty) names else names.filter(only)
     // dd_semdedup is excluded the same way dd_embed_cosine is: replicated
     // embeddings are bit-identical across copies, so k-fold data has k²

@@ -276,6 +276,58 @@ object FunctionQueries {
         .select(col("doc_id"), col("lang"), col("n_chars"), col("lo"), col("hi"),
           greatest(col("lo"), least(col("hi"), col("n_chars"))).as("clamped"))
         .orderBy(col("doc_id"))
+    },
+
+    // Robust (median/MAD) z-score — the outlier-resistant twin of
+    // fn_zscore: per-language median via one mergeable KLL sketch, then
+    // MAD = median(|x - med|) via a SECOND KLL pass over the deviations,
+    // both broadcast back as |groups|-row frames for a shuffle-free
+    // scoring pass. Mean/stddev scaling (fn_zscore) lets one runaway
+    // outlier drag the whole stratum's scale; median/MAD is what quality
+    // filters actually threshold on. Two corpus scans, zero corpus-keyed
+    // shuffles — each KLL aggregate combines map-side (exact below 65k
+    // rows/group, mergeable beyond; the same inclusive-rank convention
+    // fn_winsorize pins). Integer domain end to end: the median of an
+    // integer column is a data value (exact long cast), deviations are
+    // integers, and the final (x-med)/mad is one long/long double
+    // division — correctly rounded identically in both engines. mad = 0
+    // (a constant-valued stratum) yields NULL, not a division blow-up.
+    QueryDef("fn_robust_zscore", Some(
+      """WITH r AS (SELECT lang, n_chars,
+        |    row_number() OVER (PARTITION BY lang ORDER BY n_chars) AS rn,
+        |    count(*) OVER (PARTITION BY lang) AS n FROM documents),
+        |m AS (SELECT lang,
+        |    min(CASE WHEN rn >= ceil(0.5 * n) THEN n_chars END) AS med
+        |  FROM r GROUP BY lang),
+        |v AS (SELECT d.lang, abs(d.n_chars - m.med) AS dev
+        |  FROM documents d JOIN m USING (lang)),
+        |s AS (SELECT lang, dev,
+        |    row_number() OVER (PARTITION BY lang ORDER BY dev) AS rn,
+        |    count(*) OVER (PARTITION BY lang) AS n FROM v),
+        |q AS (SELECT lang,
+        |    min(CASE WHEN rn >= ceil(0.5 * n) THEN dev END) AS mad
+        |  FROM s GROUP BY lang)
+        |SELECT d.doc_id, d.lang, d.n_chars, m.med, q.mad,
+        |  CASE WHEN q.mad = 0 THEN NULL
+        |       ELSE CAST(d.n_chars - m.med AS DOUBLE) / q.mad END AS robust_z
+        |FROM documents d JOIN m USING (lang) JOIN q USING (lang)
+        |ORDER BY d.doc_id""".stripMargin)) { (s, d) =>
+      val docs = Tables.load(s, d, "documents")
+      def kllMedian(in: org.apache.spark.sql.DataFrame, valueCol: String, out: String) =
+        in.groupBy(col("lang"))
+          .agg(expr("kll_sketch_get_quantile_double(" +
+            s"kll_sketch_agg_double(CAST($valueCol AS DOUBLE), 65535), array(0.5D))").as("qs"))
+          .select(col("lang"), element_at(col("qs"), 1).cast(LongType).as(out))
+      val med = kllMedian(docs, "n_chars", "med")
+      val withMed = docs.join(broadcast(med), Seq("lang"))
+        .withColumn("dev", abs(col("n_chars") - col("med")))
+      val mad = kllMedian(withMed, "dev", "mad")
+      withMed.join(broadcast(mad), Seq("lang"))
+        .select(col("doc_id"), col("lang"), col("n_chars"), col("med"), col("mad"),
+          when(col("mad") === 0, lit(null).cast("double"))
+            .otherwise((col("n_chars") - col("med")).cast("double") / col("mad"))
+            .as("robust_z"))
+        .orderBy(col("doc_id"))
     }
   )
 }

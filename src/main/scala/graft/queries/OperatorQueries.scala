@@ -430,6 +430,53 @@ object OperatorQueries {
         .withColumn("filled", last(col("v"), ignoreNulls = true).over(w))
         .select(col("event_id"), col("user_id"), col("v"), col("filled"))
         .orderBy(col("event_id"))
+    },
+
+    // Bucketed-layout co-located join — the storage-side lever for
+    // REPEATED fact-fact joins at 100 TB: write both sides bucketed (and
+    // in-bucket sorted) on the join key once, and every subsequent join
+    // on that key satisfies its distribution requirement from the LAYOUT
+    // — zero hash exchange for the join, and (because HashPartitioning
+    // on a key subset satisfies the agg's clustering too) zero exchange
+    // for the downstream per-order aggregate either; the only exchange
+    // left in the whole plan is the output ORDER BY's range partition.
+    // A daily pipeline joining the same two 10 TB tables pays the
+    // bucketed write once and saves the double shuffle every run
+    // thereafter. The bucketed copies are created once per (session,
+    // fixture dir) — the warm/timed bench protocol measures the join,
+    // not the one-time layout write. Plan-gated in PlanSpec (merge-hint
+    // forces the SMJ path so a broadcast cannot hide the property).
+    QueryDef("op_bucketed_join", Some(
+      """SELECT o.o_orderkey, o.o_orderstatus, count(*) AS n_items,
+        |  CAST(sum(l.l_quantity) AS BIGINT) AS sum_qty
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |WHERE o.o_totalprice > 300000
+        |GROUP BY o.o_orderkey, o.o_orderstatus
+        |ORDER BY o.o_orderkey""".stripMargin)) { (s, d) =>
+      val tag = java.lang.Long.toHexString(
+        scala.util.hashing.MurmurHash3.stringHash(d).toLong & 0xffffffffL)
+      val nb = s.conf.get("spark.graft.bucketedJoin.buckets", "8").toInt
+      def ensure(short: String, src: String, key: String): String = {
+        val tbl = s"graft_bkt_${short}_${tag}_$nb"
+        if (!s.catalog.tableExists(tbl)) {
+          Tables.load(s, d, src)
+            .write.mode("overwrite")
+            .option("path", s"/tmp/graft_bucketed/$tbl")
+            .bucketBy(nb, key).sortBy(key)
+            .saveAsTable(tbl)
+        }
+        tbl
+      }
+      val li = s.table(ensure("li", "lineitem", "l_orderkey"))
+        .select(col("l_orderkey"), col("l_quantity"))
+      val ord = s.table(ensure("ord", "orders", "o_orderkey"))
+        .filter(col("o_totalprice") > 300000)
+        .select(col("o_orderkey"), col("o_orderstatus"))
+      li.hint("merge").join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderkey"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("l_quantity")).cast(LongType).as("sum_qty"))
+        .orderBy(col("o_orderkey"))
     }
   )
 }

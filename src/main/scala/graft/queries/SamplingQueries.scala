@@ -202,6 +202,72 @@ object SamplingQueries {
         .filter(substring(md5(col("text")), 1, 4) < format_string("%04x", col("w16")))
         .select(col("doc_id"), col("n_chars"), col("w16"))
         .orderBy(col("doc_id"))
+    },
+
+    // Temperature-scaled mixture sampling — the multilingual-pretraining
+    // rebalancing step: resample so stratum s's share follows
+    // n_s^T / Σ n^T (T = 0.5 here) instead of its raw share, boosting
+    // tail languages and damping the head, at a fixed total budget
+    // (half the corpus). Everything is INTEGER-exact cross-engine:
+    // w_s = floor(sqrt(n_s)) (IEEE sqrt is correctly rounded, so both
+    // engines agree bit-for-bit), the per-stratum 16-bit acceptance
+    // threshold is pure BIGINT arithmetic
+    //   t16_s = min(65535, (65535 * (N/2) * w_s) div (Σw * n_s)),
+    // and the draw is the same fixed-width md5-hex compare as
+    // samp_weighted. Scale shape: one count-star aggregate over the
+    // corpus (map-side combinable), a |strata|-row rates frame
+    // broadcast back, then one shuffle-free codegen filter pass — the
+    // rates join costs the same whether there are 5 strata or 5,000.
+    // (The BIGINT product is safe to ~1e9 target rows x 1e5 weight;
+    // past that, widen the rate arithmetic to DECIMAL(38,0) — the plan
+    // shape is unchanged.)
+    QueryDef("samp_temperature", Some(
+      """WITH n AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+        |w AS (SELECT lang, n, CAST(floor(sqrt(n)) AS BIGINT) AS w FROM n),
+        |t AS (SELECT sum(w) AS sw, sum(n) AS tot FROM w),
+        |r AS (SELECT lang,
+        |    CAST(least(65535, (65535 * (tot // 2) * w) // (sw * n)) AS BIGINT) AS t16
+        |  FROM w CROSS JOIN t)
+        |SELECT d.doc_id, d.lang, r.t16 FROM documents d JOIN r USING (lang)
+        |WHERE substr(md5(d.text), 1, 4) < printf('%04x', r.t16)
+        |ORDER BY d.doc_id""".stripMargin)) { (s, d) =>
+      val docs = Tables.load(s, d, "documents")
+      val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+        .withColumn("w", floor(sqrt(col("n"))).cast("long"))
+      val totals = counts.agg(sum(col("w")).as("sw"), sum(col("n")).as("tot"))
+      val rates = counts.crossJoin(broadcast(totals))
+        .select(col("lang"),
+          least(lit(65535L),
+            expr("(65535 * (tot div 2) * w) div (sw * n)")).as("t16"))
+      docs.join(broadcast(rates), Seq("lang"))
+        .filter(substring(md5(col("text")), 1, 4) < format_string("%04x", col("t16")))
+        .select(col("doc_id"), col("lang"), col("t16"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Exact-N global uniform sample — "give me exactly 100 documents,
+    // uniformly, deterministically": rank the corpus by content hash and
+    // keep the N smallest. The rank is the bounded-heap `topk_min`
+    // aggregate over the md5 hex key (UTF8 byte ordering == DuckDB
+    // varchar ordering for fixed-width hex), NOT a global ORDER BY
+    // LIMIT over the raw rows: each map task keeps <= N (hash, id)
+    // pairs and the exchange carries parts x N tiny rows into one final
+    // k-vs-k merge — the aggregate-side analogue of
+    // TakeOrderedAndProject, and the same certificate samp_group_cap
+    // holds per group. md5 keys the draw to content, so the same doc
+    // set is selected on every engine, partitioning, and cluster size.
+    QueryDef("samp_exact_n", Some(
+      """SELECT doc_id, h FROM (
+        |  SELECT doc_id, md5(text) AS h FROM documents ORDER BY h, doc_id LIMIT 100)
+        |ORDER BY doc_id""".stripMargin)) { (s, d) =>
+      import graft.functions.topk_min
+      val n = s.conf.get("spark.graft.exactSampleN", "100").toInt
+      Tables.load(s, d, "documents")
+        .select(col("doc_id"), md5(col("text")).as("h"))
+        .agg(topk_min(struct(col("h").as("h"), col("doc_id").as("doc_id")), n).as("tk"))
+        .select(explode(col("tk")).as("st"))
+        .select(col("st.doc_id").as("doc_id"), col("st.h").as("h"))
+        .orderBy(col("doc_id"))
     }
   )
 

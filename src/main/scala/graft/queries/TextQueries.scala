@@ -531,6 +531,60 @@ object TextQueries {
           count(when(col("in_vocab").isNull, 1)).as("n_oov"),
           countDistinct(when(col("in_vocab").isNull, col("h"))).as("n_uniq_oov"))
         .orderBy(col("doc_id"))
+    },
+
+    // Boilerplate REMOVAL — the rewrite step downstream of dd_paragraph's
+    // detection: drop every chunk whose content appears in more than one
+    // distinct document (headers, license blocks, navigation chrome) and
+    // REASSEMBLE each document from its surviving chunks, in order. This
+    // is the CCNet/RefinedWeb-style shared-line scrub, with fixed 8-token
+    // chunks standing in for lines (the corpus has no newlines; a real
+    // corpus swaps the chunker, same plan). Scale shape: the frequency
+    // pass exchanges only 8-byte chunk hashes (count-distinct-docs is a
+    // two-phase partial+final aggregate); the surviving-hash frame is
+    // boilerplate-sized (small by definition) and broadcast into a
+    // LEFT ANTI join, so the corpus side streams through unshuffled; the
+    // only corpus-sized exchange is the doc_id-keyed reassembly, which
+    // carries exactly the output text once. Hash identity stands in for
+    // chunk identity (the oracle groups by the chunk text itself, so a
+    // collision would surface as a mismatch).
+    QueryDef("tx_remove_boilerplate", Some(
+      """WITH g AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
+        |c AS (SELECT doc_id, t, unnest(range(0, CAST((len(t)-1)//8 AS BIGINT)+1)) AS ci FROM g),
+        |e AS (SELECT doc_id, ci, array_to_string(t[ci*8+1:ci*8+8],' ') AS chunk FROM c),
+        |f AS (SELECT chunk FROM e GROUP BY chunk HAVING count(DISTINCT doc_id) > 1),
+        |k AS (SELECT doc_id, ci, chunk FROM e WHERE chunk NOT IN (SELECT chunk FROM f)),
+        |r AS (SELECT doc_id, count(*) AS n_kept,
+        |        string_agg(chunk, ' ' ORDER BY ci) AS clean_text
+        |      FROM k GROUP BY doc_id)
+        |SELECT d.doc_id, COALESCE(r.n_kept, 0) AS n_kept,
+        |  COALESCE(r.clean_text, '') AS clean_text
+        |FROM documents d LEFT JOIN r ON d.doc_id = r.doc_id
+        |ORDER BY d.doc_id""".stripMargin)) { (s, d) =>
+      val stride = 8
+      val chunks = docs(s, d).select(col("doc_id"), toks.as("t"))
+        .select(col("doc_id"), col("t"),
+          explode(sequence(lit(0L),
+            floor((size(col("t")) - 1) / stride).cast(LongType))).as("ci"))
+        .select(col("doc_id"), col("ci"),
+          concat_ws(" ",
+            slice(col("t"), (col("ci") * stride + 1).cast("int"), lit(stride))).as("chunk"))
+        .withColumn("h", xxhash64(col("chunk")))
+      val boiler = chunks.groupBy(col("h"))
+        .agg(countDistinct(col("doc_id")).as("nd"))
+        .filter(col("nd") > 1).select(col("h"))
+      val rebuilt = chunks.join(broadcast(boiler), Seq("h"), "left_anti")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_kept"),
+          concat_ws(" ",
+            transform(array_sort(collect_list(struct(col("ci"), col("chunk")))),
+              x => x.getField("chunk"))).as("clean_text"))
+      docs(s, d).select(col("doc_id"))
+        .join(rebuilt, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+          coalesce(col("clean_text"), lit("")).as("clean_text"))
+        .orderBy(col("doc_id"))
     }
   )
 }

@@ -285,7 +285,8 @@ class PlanSpec extends AnyFunSuite {
     // <= k rows per probe per map task, so the exchange is |probes| x k
     // regardless of candidate-set size.
     for (n <- Seq("ann_brute_topk", "ann_filtered_topk", "ann_lsh_topk",
-        "ann_ivf_topk", "ann_pq_topk", "emb_knn_classify", "samp_group_cap")) {
+        "ann_ivf_topk", "ann_pq_topk", "emb_knn_classify", "samp_group_cap",
+        "samp_exact_n")) {
       val p = planStr(n)
       assert(!p.contains("Window"), s"$n must not rank via a window sort:\n$p")
       assert(p.contains("ObjectHashAggregate"),
@@ -293,6 +294,51 @@ class PlanSpec extends AnyFunSuite {
       assert(p.contains("partial_topk_min"),
         s"$n's rank must combine map-side (partial+final):\n$p")
     }
+  }
+
+  test("temperature sampling broadcasts the rates frame; the corpus never re-shuffles") {
+    // the |strata|-row rate table joins back by broadcast, so the accept
+    // pass is one codegen filter over the scan; the only hash exchanges
+    // belong to the tiny per-stratum count aggregate (keyed on lang)
+    val p = planStr("samp_temperature")
+    assert(p.contains("BroadcastHashJoin"),
+      s"rates must broadcast back onto the corpus:\n$p")
+    val ex = p.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(ex.forall(_.contains("lang")),
+      s"only the stratum-count aggregate may shuffle:\n${ex.mkString("\n")}")
+  }
+
+  test("robust z-score: two KLL passes broadcast back; no per-stratum window sort") {
+    val p = planStr("fn_robust_zscore")
+    assert(!p.contains("Window"),
+      s"median/MAD must come from mergeable KLL sketches, not window sorts:\n$p")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      s"both the median and MAD frames must broadcast-join back:\n$p")
+    assert(p.contains("partial_kll_sketch_agg_double"),
+      s"the sketches must combine map-side:\n$p")
+  }
+
+  test("boilerplate removal: anti-join broadcasts the frequent set; frequency pass shuffles hashes") {
+    val p = planStr("tx_remove_boilerplate")
+    assert(p.contains("LeftAnti"), s"surviving chunks come from an anti-join:\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      s"the boilerplate-hash set must broadcast:\n$p")
+    val ex = p.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(!ex.exists(_.contains("chunk#")),
+      s"exchanges must key on 8-byte hashes or doc_id, never chunk text:\n${ex.mkString("\n")}")
+  }
+
+  test("bucketed layout co-locates the fact-fact join: no hash exchange in the plan") {
+    // both sides bucketed on the join key -> the SMJ's distribution
+    // requirement is met by the LAYOUT; the per-order aggregate's
+    // clustering is a superset of the bucket key so it re-uses the same
+    // partitioning — the only exchange is the output sort's range part.
+    val p = planStr("op_bucketed_join")
+    assert(p.contains("SortMergeJoin"), s"merge hint must hold the SMJ path:\n$p")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"bucketing must satisfy both the join and the aggregate distribution:\n$p")
+    assert(p.contains("Bucketed: true"),
+      s"both scans must read the bucketed layout:\n$p")
   }
 
   test("salted join spreads the key across salt-qualified exchanges") {
