@@ -140,7 +140,14 @@ object ScaleCheck {
           "dd_simhash", "samp_stratified", "dd_paragraph", "op_salted_join",
           "op_cdc_upsert", "op_funnel", "op_scd2", "wf_rolling_range",
           "dd_keep_best", "ann_lsh_topk", "ann_pq_topk", "op_retention",
-          "fn_quantile_bin", "samp_group_cap", "samp_weighted", "ss_enrich")
+          "fn_quantile_bin", "samp_group_cap", "samp_weighted", "ss_enrich",
+          // round-9 ops facing the planted hot strata: the boilerplate
+          // template IS tx_remove_boilerplate's worst case (10% of all
+          // chunks collapse to ~5 chunk hashes), the hot lang stratum
+          // stresses the per-lang KLL/temperature plans, the hot source
+          // stresses the streaming bounded heap
+          "tx_remove_boilerplate", "fn_robust_zscore", "samp_temperature",
+          "dd_cross_near", "ss_topk")
       else
         Seq("b5_group_agg", "b1_filter_compound", "j_multiway_star",
           "b6_theta_distinct", "b8_freq_topk", "dd_minhash_lsh", "ann_lsh_topk",
@@ -159,7 +166,10 @@ object ScaleCheck {
           "op_transitions", "wf_rolling_range", "op_scd2", "fn_quantile_bin",
           "dd_keep_best", "b6_theta_merge", "b8_topk_grouped", "samp_group_cap",
           "fn_winsorize", "op_retention", "op_gap_fill", "bql_cdf_linear",
-          "samp_weighted", "ss_enrich", "mm_features_png", "ss_ann_assign")
+          "samp_weighted", "ss_enrich", "mm_features_png", "ss_ann_assign",
+          "samp_temperature", "samp_exact_n", "fn_robust_zscore",
+          "tx_remove_boilerplate", "op_bucketed_join", "ss_topk",
+          "ss_quantile", "dd_cross_near", "fn_target_encode")
     val selected = if (only.isEmpty) names else names.filter(only)
     // dd_semdedup is excluded the same way dd_embed_cosine is: replicated
     // embeddings are bit-identical across copies, so k-fold data has k²

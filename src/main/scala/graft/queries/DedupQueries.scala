@@ -532,6 +532,51 @@ object DedupQueries {
         .orderBy(col("doc_id"))
     },
 
+    // NEAR-dup cross-split decontamination — the fuzzy twin of
+    // dd_cross_dedup: a train doc is contaminated if it is a NEAR
+    // duplicate (estimated Jaccard >= 0.5) of any held-out doc, catching
+    // the paraphrased/truncated benchmark leaks an exact fingerprint
+    // misses (the published decontamination recipes run exactly this
+    // MinHash pass between train and eval). Scale shape: ONE signature
+    // pass over both splits; the eval split's banded keys and signatures
+    // are benchmark-sized, so both BROADCAST — candidate generation never
+    // shuffles the corpus. The verify rejoins the deduped candidate ids
+    // against the corpus signature frame; the candidate side is
+    // eval-bounded (train docs sharing an eval bucket), so AQE broadcasts
+    // it and the corpus signatures stream through map-side too. The final
+    // aggregate runs over verified candidate rows only. Candidate count
+    // per train doc is bounded by the eval docs sharing a bucket, so no
+    // postings cap is needed on this asymmetric shape. MinHash estimate
+    // → rows-only driver check; doc-level recall vs the exact
+    // cross-split ngram baseline is gated in ApproxSuiteSpec.
+    QueryDef("dd_cross_near", None) { (s, d) =>
+      val evalSource = s.conf.get("spark.graft.decontaminate.evalSource", "src0")
+      val bands = 16
+      val rowsPerBand = 4
+      val all = docs(s, d).select(col("doc_id"), col("source"),
+        minhash_sig(toks, 3, bands * rowsPerBand).as("sig"))
+      val banded = all.select(col("doc_id"), col("source"),
+        explode(array((0 until bands).map(bnd =>
+          xxhash64(lit(bnd), slice(col("sig"), bnd * rowsPerBand + 1, rowsPerBand))): _*)).as("bkey"))
+      val evalB = banded.filter(col("source") === evalSource)
+        .select(col("bkey"), col("doc_id").as("eval_id"))
+      val cands = banded.filter(col("source") =!= evalSource)
+        .select(col("bkey"), col("doc_id"))
+        .join(broadcast(evalB), Seq("bkey"))
+        .select(col("doc_id"), col("eval_id"))
+        .dropDuplicates("doc_id", "eval_id")
+      val sigEval = all.filter(col("source") === evalSource)
+        .select(col("doc_id").as("eval_id"), col("sig").as("sig_e"))
+      cands
+        .join(all.select(col("doc_id"), col("sig")), Seq("doc_id"))
+        .join(broadcast(sigEval), Seq("eval_id"))
+        .filter(size(filter(zip_with(col("sig"), col("sig_e"), (x, y) => x === y), b => b))
+          .cast(DoubleType) / (bands * rowsPerBand) >= 0.5)
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_eval_near"))
+        .orderBy(col("doc_id"))
+    },
+
     // Fuzzy entity matching: near-identical name pairs by edit distance —
     // the catalog-normalization op (one vendor's "blue bolt", another's
     // "blue bolts"). Matching runs on the DISTINCT VOCABULARY, not the

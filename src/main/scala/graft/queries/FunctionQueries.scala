@@ -328,6 +328,46 @@ object FunctionQueries {
             .otherwise((col("n_chars") - col("med")).cast("double") / col("mad"))
             .as("robust_z"))
         .orderBy(col("doc_id"))
+    },
+
+    // Smoothed target encoding — the categorical-feature workhorse:
+    // replace a category (source) with the smoothed mean of a numeric
+    // target over that category, enc = (sum_s + prior·m)/(n_s + m)
+    // (prior = global mean, m = 20 pseudo-counts), plus the
+    // LEAVE-ONE-OUT variant real pipelines train on (each row's own
+    // target subtracted, killing self-leakage). n_chars stands in for
+    // the target; a real deployment swaps the column. Scale shape: one
+    // map-side-combining aggregate for the per-category sums, a 1-row
+    // global frame and a |categories|-row encoder frame both broadcast
+    // back, then a shuffle-free codegen scoring pass. Determinism: all
+    // sums/counts are integer-exact, and the final doubles come from a
+    // FIXED tree of individually-correctly-rounded IEEE ops evaluated
+    // identically by both engines — no float summation ever happens.
+    QueryDef("fn_target_encode", Some(
+      """WITH g AS (SELECT sum(n_chars) AS gsum, count(*) AS gn FROM documents),
+        |a AS (SELECT source, sum(n_chars) AS ssum, count(*) AS n
+        |      FROM documents GROUP BY source)
+        |SELECT d.doc_id, d.source, d.n_chars,
+        |  (CAST(a.ssum AS DOUBLE) + (CAST(g.gsum AS DOUBLE) / g.gn) * 20.0)
+        |    / (a.n + 20.0) AS enc,
+        |  (CAST(a.ssum - d.n_chars AS DOUBLE) + (CAST(g.gsum AS DOUBLE) / g.gn) * 20.0)
+        |    / (a.n - 1 + 20.0) AS enc_loo
+        |FROM documents d JOIN a USING (source) CROSS JOIN g
+        |ORDER BY d.doc_id""".stripMargin)) { (s, d) =>
+      val docs = Tables.load(s, d, "documents")
+      val g = docs.agg(sum(col("n_chars")).as("gsum"), count(lit(1)).as("gn"))
+      val a = docs.groupBy(col("source"))
+        .agg(sum(col("n_chars")).as("ssum"), count(lit(1)).as("n"))
+      val prior = (col("gsum").cast("double") / col("gn")) * 20.0
+      val encTable = a.crossJoin(broadcast(g))
+        .select(col("source"), col("ssum"), col("n"),
+          ((col("ssum").cast("double") + prior) / (col("n") + 20.0)).as("enc"),
+          prior.as("p20"))
+      docs.join(broadcast(encTable), Seq("source"))
+        .select(col("doc_id"), col("source"), col("n_chars"), col("enc"),
+          (((col("ssum") - col("n_chars")).cast("double") + col("p20"))
+            / (col("n") - 1 + 20.0)).as("enc_loo"))
+        .orderBy(col("doc_id"))
     }
   )
 }

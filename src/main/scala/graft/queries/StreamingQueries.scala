@@ -566,6 +566,119 @@ object StreamingQueries {
       s.table(sink)
         .select(col("vec_id"), col("cl").cast(org.apache.spark.sql.types.LongType).as("cl"))
         .orderBy(col("vec_id"))
+    },
+
+    // Streaming per-key top-k — the live leaderboard / streaming domain
+    // cap: "best 5 docs per source, continuously maintained". Spark-first
+    // shape: the SAME bounded-heap `topk_min` aggregate the batch family
+    // runs (samp_group_cap), as a STREAMING complete-mode aggregation —
+    // the state store holds one <= k-entry heap per key (the serialized
+    // TypedImperativeAggregate buffer), each micro-batch's partials merge
+    // heap-vs-heap, and state is bounded at |keys| x k rows by
+    // construction with no watermark needed (like ss_cdc, the bounded
+    // buffer IS the contract). The heap merge is order-insensitive, so
+    // the differential certifies cross-batch state merge under any
+    // slicing: drained snapshot == the batch per-source rank, same
+    // oracle as samp_group_cap.
+    QueryDef("ss_topk", Some(
+      """SELECT source, rnk, doc_id, n_chars FROM (
+        |  SELECT source, doc_id, n_chars,
+        |    row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rnk
+        |  FROM documents) WHERE rnk <= 5
+        |ORDER BY source, rnk""".stripMargin)) { (s, d) =>
+      import s.implicits._
+      implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import graft.functions.topk_min
+      val capN = s.conf.get("spark.graft.groupCap", "5").toInt
+      val rows = Tables.load(s, d, "documents")
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .orderBy(col("doc_id")).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      val nSlices = s.conf.get("spark.graft.ssjoin.slices", "4").toInt
+      val per = rows.length / nSlices + 1
+
+      val feed = MemoryStream[(Long, String, Long)]
+      val top = feed.toDF().toDF("doc_id", "source", "n_chars")
+        .groupBy(col("source"))
+        .agg(topk_min(struct((-col("n_chars")).as("nq"), col("doc_id").as("doc_id"),
+          col("n_chars").as("n_chars")), capN).as("tk"))
+        .select(col("source"), posexplode(col("tk")).as(Seq("pos", "st")))
+        .select(col("source"), (col("pos") + 1).as("rnk"),
+          col("st.doc_id").as("doc_id"), col("st.n_chars").as("n_chars"))
+
+      val sink = "ss_topk_sink"
+      s.catalog.dropTempView(sink)
+      val savedParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions",
+        s.conf.get("spark.graft.ssjoin.parts", "4"))
+      val q =
+        try top.writeStream.format("memory").queryName(sink)
+          .outputMode("complete").start()
+        finally s.conf.set("spark.sql.shuffle.partitions", savedParts)
+      try {
+        rows.grouped(per).foreach { slice =>
+          feed.addData(slice.toSeq)
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+      s.table(sink).orderBy(col("source"), col("rnk"))
+    },
+
+    // Streaming DISTRIBUTION — the reference's B7 sketch surface run as
+    // a NATIVE Structured Streaming aggregation (the MultiQueryEngine
+    // already merges KLL partials itself per micro-batch; this proves
+    // the same mergeable-sketch state held by Spark's state store): one
+    // KLL sketch per language in complete mode, each batch's partial
+    // sketches merging into the stored state, median read off the
+    // merged sketch every trigger. State is O(sketch) per key whatever
+    // the stream length — the property that carries DISTRIBUTION to an
+    // unbounded 100 TB/day stream. At fixture scale the sketch is exact
+    // (< 65k rows/group, merge = concatenation), so the drained result
+    // equals the batch inclusive-rank median and the oracle is the same
+    // SQL the batch b7 family pins.
+    QueryDef("ss_quantile", Some(
+      """WITH r AS (SELECT lang, n_chars,
+        |    row_number() OVER (PARTITION BY lang ORDER BY n_chars) AS rn,
+        |    count(*) OVER (PARTITION BY lang) AS n FROM documents)
+        |SELECT lang, min(CASE WHEN rn >= ceil(0.5 * n) THEN n_chars END) AS med,
+        |  max(n) AS n_docs
+        |FROM r GROUP BY lang ORDER BY lang""".stripMargin)) { (s, d) =>
+      import s.implicits._
+      implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val rows = Tables.load(s, d, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy(col("doc_id")).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      val nSlices = s.conf.get("spark.graft.ssjoin.slices", "4").toInt
+      val per = rows.length / nSlices + 1
+
+      val feed = MemoryStream[(Long, String, Long)]
+      val med = feed.toDF().toDF("doc_id", "lang", "n_chars")
+        .groupBy(col("lang"))
+        .agg(
+          expr("kll_sketch_get_quantile_double(" +
+            "kll_sketch_agg_double(CAST(n_chars AS DOUBLE), 65535), array(0.5D))").as("qs"),
+          count(lit(1)).as("n_docs"))
+        .select(col("lang"),
+          element_at(col("qs"), 1).cast(org.apache.spark.sql.types.LongType).as("med"),
+          col("n_docs"))
+
+      val sink = "ss_quantile_sink"
+      s.catalog.dropTempView(sink)
+      val savedParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions",
+        s.conf.get("spark.graft.ssjoin.parts", "4"))
+      val q =
+        try med.writeStream.format("memory").queryName(sink)
+          .outputMode("complete").start()
+        finally s.conf.set("spark.sql.shuffle.partitions", savedParts)
+      try {
+        rows.grouped(per).foreach { slice =>
+          feed.addData(slice.toSeq)
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+      s.table(sink).orderBy(col("lang"))
     }
   )
 }

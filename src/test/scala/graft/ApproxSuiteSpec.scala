@@ -26,6 +26,35 @@ class ApproxSuiteSpec extends AnyFunSuite {
     assert(recall >= 0.8, s"LSH recall $recall below 0.8 (found ${lsh.size}, exact ${exact.size})")
   }
 
+  test("cross-split near-dup decontamination recalls the exact cross-split docs") {
+    // ground truth: exact ngram-jaccard pairs with exactly one side in
+    // the eval split (src0) — the contaminated TRAIN doc set
+    val sources = graft.sources.Tables.load(spark, sfDir, "documents")
+      .select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val exactPairs = run("dd_ngram_jaccard").select("doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val exactContaminated = exactPairs.flatMap { case (a, b) =>
+      (sources(a) == "src0", sources(b) == "src0") match {
+        case (true, false) => Some(b)
+        case (false, true) => Some(a)
+        case _ => None
+      }
+    }.toSet
+    assert(exactContaminated.nonEmpty, "fixture has no exact cross-split near-dups")
+    val near = run("dd_cross_near").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val recall = (exactContaminated & near).size.toDouble / exactContaminated.size
+    info(s"exact=${exactContaminated.size} near=${near.size} recall=$recall")
+    assert(recall >= 0.7,
+      s"cross-split near-dup recall $recall below 0.7 " +
+        s"(found ${near.size}, exact ${exactContaminated.size})")
+    // flagged docs must be real near-dups of SOME eval doc per the
+    // signature estimate — sanity: the flagged set can't dwarf the
+    // corpus (the whole train split would mean degenerate banding)
+    assert(near.size < sources.size / 2, s"flagged ${near.size} of ${sources.size} docs")
+  }
+
   test("simhash finds the shuffled/mutated near-dup pairs") {
     val sim = run("dd_simhash").select("doc_a", "doc_b")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
