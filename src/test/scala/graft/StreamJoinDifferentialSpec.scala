@@ -206,4 +206,53 @@ class StreamJoinDifferentialSpec extends AnyFunSuite {
     }
     assert(spanning > 0, "no session spans a micro-batch boundary — differential too weak")
   }
+
+  test("ss_topk heap state survives a checkpointed stop/restart") {
+    // the A9 property for the streaming bounded heap: kill the query
+    // mid-stream, restart from the checkpoint, feed the rest — the
+    // restored TypedImperativeAggregate buffers must merge the second
+    // half as if the query never stopped (snapshot == the batch rank
+    // over ALL rows). This is the recovery contract a production
+    // leaderboard relies on; without state restore the first half's
+    // docs would vanish from the heap.
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.functions.topk_min
+    val rows = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .orderBy(col("doc_id")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val (first, second) = rows.splitAt(rows.length / 2)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ss_topk_ckpt").toString
+    val sink = "ss_topk_restart_sink"
+    spark.catalog.dropTempView(sink)
+    val feed = MemoryStream[(Long, String, Long)]
+    def start() = feed.toDF().toDF("doc_id", "source", "n_chars")
+      .groupBy(col("source"))
+      .agg(topk_min(struct((-col("n_chars")).as("nq"), col("doc_id").as("doc_id"),
+        col("n_chars").as("n_chars")), 5).as("tk"))
+      .select(col("source"), posexplode(col("tk")).as(Seq("pos", "st")))
+      .select(col("source"), (col("pos") + 1).as("rnk"),
+        col("st.doc_id").as("doc_id"), col("st.n_chars").as("n_chars"))
+      .writeStream.format("memory").queryName(sink)
+      .option("checkpointLocation", ckpt)
+      .outputMode("complete").start()
+    val q1 = start()
+    try { feed.addData(first.toSeq); q1.processAllAvailable() } finally q1.stop()
+    val q2 = start()
+    def asTuple(r: org.apache.spark.sql.Row) =
+      (r.getString(0), r.getAs[Number](1).longValue, r.getAs[Number](2).longValue,
+        r.getAs[Number](3).longValue)
+    val got =
+      try {
+        feed.addData(second.toSeq); q2.processAllAvailable()
+        spark.table(sink).collect().map(asTuple).toSet
+      } finally q2.stop()
+    val want = SparkEntry.queries("samp_group_cap")(spark, sfDir).collect()
+      .map(asTuple).toSet
+    assert(want.nonEmpty)
+    assert(got == want,
+      s"restored heap snapshot diverged from the batch rank: got ${got.size}, want ${want.size}")
+  }
 }
