@@ -58,7 +58,8 @@ object Bench {
       "fn_winsorize", "op_retention", "op_gap_fill", "samp_weighted",
       "mm_features_png", "ss_ann_assign", "samp_temperature", "samp_exact_n",
       "fn_robust_zscore", "tx_remove_boilerplate", "op_bucketed_join",
-      "ss_topk", "ss_quantile", "dd_cross_near", "fn_target_encode")
+      "ss_topk", "ss_quantile", "dd_cross_near", "fn_target_encode",
+      "srch_hybrid", "dd_incremental")
     val baselineSubset = results.view.filterKeys(!addedSinceBaseline.contains(_))
     val subtotal = baselineSubset.values.sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +

@@ -169,7 +169,8 @@ object ScaleCheck {
           "samp_weighted", "ss_enrich", "mm_features_png", "ss_ann_assign",
           "samp_temperature", "samp_exact_n", "fn_robust_zscore",
           "tx_remove_boilerplate", "op_bucketed_join", "ss_topk",
-          "ss_quantile", "dd_cross_near", "fn_target_encode")
+          "ss_quantile", "dd_cross_near", "fn_target_encode",
+          "srch_hybrid", "dd_incremental")
     val selected = if (only.isEmpty) names else names.filter(only)
     // dd_semdedup is excluded the same way dd_embed_cosine is: replicated
     // embeddings are bit-identical across copies, so k-fold data has k²

@@ -577,6 +577,61 @@ object DedupQueries {
         .orderBy(col("doc_id"))
     },
 
+    // INCREMENTAL ingest dedup — the daily-batch production shape: dedupe
+    // today's batch (sources with numeric suffix >= 15) against (a)
+    // itself and (b) the PERSISTED fingerprint store of the existing
+    // corpus (suffix < 15), WITHOUT rescanning the corpus. The store is
+    // built once per corpus snapshot (here: once per fixture dir,
+    // idempotent) and every subsequent ingest pays one linear batch scan
+    // + one fp-keyed join against the store — at 100 TB the corpus is
+    // never touched again, and bucketing the store by fp (the
+    // op_bucketed_join lever) makes even the store side exchange-free
+    // across daily runs. Verdicts: 'dup_of_corpus' (fp already in the
+    // store), 'dup_in_batch' (not in the store, but an earlier batch doc
+    // — min doc_id, an algebraic map-side-combining reduction — has the
+    // same fp), else 'new'. Fingerprints are the order-insensitive
+    // token-set md5 (the dd_cross_dedup policy — byte-hashing would be
+    // vacuous on this fixture, which plants shuffled copies, not
+    // byte-identical ones); MinHash (dd_cross_near) slots into the same
+    // store schema for a fuzzier policy. The batch side is day-sized, so
+    // the store join broadcasts IT, not the store.
+    QueryDef("dd_incremental", Some(
+      s"""WITH b AS (SELECT doc_id, ${Fingerprints.sql} AS fp FROM documents
+        |           WHERE CAST(substr(source, 4) AS INTEGER) >= 15),
+        |o AS (SELECT DISTINCT ${Fingerprints.sql} AS fp FROM documents
+        |      WHERE CAST(substr(source, 4) AS INTEGER) < 15),
+        |m AS (SELECT doc_id, fp, min(doc_id) OVER (PARTITION BY fp) AS first_id FROM b)
+        |SELECT m.doc_id,
+        |  CASE WHEN o.fp IS NOT NULL THEN 'dup_of_corpus'
+        |       WHEN m.doc_id <> m.first_id THEN 'dup_in_batch'
+        |       ELSE 'new' END AS verdict
+        |FROM m LEFT JOIN o ON m.fp = o.fp
+        |ORDER BY m.doc_id""".stripMargin)) { (s, d) =>
+      import org.apache.spark.sql.types.IntegerType
+      val srcN = substring(col("source"), 4, 10).cast(IntegerType)
+      val fp = Fingerprints.tokenSetFp(toks)
+      val storePath = s.conf.getOption("spark.graft.index.dir")
+        .getOrElse("/tmp/graft_index_store") + "/fp_store_ts_" +
+        java.lang.Long.toHexString(
+          scala.util.hashing.MurmurHash3.stringHash(d).toLong & 0xffffffffL)
+      val fs = new java.io.File(storePath)
+      if (!fs.exists()) {
+        docs(s, d).filter(srcN < 15).select(fp.as("fp")).distinct()
+          .write.mode("overwrite").parquet(storePath)
+      }
+      val store = s.read.parquet(storePath).withColumn("in_corpus", lit(true))
+      val batch = docs(s, d).filter(srcN >= 15).select(col("doc_id"), fp.as("fp"))
+      val firsts = batch.groupBy(col("fp")).agg(min(col("doc_id")).as("first_id"))
+      batch
+        .join(firsts, Seq("fp"))
+        .join(store, Seq("fp"), "left")
+        .select(col("doc_id"),
+          when(col("in_corpus"), "dup_of_corpus")
+            .when(col("doc_id") =!= col("first_id"), "dup_in_batch")
+            .otherwise("new").as("verdict"))
+        .orderBy(col("doc_id"))
+    },
+
     // Fuzzy entity matching: near-identical name pairs by edit distance —
     // the catalog-normalization op (one vendor's "blue bolt", another's
     // "blue bolts"). Matching runs on the DISTINCT VOCABULARY, not the

@@ -160,6 +160,90 @@ object SearchQueries {
         .groupBy(col("phrase_id"), col("doc_id"))
         .agg(count(lit(1)).as("n_occurrences"), min(col("anchor")).as("first_pos"))
         .orderBy(col("phrase_id"), col("doc_id"))
+    },
+
+    // Hybrid retrieval — the modern RAG-serving shape: a cheap lexical
+    // BM25 pass produces a bounded shortlist, then the shortlist alone is
+    // re-ranked by embedding cosine to the query vector (here the stored
+    // vec 0; a served system embeds the query text — the plan is
+    // identical). Composition is the point at 100 TB: the corpus pays
+    // only the linear BM25 scan + TakeOrderedAndProject (no vector math
+    // corpus-wide), and ALL vector work happens on the 20-row shortlist
+    // (broadcast join against the embeddings table, 20 keys) — the
+    // "candidate generation → expensive re-rank" funnel every production
+    // retrieval stack runs. Both scoring formulas are the engine's
+    // oracle-proven ones (srch_bm25, ann_brute_topk), so the hybrid
+    // output hash-matches DuckDB end to end; scores are floor-discretized
+    // micros like srch_bm25 (ln/ulp), ranking uses raw doubles with
+    // doc_id as the total tiebreak.
+    QueryDef("srch_hybrid", Some({
+      val tfs = Terms.map(t => s"len(list_filter(t, x -> x = '$t')) AS tf_$t").mkString(",\n  ")
+      val dfs = Terms.map(t => s"count(*) FILTER (WHERE list_contains(t, '$t')) AS df_$t").mkString(",\n  ")
+      val score = Terms.map(t =>
+        s"""ln(1 + (n_docs - df_$t + 0.5)/(df_$t + 0.5))
+           |    * tf_$t * ${K1 + 1} / (tf_$t + $K1 * (1 - $B + $B * dl / avgdl))""".stripMargin)
+        .mkString(" + ")
+      s"""WITH d AS (SELECT doc_id, string_split(text,' ') AS t,
+         |    len(string_split(text,' ')) AS dl FROM documents),
+         |st AS (SELECT count(*) AS n_docs,
+         |  CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl,
+         |  $dfs
+         |  FROM d),
+         |scored AS (
+         |  SELECT doc_id, $score AS raw
+         |  FROM (SELECT doc_id, dl, $tfs FROM d) CROSS JOIN st),
+         |sl AS (SELECT doc_id, raw FROM (
+         |    SELECT doc_id, raw, row_number() OVER (ORDER BY raw DESC, doc_id) AS brank
+         |    FROM scored) WHERE brank <= 20),
+         |p AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+         |c AS (SELECT sl.doc_id, sl.raw,
+         |    list_sum(list_transform(list_zip(p.qe, e.embedding), x -> CAST(x[1] AS DOUBLE) * x[2]))
+         |      / sqrt(list_sum(list_transform(p.qe, x -> CAST(x AS DOUBLE) * x))
+         |           * list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * x))) AS cos
+         |  FROM sl JOIN embeddings e ON e.vec_id = sl.doc_id CROSS JOIN p)
+         |SELECT doc_id,
+         |  row_number() OVER (ORDER BY cos DESC, doc_id) AS rank,
+         |  CAST(floor(raw * 1000000) AS BIGINT) AS bm25_micro,
+         |  CAST(floor(cos * 1000000) AS BIGINT) AS cos_micro
+         |FROM c ORDER BY rank""".stripMargin
+    })) { (s, d) =>
+      import graft.functions.dot_product
+      val base = docs(s, d).select(col("doc_id"), toks.as("t"),
+        size(toks).cast(LongType).as("dl"))
+      val statCols =
+        (sum(col("dl")).cast(DoubleType) / count(lit(1))).as("avgdl") +:
+          Terms.map(t => sum(when(array_contains(col("t"), t), 1L).otherwise(0L)).as(s"df_$t"))
+      val stats = base.agg(count(lit(1)).as("n_docs"), statCols: _*)
+      val tf = Terms.map(t =>
+        size(filter(col("t"), x => x === t)).cast(DoubleType).as(s"tf_$t"))
+      val scored = base
+        .select(col("doc_id") +: col("dl") +: tf: _*)
+        .crossJoin(broadcast(stats))
+      val raw = Terms.map { t =>
+        val idf = log(lit(1) + (col("n_docs") - col(s"df_$t") + 0.5) / (col(s"df_$t") + 0.5))
+        idf * col(s"tf_$t") * (K1 + 1) /
+          (col(s"tf_$t") + lit(K1) * (lit(1) - B + lit(B) * col("dl") / col("avgdl")))
+      }.reduce(_ + _)
+      val shortlist = scored.select(col("doc_id"), raw.as("raw"))
+        .orderBy(col("raw").desc, col("doc_id"))
+        .limit(20)
+      val emb = Tables.load(s, d, "embeddings")
+      val probe = emb.filter(col("vec_id") === 0)
+        .select(col("embedding").as("qe"),
+          dot_product(col("embedding"), col("embedding")).as("qn"))
+      val withVec = emb.select(col("vec_id"), col("embedding"),
+        dot_product(col("embedding"), col("embedding")).as("nsq"))
+      shortlist
+        .join(withVec, col("doc_id") === col("vec_id"))
+        .crossJoin(broadcast(probe))
+        .select(col("doc_id"), col("raw"),
+          (dot_product(col("qe"), col("embedding")) / sqrt(col("qn") * col("nsq"))).as("cos"))
+        // 20-row single-partition window, not a corpus-wide one
+        .withColumn("rank", row_number().over(Window.orderBy(col("cos").desc, col("doc_id"))))
+        .select(col("doc_id"), col("rank"),
+          floor(col("raw") * 1000000).cast(LongType).as("bm25_micro"),
+          floor(col("cos") * 1000000).cast(LongType).as("cos_micro"))
+        .orderBy(col("rank"))
     }
   )
 }
