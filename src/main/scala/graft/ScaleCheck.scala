@@ -73,8 +73,13 @@ object ScaleCheck {
     val skew = args.contains("skew")
     val rest = args.filterNot(_ == "skew")
     val k = rest.find(_.forall(_.isDigit)).map(_.toInt).getOrElse(8)
-    // non-numeric extra args: restrict to those query names (local iteration)
-    val only = rest.filterNot(_.forall(_.isDigit)).toSet
+    // conf:key=value args: session confs for the run (e.g. the guard's
+    // own scale path, conf:spark.graft.dedup.pairSource=minhash)
+    val confs = rest.filter(_.startsWith("conf:")).map { a =>
+      val kv = a.drop(5).split("=", 2); (kv(0), kv(1))
+    }
+    // remaining non-numeric args: restrict to those query names
+    val only = rest.filterNot(a => a.forall(_.isDigit) || a.startsWith("conf:")).toSet
     val base = "/root/testdata/sf0.1"
     val tag = if (skew) "scale_skew" else "scale"
     val out = s"/tmp/graft_${tag}_${k}x"
@@ -85,6 +90,7 @@ object ScaleCheck {
       .config("spark.sql.shuffle.partitions", cpus))
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    confs.foreach { case (key, value) => spark.conf.set(key, value) }
 
     // replicate with shifted ids (documents/embeddings get distinct ids so
     // dedup/ANN keys do not collapse; fact/dim tables keep their FK shape
