@@ -380,6 +380,12 @@ object Parser {
               if (n > 9999) throw new BqlParseException(
                 s"REGION($lo, $hi, $step) generates ${n + 1} points (> 10000)")
               ps ++= (0 to n).map(i => lo + i * step)
+            // MANUAL is bullet-core's explicit-list keyword — same
+            // semantics as a bare list, accepted for drop-in parity
+            case "MANUAL" =>
+              next(); expect(",")
+              ps += next().toDouble
+              while (accept(",")) ps += next().toDouble
             case _ =>
               ps += next().toDouble
               while (accept(",")) ps += next().toDouble

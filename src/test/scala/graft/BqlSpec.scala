@@ -73,6 +73,14 @@ class BqlSpec extends AnyFunSuite {
       "SELECT QUANTILE(v, REGION, 0.5, 1.5, 0.25) AS q FROM STREAM", // prob > 1
       "SELECT CDF(v, LINEAR, x) AS n FROM STREAM") // non-numeric count
     badSpecs.foreach(b => assertThrows[BqlParseException](Parser.parse(b)))
+    // MANUAL is bullet-core's explicit-list keyword: identical AST to
+    // the bare list, for drop-in BQL compatibility
+    assert(Parser.parse("SELECT QUANTILE(v, MANUAL, 0.1, 0.5, 0.9) AS q FROM STREAM").agg ==
+      Parser.parse("SELECT QUANTILE(v, 0.1, 0.5, 0.9) AS q FROM STREAM").agg)
+    assert(Parser.parse("SELECT PMF(v, MANUAL, 20, 80) AS n FROM STREAM").agg ==
+      Parser.parse("SELECT PMF(v, 20, 80) AS n FROM STREAM").agg)
+    assertThrows[BqlParseException](
+      Parser.parse("SELECT QUANTILE(v, MANUAL) AS q FROM STREAM")) // empty list
   }
 
   test("malformed input throws BqlParseException, never anything else") {
