@@ -52,9 +52,12 @@ object ScaleCheck {
         // low-cardinality stratum fn_quantile_bin / samp_group_cap /
         // samp_stratified key on. A per-stratum sort (the retired ntile
         // plan) would serialize the hot stratum in one task; the KLL
-        // cut-point / bounded-heap plans combine it map-side.
+        // cut-point / bounded-heap plans combine it map-side. The name
+        // keeps the numeric-suffix convention ("src99") so the
+        // split-parsing queries (dd_incremental) classify the hot
+        // stratum as batch-side and face its collapsed fingerprint.
         .withColumn("source",
-          when(col("doc_id") % 10 === 0, lit("hotsrc")).otherwise(col("source")))
+          when(col("doc_id") % 10 === 0, lit("src99")).otherwise(col("source")))
     // 10% of vectors become copies of ONE vector — a degenerate hot LSH
     // bucket / hot PQ cell, and (because vector content is identical
     // across replication copies) the hot bucket grows with k. The ANN
@@ -153,7 +156,10 @@ object ScaleCheck {
           // stresses the per-lang KLL/temperature plans, the hot source
           // stresses the streaming bounded heap
           "tx_remove_boilerplate", "fn_robust_zscore", "samp_temperature",
-          "dd_cross_near", "ss_topk")
+          // the hot template collapses 10% of docs onto ONE token-set
+          // fingerprint — the algebraic first-occurrence + store join
+          // must shrug it off
+          "dd_cross_near", "ss_topk", "dd_incremental")
       else
         Seq("b5_group_agg", "b1_filter_compound", "j_multiway_star",
           "b6_theta_distinct", "b8_freq_topk", "dd_minhash_lsh", "ann_lsh_topk",
@@ -176,7 +182,7 @@ object ScaleCheck {
           "samp_temperature", "samp_exact_n", "fn_robust_zscore",
           "tx_remove_boilerplate", "op_bucketed_join", "ss_topk",
           "ss_quantile", "dd_cross_near", "fn_target_encode",
-          "srch_hybrid", "dd_incremental")
+          "srch_hybrid", "dd_incremental", "emb_int8_quantize")
     val selected = if (only.isEmpty) names else names.filter(only)
     // dd_semdedup is excluded the same way dd_embed_cosine is: replicated
     // embeddings are bit-identical across copies, so k-fold data has k²

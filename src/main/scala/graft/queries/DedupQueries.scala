@@ -597,9 +597,9 @@ object DedupQueries {
     // the store join broadcasts IT, not the store.
     QueryDef("dd_incremental", Some(
       s"""WITH b AS (SELECT doc_id, ${Fingerprints.sql} AS fp FROM documents
-        |           WHERE CAST(substr(source, 4) AS INTEGER) >= 15),
+        |           WHERE TRY_CAST(substr(source, 4) AS INTEGER) >= 15),
         |o AS (SELECT DISTINCT ${Fingerprints.sql} AS fp FROM documents
-        |      WHERE CAST(substr(source, 4) AS INTEGER) < 15),
+        |      WHERE TRY_CAST(substr(source, 4) AS INTEGER) < 15),
         |m AS (SELECT doc_id, fp, min(doc_id) OVER (PARTITION BY fp) AS first_id FROM b)
         |SELECT m.doc_id,
         |  CASE WHEN o.fp IS NOT NULL THEN 'dup_of_corpus'
@@ -607,8 +607,10 @@ object DedupQueries {
         |       ELSE 'new' END AS verdict
         |FROM m LEFT JOIN o ON m.fp = o.fp
         |ORDER BY m.doc_id""".stripMargin)) { (s, d) =>
-      import org.apache.spark.sql.types.IntegerType
-      val srcN = substring(col("source"), 4, 10).cast(IntegerType)
+      // try_cast: a source name without the numeric suffix must not
+      // crash the splitter (ANSI cast would); unparseable sources fall
+      // out of both splits, matching the oracle's TRY_CAST
+      val srcN = expr("try_cast(substring(source, 4, 10) AS INT)")
       val fp = Fingerprints.tokenSetFp(toks)
       val storePath = s.conf.getOption("spark.graft.index.dir")
         .getOrElse("/tmp/graft_index_store") + "/fp_store_ts_" +

@@ -653,6 +653,55 @@ object SimilarityQueries {
           col("w.pred_label").as("pred_label"), col("w.votes").as("votes"),
           when(col("w.pred_label") === col("w.true_label"), 1).otherwise(0).as("correct"))
         .orderBy(col("qid"))
+    },
+
+    // Scalar int8 quantization — the embedding-STORAGE compression op
+    // (4x smaller vectors, the simple sibling of PQ's 32x): per-vector
+    // symmetric scale = 127/max|x|, q_i = floor(x_i · scale), plus the
+    // reconstruction-error mass the quality gate thresholds on. One
+    // linear codegen pass, zero shuffles (the ORDER BY is oracle
+    // determinism only) — at 100 TB this is a map over the corpus
+    // writing the compressed column next to the original. Cross-engine
+    // determinism: float→double widening is exact, scale is one
+    // correctly-rounded division, floor kills the ulp sensitivity round
+    // ties would have, and the error sum is the same sequential
+    // double-accumulator fold in both engines, floor-discretized to
+    // micros on output. A zero vector (max|x| = 0) quantizes to all
+    // zeros with zero error rather than dividing by zero.
+    QueryDef("emb_int8_quantize", Some(
+      """WITH s AS (SELECT vec_id, embedding,
+        |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS mx
+        |  FROM embeddings),
+        |q AS (SELECT vec_id, embedding,
+        |    CASE WHEN mx = 0 THEN 0.0 ELSE 127.0 / mx END AS scale
+        |  FROM s)
+        |SELECT vec_id,
+        |  CAST(list_sum(list_transform(embedding,
+        |    x -> floor(CAST(x AS DOUBLE) * scale))) AS BIGINT) AS q_sum,
+        |  CAST(list_min(list_transform(embedding,
+        |    x -> floor(CAST(x AS DOUBLE) * scale))) AS BIGINT) AS q_min,
+        |  CAST(list_max(list_transform(embedding,
+        |    x -> floor(CAST(x AS DOUBLE) * scale))) AS BIGINT) AS q_max,
+        |  CAST(CASE WHEN scale = 0 THEN 0 ELSE floor(1000000 *
+        |    list_sum(list_transform(embedding,
+        |      x -> abs(CAST(x AS DOUBLE) - floor(CAST(x AS DOUBLE) * scale) / scale))))
+        |  END AS BIGINT) AS abs_err_micro
+        |FROM q ORDER BY vec_id""".stripMargin)) { (s, d) =>
+      val x = (c: org.apache.spark.sql.Column) => c.cast("double")
+      val mx = array_max(transform(col("embedding"), e => abs(x(e))))
+      val scale = when(mx === 0, lit(0.0)).otherwise(lit(127.0) / mx)
+      val qArr = transform(col("embedding"), e => floor(x(e) * col("scale")))
+      val err = aggregate(col("embedding"), lit(0.0),
+        (acc, e) => acc + abs(x(e) - floor(x(e) * col("scale")) / col("scale")))
+      emb(s, d)
+        .select(col("vec_id"), col("embedding"), scale.as("scale"))
+        .select(col("vec_id"),
+          aggregate(qArr, lit(0.0), (a, v) => a + v).cast("long").as("q_sum"),
+          array_min(qArr).cast("long").as("q_min"),
+          array_max(qArr).cast("long").as("q_max"),
+          when(col("scale") === 0, lit(0L))
+            .otherwise(floor(lit(1000000) * err).cast("long")).as("abs_err_micro"))
+        .orderBy(col("vec_id"))
     }
   )
 }

@@ -341,6 +341,18 @@ class PlanSpec extends AnyFunSuite {
       s"both scans must read the bucketed layout:\n$p")
   }
 
+  test("hybrid retrieval: corpus pays only the BM25 heap; vector math is shortlist-side") {
+    val p = planStr("srch_hybrid")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"the BM25 shortlist must be a bounded heap, not a global sort:\n$p")
+    // the embeddings join must broadcast (the 20-row shortlist side),
+    // so the corpus-scale side never shuffles for the re-rank
+    assert(p.contains("BroadcastHashJoin"),
+      s"the shortlist re-rank must be a broadcast join:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"no corpus-sized shuffle join belongs in the funnel:\n$p")
+  }
+
   test("salted join spreads the key across salt-qualified exchanges") {
     val sj = planStr("op_salted_join")
     val ex = sj.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
