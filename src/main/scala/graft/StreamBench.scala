@@ -166,8 +166,13 @@ object StreamBench {
         else if (spec.startsWith("mix")) mixQueriesFor(spec.drop(3).toInt)
         else queriesFor(spec.toInt)
       qs.foreach { case (id, bql) => engine.submit(id, bql) }
-      val batches = (0 until nBatches).map(b => events.filter(
-        col("event_id") >= b * per && col("event_id") < (b + 1) * per))
+      // modulo slicing: equivalent to range slicing on the dense sf
+      // fixtures (uniform nBatches-way split) and still correct on the
+      // id-SHIFTED ScaleCheck replicas (point SPARK_GRAFT_SF_DIR at
+      // /tmp/graft_scale_8x for a production-sized 80k-rows/batch run),
+      // where range slicing would silently drop every shifted copy
+      val batches = (0 until nBatches).map(b =>
+        events.filter(pmod(col("event_id"), lit(nBatches)) === b))
       batches.head.count() // warm
       var acts = 0
       val t0 = System.nanoTime()
