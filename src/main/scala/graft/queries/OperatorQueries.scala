@@ -477,6 +477,37 @@ object OperatorQueries {
         .agg(count(lit(1)).as("n_items"),
           sum(col("l_quantity")).cast(LongType).as("sum_qty"))
         .orderBy(col("o_orderkey"))
+    },
+
+    // Table profiling — the ANALYZE/data-quality pass a pipeline runs
+    // before trusting a new drop: row count, per-column NDV, null
+    // counts, and value ranges in ONE scan. NDV here is exact
+    // count-distinct (Spark expands multi-distinct into one Expand +
+    // two-phase aggregate — still a single source scan); the
+    // sketch-based scale variant is the same query with
+    // theta_sketch_agg columns (b6_theta_distinct's machinery) when
+    // corpus-exact NDV stops being worth the expand. Every output is
+    // integer (l_quantity is integer-valued; the CAST makes the
+    // double→long exact), so the profile hash-matches DuckDB.
+    QueryDef("op_profile", Some(
+      """SELECT count(*) AS n_rows,
+        |  count(DISTINCT l_orderkey) AS ndv_orderkey,
+        |  count(DISTINCT l_partkey) AS ndv_partkey,
+        |  count(DISTINCT l_returnflag) AS ndv_returnflag,
+        |  count(*) - count(l_shipdate) AS nulls_shipdate,
+        |  CAST(min(l_quantity) AS BIGINT) AS min_qty,
+        |  CAST(max(l_quantity) AS BIGINT) AS max_qty,
+        |  CAST(sum(l_quantity) AS BIGINT) AS sum_qty
+        |FROM lineitem""".stripMargin)) { (s, d) =>
+      Tables.load(s, d, "lineitem").agg(
+        count(lit(1)).as("n_rows"),
+        countDistinct(col("l_orderkey")).as("ndv_orderkey"),
+        countDistinct(col("l_partkey")).as("ndv_partkey"),
+        countDistinct(col("l_returnflag")).as("ndv_returnflag"),
+        (count(lit(1)) - count(col("l_shipdate"))).as("nulls_shipdate"),
+        min(col("l_quantity")).cast(LongType).as("min_qty"),
+        max(col("l_quantity")).cast(LongType).as("max_qty"),
+        sum(col("l_quantity")).cast(LongType).as("sum_qty"))
     }
   )
 }

@@ -702,6 +702,34 @@ object SimilarityQueries {
           when(col("scale") === 0, lit(0L))
             .otherwise(floor(lit(1000000) * err).cast("long")).as("abs_err_micro"))
         .orderBy(col("vec_id"))
+    },
+
+    // Per-class centroids — the class-prototype computation behind
+    // nearest-centroid classifiers, SemDeDup cluster summaries, and
+    // drift monitoring. Float summation across rows is order-dependent
+    // (a cluster's reduce order is nondeterministic), so each element
+    // is first floor-scaled to an integer (×2²⁰ — exact: float→double
+    // widening, power-of-two multiply, floor) and the per-(label,
+    // dimension) SUM is integer arithmetic — bit-identical on any
+    // partitioning, any cluster size, any engine. Output is the long
+    // form (label, dim, sum_u, n): one posexplode + one partial+final
+    // aggregate on |labels|×dim keys; the centroid itself is
+    // sum_u/n/2²⁰ at the consumer's precision of choice.
+    QueryDef("emb_centroids", Some(
+      """SELECT label, u.i - 1 AS dim,
+        |  CAST(sum(CAST(floor(CAST(embedding[u.i] AS DOUBLE) * 1048576) AS BIGINT)) AS BIGINT) AS sum_u,
+        |  count(*) AS n
+        |FROM embeddings, unnest(generate_series(1, len(embedding))) u(i)
+        |GROUP BY label, u.i ORDER BY label, dim""".stripMargin)) { (s, d) =>
+      emb(s, d)
+        .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "x")))
+        .select(col("label"), col("dim"),
+          floor(col("x").cast("double") * 1048576).cast("long").as("xu"))
+        .groupBy(col("label"), col("dim"))
+        .agg(sum(col("xu")).as("sum_u"), count(lit(1)).as("n"))
+        .select(col("label"), col("dim").cast("long").as("dim"),
+          col("sum_u"), col("n"))
+        .orderBy(col("label"), col("dim"))
     }
   )
 }
