@@ -508,6 +508,31 @@ object OperatorQueries {
         min(col("l_quantity")).cast(LongType).as("min_qty"),
         max(col("l_quantity")).cast(LongType).as("max_qty"),
         sum(col("l_quantity")).cast(LongType).as("sum_qty"))
+    },
+
+    // The SKETCH profile — op_profile's corpus-scale variant made real:
+    // NDV via Theta sketches instead of exact count-distinct, so the
+    // whole profile is ONE partial+final aggregate with no Expand and
+    // no distinct exchange — mergeable O(sketch) state per column, the
+    // shape that profiles 100 TB in a single pass (and whose per-day
+    // partials roll up without rescanning, b6_theta_merge-style).
+    // lgNominalEntries=20 keeps the sketch in its exact regime for the
+    // fixture cardinalities (Theta retains every hash until ~1M
+    // distinct), so the DuckDB count-distinct oracle matches exactly;
+    // at true corpus scale the same plan returns estimates.
+    QueryDef("op_profile_sketch", Some(
+      """SELECT count(*) AS n_rows,
+        |  count(DISTINCT l_orderkey) AS ndv_orderkey,
+        |  count(DISTINCT l_partkey) AS ndv_partkey,
+        |  CAST(min(l_quantity) AS BIGINT) AS min_qty,
+        |  CAST(max(l_quantity) AS BIGINT) AS max_qty
+        |FROM lineitem""".stripMargin)) { (s, d) =>
+      Tables.load(s, d, "lineitem").agg(
+        count(lit(1)).as("n_rows"),
+        expr("theta_sketch_estimate(theta_sketch_agg(l_orderkey, 20))").as("ndv_orderkey"),
+        expr("theta_sketch_estimate(theta_sketch_agg(l_partkey, 20))").as("ndv_partkey"),
+        min(col("l_quantity")).cast(LongType).as("min_qty"),
+        max(col("l_quantity")).cast(LongType).as("max_qty"))
     }
   )
 }

@@ -256,6 +256,43 @@ object SamplingQueries {
     // TakeOrderedAndProject, and the same certificate samp_group_cap
     // holds per group. md5 keys the draw to content, so the same doc
     // set is selected on every engine, partitioning, and cluster size.
+    QueryDef("samp_upsample", Some(
+      // Repeat-UPSAMPLING — the other half of importance weighting:
+      // samp_weighted can only keep/drop (p <= 1); mixture recipes also
+      // REPEAT high-weight documents (epochs-per-source > 1). Each doc
+      // gets floor(w) guaranteed copies plus one more with probability
+      // frac(w), the fractional draw being the same deterministic
+      // 16-bit md5 compare as samp_weighted — so expected copies = w,
+      // realized copies are a pure function of content, and the oracle
+      // reproduces them exactly. w = min(4, n_chars/200) here; a real
+      // pipeline feeds per-source epoch weights. One codegen pass +
+      // a row-local explode — no shuffle (ORDER BY is oracle
+      // determinism only), and the fan-out is bounded by the weight cap.
+      """WITH w AS (SELECT doc_id, least(4.0, n_chars / 200.0) AS w,
+        |    substr(md5(text), 1, 4) AS h4 FROM documents),
+        |c AS (SELECT doc_id,
+        |    CAST(floor(w) AS BIGINT) +
+        |    CASE WHEN h4 < printf('%04x',
+        |      CAST(floor((w - floor(w)) * 65535) AS BIGINT)) THEN 1 ELSE 0 END AS n_copies
+        |  FROM w)
+        |SELECT doc_id, u.k AS copy
+        |FROM c, unnest(generate_series(1, n_copies)) u(k)
+        |ORDER BY doc_id, copy""".stripMargin)) { (s, d) =>
+      val w = least(lit(4.0), col("n_chars") / 200.0)
+      val frac16 = floor((w - floor(w)) * 65535).cast("long")
+      val nCopies = (floor(w).cast("long") +
+        when(substring(md5(col("text")), 1, 4) < format_string("%04x", frac16), 1L)
+          .otherwise(0L)).as("n_copies")
+      Tables.load(s, d, "documents")
+        .select(col("doc_id"), nCopies)
+        // sequence(1, 0) would generate a DESCENDING [1, 0] — guard the
+        // zero-copy case with an empty array (explode then drops it)
+        .select(col("doc_id"),
+          explode(when(col("n_copies") >= 1, sequence(lit(1L), col("n_copies")))
+            .otherwise(array().cast("array<bigint>"))).as("copy"))
+        .orderBy(col("doc_id"), col("copy"))
+    },
+
     QueryDef("samp_exact_n", Some(
       """SELECT doc_id, h FROM (
         |  SELECT doc_id, md5(text) AS h FROM documents ORDER BY h, doc_id LIMIT 100)
