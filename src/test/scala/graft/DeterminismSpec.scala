@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Cluster-size invariance — the determinism claim behind every
+  * content-hash draw, sketch threshold, and integer-scaled reduction in
+  * the engine, asserted rather than argued: the SAME rows must come back
+  * when the scan is split into many more partitions (smaller
+  * maxPartitionBytes → more input splits → different evaluation order
+  * within and across tasks) and the shuffle fan-out changes (5 vs 32
+  * reducers → different merge orders). A plan whose result depends on
+  * partitioning (an RNG sample, a float row-sum, an arrival-order rank
+  * without a total tie-break) fails here before it fails on a real
+  * cluster whose size the author never tested. */
+class DeterminismSpec extends AnyFunSuite {
+  private val sfDir = "/root/testdata/sf0.001"
+  private lazy val spark: SparkSession = GraftSession.local(4)
+
+  // the partitioning-sensitive families: hash-draw sampling (weighted /
+  // temperature / upsample / exact-N / group-cap heaps), hash dedup and
+  // the store-backed incremental splitter, sketch-derived cut points,
+  // exact decimal aggregation, and the integer-scaled centroid sums
+  private val queries = Seq(
+    "samp_weighted", "samp_temperature", "samp_upsample", "samp_exact_n",
+    "samp_group_cap", "dd_exact", "dd_incremental", "tx_fingerprint",
+    "fn_quantile_bin", "b5_group_agg", "emb_centroids", "fn_target_encode")
+
+  private def canonical(name: String): Seq[String] =
+    SparkEntry.queries(name)(spark, sfDir).collect().map(_.toString).toSeq.sorted
+
+  test("results are invariant to scan split size and shuffle fan-out") {
+    val defaults = Seq(
+      "spark.sql.shuffle.partitions",
+      "spark.sql.files.maxPartitionBytes").map(k => k -> spark.conf.get(k))
+    val baseline = queries.map(n => n -> canonical(n)).toMap
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "5")
+      spark.conf.set("spark.sql.files.maxPartitionBytes", "65536")
+      queries.foreach { n =>
+        assert(canonical(n) == baseline(n),
+          s"$n changed its result under a different partitioning")
+      }
+    } finally defaults.foreach { case (k, v) => spark.conf.set(k, v) }
+  }
+}
