@@ -60,7 +60,7 @@ object Bench {
       "fn_robust_zscore", "tx_remove_boilerplate", "op_bucketed_join",
       "ss_topk", "ss_quantile", "dd_cross_near", "fn_target_encode",
       "srch_hybrid", "dd_incremental", "emb_int8_quantize", "op_profile",
-      "emb_centroids", "op_profile_sketch", "samp_upsample")
+      "emb_centroids", "op_profile_sketch", "samp_upsample", "op_dq_rules")
     val baselineSubset = results.view.filterKeys(!addedSinceBaseline.contains(_))
     val subtotal = baselineSubset.values.sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +

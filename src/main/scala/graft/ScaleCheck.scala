@@ -183,7 +183,7 @@ object ScaleCheck {
           "tx_remove_boilerplate", "op_bucketed_join", "ss_topk",
           "ss_quantile", "dd_cross_near", "fn_target_encode",
           "srch_hybrid", "dd_incremental", "emb_int8_quantize", "op_profile",
-          "emb_centroids", "op_profile_sketch", "samp_upsample")
+          "emb_centroids", "op_profile_sketch", "samp_upsample", "op_dq_rules")
     val selected = if (only.isEmpty) names else names.filter(only)
     // dd_semdedup is excluded the same way dd_embed_cosine is: replicated
     // embeddings are bit-identical across copies, so k-fold data has k²

@@ -533,6 +533,49 @@ object OperatorQueries {
         expr("theta_sketch_estimate(theta_sketch_agg(l_partkey, 20))").as("ndv_partkey"),
         min(col("l_quantity")).cast(LongType).as("min_qty"),
         max(col("l_quantity")).cast(LongType).as("max_qty"))
+    },
+
+    // Data-quality rule pass — the expectations check a pipeline runs on
+    // every new drop before it reaches training: N declarative rules
+    // evaluated in ONE scan (conditional counts combine map-side; adding
+    // a rule adds a column, never a pass), reported as violations +
+    // parts-per-million per rule. Rules here are a representative mix of
+    // range, threshold, and domain checks — including one that PASSES
+    // (flag_domain, 0 violations), because a DQ report that can only
+    // show failures is a DQ report nobody trusts. The ppm is integer
+    // division, so the whole report hash-compares exactly.
+    QueryDef("op_dq_rules", Some(
+      """WITH s AS (SELECT count(*) AS n_rows,
+        |    count(*) FILTER (WHERE l_quantity > 45) AS v_qty,
+        |    count(*) FILTER (WHERE l_extendedprice > 80000) AS v_price,
+        |    count(*) FILTER (WHERE l_discount > 0.08) AS v_disc,
+        |    count(*) FILTER (WHERE l_returnflag NOT IN ('A', 'N', 'R')) AS v_flag
+        |  FROM lineitem)
+        |SELECT rule, n_violations, n_rows,
+        |  (1000000 * n_violations) // n_rows AS ppm
+        |FROM (
+        |  SELECT 'qty_le_45' AS rule, v_qty AS n_violations, n_rows FROM s
+        |  UNION ALL SELECT 'price_le_80k', v_price, n_rows FROM s
+        |  UNION ALL SELECT 'discount_le_008', v_disc, n_rows FROM s
+        |  UNION ALL SELECT 'flag_domain', v_flag, n_rows FROM s)
+        |ORDER BY rule""".stripMargin)) { (s, d) =>
+      val rules = Seq(
+        "qty_le_45" -> (col("l_quantity") > 45),
+        "price_le_80k" -> (col("l_extendedprice") > 80000),
+        "discount_le_008" -> (col("l_discount") > 0.08),
+        "flag_domain" -> !col("l_returnflag").isin("A", "N", "R"))
+      val wide = Tables.load(s, d, "lineitem").agg(
+        count(lit(1)).as("n_rows"),
+        rules.map { case (n, p) => count(when(p, 1)).as(s"v_$n") }: _*)
+      wide
+        .select(explode(array(rules.map { case (n, _) =>
+          struct(lit(n).as("rule"), col(s"v_$n").as("n_violations"),
+            col("n_rows").as("n_rows"))
+        }: _*)).as("r"))
+        .select(col("r.rule").as("rule"), col("r.n_violations").as("n_violations"),
+          col("r.n_rows").as("n_rows"),
+          expr("(1000000 * r.n_violations) div r.n_rows").as("ppm"))
+        .orderBy(col("rule"))
     }
   )
 }
