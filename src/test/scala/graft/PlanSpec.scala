@@ -406,6 +406,57 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("AQE splits a runtime-detected skewed join partition (no manual salt)") {
+    // the runtime complement of op_salted_join's compile-time salting:
+    // when a shuffle partition turns out hot at the stage boundary, AQE
+    // re-plans the sort-merge join to read that partition in slices
+    // (AQEShuffleRead ... skewed / SMJ skew=true). Thresholds are tuned
+    // down for the tiny fixture; at real scale the defaults (factor 5,
+    // 256 MB) fire on their own — this gate proves the engine's session
+    // config actually enables the path.
+    val saved = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.coalescePartitions.enabled",
+      "spark.sql.files.maxPartitionBytes",
+      "spark.sql.autoBroadcastJoinThreshold").map(k => k -> spark.conf.get(k))
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1.0")
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "8192")
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8192")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "262144")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      // sf0.1 events (100k rows): enough shuffle bytes for the skew
+      // detector's size stats to see the hot partition at tiny thresholds
+      val ev = graft.sources.Tables.load(spark, "/root/testdata/sf0.1", "events")
+        // 90% of the log collapses onto ONE join key
+        .withColumn("k",
+          org.apache.spark.sql.functions.when(col("event_id") % 10 =!= 0, 1L)
+            .otherwise(col("event_id")))
+      val right = graft.sources.Tables.load(spark, "/root/testdata/sf0.1", "events")
+        .select(col("event_id").as("k2"), col("value").as("v2"))
+      // a runtime replan only lands in THIS QueryExecution — drive it
+      // with collect() (the noop-write helper executes a separate one).
+      // The repartition(16) gives the join shuffle MANY map tasks: skew
+      // splitting slices a hot reduce partition at map-output-block
+      // granularity, and the single-row-group fixture parquet would
+      // otherwise put the whole hot partition in ONE map's output —
+      // unsplittable however hot the key. (On a real cluster the fact
+      // table's thousands of scan tasks provide this for free.)
+      val df = ev.repartition(16)
+        .join(right.repartition(16), col("k") === col("k2"))
+      df.collect()
+      val p = (df.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case x => x
+      }).toString
+      assert(p.contains("skew=true") || p.contains("skewed"),
+        s"AQE must split the hot partition:\n$p")
+    } finally saved.foreach { case (k, v) => spark.conf.set(k, v) }
+  }
+
   test("runtime bloom filter prunes the fact side of a selective shuffle join") {
     // the 100 TB lever for selective-dim shuffle joins: Catalyst injects a
     // bloom_filter_agg over the filtered dim keys and a might_contain
