@@ -24,6 +24,14 @@ object GraftSession {
     .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
     .config("spark.sql.adaptive.skewJoin.enabled", "true")
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // Runtime row-level filtering: when a shuffle join's creation side is
+    // small and selective, inject a bloom filter into the application
+    // side's scan — at 100 TB this is the difference between shuffling
+    // the whole fact table and shuffling the ~matching fraction. The
+    // size thresholds stay at Spark defaults (creation <= 10 MB,
+    // application >= 10 GB scan) so it arms exactly where it pays;
+    // PlanSpec forces the thresholds down to prove the injection fires.
+    .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
     // Fixture timestamps are written without isAdjustedToUTC; read them as
     // TIMESTAMP (LTZ) rather than TIMESTAMP_NTZ so the whole engine keeps a
     // single timestamp type. Under the UTC session timezone this is

@@ -159,7 +159,11 @@ object ScaleCheck {
           // the hot template collapses 10% of docs onto ONE token-set
           // fingerprint — the algebraic first-occurrence + store join
           // must shrug it off
-          "dd_cross_near", "ss_topk", "dd_incremental")
+          "dd_cross_near", "ss_topk", "dd_incremental",
+          // hot o_custkey: the forget cascade's semi/anti joins stay
+          // broadcast (tombstones are key-bounded), so a hot customer
+          // only grows the scanned side linearly
+          "op_forget_users")
       else
         Seq("b5_group_agg", "b1_filter_compound", "j_multiway_star",
           "b6_theta_distinct", "b8_freq_topk", "dd_minhash_lsh", "ann_lsh_topk",
@@ -183,12 +187,16 @@ object ScaleCheck {
           "tx_remove_boilerplate", "op_bucketed_join", "ss_topk",
           "ss_quantile", "dd_cross_near", "fn_target_encode",
           "srch_hybrid", "dd_incremental", "emb_int8_quantize", "op_profile",
-          "emb_centroids", "op_profile_sketch", "samp_upsample", "op_dq_rules")
+          "emb_centroids", "op_profile_sketch", "samp_upsample", "op_dq_rules",
+          "fn_feature_hash", "op_forget_users", "op_zorder_layout",
+          "src_csv_roundtrip")
     val selected = if (only.isEmpty) names else names.filter(only)
     // dd_semdedup is excluded the same way dd_embed_cosine is: replicated
     // embeddings are bit-identical across copies, so k-fold data has k²
     // true cosine pairs — the linearity signal would measure the fixture,
-    // not the plan.
+    // not the plan. emb_bitext_mine is its quadratic-guarded sibling
+    // (exact |A|x|B| pair frame by design): same exclusion, its scale
+    // path is the ANN shortlist per the scaladoc.
     // srch_bm25 caveat: token salting means only copy 0 hits the fixed
     // query terms at kx, so hit DENSITY falls k-fold. The measured cost is
     // still representative — BM25's work is the per-token tf scan and the

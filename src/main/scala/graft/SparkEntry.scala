@@ -17,7 +17,8 @@ object SparkEntry {
     CoreQueries.defs ++ SketchQueries.defs ++ TextQueries.defs ++
       DedupQueries.defs ++ SimilarityQueries.defs ++ BqlQueries.defs ++
       MultimodalQueries.defs ++ OperatorQueries.defs ++ FunctionQueries.defs ++
-      SamplingQueries.defs ++ SearchQueries.defs ++ StreamingQueries.defs
+      SamplingQueries.defs ++ SearchQueries.defs ++ StreamingQueries.defs ++
+      SourceQueries.defs
 
   private val (queryMap, oracleMap) = QueryDef.toMaps(allDefs)
 

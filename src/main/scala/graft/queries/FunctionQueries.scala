@@ -368,6 +368,42 @@ object FunctionQueries {
           (((col("ssum") - col("n_chars")).cast("double") + col("p20"))
             / (col("n") - 1 + 20.0)).as("enc_loo"))
         .orderBy(col("doc_id"))
+    },
+
+    // Feature hashing (the "hashing trick", Weinberger et al. 2009,
+    // public literature): project each document's bag-of-tokens into a
+    // FIXED 64-bucket space by hashing tokens — the unbounded-vocabulary
+    // featurizer linear classifiers and quality filters train on, with
+    // no vocabulary table to build, ship, or look up. Scale shape:
+    // ENTIRELY row-local — md5 each token once, fold the bucket array
+    // into 64 counts inside the row, posexplode the non-zero slots. Zero
+    // shuffles, zero joins, zero driver state; at 100 TB this is a pure
+    // codegen map over the corpus (the ORDER BY is oracle determinism
+    // only). The bucket function is the first 4 hex chars of md5 mod 64
+    // — cross-engine exact (Spark conv(hex,16,10) ≡ the oracle's
+    // digit-wise strpos expansion), unlike xxhash64/murmur whose seeds
+    // differ per engine.
+    QueryDef("fn_feature_hash", Some(
+      """WITH g AS (SELECT doc_id, unnest(string_split(text,' ')) AS t FROM documents),
+        |h AS (SELECT doc_id,
+        |   ((strpos('0123456789abcdef', substr(md5(t),1,1))-1)*4096
+        |   +(strpos('0123456789abcdef', substr(md5(t),2,1))-1)*256
+        |   +(strpos('0123456789abcdef', substr(md5(t),3,1))-1)*16
+        |   +(strpos('0123456789abcdef', substr(md5(t),4,1))-1)) % 64 AS bucket
+        | FROM g)
+        |SELECT doc_id, CAST(bucket AS BIGINT) AS bucket, count(*) AS cnt
+        |FROM h GROUP BY doc_id, bucket ORDER BY doc_id, bucket""".stripMargin)) { (s, d) =>
+      val nBuckets = 64
+      val bk = transform(split(col("text"), " "),
+        t => conv(substring(md5(t), 1, 4), 16, 10).cast(LongType) % nBuckets)
+      val counts = transform(sequence(lit(0L), lit(nBuckets - 1L)),
+        b => size(filter(col("bk"), x => x === b)).cast(LongType))
+      Tables.load(s, d, "documents")
+        .select(col("doc_id"), bk.as("bk"))
+        .select(col("doc_id"), posexplode(counts).as(Seq("bucket", "cnt")))
+        .filter(col("cnt") > 0)
+        .select(col("doc_id"), col("bucket").cast(LongType).as("bucket"), col("cnt"))
+        .orderBy(col("doc_id"), col("bucket"))
     }
   )
 }

@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
+import graft.operators.ZOrder
 import graft.sources.Tables
 
 /** Operators Spark has no single built-in for, composed Spark-first
@@ -576,6 +577,88 @@ object OperatorQueries {
           col("r.n_rows").as("n_rows"),
           expr("(1000000 * r.n_violations) div r.n_rows").as("ppm"))
         .orderBy(col("rule"))
+    },
+
+    // Right-to-be-forgotten cascade (GDPR/CCPA deletion): given a
+    // tombstone set of customers (every 97th key stands in for the
+    // deletion-request table), purge them AND every dependent row —
+    // their orders, and those orders' lineitems — reporting per-table
+    // before/after/purged counts, the audit artifact a compliance run
+    // must produce. Scale shape: the tombstone set is small by nature
+    // (requests, not corpus), so both cascade levels are BROADCAST
+    // semi/anti joins — the fact tables stream through unshuffled and
+    // the doomed-orders key set (tombstone-bounded) broadcasts into the
+    // lineitem pass; counts are map-side-combining aggregates. At 100 TB
+    // the same plan rewrites files in place (purged = anti-join output);
+    // if the request set ever outgrows broadcast, AQE's runtime bloom
+    // filter (see GraftSession) prefilters the scan before a shuffled
+    // anti join. All-integer output → exact hash compare.
+    QueryDef("op_forget_users", Some(
+      """WITH t AS (SELECT c_custkey FROM customer WHERE c_custkey % 97 = 0),
+        |do_ AS (SELECT o_orderkey FROM orders
+        |        WHERE o_custkey IN (SELECT c_custkey FROM t)),
+        |c AS (SELECT count(*) AS nb,
+        |        count(*) FILTER (WHERE c_custkey % 97 = 0) AS np FROM customer),
+        |o AS (SELECT count(*) AS nb,
+        |        count(*) FILTER (WHERE o_custkey IN (SELECT c_custkey FROM t)) AS np
+        |      FROM orders),
+        |l AS (SELECT count(*) AS nb,
+        |        count(*) FILTER (WHERE l_orderkey IN (SELECT o_orderkey FROM do_)) AS np
+        |      FROM lineitem)
+        |SELECT tbl, rows_before, rows_before - rows_purged AS rows_after, rows_purged
+        |FROM (
+        |  SELECT 'customer' AS tbl, nb AS rows_before, np AS rows_purged FROM c
+        |  UNION ALL SELECT 'orders', nb, np FROM o
+        |  UNION ALL SELECT 'lineitem', nb, np FROM l)
+        |ORDER BY tbl""".stripMargin)) { (s, d) =>
+      val cust = Tables.load(s, d, "customer")
+      val orders = Tables.load(s, d, "orders")
+      val li = Tables.load(s, d, "lineitem")
+      val tomb = cust.filter(col("c_custkey") % 97 === 0).select(col("c_custkey"))
+      val doomedOrders = orders
+        .join(broadcast(tomb), col("o_custkey") === col("c_custkey"), "left_semi")
+        .select(col("o_orderkey"))
+      def report(name: String, df: DataFrame, purged: DataFrame): DataFrame =
+        df.agg(count(lit(1)).as("rows_before"))
+          .crossJoin(broadcast(purged.agg(count(lit(1)).as("rows_purged"))))
+          .select(lit(name).as("tbl"), col("rows_before"),
+            (col("rows_before") - col("rows_purged")).as("rows_after"),
+            col("rows_purged"))
+      val oPurged = orders.join(broadcast(tomb),
+        col("o_custkey") === col("c_custkey"), "left_semi")
+      val lPurged = li.join(broadcast(doomedOrders),
+        col("l_orderkey") === col("o_orderkey"), "left_semi")
+      report("customer", cust, tomb)
+        .union(report("orders", orders, oPurged))
+        .union(report("lineitem", li, lPurged))
+        .orderBy(col("tbl"))
+    },
+
+    // Z-order (Morton) layout key — the multi-dimensional clustering
+    // step behind Delta/Iceberg `OPTIMIZE ZORDER BY`: interleaving the
+    // bits of two dimensions gives ONE sort key that keeps both dims
+    // locally clustered, so file/row-group min-max stats prune 2-D box
+    // predicates that a single-column sort can only prune on its lead
+    // column. This query is the key computation (pure codegen bit
+    // arithmetic, zero shuffles — the ORDER BY is oracle determinism
+    // only); ZOrderSpec writes the actual layout and measures the
+    // per-file bounding-area win vs a single-column sort. Dim squash:
+    // custkey wraps mod 2^16 (equality/short-range locality survives the
+    // wrap at fixture scale), totalprice bin-scales by 16 which keeps
+    // the full fixture range inside 16 bits order-preservingly.
+    QueryDef("op_zorder_layout", Some(
+      s"""WITH g AS (SELECT o_orderkey, o_custkey % 65536 AS x,
+         |    least(65535, CAST(floor(o_totalprice / 16) AS BIGINT)) AS y
+         |  FROM orders)
+         |SELECT o_orderkey, x, y, ${ZOrder.oracleSql("x", "y")} AS zval
+         |FROM g ORDER BY o_orderkey""".stripMargin)) { (s, d) =>
+      Tables.load(s, d, "orders")
+        .select(col("o_orderkey"),
+          (col("o_custkey") % 65536).as("x"),
+          least(lit(65535L), floor(col("o_totalprice") / 16).cast(LongType)).as("y"))
+        .select(col("o_orderkey"), col("x"), col("y"),
+          ZOrder.zval16(col("x"), col("y")).as("zval"))
+        .orderBy(col("o_orderkey"))
     }
   )
 }

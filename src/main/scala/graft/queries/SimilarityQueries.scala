@@ -730,6 +730,101 @@ object SimilarityQueries {
         .select(col("label"), col("dim").cast("long").as("dim"),
           col("sum_u"), col("n"))
         .orderBy(col("label"), col("dim"))
+    },
+
+    // Margin-based bitext mining (Artetxe & Schwenk 2019, public
+    // literature): align each "source-language" vector (even vec_id) with
+    // its best "target-language" candidate (odd vec_id) by MARGIN score —
+    // cosine normalized by the mean cosine of each side's k nearest
+    // neighbors — with a mutual-best flag; raw cosine alone over-selects
+    // hub vectors, the margin ratio is the published fix. This is the
+    // parallel-corpus mining step of multilingual training pipelines.
+    // Exact baseline behind QuadraticGuard (the pair frame is |A|×|B|);
+    // the 100 TB path swaps the exact pair frame for an ANN shortlist
+    // (ann_ivf_topk's IVF assignment) and everything downstream — the
+    // per-side neighborhood sums, margin, and mutual-argmax — is already
+    // the scale-safe shape: partial+final `topk_min` bounded heaps (no
+    // windows), |A|- and |B|-row sum frames broadcast back, argmax via a
+    // second bounded heap. Cross-engine determinism: the fused
+    // dot/sqrt(na*nb) cosine is the proven dd_embed_cosine form; the
+    // neighborhood sum folds the top-k cosines in the SAME order both
+    // engines (cos DESC, id ASC); the margin is one division of
+    // bit-identical doubles, floor-discretized to micros on output; rank
+    // ties break by id. Zero-norm vectors (cos = NaN) are filtered on
+    // both sides up front — the topk_min NaN contract (scaladoc) makes
+    // that the caller's job.
+    QueryDef("emb_bitext_mine", Some(
+      """WITH e AS (SELECT vec_id, embedding,
+        |    list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x)) AS nsq
+        |  FROM embeddings),
+        |f AS (SELECT * FROM e WHERE nsq > 0),
+        |a AS (SELECT vec_id AS va, embedding AS ea, nsq AS na FROM f WHERE vec_id % 2 = 0),
+        |b AS (SELECT vec_id AS vb, embedding AS eb, nsq AS nb FROM f WHERE vec_id % 2 = 1),
+        |p AS (SELECT va, vb,
+        |    list_sum(list_transform(list_zip(ea, eb), x -> CAST(x[1] AS DOUBLE) * x[2]))
+        |      / sqrt(na * nb) AS cos
+        |  FROM a, b),
+        |ka AS (SELECT va, list_sum((list(cos ORDER BY cos DESC, vb ASC))[1:4]) AS sa
+        |  FROM p GROUP BY va),
+        |kb AS (SELECT vb, list_sum((list(cos ORDER BY cos DESC, va ASC))[1:4]) AS sb
+        |  FROM p GROUP BY vb),
+        |m AS (SELECT p.va, p.vb, p.cos / ((ka.sa + kb.sb) / 8.0) AS margin
+        |  FROM p JOIN ka USING (va) JOIN kb USING (vb)
+        |  WHERE (ka.sa + kb.sb) / 8.0 > 0),
+        |fwd AS (SELECT va, vb, margin FROM
+        |  (SELECT va, vb, margin,
+        |     row_number() OVER (PARTITION BY va ORDER BY margin DESC, vb ASC) AS r FROM m)
+        |  WHERE r = 1),
+        |bwd AS (SELECT va, vb FROM
+        |  (SELECT va, vb,
+        |     row_number() OVER (PARTITION BY vb ORDER BY margin DESC, va ASC) AS r FROM m)
+        |  WHERE r = 1)
+        |SELECT fw.va AS vec_a, fw.vb AS vec_b,
+        |  CAST(floor(1000000 * fw.margin) AS BIGINT) AS margin_micro,
+        |  CASE WHEN bw.va IS NOT NULL THEN 1 ELSE 0 END AS mutual
+        |FROM fwd fw LEFT JOIN bwd bw ON fw.va = bw.va AND fw.vb = bw.vb
+        |ORDER BY vec_a""".stripMargin)) { (s, d) =>
+      val k = 4
+      val e = graft.operators.QuadraticGuard
+        .check(emb(s, d), "emb_bitext_mine", "ann_ivf_topk")
+        .select(col("vec_id"), col("embedding"),
+          dot_product(col("embedding"), col("embedding")).as("nsq"))
+        .filter(col("nsq") > 0)
+      val a = e.filter(col("vec_id") % 2 === 0)
+        .select(col("vec_id").as("va"), col("embedding").as("ea"), col("nsq").as("na"))
+      val b = e.filter(col("vec_id") % 2 === 1)
+        .select(col("vec_id").as("vb"), col("embedding").as("eb"), col("nsq").as("nb"))
+      val p = a.join(b, col("va") =!= col("vb"))
+        .select(col("va"), col("vb"),
+          (dot_product(col("ea"), col("eb")) / sqrt(col("na") * col("nb"))).as("cos"))
+      // neighborhood sum: fold the heap's sorted (cos DESC, id ASC) order —
+      // the exact order the oracle's list(...)[1:k] slice sums in
+      val sumTk = (tk: Column) =>
+        aggregate(tk, lit(0.0), (acc, x) => acc + (-x.getField("nc")))
+      val ka = p.groupBy(col("va"))
+        .agg(topk_min(struct((-col("cos")).as("nc"), col("vb").as("id")), k).as("tk"))
+        .select(col("va"), sumTk(col("tk")).as("sa"))
+      val kb = p.groupBy(col("vb"))
+        .agg(topk_min(struct((-col("cos")).as("nc"), col("va").as("id")), k).as("tk"))
+        .select(col("vb"), sumTk(col("tk")).as("sb"))
+      val m = p.join(broadcast(ka), Seq("va")).join(broadcast(kb), Seq("vb"))
+        .select(col("va"), col("vb"), col("cos"),
+          ((col("sa") + col("sb")) / lit(2.0 * k)).as("denom"))
+        .filter(col("denom") > 0)
+        .select(col("va"), col("vb"), (col("cos") / col("denom")).as("margin"))
+      val fwd = m.groupBy(col("va"))
+        .agg(topk_min(struct((-col("margin")).as("nm"), col("vb").as("vb")), 1).as("tk"))
+        .select(col("va"), element_at(col("tk"), 1).as("w"))
+        .select(col("va"), col("w.vb").as("vb"), (-col("w.nm")).as("margin"))
+      val bwd = m.groupBy(col("vb"))
+        .agg(topk_min(struct((-col("margin")).as("nm"), col("va").as("va")), 1).as("tk"))
+        .select(col("vb"), element_at(col("tk"), 1).getField("va").as("va"),
+          lit(1).as("is_mutual"))
+      fwd.join(broadcast(bwd), Seq("va", "vb"), "left")
+        .select(col("va").as("vec_a"), col("vb").as("vec_b"),
+          floor(lit(1000000) * col("margin")).cast("long").as("margin_micro"),
+          coalesce(col("is_mutual"), lit(0)).as("mutual"))
+        .orderBy(col("vec_a"))
     }
   )
 }

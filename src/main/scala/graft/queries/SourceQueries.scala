@@ -1,0 +1,73 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** File-format breadth through the engine's reader/writer plumbing.
+  *
+  * The reference ingests whatever its pluggable deserializer emits
+  * (`/root/reference/src/main/scala/com/yahoo/bullet/spark/DataProducer.scala:47-58`);
+  * our batch equivalent is Spark's DataSource framework, and these queries
+  * prove the non-parquet text formats ROUND-TRIP exactly: read the parquet
+  * fixture, write it through the format under test, read it back with the
+  * declared schema, and hash-compare against the parquet oracle. A format
+  * that loses timestamp precision, double digits, or string escaping fails
+  * the driver's hash gate — that is the point.
+  *
+  * Determinism notes:
+  *  - timestamps are written/parsed with an explicit micros pattern
+  *    (`yyyy-MM-dd HH:mm:ss.SSSSSS`) — the CSV default is millis and WOULD
+  *    truncate; the test exists to pin that config;
+  *  - doubles survive because Java's `Double.toString` emits the shortest
+  *    round-trippable decimal and both parsers are correctly rounded;
+  *  - the scratch dir lives under `target/` keyed by the input dir's hash,
+  *    overwritten per run — the query stays a pure function of the input.
+  *
+  * Scale: a round-trip is two linear passes (write, read), both
+  * partition-parallel; the bounded filter is fixture hygiene, not a
+  * requirement of the shape.
+  */
+object SourceQueries {
+
+  private def scratch(fmt: String, d: String): String =
+    s"target/roundtrip/${fmt}_${Integer.toHexString(d.hashCode)}"
+
+  private val TsFmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+
+  val defs: Seq[QueryDef] = Seq(
+
+    QueryDef("src_csv_roundtrip", Some(
+      """SELECT event_id, ts, user_id, event_type, value
+        |FROM events WHERE event_id < 5000 ORDER BY event_id""".stripMargin)) { (s, d) =>
+      val src = Tables.load(s, d, "events")
+        .filter(col("event_id") < 5000)
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"))
+      val out = scratch("csv", d)
+      src.write.mode("overwrite")
+        .option("header", "true")
+        .option("timestampFormat", TsFmt)
+        .csv(out)
+      s.read.schema(src.schema)
+        .option("header", "true")
+        .option("timestampFormat", TsFmt)
+        .csv(out)
+        .orderBy(col("event_id"))
+    },
+
+    QueryDef("src_json_roundtrip", Some(
+      """SELECT doc_id, lang, source, n_chars, text
+        |FROM documents WHERE doc_id < 3000 ORDER BY doc_id""".stripMargin)) { (s, d) =>
+      val src = Tables.load(s, d, "documents")
+        .filter(col("doc_id") < 3000)
+        .select(col("doc_id"), col("lang"), col("source"),
+          col("n_chars"), col("text"))
+      val out = scratch("json", d)
+      src.write.mode("overwrite").json(out)
+      s.read.schema(src.schema).json(out)
+        .orderBy(col("doc_id"))
+    }
+  )
+}

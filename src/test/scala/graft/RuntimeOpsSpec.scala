@@ -169,21 +169,32 @@ class RuntimeOpsSpec extends AnyFunSuite {
   }
 
   test("socket client reconnects transparently across a server restart") {
-    val probe = new java.net.ServerSocket(0)
-    val port = probe.getLocalPort
-    probe.close()
-    val s1 = new SocketTransportServer(port)
-    val client = new SocketTransport("localhost", port, maxRetries = 60)
-    client.send("ch", "k1", "p1")
-    assert(client.poll("ch") == Seq(("k1", "p1")))
-    s1.close()
-    // restart the broker on the same port; the client's next verbs must
-    // ride the retry loop onto the fresh connection with no caller action
-    val s2 = new SocketTransportServer(port)
-    try {
-      client.send("ch", "k2", "p2")
-      assert(client.poll("ch") == Seq(("k2", "p2")))
-    } finally { client.close(); s2.close() }
+    // The probe-then-rebind dance can lose its ephemeral port to a
+    // concurrently-running test between close and rebind (SO_REUSEADDR
+    // covers TIME_WAIT, not a live LISTEN) — retry the whole sequence on
+    // a fresh port rather than flake.
+    def attempt(): Unit = {
+      val probe = new java.net.ServerSocket(0)
+      val port = probe.getLocalPort
+      probe.close()
+      val s1 = new SocketTransportServer(port)
+      val client = new SocketTransport("localhost", port, maxRetries = 60)
+      client.send("ch", "k1", "p1")
+      assert(client.poll("ch") == Seq(("k1", "p1")))
+      s1.close()
+      // restart the broker on the same port; the client's next verbs must
+      // ride the retry loop onto the fresh connection with no caller action
+      val s2 = new SocketTransportServer(port)
+      try {
+        client.send("ch", "k2", "p2")
+        assert(client.poll("ch") == Seq(("k2", "p2")))
+      } finally { client.close(); s2.close() }
+    }
+    val ok = (1 to 3).exists { i =>
+      try { attempt(); true }
+      catch { case _: java.net.BindException if i < 3 => false }
+    }
+    assert(ok)
   }
 
   test("socket transport chaos soak: concurrent senders and pollers, no loss, no frame tearing") {
