@@ -51,4 +51,26 @@ package object functions {
     * ranks by score desc, id asc. */
   def topk_min(e: Column, k: Int): Column =
     col(TopKMin(ColumnBridge.expression(e), k).toAggregateExpression())
+
+  /** Bloom filter over a LONG column (hash first: `bloom_filter_agg(
+    * xxhash64(c), n, bits)`) as one binary value — Spark's own
+    * `BloomFilterAggregate`, the expression AQE's runtime-filter rule
+    * injects, exposed for CROSS-JOB use: build the filter once from a
+    * bounded key set (eval fingerprints, tombstones), persist/broadcast
+    * the bytes, and prefilter any later scan with [[bloom_might_contain]].
+    * The sketch is partial+final mergeable (bitwise OR). */
+  def bloom_filter_agg(e: Column, expectedItems: Long, numBits: Long): Column =
+    col(new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+      ColumnBridge.expression(e),
+      org.apache.spark.sql.catalyst.expressions.Literal(expectedItems),
+      org.apache.spark.sql.catalyst.expressions.Literal(numBits))
+      .toAggregateExpression())
+
+  /** Membership probe against a CONSTANT bloom filter binary (Spark's
+    * `BloomFilterMightContain` requires a foldable filter side — pass the
+    * collected bytes via `lit(...)`). False positives at the configured
+    * rate, never false negatives. */
+  def bloom_might_contain(filterBytes: Column, e: Column): Column =
+    col(org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+      ColumnBridge.expression(filterBytes), ColumnBridge.expression(e)))
 }

@@ -749,6 +749,41 @@ object DedupQueries {
         .filter(col("inter") * 10 >= least(col("na"), col("nb")) * 8)
         .select(col("doc_a"), col("doc_b"), col("inter"), col("na"), col("nb"))
         .orderBy(col("doc_a"), col("doc_b"))
+    },
+
+    // Bloom-filter decontamination prefilter — the ZERO-JOIN scale path
+    // for membership screening: build ONE bloom filter over the eval
+    // set's token-set fingerprints (the bounded side — eval suites are
+    // thousands-to-millions of items, so the filter is KBs-to-MBs), ship
+    // its bytes as a literal, and screen the entire training corpus in a
+    // single codegen scan — no shuffle, no broadcast hash table, no join.
+    // Flagged docs are a SUPERSET of true matches (bloom guarantees no
+    // false negatives; BloomPrefilterSpec gates FN=0 and bounds the FP
+    // rate), which the exact pass (dd_cross_dedup / tx_decontaminate)
+    // then confirms on the ~tiny flagged slice. This is Spark's own
+    // BloomFilterAggregate/MightContain pair — what AQE injects WITHIN a
+    // query — lifted to the cross-job artifact a pipeline persists. The
+    // driver collect is the one bounded filter binary (numBits/8 bytes),
+    // the same artifact pattern as the IVF centroids. Deterministic
+    // (xxhash64 + fixed insertion math) but not SQL-expressible →
+    // rows-only driver check; the spec suite carries the semantics.
+    QueryDef("dd_bloom_prefilter", None) { (s, d) =>
+      val evalSource = s.conf.get("spark.graft.decontaminate.evalSource", "src0")
+      val expected = s.conf.get("spark.graft.bloom.expectedItems", "100000").toLong
+      val numBits = s.conf.get("spark.graft.bloom.numBits", "800000").toLong
+      val base = docs(s, d).select(col("doc_id"), col("source"),
+        xxhash64(Fingerprints.tokenSetFp(toks)).as("fph"))
+      val bloomBytes = base.filter(col("source") === evalSource)
+        .agg(graft.functions.bloom_filter_agg(col("fph"), expected, numBits).as("bf"))
+        .head.getAs[Array[Byte]]("bf")
+      // empty eval set → null sketch → nothing can match
+      val flagged =
+        if (bloomBytes == null) lit(0L)
+        else when(graft.functions.bloom_might_contain(lit(bloomBytes), col("fph")), 1L)
+          .otherwise(0L)
+      base.filter(col("source") =!= evalSource)
+        .select(col("doc_id"), flagged.as("flagged"))
+        .orderBy(col("doc_id"))
     }
   )
 }

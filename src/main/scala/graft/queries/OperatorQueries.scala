@@ -659,6 +659,52 @@ object OperatorQueries {
         .select(col("o_orderkey"), col("x"), col("y"),
           ZOrder.zval16(col("x"), col("y")).as("zval"))
         .orderBy(col("o_orderkey"))
+    },
+
+    // Interval-overlap join — the temporal alignment op behind ad
+    // attribution, A/B exposure windows, and sensor fusion: pair every
+    // even-id event's activity interval [ts, ts+value seconds] with every
+    // odd-id interval it overlaps. The naive plan is an inequality-only
+    // join (a_s <= b_e AND b_s <= a_e) which Spark can only execute as a
+    // BroadcastNestedLoopJoin — O(|A|·|B|) and a cluster-killer at scale.
+    // The scale-safe shape: explode each interval onto the fixed-width
+    // time buckets it covers (width >= max interval length ⇒ at most 2
+    // buckets per row, a bounded row-local explode), EQUI-join on the
+    // bucket, then keep a pair only in its CANONICAL bucket — the one
+    // containing the later start, which both intervals provably cover —
+    // so no distinct/dedup pass is ever needed. One hash exchange per
+    // side on the bucket key, overlap checked post-join; PlanSpec gates
+    // the plan against nested-loop/cartesian fallback. All-integer epoch
+    // seconds end to end → exact hash compare.
+    QueryDef("j_interval_overlap", Some(
+      """WITH g AS (SELECT event_id,
+        |    CAST(epoch_ms(date_trunc('second', ts)) / 1000 AS BIGINT) AS s0,
+        |    CAST(epoch_ms(date_trunc('second', ts)) / 1000 AS BIGINT)
+        |      + CAST(floor(value) AS BIGINT) AS e0
+        |  FROM events),
+        |a AS (SELECT event_id AS a_id, s0 AS a_s, e0 AS a_e FROM g WHERE event_id % 2 = 0),
+        |b AS (SELECT event_id AS b_id, s0 AS b_s, e0 AS b_e FROM g WHERE event_id % 2 = 1)
+        |SELECT a_id, b_id, greatest(a_s, b_s) AS ov_start,
+        |  least(a_e, b_e) - greatest(a_s, b_s) AS ov_len
+        |FROM a JOIN b ON a_s <= b_e AND b_s <= a_e
+        |ORDER BY a_id, b_id""".stripMargin)) { (s, d) =>
+      val width = 600L // > max interval length (value <= ~328 s) ⇒ <= 2 buckets
+      val g = ev(s, d).select(col("event_id"),
+        unix_timestamp(col("ts")).as("s0"),
+        (unix_timestamp(col("ts")) + floor(col("value")).cast(LongType)).as("e0"))
+      val a = g.filter(col("event_id") % 2 === 0)
+        .select(col("event_id").as("a_id"), col("s0").as("a_s"), col("e0").as("a_e"))
+        .withColumn("bkt", explode(sequence(expr(s"a_s div $width"), expr(s"a_e div $width"))))
+      val b = g.filter(col("event_id") % 2 === 1)
+        .select(col("event_id").as("b_id"), col("s0").as("b_s"), col("e0").as("b_e"))
+        .withColumn("bkt", explode(sequence(expr(s"b_s div $width"), expr(s"b_e div $width"))))
+      a.join(b, Seq("bkt"))
+        .filter(col("a_s") <= col("b_e") && col("b_s") <= col("a_e") &&
+          col("bkt") === expr(s"greatest(a_s, b_s) div $width"))
+        .select(col("a_id"), col("b_id"),
+          greatest(col("a_s"), col("b_s")).as("ov_start"),
+          (least(col("a_e"), col("b_e")) - greatest(col("a_s"), col("b_s"))).as("ov_len"))
+        .orderBy(col("a_id"), col("b_id"))
     }
   )
 }

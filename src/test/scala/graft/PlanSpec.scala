@@ -482,6 +482,24 @@ class PlanSpec extends AnyFunSuite {
     } finally saved.foreach { case (k, v) => spark.conf.set(k, v) }
   }
 
+  test("interval-overlap join runs as a bucket equi-join, never a nested loop") {
+    // the inequality-only formulation would fall back to
+    // BroadcastNestedLoopJoin (O(|A|·|B|)); the bucketized plan must be a
+    // shuffle/broadcast HASH or sort-merge join on the bucket key with the
+    // overlap predicate as a post-join filter
+    val p = planStr("j_interval_overlap")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"interval join must not nested-loop:\n$p")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("bloom prefilter screens the corpus in one scan — no join in the plan") {
+    val p = planStr("dd_bloom_prefilter")
+    assert(!p.contains("Join"), s"membership screen must be join-free:\n$p")
+    assert(p.contains("might_contain"), p)
+  }
+
   test("date-partitioned layout prunes partitions at the scan") {
     // the data-layout half of scan discipline: a pipeline that writes its
     // event log partitioned by day gets day-ranged reads that never open
