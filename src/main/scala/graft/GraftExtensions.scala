@@ -18,6 +18,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
 
   override def apply(e: SparkSessionExtensions): Unit = {
+    // Optimizer rule: inequality interval-overlap joins -> bucketized
+    // equi-join (no-op until spark.graft.intervalJoin.bucketWidth is set).
+    e.injectOptimizerRule(_ => graft.plans.IntervalJoinRewrite)
     e.injectFunction((FunctionIdentifier("cosine_sim"),
       info("cosine_sim", "cosine_sim(a, b) - cosine similarity of two float arrays"),
       (args: Seq[Expression]) => CosineSimilarity(args(0), args(1))))

@@ -32,6 +32,11 @@ object GraftSession {
     // application >= 10 GB scan) so it arms exactly where it pays;
     // PlanSpec forces the thresholds down to prove the injection fires.
     .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    // Graft's SQL functions + the interval-join rewrite rule (the rule is
+    // a no-op until spark.graft.intervalJoin.bucketWidth arms it). Only
+    // takes effect for sessions built fresh through this builder; specs
+    // attaching to an existing session use experimental.extraOptimizations.
+    .config("spark.sql.extensions", "graft.GraftExtensions")
     // Fixture timestamps are written without isAdjustedToUTC; read them as
     // TIMESTAMP (LTZ) rather than TIMESTAMP_NTZ so the whole engine keeps a
     // single timestamp type. Under the UTC session timezone this is
