@@ -61,4 +61,17 @@ object IndexStore {
     val comps = rows.tail
     (mean, comps.map(_.getDouble(1)), comps.map(_.getSeq[Double](2).toArray))
   }
+
+  /** Bloom filter bytes (the `dd_bloom_prefilter` artifact) — one binary
+    * row; bytes round-trip exactly, so a screen against the loaded filter
+    * is bit-identical to the building job's. Null-safe: an empty key set
+    * builds a null sketch, persisted and restored as such. */
+  def saveBloom(s: SparkSession, path: String, bytes: Array[Byte]): Unit = {
+    import s.implicits._
+    Seq(Tuple1(Option(bytes))).toDF("bf")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  def loadBloom(s: SparkSession, path: String): Array[Byte] =
+    s.read.parquet(path).collect().head.getAs[Array[Byte]]("bf")
 }

@@ -192,6 +192,36 @@ object SketchQueries {
         .orderBy(col("day"))
     },
 
+    // Theta SET ALGEBRA — the capability that picks Theta over HLL in the
+    // first place (Bullet's COUNT DISTINCT rides DataSketches Theta for
+    // exactly this reason): audience overlap (clickers ∩ viewers) and
+    // exclusion (clickers \ viewers) computed ON THE SKETCHES, no
+    // re-scan, no distinct-pair join. One pass builds a sketch per
+    // segment as conditional aggregates (map-side combined); the
+    // intersection/difference are O(sketch) driver-side expression calls
+    // on the two binary values. At 100 TB the segment sketches are the
+    // persisted daily artifacts (b6_theta_merge's tsk column) and this
+    // query is pure sketch algebra over KBs. Exact at oracle scale
+    // (distinct users ≪ 4096 nominal entries), so DuckDB checks the
+    // estimates as exact INTERSECT/EXCEPT counts.
+    QueryDef("b6_theta_setops", Some(
+      """WITH c AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'),
+        |v AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'view')
+        |SELECT
+        |  (SELECT count(*) FROM c) AS click_users,
+        |  (SELECT count(*) FROM v) AS view_users,
+        |  (SELECT count(*) FROM (SELECT * FROM c INTERSECT SELECT * FROM v)) AS both_users,
+        |  (SELECT count(*) FROM (SELECT * FROM c EXCEPT SELECT * FROM v)) AS click_only_users""".stripMargin)) { (s, d) =>
+      t(s, d, "events").agg(
+          expr("theta_sketch_agg(CASE WHEN event_type = 'click' THEN user_id END)").as("cs"),
+          expr("theta_sketch_agg(CASE WHEN event_type = 'view' THEN user_id END)").as("vs"))
+        .select(
+          expr("theta_sketch_estimate(cs)").as("click_users"),
+          expr("theta_sketch_estimate(vs)").as("view_users"),
+          expr("theta_sketch_estimate(theta_intersection(cs, vs))").as("both_users"),
+          expr("theta_sketch_estimate(theta_difference(cs, vs))").as("click_only_users"))
+    },
+
     // B5 cardinality-cap guard (Bullet caps GROUP cardinality at
     // bullet.query.aggregation.max.size=500 via a sketch over group keys):
     // report the would-be group count cheaply with a Theta sketch over the

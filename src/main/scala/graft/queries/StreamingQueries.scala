@@ -679,6 +679,59 @@ object StreamingQueries {
         }
       } finally q.stop()
       s.table(sink).orderBy(col("lang"))
+    },
+
+    // Streaming decontamination screen — the live-ingest twin of
+    // dd_bloom_prefilter and the bloom leg of the IndexStore persistence
+    // seam: a nightly job builds the eval-set bloom ONCE
+    // (IndexStore.saveBloom), and every ingest micro-batch screens new
+    // documents against the LOADED bytes — a stateless codegen map (no
+    // watermark, no state store, no shuffle of the stream), so per-batch
+    // cost is one linear pass whatever the ingest rate. The query runs
+    // the full production path deliberately: build → persist → load →
+    // screen (parquet round-trips the bytes exactly, so loaded ≡ built);
+    // BloomPrefilterSpec gates drained ≡ the batch dd_bloom_prefilter
+    // row-for-row.
+    QueryDef("ss_bloom_screen", None) { (s, d) =>
+      import s.implicits._
+      implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val evalSource = s.conf.get("spark.graft.decontaminate.evalSource", "src0")
+      val expected = s.conf.get("spark.graft.bloom.expectedItems", "100000").toLong
+      val numBits = s.conf.get("spark.graft.bloom.numBits", "800000").toLong
+      val base = Tables.load(s, d, "documents")
+        .select(col("doc_id"), col("source"),
+          xxhash64(Fingerprints.tokenSetFp(split(col("text"), " "))).as("fph"))
+      val built = base.filter(col("source") === evalSource)
+        .agg(graft.functions.bloom_filter_agg(col("fph"), expected, numBits).as("bf"))
+        .head.getAs[Array[Byte]]("bf")
+      val path = s"target/indexstore/bloom_${Integer.toHexString(d.hashCode)}"
+      graft.operators.IndexStore.saveBloom(s, path, built)
+      val loaded = graft.operators.IndexStore.loadBloom(s, path)
+      val flagged =
+        if (loaded == null) lit(0L)
+        else when(graft.functions.bloom_might_contain(lit(loaded), col("fph")), 1L)
+          .otherwise(0L)
+
+      val rows = base.filter(col("source") =!= evalSource)
+        .select(col("doc_id"), col("fph")).orderBy(col("doc_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      val nSlices = s.conf.get("spark.graft.ssjoin.slices", "4").toInt
+      val per = math.max(1, (rows.length + nSlices - 1) / nSlices)
+
+      val feed = MemoryStream[(Long, Long)]
+      val screened = feed.toDF().toDF("doc_id", "fph")
+        .select(col("doc_id"), flagged.as("flagged"))
+      val sink = "ss_bloom_screen_sink"
+      s.catalog.dropTempView(sink)
+      val q = screened.writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      try {
+        rows.grouped(per).foreach { slice =>
+          feed.addData(slice.toSeq)
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+      s.table(sink).orderBy(col("doc_id"))
     }
   )
 }

@@ -45,6 +45,15 @@ class BloomPrefilterSpec extends AnyFunSuite {
       s"${fp.size} false positives of $nTrain train docs — bloom sized wrong")
   }
 
+  test("streaming screen (persisted artifact) drains to the batch prefilter row-for-row") {
+    val batch = SparkEntry.queries("dd_bloom_prefilter")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val streamed = SparkEntry.queries("ss_bloom_screen")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(streamed == batch)
+    assert(streamed.exists(_._2 == 1L), "fixture must flag at least one doc")
+  }
+
   test("empty eval set flags nothing") {
     spark.conf.set("spark.graft.decontaminate.evalSource", "no_such_source")
     try {
