@@ -195,8 +195,10 @@ object ScaleCheck {
     // embeddings are bit-identical across copies, so k-fold data has k²
     // true cosine pairs — the linearity signal would measure the fixture,
     // not the plan. emb_bitext_mine is its quadratic-guarded sibling
-    // (exact |A|x|B| pair frame by design): same exclusion, its scale
-    // path is the ANN shortlist per the scaladoc.
+    // (exact |A|x|B| pair frame by design) and emb_bitext_ann clusters
+    // those same bit-identical replicas into quadratic true-pair cells:
+    // same exclusion; the scale path's linearity argument is structural
+    // (per-cluster bounded candidates, kClusters tracks corpus).
     // srch_bm25 caveat: token salting means only copy 0 hits the fixed
     // query terms at kx, so hit DENSITY falls k-fold. The measured cost is
     // still representative — BM25's work is the per-token tf scan and the

@@ -797,34 +797,93 @@ object SimilarityQueries {
       val p = a.join(b, col("va") =!= col("vb"))
         .select(col("va"), col("vb"),
           (dot_product(col("ea"), col("eb")) / sqrt(col("na") * col("nb"))).as("cos"))
-      // neighborhood sum: fold the heap's sorted (cos DESC, id ASC) order —
-      // the exact order the oracle's list(...)[1:k] slice sums in
-      val sumTk = (tk: Column) =>
-        aggregate(tk, lit(0.0), (acc, x) => acc + (-x.getField("nc")))
-      val ka = p.groupBy(col("va"))
-        .agg(topk_min(struct((-col("cos")).as("nc"), col("vb").as("id")), k).as("tk"))
-        .select(col("va"), sumTk(col("tk")).as("sa"))
-      val kb = p.groupBy(col("vb"))
-        .agg(topk_min(struct((-col("cos")).as("nc"), col("va").as("id")), k).as("tk"))
-        .select(col("vb"), sumTk(col("tk")).as("sb"))
-      val m = p.join(broadcast(ka), Seq("va")).join(broadcast(kb), Seq("vb"))
-        .select(col("va"), col("vb"), col("cos"),
-          ((col("sa") + col("sb")) / lit(2.0 * k)).as("denom"))
-        .filter(col("denom") > 0)
-        .select(col("va"), col("vb"), (col("cos") / col("denom")).as("margin"))
-      val fwd = m.groupBy(col("va"))
-        .agg(topk_min(struct((-col("margin")).as("nm"), col("vb").as("vb")), 1).as("tk"))
-        .select(col("va"), element_at(col("tk"), 1).as("w"))
-        .select(col("va"), col("w.vb").as("vb"), (-col("w.nm")).as("margin"))
-      val bwd = m.groupBy(col("vb"))
-        .agg(topk_min(struct((-col("margin")).as("nm"), col("va").as("va")), 1).as("tk"))
-        .select(col("vb"), element_at(col("tk"), 1).getField("va").as("va"),
-          lit(1).as("is_mutual"))
-      fwd.join(broadcast(bwd), Seq("va", "vb"), "left")
-        .select(col("va").as("vec_a"), col("vb").as("vec_b"),
-          floor(lit(1000000) * col("margin")).cast("long").as("margin_micro"),
-          coalesce(col("is_mutual"), lit(0)).as("mutual"))
-        .orderBy(col("vec_a"))
+      Bitext.align(p, k)
+    },
+
+    // The SCALE PATH emb_bitext_mine's scaladoc promises, realized: the
+    // same margin/mutual-best alignment with the exact |A|×|B| pair frame
+    // replaced by an IVF candidate shortlist — the shared k-means
+    // quantizer multi-assigns each source vector to its nAssign nearest
+    // clusters (boundary-pair recovery, the dd_semdedup dual) and
+    // single-assigns targets, so pair work is bounded per cluster and the
+    // total stays linear with kClusters tracking corpus size. Each (a,b)
+    // candidate appears EXACTLY once (b has one cluster; matched iff it
+    // lies in a's nAssign set), so no dedup pass. Downstream is the
+    // identical Bitext.align stage — bounded heaps, broadcast sums — now
+    // fed neighborhood sums over candidates (the standard ANN
+    // approximation of the kNN normalizer). k-means is init-dependent →
+    // rows-only driver check; alignment agreement vs the exact baseline
+    // is gated in ApproxSuiteSpec.
+    QueryDef("emb_bitext_ann", None) { (s, d) =>
+      val k = 4
+      val kClusters = Ivf.intConf(s, "spark.graft.ivf.kClusters", 10)
+      val iters = Ivf.intConf(s, "spark.graft.ivf.iters", 3)
+      val trainSample = Ivf.intConf(s, "spark.graft.ivf.trainSample", 2000)
+      val nAssign = Ivf.intConf(s, "spark.graft.bitext.nAssign", 3)
+      val e = emb(s, d)
+        .select(col("vec_id"), col("embedding"),
+          dot_product(col("embedding"), col("embedding")).as("nsq"))
+        .filter(col("nsq") > 0)
+      val cents = Ivf.train(e.select(col("vec_id"), col("embedding")),
+        kClusters, iters, trainSample)
+      val a = e.filter(col("vec_id") % 2 === 0)
+        .select(col("vec_id").as("va"), col("embedding").as("ea"), col("nsq").as("na"))
+      val b = e.filter(col("vec_id") % 2 === 1)
+        .select(col("vec_id").as("vb"), col("embedding").as("eb"), col("nsq").as("nb"))
+      val asgA = Ivf.multiAssigned(
+        a.select(col("va").as("vec_id"), col("ea").as("embedding")), cents, nAssign)
+        .select(col("vec_id").as("va"), col("cl"))
+      val asgB = Ivf.assigned(
+        b.select(col("vb").as("vec_id"), col("eb").as("embedding")), cents)
+        .select(col("vec_id").as("vb"), col("cl"))
+      val p = asgA.join(asgB, Seq("cl"))
+        .join(a, Seq("va")).join(b, Seq("vb"))
+        .select(col("va"), col("vb"),
+          (dot_product(col("ea"), col("eb")) / sqrt(col("na") * col("nb"))).as("cos"))
+      Bitext.align(p, k)
     }
   )
+}
+
+/** The margin/mutual-best alignment stage shared by the exact and ANN
+  * bitext miners: per-side top-k neighborhood sums (bounded heaps,
+  * deterministic (cos DESC, id ASC) fold order), margin = cos / mean of
+  * the two neighborhood means, forward argmax per source, mutual flag
+  * from the backward argmax. All aggregates partial+final; the sum and
+  * argmax frames broadcast back. */
+private[queries] object Bitext {
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.functions._
+  import graft.functions.topk_min
+
+  def align(p: DataFrame, k: Int): DataFrame = {
+    // neighborhood sum: fold the heap's sorted (cos DESC, id ASC) order —
+    // the exact order the oracle's list(...)[1:k] slice sums in
+    val sumTk = (tk: Column) =>
+      aggregate(tk, lit(0.0), (acc, x) => acc + (-x.getField("nc")))
+    val ka = p.groupBy(col("va"))
+      .agg(topk_min(struct((-col("cos")).as("nc"), col("vb").as("id")), k).as("tk"))
+      .select(col("va"), sumTk(col("tk")).as("sa"))
+    val kb = p.groupBy(col("vb"))
+      .agg(topk_min(struct((-col("cos")).as("nc"), col("va").as("id")), k).as("tk"))
+      .select(col("vb"), sumTk(col("tk")).as("sb"))
+    val m = p.join(broadcast(ka), Seq("va")).join(broadcast(kb), Seq("vb"))
+      .select(col("va"), col("vb"), col("cos"),
+        ((col("sa") + col("sb")) / lit(2.0 * k)).as("denom"))
+      .filter(col("denom") > 0)
+      .select(col("va"), col("vb"), (col("cos") / col("denom")).as("margin"))
+    val fwd = m.groupBy(col("va"))
+      .agg(topk_min(struct((-col("margin")).as("nm"), col("vb").as("vb")), 1).as("tk"))
+      .select(col("va"), element_at(col("tk"), 1).as("w"))
+      .select(col("va"), col("w.vb").as("vb"), (-col("w.nm")).as("margin"))
+    val bwd = m.groupBy(col("vb"))
+      .agg(topk_min(struct((-col("margin")).as("nm"), col("va").as("va")), 1).as("tk"))
+      .select(col("vb"), element_at(col("tk"), 1).getField("va").as("va"),
+        lit(1).as("is_mutual"))
+    fwd.join(broadcast(bwd), Seq("va", "vb"), "left")
+      .select(col("va").as("vec_a"), col("vb").as("vec_b"),
+        floor(lit(1000000) * col("margin")).cast("long").as("margin_micro"),
+        coalesce(col("is_mutual"), lit(0)).as("mutual"))
+      .orderBy(col("vec_a"))
+  }
 }

@@ -554,6 +554,27 @@ class ApproxSuiteSpec extends AnyFunSuite {
     assert(!diff.isEmpty, "filtered result should differ from unfiltered brute force")
   }
 
+  test("ann bitext alignment is competitive with the exact margin miner") {
+    // deterministic quantizer (farthest-point init over hash-ordered
+    // sample) -> these numbers are stable, not flaky: gate pick agreement
+    // well below measured and the competitive-margin ratio tightly (the
+    // ANN picks' margins must be as good as the exact picks', which is
+    // the honest ANN quality metric - recall of the literal argmax is
+    // secondary when many candidates tie closely).
+    val exact = run("emb_bitext_mine").collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    val ann = run("emb_bitext_ann").collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    assert(ann.keySet == exact.keySet, "ANN path must align every source vector")
+    val agree = exact.count { case (a, (b, _)) => ann(a)._1 == b }
+    val agreeFrac = agree.toDouble / exact.size
+    val ratios = exact.collect { case (a, (_, m)) if m > 0 => ann(a)._2.toDouble / m }
+    val meanRatio = ratios.sum / ratios.size
+    info(f"agreement=$agreeFrac%.3f meanMarginRatio=$meanRatio%.3f n=${exact.size}")
+    assert(agreeFrac >= 0.4, s"ANN pick agreement $agreeFrac below 0.4")
+    assert(meanRatio >= 0.95, s"ANN margins not competitive: $meanRatio")
+  }
+
   test("custom expressions are deterministic across partitionings") {
     import org.apache.spark.sql.functions._
     import graft.functions._
