@@ -189,7 +189,8 @@ object ScaleCheck {
           "srch_hybrid", "dd_incremental", "emb_int8_quantize", "op_profile",
           "emb_centroids", "op_profile_sketch", "samp_upsample", "op_dq_rules",
           "fn_feature_hash", "op_forget_users", "op_zorder_layout",
-          "src_csv_roundtrip", "j_interval_overlap", "dd_bloom_prefilter")
+          "src_csv_roundtrip", "j_interval_overlap", "dd_bloom_prefilter",
+          "op_corr", "op_join_estimate", "mm_frame_sample")
     val selected = if (only.isEmpty) names else names.filter(only)
     // dd_semdedup is excluded the same way dd_embed_cosine is: replicated
     // embeddings are bit-identical across copies, so k-fold data has k²

@@ -272,6 +272,45 @@ object MultimodalQueries {
           org.apache.spark.sql.Row(r.getLong(idIdx), frames.size.toLong)
         }
       }(enc).orderBy(col("doc_id"))
+    },
+
+    // Frame-sample CONTENT check — the other half of the video stand-in:
+    // mm_frame_count proves how many frames the sampler picks,
+    // this proves it picks the right BYTES. Every sampled 64-byte frame
+    // (stride 128) explodes to a row with its byte sum; the oracle
+    // recomputes the identical sum from codepoint arithmetic over the
+    // same substring (fixture text is ASCII, so byte == codepoint).
+    // Row-local flatMap — zero shuffles, the ORDER BY is oracle
+    // determinism; at 100 TB this is the per-file frame-extraction map
+    // of a video preprocessing pipeline with the decoder swapped in for
+    // the byte-slicer.
+    QueryDef("mm_frame_sample", Some(
+      """WITH f AS (SELECT doc_id, text,
+        |    CASE WHEN length(text) < 64 THEN 0
+        |         ELSE CAST(floor((length(text) - 64) / 128) + 1 AS BIGINT) END AS nf
+        |  FROM documents),
+        |e AS (SELECT doc_id, text, unnest(range(0, nf)) AS fi FROM f)
+        |SELECT doc_id, fi AS frame_idx,
+        |  CAST(list_sum(list_transform(range(1, 65),
+        |    j -> ord(substr(text, CAST(fi * 128 AS BIGINT) + j, 1)))) AS BIGINT) AS frame_sum
+        |FROM e ORDER BY doc_id, frame_idx""".stripMargin)) { (s, d) =>
+      val frameBytes = 64
+      val stride = 2
+      val ingested = Multimodal.ingest(Tables.load(s, d, "documents"), "text", "text/plain")
+      val enc = org.apache.spark.sql.Encoders.row(StructType(Seq(
+        StructField("doc_id", LongType), StructField("frame_idx", LongType),
+        StructField("frame_sum", LongType))))
+      val idIdx = ingested.schema.fieldIndex("doc_id")
+      val pIdx = ingested.schema.fieldIndex("payload")
+      ingested.mapPartitions { rows =>
+        rows.flatMap { r =>
+          val frames = Multimodal.sampleFrames(r.getAs[Array[Byte]](pIdx), frameBytes, stride)
+          frames.iterator.zipWithIndex.map { case (f, i) =>
+            org.apache.spark.sql.Row(r.getLong(idIdx), i.toLong,
+              f.foldLeft(0L)((acc, b) => acc + (b & 0xFF)))
+          }
+        }
+      }(enc).orderBy(col("doc_id"), col("frame_idx"))
     }
   )
 }

@@ -705,6 +705,126 @@ object OperatorQueries {
           greatest(col("a_s"), col("b_s")).as("ov_start"),
           (least(col("a_e"), col("b_e")) - greatest(col("a_s"), col("b_s"))).as("ov_len"))
         .orderBy(col("a_id"), col("b_id"))
+    },
+
+    // Join-size PRE-FLIGHT — the planner-support op behind "should this
+    // join broadcast, shuffle, or be refused": estimate |A ⋈ B| from
+    // per-side sketch state WITHOUT running the join. Each side
+    // contributes one pass (row count + Theta sketch of its key, lgk=17
+    // — exact to 131k distinct, mergeable estimate beyond); the matched
+    // key count comes from theta_intersection on the two sketches and
+    // the size estimate is the textbook uniform-multiplicity formula
+    // |K∩|·(rowsA/kA)·(rowsB/kB). At 100 TB these per-side sketches are
+    // the persisted daily artifacts (b6_theta_merge), so the pre-flight
+    // costs KBs of sketch algebra, not a scan — the B5 cardinality-cap
+    // guard generalized to two-sided join planning. `actual_rows` (the
+    // real join, run here so the oracle can grade the estimate against
+    // truth at fixture scale) is the validation column, not part of the
+    // production pre-flight. Exact at oracle scale; floor-discretized
+    // single-division doubles keep the hash stable.
+    QueryDef("op_join_estimate", Some(
+      """WITH a AS (SELECT count(*) AS rows_a, count(DISTINCT o_orderkey) AS ka FROM orders),
+        |b AS (SELECT count(*) AS rows_b, count(DISTINCT l_orderkey) AS kb FROM lineitem),
+        |i AS (SELECT count(*) AS k_both FROM
+        |  (SELECT DISTINCT o_orderkey FROM orders
+        |   INTERSECT SELECT DISTINCT l_orderkey FROM lineitem)),
+        |j AS (SELECT count(*) AS actual_rows FROM orders
+        |      JOIN lineitem ON o_orderkey = l_orderkey)
+        |SELECT rows_a, ka, rows_b, kb, k_both,
+        |  CAST(floor(k_both * (CAST(rows_a AS DOUBLE) / ka)
+        |                     * (CAST(rows_b AS DOUBLE) / kb)) AS BIGINT) AS est_rows,
+        |  actual_rows
+        |FROM a, b, i, j""".stripMargin)) { (s, d) =>
+      val orders = Tables.load(s, d, "orders")
+      val li = Tables.load(s, d, "lineitem")
+      val a = orders.agg(count(lit(1)).as("rows_a"),
+        expr("theta_sketch_agg(o_orderkey, 17)").as("ta"))
+      val b = li.agg(count(lit(1)).as("rows_b"),
+        expr("theta_sketch_agg(l_orderkey, 17)").as("tb"))
+      val actual = orders.select(col("o_orderkey"))
+        .join(li.select(col("l_orderkey")), col("o_orderkey") === col("l_orderkey"))
+        .agg(count(lit(1)).as("actual_rows"))
+      a.crossJoin(broadcast(b)).crossJoin(broadcast(actual))
+        .select(col("rows_a"),
+          expr("theta_sketch_estimate(ta)").as("ka"),
+          col("rows_b"),
+          expr("theta_sketch_estimate(tb)").as("kb"),
+          expr("theta_sketch_estimate(theta_intersection(ta, tb))").as("k_both"),
+          col("actual_rows"))
+        .select(col("rows_a"), col("ka"), col("rows_b"), col("kb"), col("k_both"),
+          floor(col("k_both") * (col("rows_a").cast(DoubleType) / col("ka"))
+            * (col("rows_b").cast(DoubleType) / col("kb"))).cast(LongType).as("est_rows"),
+          col("actual_rows"))
+    },
+
+    // Pearson correlation matrix — the feature-selection pre-flight
+    // (drop one of every collinear pair before training). Float
+    // summation is order-dependent, so NO double ever enters an
+    // aggregate: each measure is scaled to an exact integer (quantity is
+    // integer-valued; price/discount are 2-decimal → cents via
+    // floor(v*100+0.5), exact because v*100 sits within ulps of the
+    // integer), all 9 moment sums accumulate as DECIMAL(38,0) (sums of
+    // squared cents overflow a long at sf0.1 — decimal is exact and
+    // order-free; DuckDB's BIGINT sums promote to HUGEINT, same
+    // property), and the corr formula is a FIXED tree of double ops over
+    // those exact sums — identical in both engines, floor-discretized to
+    // micros. One partial+final aggregate, one scan, |pairs| output rows.
+    QueryDef("op_corr", Some(
+      """WITH s AS (SELECT count(*) AS n,
+        |    sum(CAST(l_quantity AS BIGINT)) AS sx,
+        |    sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS sy,
+        |    sum(CAST(floor(l_discount * 100 + 0.5) AS BIGINT)) AS sz,
+        |    sum(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS sxx,
+        |    sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+        |      * CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS syy,
+        |    sum(CAST(floor(l_discount * 100 + 0.5) AS BIGINT)
+        |      * CAST(floor(l_discount * 100 + 0.5) AS BIGINT)) AS szz,
+        |    sum(CAST(l_quantity AS BIGINT)
+        |      * CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS sxy,
+        |    sum(CAST(l_quantity AS BIGINT)
+        |      * CAST(floor(l_discount * 100 + 0.5) AS BIGINT)) AS sxz,
+        |    sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+        |      * CAST(floor(l_discount * 100 + 0.5) AS BIGINT)) AS syz
+        |  FROM lineitem)
+        |SELECT pair, CAST(floor(1000000 *
+        |    (CAST(n AS DOUBLE) * spq - sp * sq)
+        |    / sqrt((CAST(n AS DOUBLE) * spp - sp * sp)
+        |         * (CAST(n AS DOUBLE) * sqq - sq * sq))) AS BIGINT) AS corr_micro
+        |FROM (
+        |  SELECT 'qty_price' AS pair, CAST(sx AS DOUBLE) AS sp, CAST(sy AS DOUBLE) AS sq,
+        |    CAST(sxx AS DOUBLE) AS spp, CAST(syy AS DOUBLE) AS sqq, CAST(sxy AS DOUBLE) AS spq, n FROM s
+        |  UNION ALL SELECT 'qty_disc', CAST(sx AS DOUBLE), CAST(sz AS DOUBLE),
+        |    CAST(sxx AS DOUBLE), CAST(szz AS DOUBLE), CAST(sxz AS DOUBLE), n FROM s
+        |  UNION ALL SELECT 'price_disc', CAST(sy AS DOUBLE), CAST(sz AS DOUBLE),
+        |    CAST(syy AS DOUBLE), CAST(szz AS DOUBLE), CAST(syz AS DOUBLE), n FROM s)
+        |ORDER BY pair""".stripMargin)) { (s, d) =>
+      val dec = DecimalType(38, 0)
+      val x = col("l_quantity").cast(LongType).cast(dec)
+      val y = floor(col("l_extendedprice") * 100 + 0.5).cast(LongType).cast(dec)
+      val z = floor(col("l_discount") * 100 + 0.5).cast(LongType).cast(dec)
+      val sums = Tables.load(s, d, "lineitem").agg(
+        count(lit(1)).as("n"),
+        sum(x).as("sx"), sum(y).as("sy"), sum(z).as("sz"),
+        sum(x * x).as("sxx"), sum(y * y).as("syy"), sum(z * z).as("szz"),
+        sum(x * y).as("sxy"), sum(x * z).as("sxz"), sum(y * z).as("syz"))
+      def corrRow(pair: String, sp: String, sq: String, spp: String,
+          sqq: String, spq: String) =
+        struct(lit(pair).as("pair"),
+          floor(lit(1000000) *
+            (col("n").cast(DoubleType) * col(spq).cast(DoubleType)
+              - col(sp).cast(DoubleType) * col(sq).cast(DoubleType))
+            / sqrt((col("n").cast(DoubleType) * col(spp).cast(DoubleType)
+                - col(sp).cast(DoubleType) * col(sp).cast(DoubleType))
+              * (col("n").cast(DoubleType) * col(sqq).cast(DoubleType)
+                - col(sq).cast(DoubleType) * col(sq).cast(DoubleType))))
+            .cast(LongType).as("corr_micro"))
+      sums
+        .select(explode(array(
+          corrRow("qty_price", "sx", "sy", "sxx", "syy", "sxy"),
+          corrRow("qty_disc", "sx", "sz", "sxx", "szz", "sxz"),
+          corrRow("price_disc", "sy", "sz", "syy", "szz", "syz"))).as("r"))
+        .select(col("r.pair").as("pair"), col("r.corr_micro").as("corr_micro"))
+        .orderBy(col("pair"))
     }
   )
 }
