@@ -825,6 +825,95 @@ object OperatorQueries {
           corrRow("price_disc", "sy", "sz", "syy", "szz", "syz"))).as("r"))
         .select(col("r.pair").as("pair"), col("r.corr_micro").as("corr_micro"))
         .orderBy(col("pair"))
+    },
+
+    // DQ QUARANTINE — the actionable half of op_dq_rules: materialize the
+    // failing rows themselves, each tagged with the comma-joined sorted
+    // list of rules it violates, so the pipeline can route them to a
+    // quarantine table instead of silently training on them. Same rule
+    // set as the report (one definition would drift-proof them further,
+    // but the report aggregates and this filters — the oracle pins both
+    // to identical predicates). One codegen scan + pushdown-friendly
+    // disjunction filter; output is violation-sized, not corpus-sized.
+    QueryDef("op_dq_quarantine", Some(
+      """SELECT l_orderkey, l_linenumber,
+        |  array_to_string(list_sort(
+        |    [r FOR r IN [
+        |      CASE WHEN l_quantity > 45 THEN 'qty_le_45' END,
+        |      CASE WHEN l_extendedprice > 80000 THEN 'price_le_80k' END,
+        |      CASE WHEN l_discount > 0.08 THEN 'discount_le_008' END,
+        |      CASE WHEN l_returnflag NOT IN ('A','N','R') THEN 'flag_domain' END]
+        |     IF r IS NOT NULL]), ',') AS violated
+        |FROM lineitem
+        |WHERE l_quantity > 45 OR l_extendedprice > 80000 OR l_discount > 0.08
+        |   OR l_returnflag NOT IN ('A','N','R')
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin)) { (s, d) =>
+      val rules = Seq(
+        "qty_le_45" -> (col("l_quantity") > 45),
+        "price_le_80k" -> (col("l_extendedprice") > 80000),
+        "discount_le_008" -> (col("l_discount") > 0.08),
+        "flag_domain" -> !col("l_returnflag").isin("A", "N", "R"))
+      val tags = array(rules.map { case (n, p) => when(p, lit(n)) }: _*)
+      Tables.load(s, d, "lineitem")
+        .filter(rules.map(_._2).reduce(_ || _))
+        .select(col("l_orderkey"), col("l_linenumber"),
+          concat_ws(",", array_sort(filter(tags, x => x.isNotNull))).as("violated"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    },
+
+    // Partition DIFF — the incremental-recompute planner: fingerprint
+    // every day partition of two snapshots with an ORDER-FREE sum of
+    // per-row hashes, and reprocess only the days whose fingerprints
+    // moved. At 100 TB this is what turns "daily full rebuild" into
+    // "touch the 3 changed days": each side is one map-side-combining
+    // aggregate over (day, row-hash) — commutative integer sums make the
+    // fingerprint independent of row order, partitioning, and merge
+    // order. Snapshot B is simulated as A with ~1% of rows modified
+    // (every 97th event's value bumped), standing in for the late-data /
+    // correction feed; the hash is the md5-prefix integer (cross-engine
+    // exact, the fn_feature_hash trick widened to 8 hex digits), so both
+    // engines fingerprint identically. All-integer output.
+    QueryDef("op_diff_partitions", Some(
+      """WITH rh AS (SELECT strftime(ts, '%Y-%m-%d') AS day,
+        |    ((strpos('0123456789abcdef', substr(h,1,1))-1)*268435456
+        |    +(strpos('0123456789abcdef', substr(h,2,1))-1)*16777216
+        |    +(strpos('0123456789abcdef', substr(h,3,1))-1)*1048576
+        |    +(strpos('0123456789abcdef', substr(h,4,1))-1)*65536
+        |    +(strpos('0123456789abcdef', substr(h,5,1))-1)*4096
+        |    +(strpos('0123456789abcdef', substr(h,6,1))-1)*256
+        |    +(strpos('0123456789abcdef', substr(h,7,1))-1)*16
+        |    +(strpos('0123456789abcdef', substr(h,8,1))-1)) AS rh,
+        |    ((strpos('0123456789abcdef', substr(h2,1,1))-1)*268435456
+        |    +(strpos('0123456789abcdef', substr(h2,2,1))-1)*16777216
+        |    +(strpos('0123456789abcdef', substr(h2,3,1))-1)*1048576
+        |    +(strpos('0123456789abcdef', substr(h2,4,1))-1)*65536
+        |    +(strpos('0123456789abcdef', substr(h2,5,1))-1)*4096
+        |    +(strpos('0123456789abcdef', substr(h2,6,1))-1)*256
+        |    +(strpos('0123456789abcdef', substr(h2,7,1))-1)*16
+        |    +(strpos('0123456789abcdef', substr(h2,8,1))-1)) AS rh2
+        |  FROM (SELECT ts,
+        |      md5(concat(CAST(event_id AS VARCHAR), '|', CAST(floor(value * 100 + 0.5) AS BIGINT))) AS h,
+        |      md5(concat(CAST(event_id AS VARCHAR), '|',
+        |        CAST(floor(value * 100 + 0.5) AS BIGINT)
+        |          + CASE WHEN event_id % 97 = 0 THEN 100 ELSE 0 END)) AS h2
+        |    FROM events))
+        |SELECT day, CAST(sum(rh) AS BIGINT) AS fp_a, CAST(sum(rh2) AS BIGINT) AS fp_b,
+        |  CASE WHEN sum(rh) = sum(rh2) THEN 0 ELSE 1 END AS changed
+        |FROM rh GROUP BY day ORDER BY day""".stripMargin)) { (s, d) =>
+      def hexInt(h: org.apache.spark.sql.Column) =
+        conv(substring(h, 1, 8), 16, 10).cast(LongType)
+      val cents = floor(col("value") * 100 + 0.5).cast(LongType)
+      val e = ev(s, d).select(
+        date_format(col("ts"), "yyyy-MM-dd").as("day"),
+        hexInt(md5(concat(col("event_id").cast("string"), lit("|"),
+          cents.cast("string")))).as("rh"),
+        hexInt(md5(concat(col("event_id").cast("string"), lit("|"),
+          (cents + when(col("event_id") % 97 === 0, 100L).otherwise(0L)).cast("string")))).as("rh2"))
+      e.groupBy(col("day"))
+        .agg(sum(col("rh")).as("fp_a"), sum(col("rh2")).as("fp_b"))
+        .select(col("day"), col("fp_a"), col("fp_b"),
+          when(col("fp_a") === col("fp_b"), 0).otherwise(1).as("changed"))
+        .orderBy(col("day"))
     }
   )
 }
