@@ -22,6 +22,17 @@ object OperatorQueries {
 
   private def ev(s: SparkSession, d: String): DataFrame = Tables.load(s, d, "events")
 
+  /** ONE definition of the data-quality rule set shared by the report
+    * (op_dq_rules) and the quarantine pass (op_dq_quarantine) — the two
+    * cannot drift apart. Each entry: (rule name, VIOLATION predicate). */
+  private object DqRules {
+    val all: Seq[(String, org.apache.spark.sql.Column)] = Seq(
+      "qty_le_45" -> (col("l_quantity") > 45),
+      "price_le_80k" -> (col("l_extendedprice") > 80000),
+      "discount_le_008" -> (col("l_discount") > 0.08),
+      "flag_domain" -> !col("l_returnflag").isin("A", "N", "R"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // AS-OF JOIN: for each click, the most recent view of the same user at
@@ -560,11 +571,7 @@ object OperatorQueries {
         |  UNION ALL SELECT 'discount_le_008', v_disc, n_rows FROM s
         |  UNION ALL SELECT 'flag_domain', v_flag, n_rows FROM s)
         |ORDER BY rule""".stripMargin)) { (s, d) =>
-      val rules = Seq(
-        "qty_le_45" -> (col("l_quantity") > 45),
-        "price_le_80k" -> (col("l_extendedprice") > 80000),
-        "discount_le_008" -> (col("l_discount") > 0.08),
-        "flag_domain" -> !col("l_returnflag").isin("A", "N", "R"))
+      val rules = DqRules.all
       val wide = Tables.load(s, d, "lineitem").agg(
         count(lit(1)).as("n_rows"),
         rules.map { case (n, p) => count(when(p, 1)).as(s"v_$n") }: _*)
@@ -848,11 +855,7 @@ object OperatorQueries {
         |WHERE l_quantity > 45 OR l_extendedprice > 80000 OR l_discount > 0.08
         |   OR l_returnflag NOT IN ('A','N','R')
         |ORDER BY l_orderkey, l_linenumber""".stripMargin)) { (s, d) =>
-      val rules = Seq(
-        "qty_le_45" -> (col("l_quantity") > 45),
-        "price_le_80k" -> (col("l_extendedprice") > 80000),
-        "discount_le_008" -> (col("l_discount") > 0.08),
-        "flag_domain" -> !col("l_returnflag").isin("A", "N", "R"))
+      val rules = DqRules.all
       val tags = array(rules.map { case (n, p) => when(p, lit(n)) }: _*)
       Tables.load(s, d, "lineitem")
         .filter(rules.map(_._2).reduce(_ || _))
