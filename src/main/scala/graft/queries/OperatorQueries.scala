@@ -25,7 +25,7 @@ object OperatorQueries {
   /** ONE definition of the data-quality rule set shared by the report
     * (op_dq_rules) and the quarantine pass (op_dq_quarantine) — the two
     * cannot drift apart. Each entry: (rule name, VIOLATION predicate). */
-  private object DqRules {
+  private[queries] object DqRules {
     val all: Seq[(String, org.apache.spark.sql.Column)] = Seq(
       "qty_le_45" -> (col("l_quantity") > 45),
       "price_le_80k" -> (col("l_extendedprice") > 80000),

@@ -732,6 +732,69 @@ object StreamingQueries {
         }
       } finally q.stop()
       s.table(sink).orderBy(col("doc_id"))
+    },
+
+    // LIVE data-quality monitoring — op_dq_rules as a complete-mode
+    // streaming aggregation over the SAME shared rule set
+    // (OperatorQueries.DqRules: report, quarantine, and monitor cannot
+    // drift). Each micro-batch folds its violation counts into the
+    // running conditional-count state (algebraic — map-side combined,
+    // O(|rules|) state total, no watermark needed); the drained final
+    // emission must equal the batch report exactly, which is what the
+    // oracle checks. At 100 TB of daily ingest this is the DQ dashboard
+    // feed: per-batch cost is one linear pass, state is a handful of
+    // counters.
+    QueryDef("ss_dq_alerts", Some(
+      """WITH s AS (SELECT count(*) AS n_rows,
+        |    count(*) FILTER (WHERE l_quantity > 45) AS v_qty,
+        |    count(*) FILTER (WHERE l_extendedprice > 80000) AS v_price,
+        |    count(*) FILTER (WHERE l_discount > 0.08) AS v_disc,
+        |    count(*) FILTER (WHERE l_returnflag NOT IN ('A', 'N', 'R')) AS v_flag
+        |  FROM lineitem)
+        |SELECT rule, n_violations, n_rows,
+        |  (1000000 * n_violations) // n_rows AS ppm
+        |FROM (
+        |  SELECT 'qty_le_45' AS rule, v_qty AS n_violations, n_rows FROM s
+        |  UNION ALL SELECT 'price_le_80k', v_price, n_rows FROM s
+        |  UNION ALL SELECT 'discount_le_008', v_disc, n_rows FROM s
+        |  UNION ALL SELECT 'flag_domain', v_flag, n_rows FROM s)
+        |ORDER BY rule""".stripMargin)) { (s, d) =>
+      import s.implicits._
+      implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val rules = OperatorQueries.DqRules.all
+      val rows = Tables.load(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("l_extendedprice"), col("l_discount"), col("l_returnflag"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+        .collect()
+        .map(r => (r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getString(5)))
+      val nSlices = s.conf.get("spark.graft.ssjoin.slices", "4").toInt
+      val per = math.max(1, (rows.length + nSlices - 1) / nSlices)
+
+      val feed = MemoryStream[(Double, Double, Double, String)]
+      val wide = feed.toDF()
+        .toDF("l_quantity", "l_extendedprice", "l_discount", "l_returnflag")
+        .agg(count(lit(1)).as("n_rows"),
+          rules.map { case (n, p) => count(when(p, 1)).as(s"v_$n") }: _*)
+      val sink = "ss_dq_alerts_sink"
+      s.catalog.dropTempView(sink)
+      val q = wide.writeStream.format("memory").queryName(sink)
+        .outputMode("complete").start()
+      try {
+        rows.grouped(per).foreach { slice =>
+          feed.addData(slice.toSeq)
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+      s.table(sink)
+        .select(explode(array(rules.map { case (n, _) =>
+          struct(lit(n).as("rule"), col(s"v_$n").as("n_violations"),
+            col("n_rows").as("n_rows"))
+        }: _*)).as("r"))
+        .select(col("r.rule").as("rule"), col("r.n_violations").as("n_violations"),
+          col("r.n_rows").as("n_rows"),
+          expr("(1000000 * r.n_violations) div r.n_rows").as("ppm"))
+        .orderBy(col("rule"))
     }
   )
 }
