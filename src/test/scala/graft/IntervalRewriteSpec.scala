@@ -78,6 +78,38 @@ class IntervalRewriteSpec extends AnyFunSuite {
     finally spark.conf.unset(IntervalJoinRewrite.WidthKey)
   }
 
+  test("fuzz: random interval sets match the nested-loop baseline at every width") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260814L)
+    (1 to 8).foreach { trial =>
+      // adversarial mix: negative starts, zero-length, inverted (s > e),
+      // wide and point intervals, duplicates
+      def gen(n: Int, idBase: Long) = (0 until n).map { i =>
+        val s0 = rnd.nextInt(4000) - 500L
+        val len = rnd.nextInt(5) match {
+          case 0 => 0L
+          case 1 => -rnd.nextInt(50).toLong // inverted
+          case _ => rnd.nextInt(600).toLong
+        }
+        (idBase + i, s0, s0 + len)
+      }
+      val a = gen(120, 0).toDF("a_id", "a_s", "a_e")
+      val b = gen(150, 1000).toDF("b_id", "b_s", "b_e")
+      def pairs() = a.join(b, col("a_s") <= col("b_e") && col("b_s") <= col("a_e"))
+        .select(col("a_id"), col("b_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val baseline = pairs()
+      Seq(1L, 7L, 64L, 1000L).foreach { w =>
+        spark.conf.set(IntervalJoinRewrite.WidthKey, w.toString)
+        try {
+          val got = pairs()
+          assert(got == baseline,
+            s"trial $trial width $w: ${(got -- baseline).size} extra, ${(baseline -- got).size} missing")
+        } finally spark.conf.unset(IntervalJoinRewrite.WidthKey)
+      }
+    }
+  }
+
   test("equi-join conditions and non-integral bounds are left untouched") {
     spark.conf.set(IntervalJoinRewrite.WidthKey, "512")
     try {
