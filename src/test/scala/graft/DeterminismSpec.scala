@@ -24,7 +24,14 @@ class DeterminismSpec extends AnyFunSuite {
   private val queries = Seq(
     "samp_weighted", "samp_temperature", "samp_upsample", "samp_exact_n",
     "samp_group_cap", "dd_exact", "dd_incremental", "tx_fingerprint",
-    "fn_quantile_bin", "b5_group_agg", "emb_centroids", "fn_target_encode")
+    "fn_quantile_bin", "b5_group_agg", "emb_centroids", "fn_target_encode",
+    // round-9 continuation: float-composite margins (bitext), md5-bucket
+    // folds, order-free fingerprint sums, decimal moment sums, bloom
+    // screening, sketch set algebra — each claims partitioning
+    // invariance in its scaladoc, so it proves it here
+    "emb_bitext_mine", "fn_feature_hash", "op_diff_partitions", "op_corr",
+    "dd_bloom_prefilter", "b6_theta_setops", "op_join_estimate",
+    "j_interval_overlap")
 
   private def canonical(name: String): Seq[String] =
     SparkEntry.queries(name)(spark, sfDir).collect().map(_.toString).toSeq.sorted
