@@ -175,6 +175,39 @@ object SamplingQueries {
         .orderBy(col("source"), col("rnk"))
     },
 
+    // Class-BALANCED downsampling — equalize classes by keeping exactly
+    // n_min (the smallest class's size) docs per class, selected by
+    // content-hash rank so the draw is uniform-within-class yet fully
+    // deterministic across engines and partitionings. The per-class
+    // selection is the samp_group_cap bounded-heap shape (topk_min on
+    // (md5, id) — ≤ n_min entries per map task, |classes|×n_min
+    // exchange, no window sort); n_min itself is one tiny aggregate
+    // collected to the driver (|classes| rows). Scale note: the heap is
+    // exact-N per class — right up to n_min in the millions (same
+    // certificate as samp_exact_n); a corpus whose minority class is
+    // larger than that switches to rate-based acceptance
+    // (samp_stratified's shape) and trades exactness for O(1) state.
+    QueryDef("samp_balanced", Some(
+      """WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+        |m AS (SELECT min(n) AS n_min FROM c),
+        |r AS (SELECT lang, doc_id,
+        |    row_number() OVER (PARTITION BY lang ORDER BY md5(text), doc_id) AS rnk
+        |  FROM documents)
+        |SELECT lang, doc_id FROM r, m WHERE rnk <= n_min
+        |ORDER BY lang, doc_id""".stripMargin)) { (s, d) =>
+      import graft.functions.topk_min
+      val docs = Tables.load(s, d, "documents")
+      val nMin = docs.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+        .agg(min(col("n"))).head.getLong(0).toInt
+      docs
+        .select(col("lang"), md5(col("text")).as("h"), col("doc_id"))
+        .groupBy(col("lang"))
+        .agg(topk_min(struct(col("h"), col("doc_id").as("doc_id")), nMin).as("tk"))
+        .select(col("lang"), explode(col("tk")).as("st"))
+        .select(col("lang"), col("st.doc_id").as("doc_id"))
+        .orderBy(col("lang"), col("doc_id"))
+    },
+
     // Importance-weighted sampling — keep each doc with probability
     // proportional to a per-row weight (here quality ∝ length, capped at
     // 1), still fully DETERMINISTIC: the acceptance draw is the doc's

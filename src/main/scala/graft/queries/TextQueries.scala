@@ -228,6 +228,55 @@ object TextQueries {
     // so eval answers don't leak into the corpus. Scale shape: the eval
     // side is a benchmark (tiny next to a 100 TB corpus), so its distinct
     // shingle hashes BROADCAST; the corpus side explodes to (doc_id,
+    // Contamination REPORT, eval-side — the view tx_decontaminate's
+    // train-side fractions can't give the benchmark owner: for each EVAL
+    // document, how many training docs share at least one 5-shingle with
+    // it and how many shared-shingle pairings exist in total. This is
+    // the per-item audit that decides whether a leaked benchmark item is
+    // one stray quote or wholesale duplication. Scale shape: both sides
+    // explode to (id, 8-byte shingle hash), equi-join on the hash (the
+    // only corpus-scale exchange carries longs), then two
+    // map-side-combining aggregates — pair grain first, eval grain
+    // second. Hash identity stands in for shingle identity; the oracle
+    // groups by the shingle STRING, so a collision would surface as a
+    // mismatch. All-integer output.
+    QueryDef("tx_contamination_report", Some(
+      """WITH g AS (
+        |  SELECT doc_id, source,
+        |    list_distinct([array_to_string(t[i:i+4],' ') FOR i IN range(1, len(t)-3)]) AS shs
+        |  FROM (SELECT doc_id, source, string_split(text,' ') AS t FROM documents)),
+        |ev AS (SELECT doc_id AS eval_id, unnest(shs) AS sh FROM g WHERE source = 'src0'),
+        |tr AS (SELECT doc_id AS train_id, unnest(shs) AS sh FROM g WHERE source <> 'src0'),
+        |p AS (SELECT eval_id, train_id, count(*) AS n_sh
+        |      FROM ev JOIN tr USING (sh) GROUP BY eval_id, train_id),
+        |a AS (SELECT eval_id, count(*) AS n_docs, CAST(sum(n_sh) AS BIGINT) AS n_pairs
+        |      FROM p GROUP BY eval_id)
+        |SELECT g.doc_id AS eval_id,
+        |  coalesce(a.n_docs, 0) AS n_leaky_train_docs,
+        |  coalesce(a.n_pairs, 0) AS n_shared_shingles
+        |FROM g LEFT JOIN a ON g.doc_id = a.eval_id
+        |WHERE g.source = 'src0' ORDER BY eval_id""".stripMargin)) { (s, d) =>
+      val evalSource = s.conf.get("spark.graft.decontaminate.evalSource", "src0")
+      val base = docs(s, d).select(col("doc_id"), col("source"),
+        graft.functions.ngram_hashes(toks, 5).as("hs"))
+      val ev = base.filter(col("source") === evalSource)
+        .select(col("doc_id").as("eval_id"), explode(col("hs")).as("h"))
+      val tr = base.filter(col("source") =!= evalSource)
+        .select(col("doc_id").as("train_id"), explode(col("hs")).as("h"))
+      val pairs = ev.join(tr, Seq("h"))
+        .groupBy(col("eval_id"), col("train_id"))
+        .agg(count(lit(1)).as("n_sh"))
+      val agg = pairs.groupBy(col("eval_id"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_sh")).as("n_pairs"))
+      base.filter(col("source") === evalSource)
+        .select(col("doc_id").as("eval_id"))
+        .join(agg, Seq("eval_id"), "left")
+        .select(col("eval_id"),
+          coalesce(col("n_docs"), lit(0L)).as("n_leaky_train_docs"),
+          coalesce(col("n_pairs"), lit(0L)).as("n_shared_shingles"))
+        .orderBy(col("eval_id"))
+    },
+
     // hash), survives the broadcast inner join only on contaminated
     // shingles, and aggregates per doc — one doc_id-keyed shuffle of the
     // (rare) hits, never of the corpus shingles.
