@@ -52,10 +52,15 @@ object IntervalJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
     Option(SQLConf.get.getConfString(WidthKey, null)).flatMap(s =>
       scala.util.Try(s.toLong).toOption).filter(_ > 0)
 
-  /** Normalize a conjunct to (lhs <= rhs). */
+  /** Normalize a conjunct to (lhs <= rhs). STRICT comparisons also
+    * qualify: a < b implies a <= b, so treating them as non-strict only
+    * WIDENS the candidate bucket ranges (completeness preserved) while
+    * the untouched original predicate still filters exactly. */
   private def lte(e: Expression): Option[(Expression, Expression)] = e match {
     case LessThanOrEqual(a, b) => Some((a, b))
     case GreaterThanOrEqual(a, b) => Some((b, a))
+    case LessThan(a, b) => Some((a, b))
+    case GreaterThan(a, b) => Some((b, a))
     case _ => None
   }
 

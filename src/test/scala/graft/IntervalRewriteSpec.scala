@@ -110,6 +110,28 @@ class IntervalRewriteSpec extends AnyFunSuite {
     }
   }
 
+  test("strict-inequality overlap (a_s < b_e AND b_s < a_e) rewrites and stays exact") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7L)
+    val a = (0 until 100).map { i =>
+      val s0 = rnd.nextInt(2000).toLong; (i.toLong, s0, s0 + rnd.nextInt(300)) }
+      .toDF("a_id", "a_s", "a_e")
+    val b = (0 until 100).map { i =>
+      val s0 = rnd.nextInt(2000).toLong; (1000L + i, s0, s0 + rnd.nextInt(300)) }
+      .toDF("b_id", "b_s", "b_e")
+    def run() = a.join(b, col("a_s") < col("b_e") && col("b_s") < col("a_e"))
+      .select(col("a_id"), col("b_id"))
+    val baseline = run().collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    spark.conf.set(IntervalJoinRewrite.WidthKey, "256")
+    try {
+      val df = run()
+      val got = df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == baseline)
+      val p = executedPlanStr(run())
+      assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    } finally spark.conf.unset(IntervalJoinRewrite.WidthKey)
+  }
+
   test("equi-join conditions and non-integral bounds are left untouched") {
     spark.conf.set(IntervalJoinRewrite.WidthKey, "512")
     try {
