@@ -21,6 +21,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // Optimizer rule: inequality interval-overlap joins -> bucketized
     // equi-join (no-op until spark.graft.intervalJoin.bucketWidth is set).
     e.injectOptimizerRule(_ => graft.plans.IntervalJoinRewrite)
+    // Optimizer rule: row_number-over-window top-N -> bounded-heap
+    // topk_min aggregate (no-op until spark.graft.topk.rewriteMaxK arms it).
+    e.injectOptimizerRule(_ => graft.plans.TopKWindowRewrite)
     e.injectFunction((FunctionIdentifier("cosine_sim"),
       info("cosine_sim", "cosine_sim(a, b) - cosine similarity of two float arrays"),
       (args: Seq[Expression]) => CosineSimilarity(args(0), args(1))))

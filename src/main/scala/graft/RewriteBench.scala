@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.plans.TopKWindowRewrite
+
+/** A/B micro-benchmark for TopKWindowRewrite: the SAME naive
+  * row_number-over-window top-N DataFrame, unarmed (Spark's own
+  * InferWindowGroupLimit plan: map-side full sort + partial group limit +
+  * exchange + reduce sort + WindowExec) vs armed (one ObjectHashAggregate
+  * bounded heap + posexplode). Not driver-run; numbers go to BASELINE.md.
+  *
+  *   sbt "runMain graft.RewriteBench [rows] [groups] [n]"
+  */
+object RewriteBench {
+  def main(args: Array[String]): Unit = {
+    val rows = args.headOption.map(_.toLong).getOrElse(20000000L)
+    val groups = args.lift(1).map(_.toLong).getOrElse(64L)
+    val n = args.lift(2).map(_.toInt).getOrElse(10)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = GraftSession.configure(SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus))
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def query(): DataFrame = {
+      val base = spark.range(rows).select(
+        (col("id") % groups).as("grp"),
+        (col("id") * 2654435761L % 1000000007L).as("score"),
+        col("id").as("row_id"))
+      val w = Window.partitionBy(col("grp")).orderBy(col("score").desc, col("row_id"))
+      base.withColumn("rn", row_number().over(w)).filter(col("rn") <= n)
+    }
+    def time(): Double = {
+      val t0 = System.nanoTime()
+      query().write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    def minOf3(): Double = { time(); Seq(time(), time(), time()).min }
+
+    time() // JVM warm-up
+    val windowed = minOf3()
+    spark.conf.set(TopKWindowRewrite.MaxKKey, "1000")
+    val rewritten = minOf3()
+    spark.conf.unset(TopKWindowRewrite.MaxKKey)
+    println(f"rows=$rows groups=$groups n=$n")
+    println(f"window (InferWindowGroupLimit): $windowed%6.2f s")
+    println(f"topk_min rewrite:               $rewritten%6.2f s  (${windowed / rewritten}%.2fx)")
+    spark.stop()
+  }
+}
