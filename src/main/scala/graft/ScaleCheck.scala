@@ -156,6 +156,11 @@ object ScaleCheck {
           // stresses the per-lang KLL/temperature plans, the hot source
           // stresses the streaming bounded heap
           "tx_remove_boilerplate", "fn_robust_zscore", "samp_temperature",
+          // the hot template's grams are ALL cross-doc duplicated — the
+          // worst case for substring-span detection: the per-hash
+          // min/max dup flag must combine map-side and the islands
+          // window stays doc-keyed
+          "dd_substring",
           // the hot template collapses 10% of docs onto ONE token-set
           // fingerprint — the algebraic first-occurrence + store join
           // must shrug it off
@@ -192,7 +197,7 @@ object ScaleCheck {
           "src_csv_roundtrip", "j_interval_overlap", "dd_bloom_prefilter",
           "op_corr", "op_join_estimate", "mm_frame_sample",
           "op_dq_quarantine", "op_diff_partitions", "samp_balanced",
-          "tx_contamination_report")
+          "tx_contamination_report", "dd_substring", "tx_train_apply")
     val selected = if (only.isEmpty) names else names.filter(only)
     // dd_semdedup is excluded the same way dd_embed_cosine is: replicated
     // embeddings are bit-identical across copies, so k-fold data has k²

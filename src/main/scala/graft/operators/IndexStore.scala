@@ -74,4 +74,17 @@ object IndexStore {
 
   def loadBloom(s: SparkSession, path: String): Array[Byte] =
     s.read.parquet(path).collect().head.getAs[Array[Byte]]("bf")
+
+  /** Trained linear-model weights (the `tx_train_classifier` artifact) as
+    * rows (bucket, w) — integer micro-units, so the round-trip is exact
+    * and a scoring pass against the loaded model is bit-identical to the
+    * training job's. */
+  def saveWeights(s: SparkSession, path: String, w: Seq[(Long, Long)]): Unit = {
+    import s.implicits._
+    w.toDF("bucket", "w").coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  def loadWeights(s: SparkSession, path: String): Seq[(Long, Long)] =
+    s.read.parquet(path).orderBy(col("bucket")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
 }

@@ -784,6 +784,71 @@ object DedupQueries {
       base.filter(col("source") =!= evalSource)
         .select(col("doc_id"), flagged.as("flagged"))
         .orderBy(col("doc_id"))
+    },
+
+    // Exact duplicated-SUBSTRING detection (the Lee et al. 2022
+    // "Deduplicating Training Data Makes Language Models Better" pass, at
+    // k-token-gram granularity): find, per document, every maximal span
+    // of tokens covered by 5-gram windows that also occur VERBATIM in at
+    // least one OTHER document. Doc-level dedup misses these (the hosts
+    // differ), chunk dedup (dd_paragraph) only sees them when they align
+    // to fixed chunk boundaries; the rolling gram window sees every
+    // alignment. Spans = gaps-and-islands over the duplicated window
+    // positions (windows chain while start-gap <= k, i.e. coverage stays
+    // overlapping or contiguous); reported at >= 2k tokens — the paper's
+    // "drop duplicate substrings over N tokens" knob, scaled to fixture
+    // docs. Scale shape: gram text is hashed inside codegen, so the two
+    // corpus-sized exchanges carry (hash) then (hash, doc_id, pos) longs
+    // — the text never shuffles; "appears in another doc" is the
+    // ALGEBRAIC min(doc)!=max(doc) per hash (no count-distinct); the
+    // islands window partitions on doc_id — the high-cardinality per-row
+    // key, the one place a window is the scale-safe plan. Hash identity
+    // stands in for gram identity (the oracle groups by gram TEXT, so an
+    // xxhash64 collision would surface as a mismatch).
+    QueryDef("dd_substring", Some(
+      """WITH g AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
+        |p AS (SELECT doc_id, t, unnest(range(0, len(t)-4)) AS pos FROM g WHERE len(t) >= 5),
+        |e AS (SELECT doc_id, pos, array_to_string(t[pos+1:pos+5],' ') AS gram FROM p),
+        |f AS (SELECT gram FROM e GROUP BY gram HAVING min(doc_id) <> max(doc_id)),
+        |dup AS (SELECT doc_id, pos FROM e JOIN f USING (gram)),
+        |brk AS (SELECT doc_id, pos,
+        |    CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 5
+        |         THEN 0 ELSE 1 END AS b
+        |  FROM dup),
+        |isl AS (SELECT doc_id, pos,
+        |    sum(b) OVER (PARTITION BY doc_id ORDER BY pos) AS island FROM brk),
+        |s AS (SELECT doc_id, min(pos) AS span_start, max(pos)+4 AS span_end
+        |  FROM isl GROUP BY doc_id, island)
+        |SELECT doc_id, span_start, span_end,
+        |  span_end - span_start + 1 AS span_tokens
+        |FROM s WHERE span_end - span_start + 1 >= 10
+        |ORDER BY doc_id, span_start""".stripMargin)) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val k = 5
+      val grams = docs(s, d)
+        .select(col("doc_id"), toks.as("t"))
+        .filter(size(col("t")) >= k)
+        .select(col("doc_id"),
+          explode(sequence(lit(0L), (size(col("t")) - k).cast(LongType))).as("pos"),
+          col("t"))
+        .select(col("doc_id"), col("pos"),
+          xxhash64(concat_ws(" ",
+            slice(col("t"), (col("pos") + 1).cast("int"), lit(k)))).as("h"))
+      val crossDoc = grams.groupBy(col("h"))
+        .agg(min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"))
+        .filter(col("mn") =!= col("mx"))
+        .select(col("h"))
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      grams.join(crossDoc, Seq("h"))
+        .withColumn("b", when(col("pos") - lag(col("pos"), 1).over(w) <= k, 0L).otherwise(1L))
+        .withColumn("island", sum(col("b")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("doc_id"), col("island"))
+        .agg(min(col("pos")).as("span_start"), (max(col("pos")) + k - 1).as("span_end"))
+        .select(col("doc_id"), col("span_start"), col("span_end"),
+          (col("span_end") - col("span_start") + 1).as("span_tokens"))
+        .filter(col("span_tokens") >= 2 * k)
+        .orderBy(col("doc_id"), col("span_start"))
     }
   )
 }

@@ -795,6 +795,75 @@ object StreamingQueries {
           col("r.n_rows").as("n_rows"),
           expr("(1000000 * r.n_violations) div r.n_rows").as("ppm"))
         .orderBy(col("rule"))
+    },
+
+    // Live corpus scoring against a PERSISTED trained classifier — the
+    // streaming third of the train→apply loop (tx_train_classifier fits,
+    // tx_train_apply scores a batch, THIS scores the live ingest): train
+    // once on the train split, persist the 64-row weight table through
+    // IndexStore (integer micro-units — exact round-trip), then score a
+    // replayed eval-doc stream per micro-batch with the LOADED model
+    // folded in as a map literal. Stateless append-mode codegen map — no
+    // stream shuffle, no state store, the same zero-exchange shape as
+    // ss_bloom_screen — so the drained sink is row-identical to the
+    // batch scoring pass, and the oracle is tx_train_apply's SQL
+    // verbatim. This is the online half a production filter deployment
+    // runs: fit nightly, screen every arriving document.
+    QueryDef("ss_classify", Some(
+      s"""WITH b AS (${TextQueries.bucketedTokensSql}),
+        |cnt AS (SELECT bucket,
+        |    count(*) FILTER (WHERE lang = 'en') AS n_pos,
+        |    count(*) FILTER (WHERE lang <> 'en') AS n_neg
+        |  FROM b WHERE source NOT IN ('src0','src1') GROUP BY bucket),
+        |tot AS (SELECT sum(n_pos) AS pt, sum(n_neg) AS nt FROM cnt),
+        |wt AS (SELECT bucket,
+        |    CAST(floor(1000000.0 * ((n_pos + 1.0)/(pt + 64.0)
+        |      - (n_neg + 1.0)/(nt + 64.0))) AS BIGINT) AS w
+        |  FROM cnt CROSS JOIN tot),
+        |sc AS (SELECT b.doc_id, CAST(sum(COALESCE(wt.w, 0)) AS BIGINT) AS score
+        |  FROM b LEFT JOIN wt USING (bucket)
+        |  WHERE b.source IN ('src0','src1') GROUP BY b.doc_id)
+        |SELECT d.doc_id, d.lang, sc.score,
+        |  CASE WHEN sc.score > 0 THEN 1 ELSE 0 END AS pred_en
+        |FROM sc JOIN documents d USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin)) { (s, d) =>
+      import s.implicits._
+      implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val trained = TextQueries.trainedWeights(s, d)
+        .select(col("bucket"), col("w"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      val path = s"target/indexstore/weights_${Integer.toHexString(d.hashCode)}"
+      graft.operators.IndexStore.saveWeights(s, path, trained)
+      val loaded = graft.operators.IndexStore.loadWeights(s, path)
+      val wMap = map(loaded.flatMap { case (b, v) => Seq(lit(b), lit(v)) }: _*)
+
+      val rows = Tables.load(s, d, "documents")
+        .filter(col("source").isin("src0", "src1"))
+        .select(col("doc_id"), col("lang"), col("text"))
+        .orderBy(col("doc_id"))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      val nSlices = s.conf.get("spark.graft.ssjoin.slices", "4").toInt
+      val per = math.max(1, (rows.length + nSlices - 1) / nSlices)
+
+      val feed = MemoryStream[(Long, String, String)]
+      val score = aggregate(
+        transform(split(col("text"), " "),
+          t => coalesce(element_at(wMap, TextQueries.bucketOf(t)), lit(0L))),
+        lit(0L), (acc, x) => acc + x)
+      val scored = feed.toDF().toDF("doc_id", "lang", "text")
+        .select(col("doc_id"), col("lang"), score.as("score"))
+        .withColumn("pred_en", when(col("score") > 0, 1).otherwise(0))
+      val sink = "ss_classify_sink"
+      s.catalog.dropTempView(sink)
+      val q = scored.writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      try {
+        rows.grouped(per).foreach { slice =>
+          feed.addData(slice.toSeq)
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+      s.table(sink).orderBy(col("doc_id"))
     }
   )
 }

@@ -634,6 +634,106 @@ object TextQueries {
           coalesce(col("n_kept"), lit(0L)).as("n_kept"),
           coalesce(col("clean_text"), lit("")).as("clean_text"))
         .orderBy(col("doc_id"))
+    },
+
+    // Classifier TRAINING — the other half of tx_classify's
+    // apply-the-trained-filter pass: fit a linear discriminant over the
+    // 64-bucket hashed bag-of-words (fn_feature_hash's bucket function)
+    // from a labeled train split. Task: language ID (label = lang 'en'),
+    // the standard bootstrap for a fasttext-style corpus filter; a real
+    // deployment swaps the label column. Weights are Laplace-smoothed
+    // CLASS-RATE DIFFERENCES in integer micro-units —
+    // w_b = floor(1e6·((pos_b+1)/(pos+64) − (neg_b+1)/(neg+64))) — the
+    // integer-exact stand-in for NB log-odds (each division, the
+    // subtraction and the scale are single correctly-rounded IEEE ops, so
+    // both engines floor the same double; ln is libm-dependent and never
+    // enters). Scale shape: ONE map-side-combining aggregate over ≤64×2
+    // integer keys — training cost is a corpus scan, the model is 64 rows.
+    // (Fixture honesty: the synthetic corpus shares a single 31-token
+    // vocabulary across langs with near-uniform rates, so eval accuracy
+    // sits near chance — the oracle gates the MATH, not model quality;
+    // a real corpus gives the same plan a real signal.)
+    QueryDef("tx_train_classifier", Some(
+      s"""WITH b AS ($bucketedTokensSql),
+        |cnt AS (SELECT bucket,
+        |    count(*) FILTER (WHERE lang = 'en') AS n_pos,
+        |    count(*) FILTER (WHERE lang <> 'en') AS n_neg
+        |  FROM b WHERE source NOT IN ('src0','src1') GROUP BY bucket),
+        |tot AS (SELECT sum(n_pos) AS pt, sum(n_neg) AS nt FROM cnt)
+        |SELECT bucket, n_pos, n_neg,
+        |  CAST(floor(1000000.0 * ((n_pos + 1.0)/(pt + 64.0)
+        |    - (n_neg + 1.0)/(nt + 64.0))) AS BIGINT) AS w
+        |FROM cnt CROSS JOIN tot ORDER BY bucket""".stripMargin)) { (s, d) =>
+      trainedWeights(s, d).orderBy(col("bucket"))
+    },
+
+    // ...and the trained model APPLIED to the held-out split — the full
+    // train→apply loop in one plan. The 64-row model is the bounded
+    // driver-side artifact (same pattern as the IVF centroids / bloom
+    // bytes): collected once, folded back in as a map LITERAL, so scoring
+    // is one shuffle-free codegen pass over the eval docs — no explode,
+    // no join, the same zero-exchange shape as tx_classify. Integer
+    // sums end to end; eval-split accuracy is visible to the oracle as
+    // (lang, pred_en) agreement.
+    QueryDef("tx_train_apply", Some(
+      s"""WITH b AS ($bucketedTokensSql),
+        |cnt AS (SELECT bucket,
+        |    count(*) FILTER (WHERE lang = 'en') AS n_pos,
+        |    count(*) FILTER (WHERE lang <> 'en') AS n_neg
+        |  FROM b WHERE source NOT IN ('src0','src1') GROUP BY bucket),
+        |tot AS (SELECT sum(n_pos) AS pt, sum(n_neg) AS nt FROM cnt),
+        |wt AS (SELECT bucket,
+        |    CAST(floor(1000000.0 * ((n_pos + 1.0)/(pt + 64.0)
+        |      - (n_neg + 1.0)/(nt + 64.0))) AS BIGINT) AS w
+        |  FROM cnt CROSS JOIN tot),
+        |sc AS (SELECT b.doc_id, CAST(sum(COALESCE(wt.w, 0)) AS BIGINT) AS score
+        |  FROM b LEFT JOIN wt USING (bucket)
+        |  WHERE b.source IN ('src0','src1') GROUP BY b.doc_id)
+        |SELECT d.doc_id, d.lang, sc.score,
+        |  CASE WHEN sc.score > 0 THEN 1 ELSE 0 END AS pred_en
+        |FROM sc JOIN documents d USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin)) { (s, d) =>
+      val w = trainedWeights(s, d).select(col("bucket"), col("w"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      val wMap = map(w.flatMap { case (b, v) => Seq(lit(b), lit(v)) }: _*)
+      val score = aggregate(
+        transform(toks, t => coalesce(element_at(wMap, bucketOf(t)), lit(0L))),
+        lit(0L), (acc, x) => acc + x)
+      docs(s, d).filter(col("source").isin("src0", "src1"))
+        .select(col("doc_id"), col("lang"), score.as("score"))
+        .withColumn("pred_en", when(col("score") > 0, 1).otherwise(0))
+        .orderBy(col("doc_id"))
     }
   )
+
+  /** fn_feature_hash's bucket function: first 4 md5 hex chars mod 64 —
+    * cross-engine exact (see FunctionQueries.fn_feature_hash). */
+  private[queries] def bucketOf(t: Column): Column =
+    conv(substring(md5(t), 1, 4), 16, 10).cast(LongType) % 64
+
+  private[queries] def bucketedTokensSql: String =
+    """SELECT doc_id, lang, source,
+      |   ((strpos('0123456789abcdef', substr(md5(t),1,1))-1)*4096
+      |   +(strpos('0123456789abcdef', substr(md5(t),2,1))-1)*256
+      |   +(strpos('0123456789abcdef', substr(md5(t),3,1))-1)*16
+      |   +(strpos('0123456789abcdef', substr(md5(t),4,1))-1)) % 64 AS bucket
+      | FROM (SELECT doc_id, lang, source, unnest(string_split(text,' ')) AS t
+      |       FROM documents)""".stripMargin
+
+  /** The trained 64-row model: per-bucket smoothed class-rate-difference
+    * weights from the train split (every source except the two held out). */
+  private[queries] def trainedWeights(s: SparkSession, d: String): DataFrame = {
+    val cnt = docs(s, d).filter(!col("source").isin("src0", "src1"))
+      .select(col("lang"), explode(toks).as("t"))
+      .select((col("lang") === "en").as("pos"), bucketOf(col("t")).as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(sum(when(col("pos"), 1L).otherwise(0L)).as("n_pos"),
+        sum(when(col("pos"), 0L).otherwise(1L)).as("n_neg"))
+    val tot = cnt.agg(sum(col("n_pos")).as("pt"), sum(col("n_neg")).as("nt"))
+    cnt.crossJoin(broadcast(tot))
+      .select(col("bucket"), col("n_pos"), col("n_neg"),
+        floor(lit(1000000.0) *
+          ((col("n_pos") + 1.0) / (col("pt") + 64.0)
+            - (col("n_neg") + 1.0) / (col("nt") + 64.0))).cast(LongType).as("w"))
+  }
 }
