@@ -197,7 +197,8 @@ object ScaleCheck {
           "src_csv_roundtrip", "j_interval_overlap", "dd_bloom_prefilter",
           "op_corr", "op_join_estimate", "mm_frame_sample",
           "op_dq_quarantine", "op_diff_partitions", "samp_balanced",
-          "tx_contamination_report", "dd_substring", "tx_train_apply")
+          "tx_contamination_report", "dd_substring", "tx_train_apply",
+          "ss_classify")
     val selected = if (only.isEmpty) names else names.filter(only)
     // dd_semdedup is excluded the same way dd_embed_cosine is: replicated
     // embeddings are bit-identical across copies, so k-fold data has k²
