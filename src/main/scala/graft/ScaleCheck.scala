@@ -161,6 +161,10 @@ object ScaleCheck {
           // min/max dup flag must combine map-side and the islands
           // window stays doc-keyed
           "dd_substring",
+          // the hot template collapses 10% of docs onto ONE n_chars
+          // value — a single rank bucket holds the whole tie group, the
+          // worst case for quantile-cut range bucketing
+          "op_global_rank",
           // the hot template collapses 10% of docs onto ONE token-set
           // fingerprint — the algebraic first-occurrence + store join
           // must shrug it off
@@ -198,7 +202,7 @@ object ScaleCheck {
           "op_corr", "op_join_estimate", "mm_frame_sample",
           "op_dq_quarantine", "op_diff_partitions", "samp_balanced",
           "tx_contamination_report", "dd_substring", "tx_train_apply",
-          "ss_classify")
+          "ss_classify", "op_global_rank")
     val selected = if (only.isEmpty) names else names.filter(only)
     // dd_semdedup is excluded the same way dd_embed_cosine is: replicated
     // embeddings are bit-identical across copies, so k-fold data has k²

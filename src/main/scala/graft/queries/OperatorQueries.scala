@@ -917,6 +917,59 @@ object OperatorQueries {
         .select(col("day"), col("fp_a"), col("fp_b"),
           when(col("fp_a") === col("fp_b"), 0).otherwise(1).as("changed"))
         .orderBy(col("day"))
+    },
+
+    // GLOBAL TOTAL-ORDER RANK — the curriculum-ordering primitive: assign
+    // every document its exact position under a corpus-wide order
+    // (shortest-first here — the standard length-curriculum for training;
+    // swap the key for any quality score). The naive plans both fail at
+    // scale: `row_number() OVER (ORDER BY ...)` is ONE reducer sorting the
+    // corpus, and RDD zipWithIndex leaves the declarative plan entirely.
+    // This is the canonical two-pass distributed ranking instead — the
+    // same physical shape as Spark's own global orderBy (range partition,
+    // sort within range), with the rank recovered declaratively:
+    //   1. per-RANGE-BUCKET counts, the buckets cut at KLL quantiles of
+    //      the sort key (deterministic, data-derived, balanced — the
+    //      fn_quantile_bin machinery with nb = parallelism, a conf that
+    //      scales with the cluster: spark.graft.rank.buckets, default 32);
+    //   2. bucket counts collect to the driver (nb rows — a bounded
+    //      artifact), cumulative offsets fold back as a map literal;
+    //   3. within-bucket row_number + offset = the exact global rank.
+    // The within-bucket window sorts 1/nb of the corpus per task — not
+    // the low-cardinality-window anti-pattern but the SAME per-partition
+    // sort a global orderBy runs; ties across a cut boundary stay in one
+    // bucket (bucket = |cuts < key|), so no rank depends on boundary
+    // placement, and the output is a pure function of the data.
+    QueryDef("op_global_rank", Some(
+      """SELECT doc_id, n_chars,
+        |  row_number() OVER (ORDER BY n_chars, doc_id) AS rank
+        |FROM documents ORDER BY doc_id""".stripMargin)) { (s, d) =>
+      val nb = s.conf.get("spark.graft.rank.buckets", "32").toInt
+      val docs = Tables.load(s, d, "documents").select(col("doc_id"), col("n_chars"))
+      val cuts: Seq[Double] =
+        if (nb < 2) Seq.empty
+        else {
+          val qs = (1 until nb).map(i => s"${i.toDouble / nb}D").mkString(", ")
+          val row = docs.agg(expr("kll_sketch_get_quantile_double(" +
+            s"kll_sketch_agg_double(CAST(n_chars AS DOUBLE), 65535), array($qs))").as("qs"))
+            .head
+          if (row.isNullAt(0)) Seq.empty else row.getSeq[Double](0)
+        }
+      // nb < 2 (or an empty corpus: null quantiles) degrades to the
+      // one-bucket plan — a single global sort partition, still correct
+      val bucketed =
+        if (cuts.isEmpty) docs.withColumn("b", lit(0))
+        else docs.withColumn("b",
+          size(filter(array(cuts.map(lit): _*), c => c < col("n_chars"))))
+      val counts = bucketed.groupBy(col("b")).count()
+        .collect().map(r => (r.getInt(0), r.getLong(1))).toMap
+      val offsets = (0 until nb).scanLeft(0L)((acc, i) => acc + counts.getOrElse(i, 0L))
+      val offMap = map((0 until nb).flatMap(i => Seq(lit(i), lit(offsets(i)))): _*)
+      val w = Window.partitionBy(col("b")).orderBy(col("n_chars"), col("doc_id"))
+      bucketed
+        .withColumn("rank", element_at(offMap, col("b")) + row_number().over(w))
+        .select(col("doc_id"), col("n_chars"), col("rank").cast(LongType).as("rank"))
+        .orderBy(col("doc_id"))
     }
   )
 }

@@ -31,7 +31,13 @@ class DeterminismSpec extends AnyFunSuite {
     // invariance in its scaladoc, so it proves it here
     "emb_bitext_mine", "fn_feature_hash", "op_diff_partitions", "op_corr",
     "dd_bloom_prefilter", "b6_theta_setops", "op_join_estimate",
-    "j_interval_overlap")
+    "j_interval_overlap",
+    // substring/classifier/rank batch: gram-hash span merge, trained
+    // integer weights (train aggregate order-free), and the global rank
+    // (whose KLL cut points and bucket offsets must not move with the
+    // partitioning — rank is a pure function of the data)
+    "dd_substring", "tx_train_classifier", "tx_train_apply",
+    "op_global_rank")
 
   private def canonical(name: String): Seq[String] =
     SparkEntry.queries(name)(spark, sfDir).collect().map(_.toString).toSeq.sorted
