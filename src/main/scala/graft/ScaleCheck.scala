@@ -148,6 +148,7 @@ object ScaleCheck {
         Seq("j_multiway_star", "dd_dup_clusters", "dd_minhash_lsh",
           "dd_simhash", "samp_stratified", "dd_paragraph", "op_salted_join",
           "op_cdc_upsert", "op_funnel", "op_scd2", "wf_rolling_range",
+          "j_asof_nearest",
           "dd_keep_best", "ann_lsh_topk", "ann_pq_topk", "op_retention",
           "fn_quantile_bin", "samp_group_cap", "samp_weighted", "ss_enrich",
           // round-9 ops facing the planted hot strata: the boilerplate
@@ -202,7 +203,8 @@ object ScaleCheck {
           "op_corr", "op_join_estimate", "mm_frame_sample",
           "op_dq_quarantine", "op_diff_partitions", "samp_balanced",
           "tx_contamination_report", "dd_substring", "tx_train_apply",
-          "ss_classify", "op_global_rank")
+          "ss_classify", "op_global_rank", "j_asof_nearest",
+          "src_orc_roundtrip")
     val selected = if (only.isEmpty) names else names.filter(only)
     // dd_semdedup is excluded the same way dd_embed_cosine is: replicated
     // embeddings are bit-identical across copies, so k-fold data has k²

@@ -58,6 +58,71 @@ object OperatorQueries {
         .orderBy(col("event_id"))
     },
 
+    // NEAREST-event join — the bidirectional sibling of the as-of join:
+    // each click matched to the closest view of the same user in EITHER
+    // direction (sensor/feature alignment where "most recent" is the
+    // wrong rule near a boundary). One user-keyed sort serves two window
+    // frames (backward last-view, forward first-view); the nearer side
+    // wins, ties and same-timestamp views resolve to the backward side
+    // deterministically (views order before clicks at equal ts, matching
+    // the as-of join's inclusive convention). Microsecond-integer deltas,
+    // so the comparison is exact on both engines. Scale: the whole plan
+    // rides ONE hash exchange on user_id — the high-cardinality timeline
+    // key — exactly like op_asof_join/op_scd2.
+    QueryDef("j_asof_nearest", Some(
+      """WITH e AS (SELECT * FROM events WHERE event_type IN ('click','view')),
+        |o AS (SELECT event_id, event_type, epoch_us(ts) AS tus,
+        |    last_value(CASE WHEN event_type = 'view' THEN event_id END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id
+        |            ORDER BY ts, CASE WHEN event_type = 'view' THEN 0 ELSE 1 END, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_id,
+        |    last_value(CASE WHEN event_type = 'view' THEN epoch_us(ts) END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id
+        |            ORDER BY ts, CASE WHEN event_type = 'view' THEN 0 ELSE 1 END, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_ts,
+        |    first_value(CASE WHEN event_type = 'view' THEN event_id END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id
+        |            ORDER BY ts, CASE WHEN event_type = 'view' THEN 0 ELSE 1 END, event_id
+        |            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_id,
+        |    first_value(CASE WHEN event_type = 'view' THEN epoch_us(ts) END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id
+        |            ORDER BY ts, CASE WHEN event_type = 'view' THEN 0 ELSE 1 END, event_id
+        |            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_ts
+        |  FROM e)
+        |SELECT event_id,
+        |  CASE WHEN prev_id IS NOT NULL
+        |         AND (next_id IS NULL OR tus - prev_ts <= next_ts - tus)
+        |       THEN prev_id ELSE next_id END AS nearest_view_id,
+        |  CASE WHEN prev_id IS NOT NULL
+        |         AND (next_id IS NULL OR tus - prev_ts <= next_ts - tus)
+        |       THEN tus - prev_ts ELSE next_ts - tus END AS delta_us
+        |FROM o WHERE event_type = 'click' ORDER BY event_id""".stripMargin)) { (s, d) =>
+      val e = ev(s, d).filter(col("event_type").isin("click", "view"))
+      val ord = Seq(col("ts"),
+        when(col("event_type") === "view", 0).otherwise(1), col("event_id"))
+      val wb = Window.partitionBy(col("user_id")).orderBy(ord: _*)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wf = Window.partitionBy(col("user_id")).orderBy(ord: _*)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      val vId = when(col("event_type") === "view", col("event_id"))
+      val vTs = when(col("event_type") === "view", unix_micros(col("ts")))
+      val scored = e
+        .withColumn("tus", unix_micros(col("ts")))
+        .withColumn("prev_id", last(vId, ignoreNulls = true).over(wb))
+        .withColumn("prev_ts", last(vTs, ignoreNulls = true).over(wb))
+        .withColumn("next_id", first(vId, ignoreNulls = true).over(wf))
+        .withColumn("next_ts", first(vTs, ignoreNulls = true).over(wf))
+        .filter(col("event_type") === "click")
+      val prevWins = col("prev_id").isNotNull &&
+        (col("next_id").isNull ||
+          col("tus") - col("prev_ts") <= col("next_ts") - col("tus"))
+      scored.select(col("event_id"),
+          when(prevWins, col("prev_id")).otherwise(col("next_id")).as("nearest_view_id"),
+          when(prevWins, col("tus") - col("prev_ts"))
+            .otherwise(col("next_ts") - col("tus")).as("delta_us"))
+        .orderBy(col("event_id"))
+    },
+
     // RANGE JOIN: events banded into value ranges from a small bucket dim
     // (broadcast nested-loop on a non-equi predicate — the small side
     // ships to every executor, the fact side streams through).

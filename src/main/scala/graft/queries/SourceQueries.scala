@@ -68,6 +68,27 @@ object SourceQueries {
       src.write.mode("overwrite").json(out)
       s.read.schema(src.schema).json(out)
         .orderBy(col("doc_id"))
+    },
+
+    // ORC — the columnar sibling: binary encoding, so timestamps and
+    // doubles carry full precision without format options; the embedding
+    // ARRAY<FLOAT> column rides along to prove nested types survive. ORC
+    // keeps its own stripe statistics, so at scale this is also the
+    // predicate-pushdown-capable interchange format next to parquet.
+    QueryDef("src_orc_roundtrip", Some(
+      """SELECT vec_id, label,
+        |  CAST(len(embedding) AS INTEGER) AS dim,
+        |  CAST(floor(CAST(embedding[1] AS DOUBLE) * 1000000) AS BIGINT) AS e0_micros
+        |FROM embeddings ORDER BY vec_id""".stripMargin)) { (s, d) =>
+      val src = Tables.load(s, d, "embeddings")
+      val out = scratch("orc", d)
+      src.write.mode("overwrite").orc(out)
+      s.read.schema(src.schema).orc(out)
+        .select(col("vec_id"), col("label"),
+          size(col("embedding")).as("dim"),
+          floor(element_at(col("embedding"), 1).cast("double") * 1000000)
+            .cast("long").as("e0_micros"))
+        .orderBy(col("vec_id"))
     }
   )
 }
