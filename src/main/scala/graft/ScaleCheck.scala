@@ -166,6 +166,10 @@ object ScaleCheck {
           // value — a single rank bucket holds the whole tie group, the
           // worst case for quantile-cut range bucketing
           "op_global_rank",
+          // the hot template collapses 10% of the corpus onto ONE
+          // fingerprint in the pipeline's dedup stage, and the hot lang
+          // stratum concentrates its KLL bounds group
+          "pipe_curate",
           // the hot template collapses 10% of docs onto ONE token-set
           // fingerprint — the algebraic first-occurrence + store join
           // must shrug it off
@@ -204,7 +208,7 @@ object ScaleCheck {
           "op_dq_quarantine", "op_diff_partitions", "samp_balanced",
           "tx_contamination_report", "dd_substring", "tx_train_apply",
           "ss_classify", "op_global_rank", "j_asof_nearest",
-          "src_orc_roundtrip")
+          "src_orc_roundtrip", "pipe_curate")
     val selected = if (only.isEmpty) names else names.filter(only)
     // dd_semdedup is excluded the same way dd_embed_cosine is: replicated
     // embeddings are bit-identical across copies, so k-fold data has k²

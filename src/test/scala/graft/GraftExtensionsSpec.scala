@@ -76,6 +76,31 @@ class GraftExtensionsSpec extends AnyFunSuite {
     }
   }
 
+  test("both optimizer rules arrive via the extensions path (not just extraOptimizations)") {
+    import org.apache.spark.sql.functions._
+    // interval rewrite: armed by conf, plan loses its nested loop
+    spark.conf.set(graft.plans.IntervalJoinRewrite.WidthKey, "64")
+    spark.conf.set(graft.plans.TopKWindowRewrite.MaxKKey, "10")
+    try {
+      val g = spark.range(200).select(col("id"),
+        (col("id") * 13 % 500).as("s"), (col("id") * 13 % 500 + 40).as("e"))
+      val a = g.select(col("id").as("a_id"), col("s").as("a_s"), col("e").as("a_e"))
+      val b = g.select(col("id").as("b_id"), col("s").as("b_s"), col("e").as("b_e"))
+      val joined = a.join(b, col("a_s") <= col("b_e") && col("b_s") <= col("a_e"))
+      assert(!joined.queryExecution.optimizedPlan.toString.contains("Join Inner, ((a_s"),
+        "interval rule should have rewritten the inequality join")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("id") % 5).orderBy(col("s"), col("id"))
+      val ranked = g.withColumn("rn", row_number().over(w)).filter(col("rn") <= 2)
+      val opt = ranked.queryExecution.optimizedPlan.toString
+      assert(opt.contains("topk_min") && !opt.contains("Window ["),
+        s"topk rule should have rewritten the window:\n$opt")
+    } finally {
+      spark.conf.unset(graft.plans.IntervalJoinRewrite.WidthKey)
+      spark.conf.unset(graft.plans.TopKWindowRewrite.MaxKKey)
+    }
+  }
+
   test("ngram_hashes and top_ngram are callable from SQL") {
     val r = spark.sql(
       """SELECT

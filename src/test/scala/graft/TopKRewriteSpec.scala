@@ -154,6 +154,20 @@ class TopKRewriteSpec extends AnyFunSuite {
     }
   }
 
+  test("SQL-written top-N (subquery + WHERE rn <= N) rewrites too") {
+    fixture().createOrReplaceTempView("topk_sql_fixture")
+    def q() = spark.sql(
+      """SELECT grp, score, row_id, rn FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY grp ORDER BY score, row_id) AS rn
+        |  FROM topk_sql_fixture) WHERE rn <= 3""".stripMargin)
+    val baseline = rows(q())
+    armed(100) {
+      assert(rows(q()) == baseline && baseline.size == 120)
+      val p = executedPlanStr(q())
+      assert(!p.contains("Window ") && p.contains("topk_min"), p)
+    }
+  }
+
   test("fuzz: random group/score/filter shapes match the window baseline") {
     val rnd = new scala.util.Random(20260814L)
     (1 to 6).foreach { trial =>
