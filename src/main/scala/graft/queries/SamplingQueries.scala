@@ -338,6 +338,38 @@ object SamplingQueries {
         .select(explode(col("tk")).as("st"))
         .select(col("st.doc_id").as("doc_id"), col("st.h").as("h"))
         .orderBy(col("doc_id"))
+    },
+
+    // Deterministic MIXING ORDER (stride scheduling) — the data-loader
+    // side of samp_mixture: instead of dropping rows to hit the mixture,
+    // assign every doc a schedule position so that reading the schedule
+    // in order yields sources at their target rates (any prefix's source
+    // mix ∝ weight × volume). Position = u · m_s where u is the doc's
+    // 16-bit md5 draw and m_s the source's integer inverse weight
+    // (10/20/40/100 ≡ weights 1/.5/.25/.1 — samp_mixture's tiers): a
+    // heavily-weighted source's docs pack early strides, a down-weighted
+    // one spreads 10× sparser. ALL-integer arithmetic (one 16-bit value
+    // times a small constant — no floats anywhere), one shuffle-free
+    // codegen projection; the ORDER BY is the deliverable (the schedule)
+    // and doubles as oracle determinism.
+    QueryDef("samp_interleave", Some(
+      """SELECT doc_id, source,
+        |  CAST(((strpos('0123456789abcdef', substr(md5(text),1,1))-1)*4096
+        |      + (strpos('0123456789abcdef', substr(md5(text),2,1))-1)*256
+        |      + (strpos('0123456789abcdef', substr(md5(text),3,1))-1)*16
+        |      + (strpos('0123456789abcdef', substr(md5(text),4,1))-1))
+        |    * CASE CAST(substr(source, 4) AS INTEGER) % 4
+        |        WHEN 0 THEN 10 WHEN 1 THEN 20 WHEN 2 THEN 40 ELSE 100 END
+        |    AS BIGINT) AS pos
+        |FROM documents ORDER BY pos, doc_id""".stripMargin)) { (s, d) =>
+      val m = Seq(10L, 20L, 40L, 100L)
+      val rates = s.createDataFrame(
+        (0 until 20).map(i => (s"src$i", m(i % 4)))).toDF("source", "m")
+      val u = conv(substring(md5(col("text")), 1, 4), 16, 10).cast("long")
+      Tables.load(s, d, "documents")
+        .join(broadcast(rates), Seq("source"))
+        .select(col("doc_id"), col("source"), (u * col("m")).as("pos"))
+        .orderBy(col("pos"), col("doc_id"))
     }
   )
 
