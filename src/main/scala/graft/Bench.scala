@@ -32,36 +32,28 @@ object Bench {
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     // like-for-like subtotal vs the round-1 58-query self-baseline
-    // (BASELINE.md headline 30.9 s): queries added after round 1 are
-    // excluded so round-over-round totals compare without arithmetic.
-    // Any future query additions belong in this set too.
-    val addedSinceBaseline = Set("ann_ivf_topk", "tx_normalize", "tx_redact",
-      "dd_dup_clusters", "samp_stratified", "tx_pack_shards",
-      "tx_repetition", "dd_canonical_corpus", "tx_decontaminate",
-      "tx_rarity", "dd_semdedup", "tx_chunk",
-      "samp_mixture", "tx_importance", "ann_filtered_topk",
-      "srch_bm25", "dd_cross_dedup", "tx_corpus_stats",
-      "j_full_outer", "op_pivot", "op_unpivot", "tx_classify",
-      "fn_zscore", "fn_histogram", "dd_fuzzy_names",
-      "dd_source_overlap", "tx_bigram_rarity", "bql_explode", "emb_label_stats",
-      "b7_kll_grouped", "bql_quantile", "bql_pmf", "bql_cdf", "ann_ivf_bigk",
-      "mm_features_ppm", "ss_join_stream", "ss_join_outer",
-      "emb_knn_classify", "tx_vocab_coverage", "dd_containment",
-      "ss_sessionize", "mm_resize_ppm", "dd_paragraph", "fn_array",
-      "op_grouping_sets", "ss_dedup", "bql_expr_scalar", "bql_expr_collection",
-      "srch_phrase", "ss_window_agg", "fn_map", "ann_pq_topk", "op_salted_join",
-      "emb_pca_project", "op_cdc_upsert", "op_funnel", "op_transitions",
-      "wf_rolling_range", "op_scd2", "ss_cdc", "bql_copy_project",
-      "bql_orderby_limit", "mm_audio_wav", "fn_quantile_bin", "dd_keep_best",
-      "b6_theta_merge", "b8_topk_grouped", "bql_quantile_linear",
-      "bql_pmf_region", "bql_cdf_linear", "samp_group_cap", "ss_enrich",
-      "fn_winsorize", "op_retention", "op_gap_fill", "samp_weighted",
-      "mm_features_png", "ss_ann_assign", "samp_temperature", "samp_exact_n",
-      "fn_robust_zscore", "tx_remove_boilerplate", "op_bucketed_join",
-      "ss_topk", "ss_quantile", "dd_cross_near", "fn_target_encode",
-      "srch_hybrid", "dd_incremental", "emb_int8_quantize", "op_profile",
-      "emb_centroids", "op_profile_sketch", "samp_upsample", "op_dq_rules")
-    val baselineSubset = results.view.filterKeys(!addedSinceBaseline.contains(_))
+    // (BASELINE.md headline 30.9 s): pinned as an ALLOWLIST of the
+    // round-1 names (from BENCH_r01.json), so newly added queries can
+    // never silently inflate the round-over-round comparison (the old
+    // added-since blocklist had to be maintained by hand and drifted).
+    val round1Baseline = Set(
+      "ann_brute_topk", "ann_bucket_stats", "ann_lsh_topk",
+      "b13_window_tumbling", "b1_filter_compound", "b1_filter_eq",
+      "b2_project_expr", "b3_expr_json", "b4_raw_limit", "b5_group_agg",
+      "b5_group_all", "b5_group_cap_probe", "b6_count_distinct",
+      "b6_theta_distinct", "b6_theta_grouped", "b7_kll_quantile",
+      "b7_pmf_cdf", "b7_quantile", "b8_freq_topk", "b8_topk",
+      "b9_post_agg_chain", "bql_count_distinct", "bql_filter_project",
+      "bql_group_agg", "bql_having_expr", "bql_topk", "cube_agg",
+      "dd_embed_cosine", "dd_exact", "dd_minhash_lsh", "dd_ngram_jaccard",
+      "dd_simhash", "fn_datetime", "fn_string_math", "j_anti",
+      "j_broadcast_inner", "j_left_outer", "j_multiway_star", "j_semi",
+      "mm_features", "mm_frame_count", "mm_ingest_meta", "op_asof_join",
+      "op_range_join", "op_sessionize", "rollup_agg", "samp_hash_sample",
+      "samp_train_val_test", "set_except", "set_intersect", "set_union",
+      "topn_orders", "tx_fingerprint", "tx_langid", "tx_ngram_freq",
+      "tx_quality", "tx_tokens", "wf_analytic")
+    val baselineSubset = results.view.filterKeys(round1Baseline.contains)
     val subtotal = baselineSubset.values.sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""baseline_subset_sec":$subtotal,"baseline_subset_n":${baselineSubset.size},""" +

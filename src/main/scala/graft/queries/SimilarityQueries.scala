@@ -841,6 +841,40 @@ object SimilarityQueries {
         .select(col("va"), col("vb"),
           (dot_product(col("ea"), col("eb")) / sqrt(col("na") * col("nb"))).as("cos"))
       Bitext.align(p, k)
+    },
+
+    // Embedding GENERATION through the model-inference seam
+    // (operators/BatchInfer): one mapPartitions pass, kernel loaded by
+    // classname config once per task, fed fixed-size batches — the
+    // run-an-encoder-over-100-TB plumbing, exercised here with the
+    // deterministic built-in (16-dim hashed bag-of-words, the
+    // fn_feature_hash function at width 16) so the generated vectors are
+    // oracle-checkable: l1 mass = token count, each slot = its bucket's
+    // token count. Batch-boundary invariance and the classname seam are
+    // spec-gated (BatchInferSpec); a real deployment swaps
+    // spark.graft.infer.class for the actual encoder runtime.
+    QueryDef("emb_generate", Some(
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS t FROM documents),
+        |b AS (SELECT doc_id,
+        |   ((strpos('0123456789abcdef', substr(md5(t),1,1))-1)*4096
+        |   +(strpos('0123456789abcdef', substr(md5(t),2,1))-1)*256
+        |   +(strpos('0123456789abcdef', substr(md5(t),3,1))-1)*16
+        |   +(strpos('0123456789abcdef', substr(md5(t),4,1))-1)) % 16 AS bucket
+        | FROM tok)
+        |SELECT doc_id, 16 AS dim,
+        |  count(*) AS l1,
+        |  count(*) FILTER (WHERE bucket = 0) AS s0,
+        |  count(*) FILTER (WHERE bucket = 7) AS s7
+        |FROM b GROUP BY doc_id ORDER BY doc_id""".stripMargin)) { (s, d) =>
+      val out = graft.operators.BatchInfer.embed(
+        Tables.load(s, d, "documents").select(col("doc_id"), col("text")),
+        "text", "emb")
+      out.select(col("doc_id"),
+          size(col("emb")).as("dim"),
+          aggregate(col("emb"), lit(0L), (acc, x) => acc + x.cast("long")).as("l1"),
+          element_at(col("emb"), 1).cast("long").as("s0"),
+          element_at(col("emb"), 8).cast("long").as("s7"))
+        .orderBy(col("doc_id"))
     }
   )
 }
