@@ -16,9 +16,10 @@ import graft.plans.TopKWindowRewrite
   */
 object RewriteBench {
   def main(args: Array[String]): Unit = {
-    val rows = args.headOption.map(_.toLong).getOrElse(20000000L)
-    val groups = args.lift(1).map(_.toLong).getOrElse(64L)
-    val n = args.lift(2).map(_.toInt).getOrElse(10)
+    val numeric = args.filterNot(_ == "wide")
+    val rows = numeric.headOption.map(_.toLong).getOrElse(20000000L)
+    val groups = numeric.lift(1).map(_.toLong).getOrElse(64L)
+    val n = numeric.lift(2).map(_.toInt).getOrElse(10)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = GraftSession.configure(SparkSession.builder()
       .master(s"local[$cpus]")
@@ -26,11 +27,18 @@ object RewriteBench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
+    // "wide" as a 4th arg adds 8 payload columns — the realistic shape
+    // (rank carries the row, not just the key), where the window plan's
+    // two full sorts move 5x the bytes but the heap only copies winners
+    val wide = args.contains("wide")
     def query(): DataFrame = {
-      val base = spark.range(rows).select(
+      val base0 = spark.range(rows).select(
         (col("id") % groups).as("grp"),
         (col("id") * 2654435761L % 1000000007L).as("score"),
         col("id").as("row_id"))
+      val base = if (!wide) base0 else (0 until 8).foldLeft(base0) {
+        (df, i) => df.withColumn(s"p$i", col("row_id") * (i + 3) % 997)
+      }
       val w = Window.partitionBy(col("grp")).orderBy(col("score").desc, col("row_id"))
       base.withColumn("rn", row_number().over(w)).filter(col("rn") <= n)
     }
@@ -46,7 +54,7 @@ object RewriteBench {
     spark.conf.set(TopKWindowRewrite.MaxKKey, "1000")
     val rewritten = minOf3()
     spark.conf.unset(TopKWindowRewrite.MaxKKey)
-    println(f"rows=$rows groups=$groups n=$n")
+    println(f"rows=$rows groups=$groups n=$n wide=$wide")
     println(f"window (InferWindowGroupLimit): $windowed%6.2f s")
     println(f"topk_min rewrite:               $rewritten%6.2f s  (${windowed / rewritten}%.2fx)")
     spark.stop()

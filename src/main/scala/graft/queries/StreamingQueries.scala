@@ -864,6 +864,56 @@ object StreamingQueries {
         }
       } finally q.stop()
       s.table(sink).orderBy(col("doc_id"))
+    },
+
+    // Live embedding generation through the model-inference seam — the
+    // streaming half of emb_generate: the SAME BatchInfer.embed
+    // mapPartitions pass applied per micro-batch to a replayed document
+    // stream (stateless, append-mode; the kernel contract makes batch
+    // and micro-batch boundaries equally invisible, so the drained sink
+    // is row-identical to the batch pass and the oracle is
+    // emb_generate's SQL). This is the per-micro-batch encoder pass an
+    // online ingest pipeline runs on arriving documents.
+    QueryDef("ss_infer", Some(
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS t FROM documents),
+        |b AS (SELECT doc_id,
+        |   ((strpos('0123456789abcdef', substr(md5(t),1,1))-1)*4096
+        |   +(strpos('0123456789abcdef', substr(md5(t),2,1))-1)*256
+        |   +(strpos('0123456789abcdef', substr(md5(t),3,1))-1)*16
+        |   +(strpos('0123456789abcdef', substr(md5(t),4,1))-1)) % 16 AS bucket
+        | FROM tok)
+        |SELECT doc_id, 16 AS dim,
+        |  count(*) AS l1,
+        |  count(*) FILTER (WHERE bucket = 0) AS s0,
+        |  count(*) FILTER (WHERE bucket = 7) AS s7
+        |FROM b GROUP BY doc_id ORDER BY doc_id""".stripMargin)) { (s, d) =>
+      import s.implicits._
+      implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val rows = Tables.load(s, d, "documents")
+        .select(col("doc_id"), col("text")).orderBy(col("doc_id"))
+        .collect().map(r => (r.getLong(0), r.getString(1)))
+      val nSlices = s.conf.get("spark.graft.ssjoin.slices", "4").toInt
+      val per = math.max(1, (rows.length + nSlices - 1) / nSlices)
+
+      val feed = MemoryStream[(Long, String)]
+      val embedded = graft.operators.BatchInfer.embed(
+        feed.toDF().toDF("doc_id", "text"), "text", "emb")
+        .select(col("doc_id"),
+          size(col("emb")).as("dim"),
+          aggregate(col("emb"), lit(0L), (acc, x) => acc + x.cast("long")).as("l1"),
+          element_at(col("emb"), 1).cast("long").as("s0"),
+          element_at(col("emb"), 8).cast("long").as("s7"))
+      val sink = "ss_infer_sink"
+      s.catalog.dropTempView(sink)
+      val q = embedded.writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      try {
+        rows.grouped(per).foreach { slice =>
+          feed.addData(slice.toSeq)
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+      s.table(sink).orderBy(col("doc_id"))
     }
   )
 }
