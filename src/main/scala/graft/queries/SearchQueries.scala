@@ -244,6 +244,73 @@ object SearchQueries {
           floor(col("raw") * 1000000).cast(LongType).as("bm25_micro"),
           floor(col("cos") * 1000000).cast(LongType).as("cos_micro"))
         .orderBy(col("rank"))
+    },
+
+    // HARD-NEGATIVE mining — the contrastive-training pair builder (the
+    // "BM25 negatives" recipe of DPR, Karpukhin et al. 2020, public
+    // literature): for the query, positives are docs containing ALL
+    // query terms; hard negatives are the TOP-BM25 docs that match some
+    // but not all terms — lexically close enough to score high, wrong
+    // enough to teach the boundary. Same proven BM25 scoring pass as
+    // srch_bm25 (one linear codegen scan against broadcast stats); the
+    // per-label top-10 runs as the bounded-heap `topk_min` (label is a
+    // 2-value key — exactly the low-cardinality case where a rank window
+    // would serialize and the heap combines map-side).
+    QueryDef("srch_hard_negatives", Some({
+      val tfs = Terms.map(t => s"len(list_filter(t, x -> x = '$t')) AS tf_$t").mkString(",\n  ")
+      val dfs = Terms.map(t => s"count(*) FILTER (WHERE list_contains(t, '$t')) AS df_$t").mkString(",\n  ")
+      val np = Terms.map(t => s"CASE WHEN tf_$t > 0 THEN 1 ELSE 0 END").mkString(" + ")
+      val score = Terms.map(t =>
+        s"""ln(1 + (n_docs - df_$t + 0.5)/(df_$t + 0.5))
+           |    * tf_$t * ${K1 + 1} / (tf_$t + $K1 * (1 - $B + $B * dl / avgdl))""".stripMargin)
+        .mkString(" + ")
+      s"""WITH d AS (SELECT doc_id, string_split(text,' ') AS t,
+         |    len(string_split(text,' ')) AS dl FROM documents),
+         |st AS (SELECT count(*) AS n_docs,
+         |  CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl,
+         |  $dfs
+         |  FROM d),
+         |scored AS (
+         |  SELECT doc_id, $score AS raw, $np AS np
+         |  FROM (SELECT doc_id, dl, $tfs FROM d) CROSS JOIN st),
+         |lab AS (SELECT doc_id, raw,
+         |    CASE WHEN np = ${Terms.size} THEN 'pos' ELSE 'hardneg' END AS label
+         |  FROM scored WHERE np > 0),
+         |top AS (SELECT label, doc_id, raw,
+         |    row_number() OVER (PARTITION BY label ORDER BY raw DESC, doc_id) AS rank
+         |  FROM lab)
+         |SELECT label, rank, doc_id, CAST(floor(raw * 1000000) AS BIGINT) AS score_micro
+         |FROM top WHERE rank <= 10 ORDER BY label, rank""".stripMargin
+    })) { (s, d) =>
+      import graft.functions.topk_min
+      val base = docs(s, d).select(col("doc_id"), toks.as("t"),
+        size(toks).cast(LongType).as("dl"))
+      val statCols =
+        (sum(col("dl")).cast(DoubleType) / count(lit(1))).as("avgdl") +:
+          Terms.map(t => sum(when(array_contains(col("t"), t), 1L).otherwise(0L)).as(s"df_$t"))
+      val stats = base.agg(count(lit(1)).as("n_docs"), statCols: _*)
+      val tf = Terms.map(t =>
+        size(filter(col("t"), x => x === t)).cast(DoubleType).as(s"tf_$t"))
+      val scored = base
+        .select(col("doc_id") +: col("dl") +: tf: _*)
+        .crossJoin(broadcast(stats))
+      val raw = Terms.map { t =>
+        val idf = log(lit(1) + (col("n_docs") - col(s"df_$t") + 0.5) / (col(s"df_$t") + 0.5))
+        idf * col(s"tf_$t") * (K1 + 1) /
+          (col(s"tf_$t") + lit(K1) * (lit(1) - B + lit(B) * col("dl") / col("avgdl")))
+      }.reduce(_ + _)
+      val np = Terms.map(t => when(col(s"tf_$t") > 0, 1).otherwise(0)).reduce(_ + _)
+      scored.select(col("doc_id"), raw.as("raw"), np.as("np"))
+        .filter(col("np") > 0)
+        .withColumn("label",
+          when(col("np") === Terms.size, "pos").otherwise("hardneg"))
+        .groupBy(col("label"))
+        .agg(topk_min(struct((-col("raw")).as("nr"), col("doc_id").as("doc_id")), 10).as("tk"))
+        .select(col("label"), posexplode(col("tk")).as(Seq("p", "st")))
+        .select(col("label"), (col("p") + 1).as("rank"),
+          col("st.doc_id").as("doc_id"),
+          floor(-col("st.nr") * 1000000).cast(LongType).as("score_micro"))
+        .orderBy(col("label"), col("rank"))
     }
   )
 }
