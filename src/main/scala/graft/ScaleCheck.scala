@@ -209,7 +209,8 @@ object ScaleCheck {
           "tx_contamination_report", "dd_substring", "tx_train_apply",
           "ss_classify", "op_global_rank", "j_asof_nearest",
           "src_orc_roundtrip", "pipe_curate", "samp_interleave",
-          "emb_generate", "ss_infer", "srch_hard_negatives")
+          "emb_generate", "ss_infer", "srch_hard_negatives",
+          "mm_resize_png")
     val selected = if (only.isEmpty) names else names.filter(only)
     // dd_semdedup is excluded the same way dd_embed_cosine is: replicated
     // embeddings are bit-identical across copies, so k-fold data has k²

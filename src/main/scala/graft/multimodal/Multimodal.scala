@@ -148,6 +148,36 @@ object Multimodal {
       out
     }
 
+  /** Nearest-neighbor resize for any ImageIO-decodable payload — the
+    * compressed-codec twin of [[resizePpmNearest]] with the identical
+    * index arithmetic (source pixel (x·w/outW, y·h/outH)), so the same
+    * closed-form oracle certifies decode→transform for a REAL format.
+    * Malformed payloads resize to None — dropped, never a crash. */
+  def resizeImageNearest(payload: Array[Byte], outW: Int, outH: Int): Option[Array[Byte]] = {
+    if (payload == null || payload.isEmpty) return None
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      catch { case _: Exception => null }
+    if (img == null) return None
+    val w = img.getWidth; val h = img.getHeight
+    val out = new Array[Byte](outW * outH * 3)
+    var y = 0
+    while (y < outH) {
+      val sy = y * h / outH
+      var x = 0
+      while (x < outW) {
+        val rgb = img.getRGB(x * w / outW, sy)
+        val di = (y * outW + x) * 3
+        out(di) = ((rgb >> 16) & 0xff).toByte
+        out(di + 1) = ((rgb >> 8) & 0xff).toByte
+        out(di + 2) = (rgb & 0xff).toByte
+        x += 1
+      }
+      y += 1
+    }
+    Some(out)
+  }
+
   /** Formats the JDK's pure-Java ImageIO codecs decode for real — no
     * native libs needed. PNG is lossless, so encode→decode round-trips
     * byte-exactly and the feature oracle can be closed-form; JPEG decodes

@@ -252,6 +252,43 @@ object MultimodalQueries {
       }(enc).orderBy(col("doc_id"))
     },
 
+    // The COMPRESSED-codec thumbnail pipeline: decode real PNG bytes
+    // through javax.imageio, nearest-neighbor downsample to 2×2, emit the
+    // resized channel sums. Identical index arithmetic (and so identical
+    // oracle SQL) to mm_resize_ppm — what this adds is the full
+    // decode→transform composition over an actual deflate-compressed
+    // format, the real thumbnail pass a multimodal ingest runs.
+    QueryDef("mm_resize_png", Some(
+      """WITH m AS (SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h,
+        |    ((4 + doc_id % 5) * (3 + doc_id % 4)) // 2 AS na
+        |  FROM documents),
+        |p AS (SELECT doc_id, na, ((y * h) // 2) * w + ((x * w) // 2) AS idx
+        |      FROM m CROSS JOIN (VALUES (0, 0), (0, 1), (1, 0), (1, 1)) t(x, y))
+        |SELECT doc_id, CAST(2 AS BIGINT) AS out_w, CAST(2 AS BIGINT) AS out_h,
+        |  CAST(sum(CASE WHEN idx < na THEN doc_id % 256 ELSE (doc_id * 3) % 256 END) AS BIGINT) AS sum_r,
+        |  CAST(sum(CASE WHEN idx < na THEN (doc_id * 7) % 256 ELSE (doc_id * 11) % 256 END) AS BIGINT) AS sum_g,
+        |  CAST(sum(CASE WHEN idx < na THEN (doc_id * 13) % 256 ELSE (doc_id * 17) % 256 END) AS BIGINT) AS sum_b
+        |FROM p GROUP BY doc_id ORDER BY doc_id""".stripMargin)) { (s, d) =>
+      val payloads = pngPayloads(s, d)
+      val enc = org.apache.spark.sql.Encoders.row(StructType(Seq(
+        StructField("doc_id", LongType), StructField("out_w", LongType),
+        StructField("out_h", LongType), StructField("sum_r", LongType),
+        StructField("sum_g", LongType), StructField("sum_b", LongType))))
+      payloads.mapPartitions { rows =>
+        rows.flatMap { r =>
+          Multimodal.resizeImageNearest(r.getAs[Array[Byte]](1), 2, 2).map { rz =>
+            var sr = 0L; var sg = 0L; var sb = 0L
+            var i = 0
+            while (i < 4) {
+              sr += rz(3 * i) & 0xff; sg += rz(3 * i + 1) & 0xff; sb += rz(3 * i + 2) & 0xff
+              i += 1
+            }
+            org.apache.spark.sql.Row(r.getLong(0), 2L, 2L, sr, sg, sb)
+          }
+        }
+      }(enc).orderBy(col("doc_id"))
+    },
+
     // Frame-sampling shape over binary payloads (video stand-in):
     // per-doc frame counts, oracle-checked via the equivalent arithmetic.
     QueryDef("mm_frame_count", Some(

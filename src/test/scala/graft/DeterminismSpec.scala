@@ -37,7 +37,12 @@ class DeterminismSpec extends AnyFunSuite {
     // (whose KLL cut points and bucket offsets must not move with the
     // partitioning — rank is a pure function of the data)
     "dd_substring", "tx_train_classifier", "tx_train_apply",
-    "op_global_rank")
+    "op_global_rank",
+    // closing batch: the composed funnel's staged hash draws, the
+    // stride-schedule positions, kernel-generated embeddings, heap-ranked
+    // hard negatives, and the bidirectional nearest join's tie rule
+    "pipe_curate", "samp_interleave", "emb_generate",
+    "srch_hard_negatives", "j_asof_nearest")
 
   private def canonical(name: String): Seq[String] =
     SparkEntry.queries(name)(spark, sfDir).collect().map(_.toString).toSeq.sorted
