@@ -57,5 +57,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           s.eval().asInstanceOf[Number].longValue(), b.eval().asInstanceOf[Number].intValue())
         case _ => throw new IllegalArgumentException("lsh_bucket(vec[, seed, bits])")
       }))
+    // the bounded-heap top-k aggregate, SQL-callable: the analyzer wraps
+    // a bare AggregateFunction in its AggregateExpression
+    e.injectFunction((FunctionIdentifier("topk_min"),
+      info("topk_min", "topk_min(expr, k) - k smallest values of expr as an ascending array (partial+final bounded heap)"),
+      (args: Seq[Expression]) => args match {
+        case Seq(c, k) => TopKMin(c, k.eval().asInstanceOf[Number].intValue())
+        case _ => throw new IllegalArgumentException("topk_min(expr, k)")
+      }))
   }
 }

@@ -101,6 +101,17 @@ class GraftExtensionsSpec extends AnyFunSuite {
     }
   }
 
+  test("topk_min is callable from SQL and aggregates per group") {
+    import spark.implicits._
+    (0 until 100).map(i => (i % 4, i)).toDF("grp", "v")
+      .createOrReplaceTempView("topk_sql_t")
+    val rows = spark.sql(
+      "SELECT grp, topk_min(v, 3) AS tk FROM topk_sql_t GROUP BY grp ORDER BY grp")
+      .collect().map(r => (r.getInt(0), r.getSeq[Int](1)))
+    assert(rows.toSeq == Seq(
+      (0, Seq(0, 4, 8)), (1, Seq(1, 5, 9)), (2, Seq(2, 6, 10)), (3, Seq(3, 7, 11))))
+  }
+
   test("ngram_hashes and top_ngram are callable from SQL") {
     val r = spark.sql(
       """SELECT
