@@ -24,6 +24,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // Optimizer rule: row_number-over-window top-N -> bounded-heap
     // topk_min aggregate (no-op until spark.graft.topk.rewriteMaxK arms it).
     e.injectOptimizerRule(_ => graft.plans.TopKWindowRewrite)
+    // Optimizer rule: COUNT(DISTINCT x) -> Theta sketch estimate — the
+    // reference's B6 semantic as a session mode (no-op until
+    // spark.graft.approxDistinct=theta arms it).
+    e.injectOptimizerRule(_ => graft.plans.ApproxDistinctRewrite)
     e.injectFunction((FunctionIdentifier("cosine_sim"),
       info("cosine_sim", "cosine_sim(a, b) - cosine similarity of two float arrays"),
       (args: Seq[Expression]) => CosineSimilarity(args(0), args(1))))

@@ -16,7 +16,7 @@ import graft.plans.TopKWindowRewrite
   */
 object RewriteBench {
   def main(args: Array[String]): Unit = {
-    val numeric = args.filterNot(_ == "wide")
+    val numeric = args.filterNot(a => a == "wide" || a == "distinct")
     val rows = numeric.headOption.map(_.toLong).getOrElse(20000000L)
     val groups = numeric.lift(1).map(_.toLong).getOrElse(64L)
     val n = numeric.lift(2).map(_.toInt).getOrElse(10)
@@ -27,6 +27,31 @@ object RewriteBench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
+    // "distinct" mode A/Bs ApproxDistinctRewrite instead: exact
+    // count(DISTINCT) (per-group pre-aggregation plan) vs the armed Theta
+    // sketch aggregate, same frame
+    if (args.contains("distinct")) {
+      def q(): DataFrame = spark.range(rows).select(
+        (col("id") % groups).as("grp"),
+        (col("id") * 2654435761L % 5000000L).as("user_id"))
+        .groupBy(col("grp")).agg(countDistinct(col("user_id")).as("nd"))
+      def time(): Double = {
+        val t0 = System.nanoTime()
+        q().write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      def minOf3(): Double = { time(); Seq(time(), time(), time()).min }
+      time()
+      val exact = minOf3()
+      spark.conf.set(graft.plans.ApproxDistinctRewrite.Key, "theta")
+      val theta = minOf3()
+      spark.conf.unset(graft.plans.ApproxDistinctRewrite.Key)
+      println(f"rows=$rows groups=$groups mode=distinct")
+      println(f"exact count(DISTINCT):  $exact%6.2f s")
+      println(f"theta sketch estimate:  $theta%6.2f s  (${exact / theta}%.2fx)")
+      spark.stop()
+      return
+    }
     // "wide" as a 4th arg adds 8 payload columns — the realistic shape
     // (rank carries the row, not just the key), where the window plan's
     // two full sorts move 5x the bytes but the heap only copies winners
