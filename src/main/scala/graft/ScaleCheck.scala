@@ -170,6 +170,11 @@ object ScaleCheck {
           // fingerprint in the pipeline's dedup stage, and the hot lang
           // stratum concentrates its KLL bounds group
           "pipe_curate",
+          // hot lang stratum skews the classifier's labels and the hot
+          // template floods BM25/score ties; both plans are broadcast-
+          // stats + codegen scans with bounded-key aggregates, so the
+          // hot mass must spread across mappers
+          "tx_train_apply", "srch_hard_negatives", "emb_generate",
           // the hot template collapses 10% of docs onto ONE token-set
           // fingerprint — the algebraic first-occurrence + store join
           // must shrug it off
