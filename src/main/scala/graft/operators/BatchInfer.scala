@@ -58,7 +58,13 @@ object BatchInfer {
   }
 
   /** Append `outCol` (array<float>) to `df` by batched kernel inference
-    * over `textCol`. */
+    * over `textCol`. Null handling is defined AT THE SEAM: a null text
+    * never reaches the kernel — it maps to a null vector ("null in, null
+    * out", the same contract Spark's own scalar functions keep), so
+    * kernels only ever see real strings and a sparse null column can't
+    * turn into a per-task NPE storm. Batch slots stay full-size: nulls
+    * are carved out AFTER grouping, so accelerator-shaped batching is
+    * unchanged. */
   def embed(df: DataFrame, textCol: String, outCol: String): DataFrame = {
     val conf = df.sparkSession.conf
     val clsName = conf.get("spark.graft.infer.class", classOf[HashEmbedKernel].getName)
@@ -72,10 +78,17 @@ object BatchInfer {
     df.mapPartitions { rows =>
       val kernel = instantiate(clsName)
       rows.grouped(batchSize).flatMap { batch =>
-        val outs = kernel.inferBatch(batch.map(_.getString(idx)))
-        require(outs.size == batch.size,
-          s"$clsName broke the 1:1 contract: ${batch.size} in, ${outs.size} out")
-        batch.lazyZip(outs).map { (r, o) => Row.fromSeq(r.toSeq :+ o.toSeq) }
+        val present = batch.filter(!_.isNullAt(idx))
+        val outs =
+          if (present.isEmpty) Seq.empty
+          else kernel.inferBatch(present.map(_.getString(idx)))
+        require(outs.size == present.size,
+          s"$clsName broke the 1:1 contract: ${present.size} in, ${outs.size} out")
+        val it = outs.iterator
+        batch.map { r =>
+          val o = if (r.isNullAt(idx)) null else it.next().toSeq
+          Row.fromSeq(r.toSeq :+ o)
+        }
       }
     }(Encoders.row(outSchema))
   }

@@ -43,6 +43,15 @@ object ApproxDistinctRewrite extends Rule[LogicalPlan] {
     case _ => false
   }
 
+  /** ThetaSketchAgg's inputTypes start at int — byte/short columns are
+    * widened with an injective integral cast (distinct counts are
+    * preserved exactly), because this rewrite runs POST-analysis and no
+    * type check would re-fire before execution. */
+  private def sketchInput(e: Expression): Expression = e.dataType match {
+    case ByteType | ShortType => Cast(e, IntegerType)
+    case _ => e
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan =
     if (!armed) plan
     else plan.transformUp {
@@ -51,7 +60,7 @@ object ApproxDistinctRewrite extends Rule[LogicalPlan] {
           case ae @ AggregateExpression(Count(Seq(e)), mode, true, filter, _)
               if supported(e.dataType) && e.deterministic =>
             ThetaSketchEstimate(AggregateExpression(
-              new ThetaSketchAgg(e), mode, isDistinct = false, filter))
+              new ThetaSketchAgg(sketchInput(e)), mode, isDistinct = false, filter))
         }
     }
 }

@@ -91,6 +91,23 @@ class ApproxDistinctSpec extends AnyFunSuite {
       .contains("theta_sketch"))
   }
 
+  test("tinyint/smallint columns rewrite via an injective int widening, not a crash") {
+    // ThetaSketchAgg's inputTypes start at INT; the rewrite runs
+    // post-analysis so no type check re-fires — byte/short must be
+    // widened (Cast is injective for integrals: exact counts preserved)
+    def q() = fixture().select(col("grp"),
+        (col("user_id") % 100).cast("tinyint").as("b"),
+        (col("user_id") % 1000).cast("smallint").as("sh"))
+      .groupBy(col("grp"))
+      .agg(countDistinct(col("b")).as("ndb"), countDistinct(col("sh")).as("nds"))
+      .orderBy(col("grp"))
+    val base = q().collect().map(_.toSeq).toSeq
+    armed {
+      assert(q().collect().map(_.toSeq).toSeq == base)
+      assert(executedPlanStr(q()).contains("theta_sketch"))
+    }
+  }
+
   test("mixed exact and distinct aggregates in one Aggregate rewrite only the distinct") {
     def q() = fixture().groupBy(col("grp"))
       .agg(countDistinct(col("user_id")).as("nd"),

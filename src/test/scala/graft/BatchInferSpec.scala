@@ -89,4 +89,29 @@ class BatchInferSpec extends AnyFunSuite {
         Option(e.getCause).exists(_.getMessage.contains("1:1")))
     } finally spark.conf.unset("spark.graft.infer.class")
   }
+
+  test("null texts never reach the kernel: null in, null out, neighbors unchanged") {
+    import spark.implicits._
+    val withNulls = (0 until 100).map(i =>
+        (i.toLong, if (i % 9 == 0) null else s"tok$i alpha"))
+      .toDF("id", "text")
+    // tiny batches so null-bearing and null-free batches both occur
+    spark.conf.set("spark.graft.infer.batchSize", "4")
+    try {
+      val got = BatchInfer.embed(withNulls, "text", "v")
+        .select(col("id"), col("v")).collect()
+        .map(r => (r.getLong(0), Option(r.getSeq[Float](1)))).toMap
+      assert(got.size == 100)
+      (0 until 100).foreach { i =>
+        if (i % 9 == 0) assert(got(i.toLong).isEmpty, s"row $i: null text must yield null vector")
+        else assert(got(i.toLong).exists(_.size == 16), s"row $i lost its embedding")
+      }
+      // the non-null rows embed exactly as they would without the nulls
+      val clean = BatchInfer.embed(
+          withNulls.filter(col("text").isNotNull), "text", "v")
+        .select(col("id"), col("v")).collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1))).toMap
+      clean.foreach { case (id, v) => assert(got(id).contains(v)) }
+    } finally spark.conf.unset("spark.graft.infer.batchSize")
+  }
 }
