@@ -54,18 +54,27 @@ object RewriteBench {
     }
     // "wide" as a 4th arg adds 8 payload columns — the realistic shape
     // (rank carries the row, not just the key), where the window plan's
-    // two full sorts move 5x the bytes but the heap only copies winners
+    // two full sorts move 5x the bytes but the heap only copies winners.
+    // "rank"/"dense_rank" switch the window function (tie-aware buffer
+    // path; scores are bucketed so boundary ties actually occur).
     val wide = args.contains("wide")
+    val fn: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+      if (args.contains("rank")) _ => rank()
+      else if (args.contains("dense_rank")) _ => dense_rank()
+      else _ => row_number()
+    val tied = args.contains("rank") || args.contains("dense_rank")
     def query(): DataFrame = {
       val base0 = spark.range(rows).select(
         (col("id") % groups).as("grp"),
-        (col("id") * 2654435761L % 1000000007L).as("score"),
+        // tie-prone key for the rank functions: ~1000 distinct scores
+        (col("id") * 2654435761L % (if (tied) 1000L else 1000000007L)).as("score"),
         col("id").as("row_id"))
       val base = if (!wide) base0 else (0 until 8).foldLeft(base0) {
         (df, i) => df.withColumn(s"p$i", col("row_id") * (i + 3) % 997)
       }
-      val w = Window.partitionBy(col("grp")).orderBy(col("score").desc, col("row_id"))
-      base.withColumn("rn", row_number().over(w)).filter(col("rn") <= n)
+      val ord = if (tied) Seq(col("score").desc) else Seq(col("score").desc, col("row_id"))
+      val w = Window.partitionBy(col("grp")).orderBy(ord: _*)
+      base.withColumn("rn", fn(col("score")).over(w)).filter(col("rn") <= n)
     }
     def time(): Double = {
       val t0 = System.nanoTime()
@@ -79,9 +88,11 @@ object RewriteBench {
     spark.conf.set(TopKWindowRewrite.MaxKKey, "1000")
     val rewritten = minOf3()
     spark.conf.unset(TopKWindowRewrite.MaxKKey)
-    println(f"rows=$rows groups=$groups n=$n wide=$wide")
+    val fnName = if (args.contains("rank")) "rank"
+      else if (args.contains("dense_rank")) "dense_rank" else "row_number"
+    println(f"rows=$rows groups=$groups n=$n wide=$wide fn=$fnName")
     println(f"window (InferWindowGroupLimit): $windowed%6.2f s")
-    println(f"topk_min rewrite:               $rewritten%6.2f s  (${windowed / rewritten}%.2fx)")
+    println(f"window_topk rewrite:            $rewritten%6.2f s  (${windowed / rewritten}%.2fx)")
     spark.stop()
   }
 }

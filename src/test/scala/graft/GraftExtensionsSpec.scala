@@ -93,7 +93,7 @@ class GraftExtensionsSpec extends AnyFunSuite {
         .partitionBy(col("id") % 5).orderBy(col("s"), col("id"))
       val ranked = g.withColumn("rn", row_number().over(w)).filter(col("rn") <= 2)
       val opt = ranked.queryExecution.optimizedPlan.toString
-      assert(opt.contains("topk_min") && !opt.contains("Window ["),
+      assert(opt.contains("window_topk") && !opt.contains("Window ["),
         s"topk rule should have rewritten the window:\n$opt")
     } finally {
       spark.conf.unset(graft.plans.IntervalJoinRewrite.WidthKey)
