@@ -178,7 +178,7 @@ object ScaleCheck {
           // the hot template collapses 10% of docs onto ONE token-set
           // fingerprint — the algebraic first-occurrence + store join
           // must shrug it off
-          "dd_cross_near", "ss_topk", "dd_incremental",
+          "dd_cross_near", "ss_topk", "dd_incremental", "dd_incremental_near",
           // hot o_custkey: the forget cascade's semi/anti joins stay
           // broadcast (tombstones are key-bounded), so a hot customer
           // only grows the scanned side linearly
@@ -205,7 +205,8 @@ object ScaleCheck {
           "samp_temperature", "samp_exact_n", "fn_robust_zscore",
           "tx_remove_boilerplate", "op_bucketed_join", "ss_topk",
           "ss_quantile", "dd_cross_near", "fn_target_encode",
-          "srch_hybrid", "dd_incremental", "emb_int8_quantize", "op_profile",
+          "srch_hybrid", "dd_incremental", "dd_incremental_near",
+          "emb_int8_quantize", "op_profile",
           "emb_centroids", "op_profile_sketch", "samp_upsample", "op_dq_rules",
           "fn_feature_hash", "op_forget_users", "op_zorder_layout",
           "src_csv_roundtrip", "j_interval_overlap", "dd_bloom_prefilter",

@@ -634,6 +634,84 @@ object DedupQueries {
         .orderBy(col("doc_id"))
     },
 
+    // NEAR-dup incremental ingest — dd_incremental's production-complete
+    // form: the persisted store carries MinHash SIGNATURES and BAND
+    // BUCKETS alongside the exact fingerprints, so a daily batch is also
+    // screened for paraphrased/truncated re-crawls (the dd_cross_near
+    // policy) WITHOUT ever rescanning the corpus text. Store build (once
+    // per corpus snapshot, idempotent): one linear corpus pass writes
+    // (corpus_id, sig, fp); bands derive from the STORED sigs; each band
+    // bucket's posting list is capped at spark.graft.lsh.maxBucket (the
+    // HotBuckets lever — a boilerplate template bucket stays bounded).
+    // Daily run: one linear batch pass (sig + fp + bands), then every
+    // join against a corpus-sized store frame BROADCASTS the day batch
+    // (day ≪ corpus — plan-gated in CorpusPipelineSpec), so the store
+    // streams through map-side: candidates = store bands ⋈ broadcast
+    // batch bands, verified against store sigs at est-Jaccard >= 0.5
+    // with the batch sig broadcast again. Verdict precedence:
+    // dup_of_corpus (exact fp hit) > near_dup_of_corpus (signature
+    // verify) > dup_in_batch (earlier batch doc, min-id reduction) >
+    // new. MinHash estimate → rows-only driver check; batch-doc recall
+    // vs the exact cross-batch ngram baseline is gated in
+    // ApproxSuiteSpec.
+    QueryDef("dd_incremental_near", None) { (s, d) =>
+      val srcN = expr("try_cast(substring(source, 4, 10) AS INT)")
+      val fp = Fingerprints.tokenSetFp(toks)
+      val bands = 16
+      val rowsPerBand = 4
+      val bandKeys = explode(array((0 until bands).map(bnd =>
+        xxhash64(lit(bnd), slice(col("sig"), bnd * rowsPerBand + 1, rowsPerBand))): _*))
+      val storePath = s.conf.getOption("spark.graft.index.dir")
+        .getOrElse("/tmp/graft_index_store") + "/near_store_ts_" +
+        java.lang.Long.toHexString(
+          scala.util.hashing.MurmurHash3.stringHash(d).toLong & 0xffffffffL)
+      val cap = graft.operators.HotBuckets.maxBucket(s)
+      if (!new java.io.File(storePath + "/sigs").exists()) {
+        docs(s, d).filter(srcN < 15)
+          .select(col("doc_id").as("corpus_id"),
+            minhash_sig(toks, 3, bands * rowsPerBand).as("sig"), fp.as("fp"))
+          .write.mode("overwrite").parquet(storePath + "/sigs")
+        s.read.parquet(storePath + "/sigs")
+          .select(col("corpus_id"), bandKeys.as("bkey"))
+          .groupBy(col("bkey"))
+          .agg(sort_array(collect_list(col("corpus_id"))).as("ids"))
+          .withColumn("ids", slice(col("ids"), 1, cap))
+          .select(col("bkey"), explode(col("ids")).as("corpus_id"))
+          .write.mode("overwrite").parquet(storePath + "/bands")
+      }
+      val storeSigs = s.read.parquet(storePath + "/sigs")
+      val storeBands = s.read.parquet(storePath + "/bands")
+      val batch = docs(s, d).filter(srcN >= 15)
+        .select(col("doc_id"),
+          minhash_sig(toks, 3, bands * rowsPerBand).as("sig"), fp.as("fp"))
+      val cands = storeBands
+        .join(broadcast(batch.select(col("doc_id"), bandKeys.as("bkey"))), Seq("bkey"))
+        .select(col("doc_id"), col("corpus_id"))
+        .dropDuplicates("doc_id", "corpus_id")
+      val nearDup = cands
+        .join(storeSigs.select(col("corpus_id"), col("sig").as("sig_c")), Seq("corpus_id"))
+        .join(broadcast(batch.select(col("doc_id"), col("sig"))), Seq("doc_id"))
+        .filter(size(filter(zip_with(col("sig"), col("sig_c"), (x, y) => x === y), b => b))
+          .cast(DoubleType) / (bands * rowsPerBand) >= 0.5)
+        .select(col("doc_id")).distinct()
+        .withColumn("near_dup", lit(true))
+      val exactDup = storeSigs.select(col("fp"))
+        .join(broadcast(batch.select(col("doc_id"), col("fp"))), Seq("fp"))
+        .select(col("doc_id")).distinct()
+        .withColumn("exact_dup", lit(true))
+      val firsts = batch.groupBy(col("fp")).agg(min(col("doc_id")).as("first_id"))
+      batch
+        .join(firsts, Seq("fp"))
+        .join(exactDup, Seq("doc_id"), "left")
+        .join(nearDup, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          when(col("exact_dup"), "dup_of_corpus")
+            .when(col("near_dup"), "near_dup_of_corpus")
+            .when(col("doc_id") =!= col("first_id"), "dup_in_batch")
+            .otherwise("new").as("verdict"))
+        .orderBy(col("doc_id"))
+    },
+
     // Fuzzy entity matching: near-identical name pairs by edit distance —
     // the catalog-normalization op (one vendor's "blue bolt", another's
     // "blue bolts"). Matching runs on the DISTINCT VOCABULARY, not the

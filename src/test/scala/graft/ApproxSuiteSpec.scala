@@ -55,6 +55,56 @@ class ApproxSuiteSpec extends AnyFunSuite {
     assert(near.size < sources.size / 2, s"flagged ${near.size} of ${sources.size} docs")
   }
 
+  test("incremental near-dup store recalls the exact cross-batch near-dups; batch side broadcasts") {
+    // ground truth: exact ngram-jaccard pairs with one side in the
+    // corpus split (srcN < 15) and one in the batch split (>= 15) — the
+    // batch docs a full-corpus near-dup pass would have caught
+    def srcNum(src: String): Int =
+      scala.util.Try(src.drop(3).toInt).getOrElse(Int.MinValue)
+    val sources = graft.sources.Tables.load(spark, sfDir, "documents")
+      .select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val exactPairs = run("dd_ngram_jaccard").select("doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val exactCross = exactPairs.flatMap { case (a, b) =>
+      (srcNum(sources(a)) >= 15, srcNum(sources(b)) >= 15) match {
+        case (true, false) => Some(a)
+        case (false, true) => Some(b)
+        case _ => None
+      }
+    }.toSet
+    assert(exactCross.nonEmpty, "fixture has no exact cross-batch near-dups")
+    val df = run("dd_incremental_near")
+    val verdicts = df.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val flagged = verdicts.filter { case (_, v) =>
+      v == "near_dup_of_corpus" || v == "dup_of_corpus" }.keySet
+    val recall = (exactCross & flagged).size.toDouble / exactCross.size
+    info(s"exactCross=${exactCross.size} flagged=${flagged.size} recall=$recall")
+    assert(recall >= 0.7, s"incremental near-dup recall $recall below 0.7")
+    assert(flagged.size < verdicts.size / 2, "flagged set dwarfs the batch: degenerate banding")
+    // exact verdicts agree with dd_incremental wherever the near check
+    // doesn't take precedence: dup_of_corpus is identical in both
+    val exactVerdicts = run("dd_incremental").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(verdicts.keySet == exactVerdicts.keySet)
+    exactVerdicts.foreach { case (id, v) =>
+      if (v == "dup_of_corpus") assert(verdicts(id) == "dup_of_corpus", s"doc $id: $v became ${verdicts(id)}")
+      if (verdicts(id) == "new") assert(v == "new", s"doc $id: near variant lost verdict $v")
+    }
+    // the store (corpus-sized) must never be shuffled for the candidate
+    // or verify joins: the day batch broadcasts. With AQE the store-side
+    // joins must all plan as broadcast joins — no sort-merge/shuffled-
+    // hash join may touch a near_store scan.
+    df.write.format("noop").mode("overwrite").save()
+    val plan = (df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }).toString
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast joins:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"a store-side join degraded to sort-merge (day batch must broadcast):\n$plan")
+  }
+
   test("simhash finds the shuffled/mutated near-dup pairs") {
     val sim = run("dd_simhash").select("doc_a", "doc_b")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
