@@ -333,6 +333,81 @@ object Multimodal {
     else if (format == WavFormat) decodeWavFeatures(payload)
     else decodeToFeatures(payload)
 
+  /** Animated-GIF encoder via the JDK codec: each frame is a w×h GRAYSCALE
+    * raster (one byte per pixel), written TYPE_BYTE_INDEXED over an
+    * explicit 256-gray palette so the GIF's LZW-compressed indexed data
+    * round-trips byte-exactly (no quantization — the palette IS the value
+    * space). Real multi-frame GIF bytes — any image tool plays the
+    * output — and the fixture generator for the oracle-backed multi-frame
+    * decode query. */
+  def encodeGifFrames(w: Int, h: Int, frames: Seq[Array[Byte]]): Array[Byte] = {
+    require(frames.nonEmpty, "need at least one frame")
+    val gray = Array.tabulate[Byte](256)(i => i.toByte)
+    val icm = new java.awt.image.IndexColorModel(8, 256, gray, gray, gray)
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    frames.foreach { px =>
+      require(px.length == w * h, s"need ${w * h} gray bytes, got ${px.length}")
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, icm)
+      val raster = img.getRaster
+      var i = 0
+      while (i < px.length) {
+        raster.setSample(i % w, i / w, 0, px(i) & 0xff)
+        i += 1
+      }
+      // the JDK GIF writer defaults to INTERLACED frames whose row order
+      // does not survive its own reader at small heights — force
+      // sequential rows (observed: middle rows decode as palette 0)
+      val p = writer.getDefaultWriteParam
+      p.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DISABLED)
+      writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), p)
+    }
+    writer.endWriteSequence()
+    writer.dispose()
+    ios.close()
+    bos.toByteArray
+  }
+
+  /** REAL multi-frame decode via ImageIO's GIF reader
+    * (`getNumImages(true)` / `read(i)` — pure JVM): per frame,
+    * [frame_idx, w, h, sumR, sumG, sumB]. Malformed payloads decode to an
+    * empty frame list — a pipeline drops them; it must never crash an
+    * executor. */
+  def decodeGifFrames(payload: Array[Byte]): Seq[Array[Long]] = {
+    if (payload == null || payload.isEmpty) return Seq.empty
+    val readers = javax.imageio.ImageIO.getImageReadersByFormatName("gif")
+    if (!readers.hasNext) return Seq.empty
+    val reader = readers.next()
+    try {
+      // seekForwardOnly must be FALSE: getNumImages(true) needs to search
+      reader.setInput(javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(payload)), false)
+      val n = reader.getNumImages(true)
+      (0 until n).map { fi =>
+        val img = reader.read(fi)
+        val w = img.getWidth; val h = img.getHeight
+        var sr = 0L; var sg = 0L; var sb = 0L
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            sr += (rgb >> 16) & 0xff; sg += (rgb >> 8) & 0xff; sb += rgb & 0xff
+            x += 1
+          }
+          y += 1
+        }
+        Array(fi.toLong, w.toLong, h.toLong, sr, sg, sb)
+      }
+    } catch {
+      case _: Exception => Seq.empty
+    } finally reader.dispose()
+  }
+
   /** STUB frame sampler: every `stride`-th window of `frameBytes` bytes —
     * the shape of video frame extraction (n_frames × frame payload). */
   def sampleFrames(payload: Array[Byte], frameBytes: Int, stride: Int): Seq[Array[Byte]] = {

@@ -289,6 +289,51 @@ object MultimodalQueries {
       }(enc).orderBy(col("doc_id"))
     },
 
+    // The REAL multi-frame decode path — animated GIF through ImageIO's
+    // pure-JVM reader (getNumImages(true)/read(i)): per doc, an
+    // nf-frame (2 + id%3) w×h GIF whose frame f is the solid gray
+    // (3·id + 7·f) mod 256, encoded TYPE_BYTE_INDEXED over an explicit
+    // 256-gray palette (lossless — the palette IS the value space) and
+    // decoded back frame by frame. Frame count, dimensions and per-frame
+    // channel sums are oracle-checked against the closed form, so the
+    // certificate covers a true multi-frame container round trip — the
+    // mm_features_png playbook applied to FRAMES. This narrows the stub
+    // frame sampler's scope to formats needing native codecs (video,
+    // webp). Scale shape: per-partition decode map, payloads never
+    // shuffle; the ORDER BY is oracle determinism only.
+    QueryDef("mm_frames_gif", Some(
+      """WITH m AS (SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h,
+        |    2 + doc_id % 3 AS nf
+        |  FROM documents),
+        |f AS (SELECT doc_id, w, h, nf, unnest(range(0, nf)) AS fi FROM m)
+        |SELECT doc_id, CAST(fi AS BIGINT) AS frame_idx,
+        |  CAST(nf AS BIGINT) AS n_frames,
+        |  CAST(w AS BIGINT) AS w, CAST(h AS BIGINT) AS h,
+        |  CAST(w * h * ((doc_id * 3 + fi * 7) % 256) AS BIGINT) AS sum_gray
+        |FROM f ORDER BY doc_id, frame_idx""".stripMargin)) { (s, d) =>
+      val docsDf = Tables.load(s, d, "documents").select(col("doc_id"))
+      val enc = org.apache.spark.sql.Encoders.row(StructType(Seq(
+        StructField("doc_id", LongType), StructField("frame_idx", LongType),
+        StructField("n_frames", LongType), StructField("w", LongType),
+        StructField("h", LongType), StructField("sum_gray", LongType))))
+      docsDf.mapPartitions { rows =>
+        rows.flatMap { r =>
+          val id = r.getLong(0)
+          val w = (4 + id % 5).toInt; val h = (3 + id % 4).toInt
+          val nf = (2 + id % 3).toInt
+          val frames = (0 until nf).map { fi =>
+            Array.fill[Byte](w * h)(((id * 3 + fi * 7) % 256).toByte)
+          }
+          val gif = Multimodal.encodeGifFrames(w, h, frames)
+          val decoded = Multimodal.decodeGifFrames(gif)
+          decoded.map { f =>
+            // gray palette: r = g = b, so sum_gray is any one channel
+            org.apache.spark.sql.Row(id, f(0), decoded.size.toLong, f(1), f(2), f(3))
+          }
+        }
+      }(enc).orderBy(col("doc_id"), col("frame_idx"))
+    },
+
     // Frame-sampling shape over binary payloads (video stand-in):
     // per-doc frame counts, oracle-checked via the equivalent arithmetic.
     QueryDef("mm_frame_count", Some(

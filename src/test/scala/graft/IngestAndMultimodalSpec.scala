@@ -184,6 +184,30 @@ class IngestAndMultimodalSpec extends AnyFunSuite {
     assert(Multimodal.decodeToFeatures(Array.empty).toSeq == Seq.fill(16)(0f))
   }
 
+  test("animated GIF: multi-frame encode→decode roundtrip via ImageIO, malformed safety") {
+    // 3 frames of 4x3 with distinct gray values: frame count, dims and
+    // per-frame sums must survive the LZW/palette round trip exactly
+    val frames = Seq[Array[Byte]](
+      Array.fill(12)(17.toByte), Array.fill(12)(200.toByte), Array.fill(12)(0.toByte))
+    val gif = Multimodal.encodeGifFrames(4, 3, frames)
+    // real GIF container: magic bytes
+    assert(new String(gif.take(6), "US-ASCII").startsWith("GIF8"))
+    val decoded = Multimodal.decodeGifFrames(gif)
+    assert(decoded.size == 3)
+    decoded.zip(Seq(17L, 200L, 0L)).zipWithIndex.foreach { case ((f, g), i) =>
+      assert(f.toSeq == Seq(i.toLong, 4L, 3L, 12 * g, 12 * g, 12 * g),
+        s"frame $i decoded ${f.toSeq}")
+    }
+    // a non-uniform frame: per-pixel fidelity, not just solid colors
+    val px = Array.tabulate[Byte](12)(i => (i * 20).toByte)
+    val one = Multimodal.decodeGifFrames(Multimodal.encodeGifFrames(4, 3, Seq(px)))
+    assert(one.head(3) == px.map(_ & 0xff).sum.toLong)
+    // malformed payloads decode to no frames, never throw
+    assert(Multimodal.decodeGifFrames("not a gif".getBytes).isEmpty)
+    assert(Multimodal.decodeGifFrames(Array.empty).isEmpty)
+    assert(Multimodal.decodeGifFrames(gif.take(20)).isEmpty)
+  }
+
   test("PPM P6 decoder: encode→decode roundtrip, comments, malformed safety") {
     // 2x2 image, known channel sums
     val px = Array[Byte](10, 20, 30, 40, 50, 60, 70, 80, 90, 100, 110, 120)
