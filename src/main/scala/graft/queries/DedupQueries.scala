@@ -105,9 +105,11 @@ object DedupQueries {
     * fresh graph rather than silently serving a stale one; any
     * key-or-insert miss first EVICTS (unpersists) that session's other
     * entries for the same dir — the common "conf changed / fixture
-    * regenerated" path — and [[clearPairGraphCache]] unpersists and
-    * drops everything (call it when a session closes, or from tests that
-    * need to observe a fresh build). */
+    * regenerated" path; every access also sweeps entries whose session
+    * is STOPPED ([[sweepStoppedSessions]] — a JVM cycling many sessions
+    * never accumulates dead session references); and
+    * [[clearPairGraphCache]] unpersists and drops everything (for tests
+    * that need to observe a fresh build). */
   private val pairGraphCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String, String), DataFrame]()
 
@@ -125,8 +127,26 @@ object DedupQueries {
 
   /** Test/diagnostic view of the live cache entries. */
   private[graft] def pairGraphCacheEntries: Seq[DataFrame] = {
+    sweepStoppedSessions()
     import scala.jdk.CollectionConverters._
     pairGraphCache.values.asScala.toSeq
+  }
+
+  /** Drop entries whose session is stopped — the lifecycle hole a
+    * long-lived JVM cycling many sessions would otherwise hit (each key
+    * strongly references its SparkSession). Runs on every cache access,
+    * so a dead session's entries disappear on the next pairGraph call
+    * from ANY session, without requiring a manual clearPairGraphCache().
+    * No unpersist is attempted: a stopped session's executors (and their
+    * cached blocks) are already gone. The predicate is injectable for
+    * deterministic testing (stopping the real shared local context would
+    * kill every other suite in the JVM). */
+  private[graft] def sweepStoppedSessions(
+      isStopped: SparkSession => Boolean = _.sparkContext.isStopped): Unit = {
+    val it = pairGraphCache.entrySet().iterator()
+    while (it.hasNext) {
+      if (isStopped(it.next().getKey._1)) it.remove()
+    }
   }
 
   /** Unpersist and drop every cached pair graph (all sessions). */
@@ -140,6 +160,7 @@ object DedupQueries {
   }
 
   private def pairGraph(s: SparkSession, d: String): DataFrame = {
+    sweepStoppedSessions()
     val mode = s.conf.get("spark.graft.dedup.pairSource", "exact")
     val key = (s, d, mode, pairGraphConfKey(s, mode))
     val hit = pairGraphCache.get(key)

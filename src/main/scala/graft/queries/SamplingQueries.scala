@@ -362,9 +362,22 @@ object SamplingQueries {
         |        WHEN 0 THEN 10 WHEN 1 THEN 20 WHEN 2 THEN 40 ELSE 100 END
         |    AS BIGINT) AS pos
         |FROM documents ORDER BY pos, doc_id""".stripMargin)) { (s, d) =>
-      val m = Seq(10L, 20L, 40L, 100L)
-      val rates = s.createDataFrame(
-        (0 until 20).map(i => (s"src$i", m(i % 4)))).toDF("source", "m")
+      // Inverse-weight tiers come from session config and apply to the
+      // corpus's OWN distinct sources (one map-side-combinable distinct
+      // pass -> a |sources|-row broadcast frame) — no source list is
+      // baked in, so the query is corpus-portable; a real pipeline
+      // swaps the derived frame for its config-store rates table and
+      // the plan is unchanged whether there are 20 sources or 20,000.
+      val tiers = s.conf.get("spark.graft.interleave.tiers", "10,20,40,100")
+        .split(",").map(_.trim.toLong)
+      val srcN = expr("try_cast(substring(source, 4, 10) AS INT)")
+      val m = coalesce(
+        element_at(array(tiers.map(lit(_)): _*),
+          (pmod(srcN, lit(tiers.length)) + 1).cast("int")),
+        lit(tiers.last))
+      val rates = Tables.load(s, d, "documents")
+        .select(col("source")).distinct()
+        .withColumn("m", m)
       val u = conv(substring(md5(col("text")), 1, 4), 16, 10).cast("long")
       Tables.load(s, d, "documents")
         .join(broadcast(rates), Seq("source"))

@@ -102,6 +102,24 @@ class CorpusPipelineSpec extends AnyFunSuite {
     assert(nPersist == base, "clear must unpersist every entry")
   }
 
+  test("pair graph cache drops a stopped session's entries on the next access") {
+    import graft.queries.DedupQueries
+    DedupQueries.clearPairGraphCache()
+    run("dd_dup_clusters").collect()
+    assert(DedupQueries.pairGraphCacheEntries.size == 1)
+    // stopping the real shared local SparkContext would kill every other
+    // suite in this JVM, so the stop signal is injected: the sweep that
+    // every cache access runs (with predicate _.sparkContext.isStopped)
+    // must reclaim the entry without any manual clearPairGraphCache()
+    DedupQueries.sweepStoppedSessions(isStopped = _ => true)
+    assert(DedupQueries.pairGraphCacheEntries.isEmpty,
+      "a stopped session's cache entries must be reclaimed by the access-time sweep")
+    // and a live session rebuilds cleanly afterwards
+    run("dd_keep_best").collect()
+    assert(DedupQueries.pairGraphCacheEntries.size == 1)
+    DedupQueries.clearPairGraphCache()
+  }
+
   test("cluster family runs off minhash pairs past the quadratic guard (pairSource=minhash)") {
     // ground truth: exact-pair clusters (the oracle-checked default path)
     val exact = run("dd_dup_clusters").collect()
