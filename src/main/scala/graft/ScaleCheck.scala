@@ -179,6 +179,7 @@ object ScaleCheck {
           // fingerprint — the algebraic first-occurrence + store join
           // must shrug it off
           "dd_cross_near", "ss_topk", "dd_incremental", "dd_incremental_near",
+          "dd_cluster_stats", "ss_near_screen",
           // hot o_custkey: the forget cascade's semi/anti joins stay
           // broadcast (tombstones are key-bounded), so a hot customer
           // only grows the scanned side linearly
@@ -206,6 +207,7 @@ object ScaleCheck {
           "tx_remove_boilerplate", "op_bucketed_join", "ss_topk",
           "ss_quantile", "dd_cross_near", "fn_target_encode",
           "srch_hybrid", "dd_incremental", "dd_incremental_near",
+          "dd_cluster_stats", "ss_near_screen",
           "emb_int8_quantize", "op_profile",
           "emb_centroids", "op_profile_sketch", "samp_upsample", "op_dq_rules",
           "fn_feature_hash", "op_forget_users", "op_zorder_layout",

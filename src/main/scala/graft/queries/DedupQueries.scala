@@ -85,6 +85,48 @@ object DedupQueries {
       .filter(col("est_jaccard") >= 0.5)
   }
 
+  /** Banding geometry of the incremental NEAR-dup store (shared by
+    * `dd_incremental_near` and its streaming twin `ss_near_screen` — the
+    * store is only useful if every consumer bands identically). */
+  private[graft] val NearStoreBands = 16
+  private[graft] val NearStoreRows = 4
+
+  /** Band-bucket keys derived from a `sig` column of the store geometry. */
+  private[graft] def nearStoreBandKeys: Column =
+    explode(array((0 until NearStoreBands).map(bnd =>
+      xxhash64(lit(bnd), slice(col("sig"), bnd * NearStoreRows + 1, NearStoreRows))): _*))
+
+  /** The persisted incremental near-dup store for corpus snapshot `d`:
+    * built ONCE (idempotent per fixture dir) from the corpus split
+    * (srcN < 15) — one linear pass writes (corpus_id, sig, fp); band
+    * buckets derive from the STORED sigs with posting lists capped at
+    * `spark.graft.lsh.maxBucket` (HotBuckets — a boilerplate bucket
+    * stays bounded). Returns (bands, sigs) frames reading the store;
+    * the corpus text is never rescanned by any consumer. */
+  private[graft] def nearStore(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val srcN = expr("try_cast(substring(source, 4, 10) AS INT)")
+    val storePath = s.conf.getOption("spark.graft.index.dir")
+      .getOrElse("/tmp/graft_index_store") + "/near_store_ts_" +
+      java.lang.Long.toHexString(
+        scala.util.hashing.MurmurHash3.stringHash(d).toLong & 0xffffffffL)
+    val cap = graft.operators.HotBuckets.maxBucket(s)
+    if (!new java.io.File(storePath + "/sigs").exists()) {
+      docs(s, d).filter(srcN < 15)
+        .select(col("doc_id").as("corpus_id"),
+          minhash_sig(toks, 3, NearStoreBands * NearStoreRows).as("sig"),
+          Fingerprints.tokenSetFp(toks).as("fp"))
+        .write.mode("overwrite").parquet(storePath + "/sigs")
+      s.read.parquet(storePath + "/sigs")
+        .select(col("corpus_id"), nearStoreBandKeys.as("bkey"))
+        .groupBy(col("bkey"))
+        .agg(sort_array(collect_list(col("corpus_id"))).as("ids"))
+        .withColumn("ids", slice(col("ids"), 1, cap))
+        .select(col("bkey"), explode(col("ids")).as("corpus_id"))
+        .write.mode("overwrite").parquet(storePath + "/bands")
+    }
+    (s.read.parquet(storePath + "/bands"), s.read.parquet(storePath + "/sigs"))
+  }
+
   /** The cluster family's pair source, switched by
     * `spark.graft.dedup.pairSource`:
     *  - `exact` (default): [[exactPairGraph]] — ground truth, quadratic-
@@ -350,6 +392,50 @@ object DedupQueries {
         .select(col("cluster_id"), col("best.doc_id").as("keep_id"),
           col("best.n_chars").as("keep_n_chars"), col("n_docs"))
         .orderBy(col("cluster_id"))
+    },
+
+    // Dedup QA report — the curation dashboard a near-dup pass feeds:
+    // per SOURCE, how many docs it contributes, how many would be
+    // DROPPED by canonicalization (clustered non-representatives), how
+    // many distinct dup clusters it touches, and the largest cluster it
+    // participates in. This is the "which sources are polluting the
+    // corpus" view that decides where to spend crawl/filter effort —
+    // computed off the SAME shared pair graph as dd_dup_clusters /
+    // dd_canonical_corpus (one postings pass per session, pairSource
+    // switchable to minhash past the guard). Scale shape: the label and
+    // cluster-size frames are near-dup-bounded (tiny next to the
+    // corpus), so both joins broadcast under AQE and the corpus pays
+    // one linear pass into a |sources|-key aggregate; countDistinct is
+    // bounded by |clusters| per source, never corpus-sized.
+    QueryDef("dd_cluster_stats", Some(
+      s"""$clusterCte,
+        |sz AS (SELECT cluster_id, count(*) AS csz FROM lab GROUP BY cluster_id),
+        |j AS (
+        |  SELECT d.source, d.doc_id, l.cluster_id, sz.csz
+        |  FROM documents d
+        |  LEFT JOIN lab l ON d.doc_id = l.doc_id
+        |  LEFT JOIN sz ON l.cluster_id = sz.cluster_id)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN cluster_id IS NOT NULL AND doc_id <> cluster_id
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+        |  CAST(count(DISTINCT cluster_id) AS BIGINT) AS n_clusters,
+        |  CAST(max(coalesce(csz, 1)) AS BIGINT) AS max_cluster
+        |FROM j GROUP BY source ORDER BY source""".stripMargin)) { (s, d) =>
+      val labels = graft.operators.ConnectedComponents
+        .components(pairGraph(s, d))
+        .select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
+      val sizes = labels.groupBy(col("cluster_id")).agg(count(lit(1)).as("csz"))
+      docs(s, d).select(col("doc_id"), col("source"))
+        .join(broadcast(labels), Seq("doc_id"), "left")
+        .join(broadcast(sizes), Seq("cluster_id"), "left")
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(when(col("cluster_id").isNotNull && col("doc_id") =!= col("cluster_id"), 1L)
+            .otherwise(0L)).as("n_dropped"),
+          countDistinct(col("cluster_id")).as("n_clusters"),
+          max(coalesce(col("csz"), lit(1L))).as("max_cluster"))
+        .orderBy(col("source"))
     },
 
     // Paragraph-level (sub-document) dedup — the pass that catches
@@ -678,42 +764,19 @@ object DedupQueries {
     QueryDef("dd_incremental_near", None) { (s, d) =>
       val srcN = expr("try_cast(substring(source, 4, 10) AS INT)")
       val fp = Fingerprints.tokenSetFp(toks)
-      val bands = 16
-      val rowsPerBand = 4
-      val bandKeys = explode(array((0 until bands).map(bnd =>
-        xxhash64(lit(bnd), slice(col("sig"), bnd * rowsPerBand + 1, rowsPerBand))): _*))
-      val storePath = s.conf.getOption("spark.graft.index.dir")
-        .getOrElse("/tmp/graft_index_store") + "/near_store_ts_" +
-        java.lang.Long.toHexString(
-          scala.util.hashing.MurmurHash3.stringHash(d).toLong & 0xffffffffL)
-      val cap = graft.operators.HotBuckets.maxBucket(s)
-      if (!new java.io.File(storePath + "/sigs").exists()) {
-        docs(s, d).filter(srcN < 15)
-          .select(col("doc_id").as("corpus_id"),
-            minhash_sig(toks, 3, bands * rowsPerBand).as("sig"), fp.as("fp"))
-          .write.mode("overwrite").parquet(storePath + "/sigs")
-        s.read.parquet(storePath + "/sigs")
-          .select(col("corpus_id"), bandKeys.as("bkey"))
-          .groupBy(col("bkey"))
-          .agg(sort_array(collect_list(col("corpus_id"))).as("ids"))
-          .withColumn("ids", slice(col("ids"), 1, cap))
-          .select(col("bkey"), explode(col("ids")).as("corpus_id"))
-          .write.mode("overwrite").parquet(storePath + "/bands")
-      }
-      val storeSigs = s.read.parquet(storePath + "/sigs")
-      val storeBands = s.read.parquet(storePath + "/bands")
+      val (storeBands, storeSigs) = nearStore(s, d)
       val batch = docs(s, d).filter(srcN >= 15)
         .select(col("doc_id"),
-          minhash_sig(toks, 3, bands * rowsPerBand).as("sig"), fp.as("fp"))
+          minhash_sig(toks, 3, NearStoreBands * NearStoreRows).as("sig"), fp.as("fp"))
       val cands = storeBands
-        .join(broadcast(batch.select(col("doc_id"), bandKeys.as("bkey"))), Seq("bkey"))
+        .join(broadcast(batch.select(col("doc_id"), nearStoreBandKeys.as("bkey"))), Seq("bkey"))
         .select(col("doc_id"), col("corpus_id"))
         .dropDuplicates("doc_id", "corpus_id")
       val nearDup = cands
         .join(storeSigs.select(col("corpus_id"), col("sig").as("sig_c")), Seq("corpus_id"))
         .join(broadcast(batch.select(col("doc_id"), col("sig"))), Seq("doc_id"))
         .filter(size(filter(zip_with(col("sig"), col("sig_c"), (x, y) => x === y), b => b))
-          .cast(DoubleType) / (bands * rowsPerBand) >= 0.5)
+          .cast(DoubleType) / (NearStoreBands * NearStoreRows) >= 0.5)
         .select(col("doc_id")).distinct()
         .withColumn("near_dup", lit(true))
       val exactDup = storeSigs.select(col("fp"))

@@ -734,6 +734,67 @@ object StreamingQueries {
       s.table(sink).orderBy(col("doc_id"))
     },
 
+    // Streaming NEAR-dup screen — the live-ingest twin of
+    // dd_incremental_near and the MinHash leg of the IndexStore seam:
+    // the nightly store build persists corpus signatures + capped band
+    // buckets ONCE (DedupQueries.nearStore — the SAME geometry, or the
+    // stream and the store band differently and recall silently dies),
+    // and every ingest micro-batch signatures its docs in codegen,
+    // bands them, and stream-static joins against the LOADED store:
+    // candidates by band key, verified at est-Jaccard >= 0.5 against
+    // the stored signatures. The stream side is fully STATELESS — no
+    // watermark, no state store: the screen emits verified (doc_id,
+    // corpus_id) near-dup pairs in append mode and a downstream
+    // consumer dedups/flags (here: one batch dropDuplicates over the
+    // drained sink). Static frames are persisted across micro-batches;
+    // at scale the band store is BUCKETED by bkey (the op_bucketed_join
+    // lever) so the per-batch candidate join is exchange-free on the
+    // store side. Drained doc set ≡ the batch query's
+    // {dup_of_corpus, near_dup_of_corpus} verdicts — gated in
+    // ApproxSuiteSpec.
+    QueryDef("ss_near_screen", None) { (s, d) =>
+      import s.implicits._
+      implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import graft.functions.minhash_sig
+      val nSig = DedupQueries.NearStoreBands * DedupQueries.NearStoreRows
+      val (storeBands0, storeSigs0) = DedupQueries.nearStore(s, d)
+      val storeBands = storeBands0.persist()
+      val storeSigs = storeSigs0.select(col("corpus_id"), col("sig").as("sig_c")).persist()
+      val srcN = expr("try_cast(substring(source, 4, 10) AS INT)")
+      val rows = Tables.load(s, d, "documents").filter(srcN >= 15)
+        .select(col("doc_id"), col("text")).orderBy(col("doc_id"))
+        .collect().map(r => (r.getLong(0), r.getString(1)))
+      val nSlices = s.conf.get("spark.graft.ssjoin.slices", "4").toInt
+      val per = math.max(1, (rows.length + nSlices - 1) / nSlices)
+
+      val feed = MemoryStream[(Long, String)]
+      val screened = feed.toDF().toDF("doc_id", "text")
+        .select(col("doc_id"),
+          minhash_sig(split(col("text"), " "), 3, nSig).as("sig"))
+        .select(col("doc_id"), col("sig"), DedupQueries.nearStoreBandKeys.as("bkey"))
+        .join(storeBands, Seq("bkey"))
+        .join(storeSigs, Seq("corpus_id"))
+        .filter(size(filter(zip_with(col("sig"), col("sig_c"), (x, y) => x === y), b => b))
+          .cast("double") / nSig >= 0.5)
+        .select(col("doc_id"), col("corpus_id"))
+      val sink = "ss_near_screen_sink"
+      s.catalog.dropTempView(sink)
+      val q = screened.writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      try {
+        rows.grouped(per).foreach { slice =>
+          feed.addData(slice.toSeq)
+          q.processAllAvailable()
+        }
+      } finally {
+        q.stop()
+        storeBands.unpersist(blocking = false)
+        storeSigs.unpersist(blocking = false)
+      }
+      s.table(sink).dropDuplicates("doc_id", "corpus_id")
+        .orderBy(col("doc_id"), col("corpus_id"))
+    },
+
     // LIVE data-quality monitoring — op_dq_rules as a complete-mode
     // streaming aggregation over the SAME shared rule set
     // (OperatorQueries.DqRules: report, quarantine, and monitor cannot

@@ -105,6 +105,29 @@ class ApproxSuiteSpec extends AnyFunSuite {
       s"a store-side join degraded to sort-merge (day batch must broadcast):\n$plan")
   }
 
+  test("ss_near_screen drains the same corpus-near docs the batch store query flags") {
+    // the streaming screen is SIGNATURE-based, the batch verdicts are
+    // precedence-ordered (exact fp first). The fixture's exact dups are
+    // SHUFFLED copies — same token set (fp hit) but different shingles,
+    // so they are NOT sig-reachable in general. The exact differential
+    // is therefore on the non-exact part: drained ∖ dup_of_corpus must
+    // EQUAL the near_dup_of_corpus verdict set (both are "sig-verified,
+    // not exact"), and nothing outside the two verdict classes may ever
+    // be drained.
+    val streamed = run("ss_near_screen").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val verdicts = run("dd_incremental_near").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val nearV = verdicts.filter(_._2 == "near_dup_of_corpus").keySet
+    val dupV = verdicts.filter(_._2 == "dup_of_corpus").keySet
+    assert(nearV.nonEmpty, "fixture has no near-dup-of-corpus batch docs")
+    assert((streamed -- dupV) == nearV,
+      s"drained-minus-exact ${(streamed -- dupV).size} != near verdicts ${nearV.size}: " +
+        s"${((streamed -- dupV) -- nearV).take(3)} extra, ${(nearV -- (streamed -- dupV)).take(3)} missing")
+    assert(streamed.subsetOf(nearV ++ dupV),
+      s"drained docs outside the sig-verified verdict classes: ${(streamed -- nearV -- dupV).take(5)}")
+  }
+
   test("simhash finds the shuffled/mutated near-dup pairs") {
     val sim = run("dd_simhash").select("doc_a", "doc_b")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
