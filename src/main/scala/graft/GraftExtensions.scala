@@ -69,5 +69,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case Seq(c, k) => TopKMin(c, k.eval().asInstanceOf[Number].intValue())
         case _ => throw new IllegalArgumentException("topk_min(expr, k)")
       }))
+    e.injectFunction((FunctionIdentifier("topk_max"),
+      info("topk_max", "topk_max(expr, k) - k largest values of expr as a descending array (comparator-flipped topk_min: works for any orderable type, no negation encoding)"),
+      (args: Seq[Expression]) => args match {
+        case Seq(c, k) => TopKMin(c, k.eval().asInstanceOf[Number].intValue(), reverse = true)
+        case _ => throw new IllegalArgumentException("topk_max(expr, k)")
+      }))
   }
 }

@@ -25,7 +25,11 @@ import org.apache.spark.sql.types.{ArrayType, DataType}
   * `TakeOrderedAndProject` does for a global ORDER BY ... LIMIT.
   *
   * Descending sort keys are encoded by negation on the caller side
-  * (`topk_min(struct(-score, id), k)` = "top k by score desc, id asc").
+  * (`topk_min(struct(-score, id), k)` = "top k by score desc, id asc"),
+  * or — when EVERY key should reverse — by the `reverse` flag
+  * (`topk_max`), which flips the comparator wholesale: works for any
+  * orderable type (strings/dates/structs have no negation) and keeps
+  * NaN at Spark's greatest-first placement.
   * Ties AT the k-th position are kept by arrival order, so callers must
   * make the ordering total (include a unique id in the struct) for a
   * deterministic result — every call site here does.
@@ -48,19 +52,27 @@ import org.apache.spark.sql.types.{ArrayType, DataType}
 case class TopKMin(
     child: Expression,
     k: Int,
+    reverse: Boolean = false,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[mutable.PriorityQueue[Any]] with UnaryLike[Expression] {
 
   require(k > 0, s"topk_min needs k > 0, got $k")
 
-  // max-heap over the kept k (head = current worst), so insert is O(log k)
-  @transient private lazy val ord: Ordering[Any] =
-    TypeUtils.getInterpretedOrdering(child.dataType)
+  // max-heap over the kept k (head = current worst), so insert is O(log k).
+  // `reverse` flips the comparator wholesale: the aggregate keeps the k
+  // LARGEST values and evaluates to a DESCENDING array (`topk_max`) — the
+  // comparator-flag alternative to negation encoding, which exists for
+  // every orderable type (strings/dates/structs) and keeps NaN exactly
+  // where Spark's ordering puts it (greatest → first under topk_max).
+  @transient private lazy val ord: Ordering[Any] = {
+    val base = TypeUtils.getInterpretedOrdering(child.dataType)
+    if (reverse) base.reverse else base
+  }
 
   override def dataType: DataType = ArrayType(child.dataType, containsNull = false)
   override def nullable: Boolean = false
-  override def prettyName: String = "topk_min"
+  override def prettyName: String = if (reverse) "topk_max" else "topk_min"
 
   override def createAggregationBuffer(): mutable.PriorityQueue[Any] =
     new mutable.PriorityQueue[Any]()(ord)

@@ -52,6 +52,12 @@ package object functions {
   def topk_min(e: Column, k: Int): Column =
     col(TopKMin(ColumnBridge.expression(e), k).toAggregateExpression())
 
+  /** The k LARGEST values of `e` as a DESCENDING array — `topk_min` with
+    * the comparator flipped (no negation encoding, so it exists for every
+    * orderable type and NaN keeps Spark's greatest-first placement). */
+  def topk_max(e: Column, k: Int): Column =
+    col(TopKMin(ColumnBridge.expression(e), k, reverse = true).toAggregateExpression())
+
   /** Bloom filter over a LONG column (hash first: `bloom_filter_agg(
     * xxhash64(c), n, bits)`) as one binary value — Spark's own
     * `BloomFilterAggregate`, the expression AQE's runtime-filter rule

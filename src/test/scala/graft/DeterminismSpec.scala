@@ -42,7 +42,11 @@ class DeterminismSpec extends AnyFunSuite {
     // stride-schedule positions, kernel-generated embeddings, heap-ranked
     // hard negatives, and the bidirectional nearest join's tie rule
     "pipe_curate", "samp_interleave", "emb_generate",
-    "srch_hard_negatives", "j_asof_nearest")
+    "srch_hard_negatives", "j_asof_nearest",
+    // round-10: store-backed near-dup screening (store build + banded
+    // candidates + sig verify must not move with partitioning), the
+    // pair-graph-derived QA report, and the multi-frame codec round trip
+    "dd_incremental_near", "dd_cluster_stats", "mm_frames_gif")
 
   private def canonical(name: String): Seq[String] =
     SparkEntry.queries(name)(spark, sfDir).collect().map(_.toString).toSeq.sorted

@@ -112,6 +112,22 @@ class GraftExtensionsSpec extends AnyFunSuite {
       (0, Seq(0, 4, 8)), (1, Seq(1, 5, 9)), (2, Seq(2, 6, 10)), (3, Seq(3, 7, 11))))
   }
 
+  test("topk_max is callable from SQL: k largest, descending, works on strings") {
+    import spark.implicits._
+    (0 until 100).map(i => (i % 4, i)).toDF("grp", "v")
+      .createOrReplaceTempView("topk_max_sql_t")
+    val rows = spark.sql(
+      "SELECT grp, topk_max(v, 3) AS tk FROM topk_max_sql_t GROUP BY grp ORDER BY grp")
+      .collect().map(r => (r.getInt(0), r.getSeq[Int](1)))
+    assert(rows.toSeq == Seq(
+      (0, Seq(96, 92, 88)), (1, Seq(97, 93, 89)), (2, Seq(98, 94, 90)), (3, Seq(99, 95, 91))))
+    // descending STRINGS — the case negation encoding could never cover
+    val sRows = spark.sql(
+      "SELECT topk_max(concat('u', lpad(CAST(v AS STRING), 3, '0')), 2) AS tk FROM topk_max_sql_t")
+      .collect().map(_.getSeq[String](0))
+    assert(sRows.head == Seq("u099", "u098"))
+  }
+
   test("ngram_hashes and top_ngram are callable from SQL") {
     val r = spark.sql(
       """SELECT
