@@ -768,12 +768,18 @@ object StreamingQueries {
       val per = math.max(1, (rows.length + nSlices - 1) / nSlices)
 
       val feed = MemoryStream[(Long, String)]
-      val screened = feed.toDF().toDF("doc_id", "text")
+      // the MICRO-BATCH side broadcasts (it is day-slice-sized; in
+      // micro-batch execution the stream side is a per-trigger batch
+      // plan, so the hint is legal for a stateless inner join) — the
+      // corpus-sized store then streams through map-side every batch
+      // with NO per-batch store shuffle, the same asymmetry
+      // dd_incremental_near's batch plan uses
+      val banded = feed.toDF().toDF("doc_id", "text")
         .select(col("doc_id"),
           minhash_sig(split(col("text"), " "), 3, nSig).as("sig"))
         .select(col("doc_id"), col("sig"), DedupQueries.nearStoreBandKeys.as("bkey"))
-        .join(storeBands, Seq("bkey"))
-        .join(storeSigs, Seq("corpus_id"))
+      val cands = storeBands.join(broadcast(banded), Seq("bkey"))
+      val screened = storeSigs.join(broadcast(cands), Seq("corpus_id"))
         .filter(size(filter(zip_with(col("sig"), col("sig_c"), (x, y) => x === y), b => b))
           .cast("double") / nSig >= 0.5)
         .select(col("doc_id"), col("corpus_id"))
