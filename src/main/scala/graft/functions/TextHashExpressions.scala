@@ -270,3 +270,73 @@ case class SimHash(child: Expression) extends UnaryExpression with ExpectsInputT
   override protected def withNewChildInternal(newChild: Expression): SimHash =
     copy(child = newChild)
 }
+
+object Md5BucketCounts {
+  private val digest = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** Per-row histogram of md5-hashed tokens over `nBuckets` buckets:
+    * array<struct<bucket, cnt>> with only the non-zero buckets, bucket
+    * ascending. The bucket function is the first 4 md5 hex chars mod
+    * nBuckets (= first two digest bytes as an unsigned big-endian int) —
+    * bit-identical to the declarative
+    * `conv(substring(md5(t), 1, 4), 16, 10) % nBuckets`, so the DuckDB
+    * oracle reproduces it from strpos arithmetic. One imperative pass:
+    * O(tokens) with a mutable long[nBuckets], vs the O(nBuckets·tokens)
+    * filter-per-bucket HOF shape this replaced. */
+  def compute(tokens: ArrayData, nBuckets: Int): ArrayData = {
+    val md = digest.get()
+    val counts = new Array[Long](nBuckets)
+    val n = tokens.numElements()
+    var i = 0
+    while (i < n) {
+      val t = tokens.getUTF8String(i)
+      md.reset()
+      val d = md.digest(t.getBytes)
+      val bucket = (((d(0) & 0xff) << 8) | (d(1) & 0xff)) % nBuckets
+      counts(bucket) += 1
+      i += 1
+    }
+    var nz = 0
+    var b = 0
+    while (b < nBuckets) { if (counts(b) != 0) nz += 1; b += 1 }
+    val out = new Array[Any](nz)
+    var o = 0
+    b = 0
+    while (b < nBuckets) {
+      if (counts(b) != 0) {
+        out(o) = org.apache.spark.sql.catalyst.InternalRow(b.toLong, counts(b))
+        o += 1
+      }
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** Hashing-trick token histogram (`array<struct<bucket,cnt>>`, non-zero
+  * buckets only, ascending) — the row-local core of `fn_feature_hash`.
+  * Buckets are md5-derived so the result is oracle-checkable cross-engine
+  * (xxhash64/murmur seeds differ per engine; md5 does not). */
+case class Md5BucketCounts(child: Expression, nBuckets: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(nBuckets >= 1 && nBuckets <= 65536)
+
+  override def inputTypes = Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(new StructType()
+    .add("bucket", LongType, nullable = false)
+    .add("cnt", LongType, nullable = false), containsNull = false)
+  override def prettyName: String = "md5_bucket_counts"
+
+  override def nullSafeEval(input: Any): Any =
+    Md5BucketCounts.compute(input.asInstanceOf[ArrayData], nBuckets)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.Md5BucketCounts.compute($c, $nBuckets);")
+
+  override protected def withNewChildInternal(newChild: Expression): Md5BucketCounts =
+    copy(child = newChild)
+}

@@ -24,6 +24,12 @@ package object functions {
   def minhash_sig(tokens: Column, shingleWidth: Int = 3, k: Int = 64): Column =
     col(MinHashSig(ColumnBridge.expression(tokens), shingleWidth, k))
 
+  /** Hashing-trick token histogram: non-zero md5 buckets of a token array
+    * as `array<struct<bucket,cnt>>`, bucket ascending — one imperative
+    * O(tokens) pass per row, oracle-checkable (md5, not seeded hashes). */
+  def md5_bucket_counts(tokens: Column, nBuckets: Int): Column =
+    col(Md5BucketCounts(ColumnBridge.expression(tokens), nBuckets))
+
   /** Distinct w-token shingle hashes (`array<bigint>`, sorted) of a token
     * array — shingle strings never materialize. */
   def ngram_hashes(tokens: Column, width: Int): Column =

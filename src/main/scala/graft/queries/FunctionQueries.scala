@@ -393,16 +393,15 @@ object FunctionQueries {
         | FROM g)
         |SELECT doc_id, CAST(bucket AS BIGINT) AS bucket, count(*) AS cnt
         |FROM h GROUP BY doc_id, bucket ORDER BY doc_id, bucket""".stripMargin)) { (s, d) =>
+      // one imperative O(tokens) pass per row inside codegen
+      // (functions.Md5BucketCounts) — replaced the filter-per-bucket HOF
+      // shape, which paid O(nBuckets·tokens) per row. Still entirely
+      // row-local: zero shuffles at any corpus size.
       val nBuckets = 64
-      val bk = transform(split(col("text"), " "),
-        t => conv(substring(md5(t), 1, 4), 16, 10).cast(LongType) % nBuckets)
-      val counts = transform(sequence(lit(0L), lit(nBuckets - 1L)),
-        b => size(filter(col("bk"), x => x === b)).cast(LongType))
+      val counts = graft.functions.md5_bucket_counts(split(col("text"), " "), nBuckets)
       Tables.load(s, d, "documents")
-        .select(col("doc_id"), bk.as("bk"))
-        .select(col("doc_id"), posexplode(counts).as(Seq("bucket", "cnt")))
-        .filter(col("cnt") > 0)
-        .select(col("doc_id"), col("bucket").cast(LongType).as("bucket"), col("cnt"))
+        .select(col("doc_id"), explode(counts).as("r"))
+        .select(col("doc_id"), col("r.bucket").as("bucket"), col("r.cnt").as("cnt"))
         .orderBy(col("doc_id"), col("bucket"))
     }
   )
