@@ -283,6 +283,27 @@ class TopKRewriteSpec extends AnyFunSuite {
     }
   }
 
+  test("GLOBAL top-N (no PARTITION BY) rewrites away the single-partition window") {
+    // the classic trap: row_number() OVER (ORDER BY ...) moves ALL data
+    // to one partition (Spark even logs a warning). Armed, the rewrite
+    // plans it as a partial+final global aggregate — each map task keeps
+    // k rows, one k-vs-k final merge — the aggregate-side analogue of
+    // TakeOrderedAndProject, with rank()/dense_rank() tie semantics kept
+    val wG = Window.orderBy(col("score"), col("row_id"))
+    val wT = Window.orderBy(col("score"))
+    def qRn() = fixture().withColumn("rn", row_number().over(wG)).filter(col("rn") <= 5)
+    def qRank() = tieFixture().withColumn("rn", rank().over(wT)).filter(col("rn") <= 3)
+    val bRn = rows(qRn()); val bRank = rows(qRank())
+    assert(bRn.size == 5 && bRank.size >= 3)
+    armed(100) {
+      assert(rows(qRn()) == bRn)
+      assert(rows(qRank()) == bRank)
+      val p = executedPlanStr(qRn())
+      assert(!p.contains("Window ") && p.contains("partial_window_topk"),
+        s"global top-N must plan partial+final, not a one-partition window:\n$p")
+    }
+  }
+
   test("unarmed sessions never rewrite") {
     val p = executedPlanStr(naiveTopN(2))
     assert(p.contains("Window ") && !p.contains("window_topk"), p)
