@@ -103,12 +103,15 @@ object DedupQueries {
     * `spark.graft.lsh.maxBucket` (HotBuckets — a boilerplate bucket
     * stays bounded). Returns (bands, sigs) frames reading the store;
     * the corpus text is never rescanned by any consumer. */
-  private[graft] def nearStore(s: SparkSession, d: String): (DataFrame, DataFrame) = {
-    val srcN = expr("try_cast(substring(source, 4, 10) AS INT)")
-    val storePath = s.conf.getOption("spark.graft.index.dir")
+  private[graft] def nearStorePath(s: SparkSession, d: String): String =
+    s.conf.getOption("spark.graft.index.dir")
       .getOrElse("/tmp/graft_index_store") + "/near_store_ts_" +
       java.lang.Long.toHexString(
         scala.util.hashing.MurmurHash3.stringHash(d).toLong & 0xffffffffL)
+
+  private[graft] def nearStore(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val srcN = expr("try_cast(substring(source, 4, 10) AS INT)")
+    val storePath = nearStorePath(s, d)
     val cap = graft.operators.HotBuckets.maxBucket(s)
     if (!new java.io.File(storePath + "/sigs").exists()) {
       docs(s, d).filter(srcN < 15)
@@ -125,6 +128,42 @@ object DedupQueries {
         .write.mode("overwrite").parquet(storePath + "/bands")
     }
     (s.read.parquet(storePath + "/bands"), s.read.parquet(storePath + "/sigs"))
+  }
+
+  /** Day-N+1 store maintenance — COMMIT a day's canonical NEW documents
+    * (verdict `new` from [[nearStore]]-backed screening; their
+    * `dup_in_batch` twins are represented by them, and the two *_corpus
+    * verdicts already are) into the near store, so tomorrow's batch
+    * screens against today's ingest without any corpus rescan: one
+    * day-sized append to sigs/ and the derived band rows to bands/.
+    * Appends bypass the build-time posting cap (a day contributes
+    * day-sized postings); periodic compaction — rewrite bands/ from
+    * sigs/ the way the initial build does — re-caps hot buckets.
+    * Spec-gated (ApproxSuiteSpec): after commit, re-screening the same
+    * batch yields zero `new`/`dup_in_batch` verdicts. */
+  private[graft] def nearStoreCommit(s: SparkSession, d: String, newDocs: DataFrame): Unit = {
+    val storePath = nearStorePath(s, d)
+    newDocs.select(col("doc_id").as("corpus_id"), col("sig"), col("fp"))
+      .write.mode("append").parquet(storePath + "/sigs")
+    newDocs.select(col("doc_id").as("corpus_id"), nearStoreBandKeys.as("bkey"))
+      .write.mode("append").parquet(storePath + "/bands")
+  }
+
+  /** Convenience commit: screen the fixture's batch split with the
+    * dd_incremental_near machinery and append its `new` docs. */
+  private[graft] def nearStoreCommitNew(s: SparkSession, d: String): Long = {
+    val srcN = expr("try_cast(substring(source, 4, 10) AS INT)")
+    val verdicts = graft.SparkEntry.queries("dd_incremental_near")(s, d)
+      .filter(col("verdict") === "new").select(col("doc_id"))
+    val batch = docs(s, d).filter(srcN >= 15)
+      .select(col("doc_id"),
+        minhash_sig(toks, 3, NearStoreBands * NearStoreRows).as("sig"),
+        Fingerprints.tokenSetFp(toks).as("fp"))
+    val newDocs = batch.join(verdicts, Seq("doc_id")).persist()
+    val n = newDocs.count()
+    nearStoreCommit(s, d, newDocs)
+    newDocs.unpersist(blocking = false)
+    n
   }
 
   /** The cluster family's pair source, switched by

@@ -128,6 +128,41 @@ class ApproxSuiteSpec extends AnyFunSuite {
       s"drained docs outside the sig-verified verdict classes: ${(streamed -- nearV -- dupV).take(5)}")
   }
 
+  test("near store commit: after appending a day's new docs, re-screening finds no new") {
+    import graft.queries.DedupQueries
+    // isolated store dir: the commit MUTATES the store, and the shared
+    // /tmp store must stay a pure function of the fixture for Verify
+    val tmp = java.nio.file.Files.createTempDirectory("graft_commit_spec").toString
+    spark.conf.set("spark.graft.index.dir", tmp)
+    try {
+      val before = run("dd_incremental_near").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      val nNew = before.values.count(_ == "new")
+      val nInBatch = before.values.count(_ == "dup_in_batch")
+      assert(nNew > 0, "fixture batch must contain genuinely new docs")
+      val committed = DedupQueries.nearStoreCommitNew(spark, sfDir)
+      assert(committed == nNew, s"committed $committed docs, expected the $nNew 'new' ones")
+      // day N+1 replays the same batch: every former 'new' doc is now an
+      // exact corpus hit, and every 'dup_in_batch' doc's first occurrence
+      // is in the store too — nothing is 'new' twice
+      val after = run("dd_incremental_near").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(after.keySet == before.keySet)
+      assert(!after.values.exists(v => v == "new" || v == "dup_in_batch"),
+        s"re-screen after commit still sees: ${after.filter(kv => kv._2 == "new" || kv._2 == "dup_in_batch").take(5)}")
+      before.foreach { case (id, v) =>
+        if (v == "new" || v == "dup_in_batch")
+          assert(after(id) == "dup_of_corpus" || after(id) == "near_dup_of_corpus",
+            s"doc $id: $v became ${after(id)}")
+        else assert(after(id) == v, s"doc $id: stable verdict $v drifted to ${after(id)}")
+      }
+      info(s"committed $committed new docs; $nInBatch dup_in_batch docs now resolve against the store")
+    } finally {
+      spark.conf.unset("spark.graft.index.dir")
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+    }
+  }
+
   test("simhash finds the shuffled/mutated near-dup pairs") {
     val sim = run("dd_simhash").select("doc_a", "doc_b")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
