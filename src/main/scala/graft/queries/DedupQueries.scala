@@ -137,8 +137,8 @@ object DedupQueries {
     * screens against today's ingest without any corpus rescan: one
     * day-sized append to sigs/ and the derived band rows to bands/.
     * Appends bypass the build-time posting cap (a day contributes
-    * day-sized postings); periodic compaction — rewrite bands/ from
-    * sigs/ the way the initial build does — re-caps hot buckets.
+    * day-sized postings); periodic [[nearStoreCompact]] re-caps hot
+    * buckets and collapses the append files.
     * Spec-gated (ApproxSuiteSpec): after commit, re-screening the same
     * batch yields zero `new`/`dup_in_batch` verdicts. */
   private[graft] def nearStoreCommit(s: SparkSession, d: String, newDocs: DataFrame): Unit = {
@@ -147,6 +147,30 @@ object DedupQueries {
       .write.mode("append").parquet(storePath + "/sigs")
     newDocs.select(col("doc_id").as("corpus_id"), nearStoreBandKeys.as("bkey"))
       .write.mode("append").parquet(storePath + "/bands")
+  }
+
+  /** Periodic store COMPACTION: rewrite bands/ from the accumulated
+    * sigs/ exactly the way the initial build does — re-sorting each
+    * bucket's posting list and re-applying the HotBuckets cap, so hot
+    * buckets grown past the cap by daily appends are bounded again and
+    * the many small append files collapse into one sorted layout. Runs
+    * in one pass over the sigs store (never the corpus text). */
+  private[graft] def nearStoreCompact(s: SparkSession, d: String): Unit = {
+    val storePath = nearStorePath(s, d)
+    val cap = graft.operators.HotBuckets.maxBucket(s)
+    val tmpOut = storePath + "/bands_compacting"
+    s.read.parquet(storePath + "/sigs")
+      .select(col("corpus_id"), nearStoreBandKeys.as("bkey"))
+      .groupBy(col("bkey"))
+      .agg(sort_array(collect_list(col("corpus_id"))).as("ids"))
+      .withColumn("ids", slice(col("ids"), 1, cap))
+      .select(col("bkey"), explode(col("ids")).as("corpus_id"))
+      .write.mode("overwrite").parquet(tmpOut)
+    // atomic-enough swap for a local store; object stores use a manifest
+    val bands = new java.io.File(storePath + "/bands")
+    org.apache.commons.io.FileUtils.deleteDirectory(bands)
+    if (!new java.io.File(tmpOut).renameTo(bands))
+      throw new java.io.IOException(s"compaction swap failed for $storePath")
   }
 
   /** Convenience commit: screen the fixture's batch split with the

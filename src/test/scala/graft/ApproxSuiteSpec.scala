@@ -157,6 +157,12 @@ class ApproxSuiteSpec extends AnyFunSuite {
         else assert(after(id) == v, s"doc $id: stable verdict $v drifted to ${after(id)}")
       }
       info(s"committed $committed new docs; $nInBatch dup_in_batch docs now resolve against the store")
+      // compaction: bands rebuilt from the accumulated sigs (re-sorted,
+      // re-capped, append files collapsed) must not change any verdict
+      DedupQueries.nearStoreCompact(spark, sfDir)
+      val compacted = run("dd_incremental_near").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(compacted == after, "compaction changed screening verdicts")
     } finally {
       spark.conf.unset("spark.graft.index.dir")
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
