@@ -191,7 +191,7 @@ object ScaleCheck {
           "dd_dup_clusters", "ann_ivf_topk", "samp_stratified", "tx_pack_shards",
           "tx_repetition", "dd_canonical_corpus", "tx_decontaminate",
           "tx_rarity", "tx_chunk", "samp_mixture", "tx_importance",
-          "ann_filtered_topk", "srch_bm25", "dd_cross_dedup", "tx_corpus_stats",
+          "ann_filtered_topk", "srch_bm25", "srch_rrf", "dd_cross_dedup", "tx_corpus_stats",
           "j_full_outer", "op_pivot", "op_unpivot", "tx_classify",
           "fn_zscore", "fn_histogram", "dd_fuzzy_names",
           "dd_source_overlap", "tx_bigram_rarity", "emb_label_stats",

@@ -246,6 +246,100 @@ object SearchQueries {
         .orderBy(col("rank"))
     },
 
+    // Reciprocal-rank FUSION — the standard hybrid-retrieval merge
+    // (Cormack et al. 2009; the default fusion in every lexical+vector
+    // stack): the BM25 top-20 and the embedding-cosine top-20 are fused
+    // by rrf(d) = Σ_lists 1/(60 + rank_list(d)), which needs no score
+    // calibration between the two scales. Where srch_hybrid RE-RANKS the
+    // lexical shortlist by cosine (candidate-funnel shape), this FUSES
+    // two independent retrievers — docs only one list finds still
+    // surface. Scale shape: each list is its own linear pass bounded by
+    // TakeOrderedAndProject (no corpus-wide vector math beyond the one
+    // codegen cosine scan); the fusion join touches 2×20 rows. Exact
+    // cross-engine: ranks are integers, 1/(60+r) is one IEEE division,
+    // the two-term sum is order-free, ranking ties break on doc_id.
+    QueryDef("srch_rrf", Some({
+      val tfs = Terms.map(t => s"len(list_filter(t, x -> x = '$t')) AS tf_$t").mkString(",\n  ")
+      val dfs = Terms.map(t => s"count(*) FILTER (WHERE list_contains(t, '$t')) AS df_$t").mkString(",\n  ")
+      val score = Terms.map(t =>
+        s"""ln(1 + (n_docs - df_$t + 0.5)/(df_$t + 0.5))
+           |    * tf_$t * ${K1 + 1} / (tf_$t + $K1 * (1 - $B + $B * dl / avgdl))""".stripMargin)
+        .mkString(" + ")
+      s"""WITH d AS (SELECT doc_id, string_split(text,' ') AS t,
+         |    len(string_split(text,' ')) AS dl FROM documents),
+         |st AS (SELECT count(*) AS n_docs,
+         |  CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl,
+         |  $dfs
+         |  FROM d),
+         |scored AS (
+         |  SELECT doc_id, $score AS raw
+         |  FROM (SELECT doc_id, dl, $tfs FROM d) CROSS JOIN st),
+         |bl AS (SELECT doc_id, brank FROM (
+         |    SELECT doc_id, row_number() OVER (ORDER BY raw DESC, doc_id) AS brank
+         |    FROM scored) WHERE brank <= 20),
+         |p AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+         |ac AS (SELECT e.vec_id AS doc_id,
+         |    list_sum(list_transform(list_zip(p.qe, e.embedding), x -> CAST(x[1] AS DOUBLE) * x[2]))
+         |      / sqrt(list_sum(list_transform(p.qe, x -> CAST(x AS DOUBLE) * x))
+         |           * list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * x))) AS cos
+         |  FROM embeddings e CROSS JOIN p),
+         |al AS (SELECT doc_id, arank FROM (
+         |    SELECT doc_id, row_number() OVER (ORDER BY cos DESC, doc_id) AS arank
+         |    FROM ac) WHERE arank <= 20),
+         |f AS (SELECT coalesce(bl.doc_id, al.doc_id) AS doc_id, bl.brank, al.arank,
+         |    coalesce(1.0/(60 + bl.brank), 0) + coalesce(1.0/(60 + al.arank), 0) AS rrf
+         |  FROM bl FULL JOIN al ON bl.doc_id = al.doc_id)
+         |SELECT doc_id,
+         |  row_number() OVER (ORDER BY rrf DESC, doc_id) AS fused_rank,
+         |  CAST(coalesce(brank, 0) AS BIGINT) AS bm25_rank,
+         |  CAST(coalesce(arank, 0) AS BIGINT) AS ann_rank,
+         |  CAST(floor(rrf * 1000000000) AS BIGINT) AS rrf_nano
+         |FROM f ORDER BY fused_rank""".stripMargin
+    })) { (s, d) =>
+      import graft.functions.dot_product
+      val base = docs(s, d).select(col("doc_id"), toks.as("t"),
+        size(toks).cast(LongType).as("dl"))
+      val statCols =
+        (sum(col("dl")).cast(DoubleType) / count(lit(1))).as("avgdl") +:
+          Terms.map(t => sum(when(array_contains(col("t"), t), 1L).otherwise(0L)).as(s"df_$t"))
+      val stats = base.agg(count(lit(1)).as("n_docs"), statCols: _*)
+      val tf = Terms.map(t =>
+        size(filter(col("t"), x => x === t)).cast(DoubleType).as(s"tf_$t"))
+      val raw = Terms.map { t =>
+        val idf = log(lit(1) + (col("n_docs") - col(s"df_$t") + 0.5) / (col(s"df_$t") + 0.5))
+        idf * col(s"tf_$t") * (K1 + 1) /
+          (col(s"tf_$t") + lit(K1) * (lit(1) - B + lit(B) * col("dl") / col("avgdl")))
+      }.reduce(_ + _)
+      val bl = base.select(col("doc_id") +: col("dl") +: tf: _*)
+        .crossJoin(broadcast(stats))
+        .select(col("doc_id"), raw.as("raw"))
+        .orderBy(col("raw").desc, col("doc_id")).limit(20)
+        .withColumn("brank", row_number().over(Window.orderBy(col("raw").desc, col("doc_id"))))
+        .select(col("doc_id"), col("brank"))
+      val emb = Tables.load(s, d, "embeddings")
+      val probe = emb.filter(col("vec_id") === 0)
+        .select(col("embedding").as("qe"),
+          dot_product(col("embedding"), col("embedding")).as("qn"))
+      val al = emb.crossJoin(broadcast(probe))
+        .select(col("vec_id").as("doc_id"),
+          (dot_product(col("qe"), col("embedding")) /
+            sqrt(col("qn") * dot_product(col("embedding"), col("embedding")))).as("cos"))
+        .orderBy(col("cos").desc, col("doc_id")).limit(20)
+        .withColumn("arank", row_number().over(Window.orderBy(col("cos").desc, col("doc_id"))))
+        .select(col("doc_id"), col("arank"))
+      bl.join(al, Seq("doc_id"), "full_outer")
+        .select(col("doc_id"), col("brank"), col("arank"),
+          (coalesce(lit(1.0) / (col("brank") + 60), lit(0.0)) +
+            coalesce(lit(1.0) / (col("arank") + 60), lit(0.0))).as("rrf"))
+        // 40-row single-partition window, not a corpus-wide one
+        .withColumn("fused_rank", row_number().over(Window.orderBy(col("rrf").desc, col("doc_id"))))
+        .select(col("doc_id"), col("fused_rank"),
+          coalesce(col("brank"), lit(0)).cast(LongType).as("bm25_rank"),
+          coalesce(col("arank"), lit(0)).cast(LongType).as("ann_rank"),
+          floor(col("rrf") * 1000000000L).cast(LongType).as("rrf_nano"))
+        .orderBy(col("fused_rank"))
+    },
+
     // HARD-NEGATIVE mining — the contrastive-training pair builder (the
     // "BM25 negatives" recipe of DPR, Karpukhin et al. 2020, public
     // literature): for the query, positives are docs containing ALL
