@@ -195,7 +195,7 @@ object ScaleCheck {
           "j_full_outer", "op_pivot", "op_unpivot", "tx_classify",
           "fn_zscore", "fn_histogram", "dd_fuzzy_names",
           "dd_source_overlap", "tx_bigram_rarity", "emb_label_stats",
-          "b7_kll_grouped", "ann_ivf_bigk",
+          "b7_kll_grouped", "ann_ivf_bigk", "wf_analytic_full",
           "tx_vocab_coverage", "emb_knn_classify", "dd_containment",
           "dd_paragraph", "fn_array", "srch_phrase", "fn_map", "ann_pq_topk",
           "op_salted_join", "emb_pca_project", "op_cdc_upsert", "op_funnel",

@@ -415,6 +415,45 @@ object CoreQueries {
         .orderBy(col("c_mktsegment"), col("rn"))
     },
 
+    // The REST of the analytic-window surface in one oracle-backed query:
+    // dense_rank / lead / ntile / percent_rank / cume_dist / first_value /
+    // nth_value over the same total per-segment order as wf_analytic.
+    // percent_rank and cume_dist are exact rationals ((rank-1)/(n-1),
+    // rn/n) evaluated as one IEEE division each — bit-identical
+    // cross-engine; the total order (unique tiebreak) makes the default
+    // RANGE frame equal to ROWS, so first/nth_value are frame-unambiguous.
+    // Scale: one shuffle on the LOW-cardinality segment key; a real
+    // pipeline with a hot segment pre-aggregates or buckets first (the
+    // op_bucketed_join lever) — the window itself is the semantics here.
+    QueryDef("wf_analytic_full", Some(
+      """SELECT c_mktsegment, c_custkey,
+        |  dense_rank() OVER w AS drnk,
+        |  lead(c_custkey) OVER w AS next_key,
+        |  ntile(4) OVER w AS quartile,
+        |  percent_rank() OVER w AS prank,
+        |  cume_dist() OVER w AS cdist,
+        |  first_value(c_custkey) OVER w AS top_key,
+        |  nth_value(c_custkey, 3) OVER w AS third_key
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
+        |ORDER BY c_mktsegment, c_acctbal DESC, c_custkey""".stripMargin)) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("c_mktsegment")).orderBy(col("c_acctbal").desc, col("c_custkey"))
+      t(s, d, "customer")
+        .select(
+          col("c_mktsegment"), col("c_custkey"),
+          dense_rank().over(w).as("drnk"),
+          lead(col("c_custkey"), 1).over(w).as("next_key"),
+          ntile(4).over(w).as("quartile"),
+          percent_rank().over(w).as("prank"),
+          cume_dist().over(w).as("cdist"),
+          first_value(col("c_custkey")).over(w).as("top_key"),
+          nth_value(col("c_custkey"), 3).over(w).as("third_key"),
+          col("c_acctbal"))
+        .orderBy(col("c_mktsegment"), col("c_acctbal").desc, col("c_custkey"))
+        .drop("c_acctbal")
+    },
+
     // ----- §2.C top-n pushdown (TakeOrderedAndProject, no full sort at scale) -----
     QueryDef("topn_orders", Some(
       """SELECT o_orderkey, o_totalprice FROM orders
