@@ -28,6 +28,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // reference's B6 semantic as a session mode (no-op until
     // spark.graft.approxDistinct=theta arms it).
     e.injectOptimizerRule(_ => graft.plans.ApproxDistinctRewrite)
+    // Optimizer rule: exact percentile/median -> KLL sketch estimate —
+    // the reference's B7 semantic as a session mode (no-op until
+    // spark.graft.approxPercentile=kll arms it).
+    e.injectOptimizerRule(_ => graft.plans.ApproxPercentileRewrite)
     e.injectFunction((FunctionIdentifier("cosine_sim"),
       info("cosine_sim", "cosine_sim(a, b) - cosine similarity of two float arrays"),
       (args: Seq[Expression]) => CosineSimilarity(args(0), args(1))))

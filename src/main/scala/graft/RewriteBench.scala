@@ -27,6 +27,30 @@ object RewriteBench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
+    // "percentile" mode A/Bs ApproxPercentileRewrite: exact percentile
+    // (per-group value-count map plan) vs the armed KLL sketch aggregate
+    if (args.contains("percentile")) {
+      def q(): DataFrame = spark.range(rows).select(
+        (col("id") % groups).as("grp"),
+        (col("id") * 2654435761L % 5000000L).cast("double").as("v"))
+        .groupBy(col("grp")).agg(expr("percentile(v, array(0.5D, 0.99D))").as("p"))
+      def time(): Double = {
+        val t0 = System.nanoTime()
+        q().write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      def minOf3(): Double = { time(); Seq(time(), time(), time()).min }
+      time()
+      val exact = minOf3()
+      spark.conf.set(graft.plans.ApproxPercentileRewrite.Key, "kll")
+      val kll = minOf3()
+      spark.conf.unset(graft.plans.ApproxPercentileRewrite.Key)
+      println(f"rows=$rows groups=$groups mode=percentile")
+      println(f"exact percentile:       $exact%6.2f s")
+      println(f"kll sketch estimate:    $kll%6.2f s  (${exact / kll}%.2fx)")
+      spark.stop()
+      return
+    }
     // "distinct" mode A/Bs ApproxDistinctRewrite instead: exact
     // count(DISTINCT) (per-group pre-aggregation plan) vs the armed Theta
     // sketch aggregate, same frame
