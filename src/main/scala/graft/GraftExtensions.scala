@@ -32,6 +32,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // the reference's B7 semantic as a session mode (no-op until
     // spark.graft.approxPercentile=kll arms it).
     e.injectOptimizerRule(_ => graft.plans.ApproxPercentileRewrite)
+    // Optimizer rule: GROUP BY + ORDER BY count DESC + LIMIT k ->
+    // approx_top_k frequent-items sketch — the reference's B8 semantic
+    // as a session mode (no-op until spark.graft.approxTopK=freq).
+    e.injectOptimizerRule(_ => graft.plans.TopKFrequentRewrite)
     e.injectFunction((FunctionIdentifier("cosine_sim"),
       info("cosine_sim", "cosine_sim(a, b) - cosine similarity of two float arrays"),
       (args: Seq[Expression]) => CosineSimilarity(args(0), args(1))))

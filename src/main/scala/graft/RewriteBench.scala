@@ -27,6 +27,30 @@ object RewriteBench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
+    // "topk_freq" mode A/Bs TopKFrequentRewrite: exact keyed count +
+    // TakeOrderedAndProject vs the armed frequent-items sketch
+    if (args.contains("topk_freq")) {
+      def q(): DataFrame = spark.range(rows).select(
+        coalesce((col("id") * 2654435761L % 5000000L), lit(0L)).as("item"))
+        .groupBy(col("item")).agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("item")).limit(n)
+      def time(): Double = {
+        val t0 = System.nanoTime()
+        q().write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      def minOf3(): Double = { time(); Seq(time(), time(), time()).min }
+      time()
+      val exact = minOf3()
+      spark.conf.set(graft.plans.TopKFrequentRewrite.Key, "freq")
+      val sk = minOf3()
+      spark.conf.unset(graft.plans.TopKFrequentRewrite.Key)
+      println(f"rows=$rows n=$n mode=topk_freq (~5M distinct items)")
+      println(f"exact count+TakeOrdered:  $exact%6.2f s")
+      println(f"approx_top_k sketch:      $sk%6.2f s  (${exact / sk}%.2fx)")
+      spark.stop()
+      return
+    }
     // "percentile" mode A/Bs ApproxPercentileRewrite: exact percentile
     // (per-group value-count map plan) vs the armed KLL sketch aggregate
     if (args.contains("percentile")) {
