@@ -18,16 +18,16 @@ object Bench {
     names.foreach { n =>
       try exec(SparkEntry.queries(n)(spark, sfDir)) catch { case _: Throwable => () }
     }
-    // two measured runs, min per query: the host is shared, so a single
-    // run can absorb multi-second scheduler noise on shuffle-heavy plans.
+    // three measured runs, min per query: the host is shared with ±40%
+    // observed variance — min-of-2 still let multi-second scheduler noise
+    // read as round-over-round "regressions" on shuffle-heavy plans.
     def timeOne(name: String): Double = {
       val t0 = System.nanoTime()
       try exec(SparkEntry.queries(name)(spark, sfDir)) catch { case _: Throwable => () }
       (System.nanoTime() - t0) / 1e9
     }
-    val r1 = names.map(n => n -> timeOne(n)).toMap
-    val r2 = names.map(n => n -> timeOne(n)).toMap
-    val results = names.map(n => n -> math.min(r1(n), r2(n))).toMap
+    val runs = (1 to 3).map(_ => names.map(n => n -> timeOne(n)).toMap)
+    val results = names.map(n => n -> runs.map(_(n)).min).toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0

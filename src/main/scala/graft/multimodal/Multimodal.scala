@@ -382,10 +382,16 @@ object Multimodal {
     val readers = javax.imageio.ImageIO.getImageReadersByFormatName("gif")
     if (!readers.hasNext) return Seq.empty
     val reader = readers.next()
+    // Memory-backed stream, NOT ImageIO.createImageInputStream: the default
+    // is a FileCacheImageInputStream whose temp cache file survives until GC
+    // if never closed — a per-row disk/handle leak in executors. The source
+    // is already an in-memory byte array, so cache to heap and close it in
+    // the same finally as reader.dispose().
+    val stream = new javax.imageio.stream.MemoryCacheImageInputStream(
+      new java.io.ByteArrayInputStream(payload))
     try {
       // seekForwardOnly must be FALSE: getNumImages(true) needs to search
-      reader.setInput(javax.imageio.ImageIO.createImageInputStream(
-        new java.io.ByteArrayInputStream(payload)), false)
+      reader.setInput(stream, false)
       val n = reader.getNumImages(true)
       (0 until n).map { fi =>
         val img = reader.read(fi)
@@ -405,7 +411,10 @@ object Multimodal {
       }
     } catch {
       case _: Exception => Seq.empty
-    } finally reader.dispose()
+    } finally {
+      reader.dispose()
+      try stream.close() catch { case _: Exception => () }
+    }
   }
 
   /** STUB frame sampler: every `stride`-th window of `frameBytes` bytes —

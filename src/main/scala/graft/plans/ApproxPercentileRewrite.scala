@@ -43,9 +43,24 @@ import org.apache.spark.sql.types._
   * runtime (KLL_INVALID_INPUT_SKETCH_BUFFER) — a group whose rows are
   * all filtered out or all null would CRASH, where exact percentile
   * returns null. The rewrite therefore pairs the sketch with a
-  * count(input) aggregate and evaluates the quantile lazily behind
-  * `If(cnt = 0, null, ...)`, restoring Percentile's null-on-empty
-  * contract exactly (ApproxPercentileSpec pins both hazards).
+  * count aggregate over the SAME input the sketch ingests and
+  * evaluates the quantile lazily behind `If(cnt = 0, null, ...)`,
+  * restoring Percentile's null-on-empty contract exactly
+  * (ApproxPercentileSpec pins both hazards).
+  *
+  * NaN hazard (upstream): datasketches' `KllDoublesSketch.update`
+  * silently DROPS NaN, and Spark's `kll_sketch_agg` doesn't
+  * pre-filter — so a non-null NaN row increments a naive count(input)
+  * guard while never reaching the sketch, and an all-NaN group would
+  * hit the same empty-buffer crash with cnt > 0. The rewrite
+  * therefore null-masks NaN out of BOTH the sketch input and its
+  * guard count for float/double children, and adds a second count so
+  * an all-NaN group returns NaN — matching exact percentile, whose
+  * ordering places NaN greatest. The one documented divergence:
+  * groups MIXING NaN with finite values estimate over the finite
+  * values only (NaN-exclusion contract), where exact percentile lets
+  * NaN occupy the top ranks — e.g. exact `percentile(v, 1.0)` is NaN,
+  * armed returns the max finite value (spec-pinned).
   */
 object ApproxPercentileRewrite extends Rule[LogicalPlan] {
 
@@ -75,13 +90,42 @@ object ApproxPercentileRewrite extends Rule[LogicalPlan] {
               case DoubleType => p.child
               case _ => Cast(p.child, DoubleType)
             }
+            // Only float/double children can carry NaN (integral casts can't
+            // produce one); mask it to null so the sketch input and its
+            // guard count agree on what was ingested.
+            val mayNaN = p.child.dataType == DoubleType || p.child.dataType == FloatType
+            val safe =
+              if (mayNaN) If(IsNaN(input), Literal.create(null, DoubleType), input)
+              else input
             val sk = AggregateExpression(
-              new KllSketchAggDouble(input, Literal(nominalK)),
+              new KllSketchAggDouble(safe, Literal(nominalK)),
               mode, isDistinct = false, filter)
             val q = KllSketchGetQuantileDouble(sk, p.percentageExpression)
-            val cnt = AggregateExpression(
-              Count(Seq(input)), mode, isDistinct = false, filter)
-            If(EqualTo(cnt, Literal(0L)), Literal.create(null, q.dataType), q)
+            val cntSafe = AggregateExpression(
+              Count(Seq(safe)), mode, isDistinct = false, filter)
+            val nullLit = Literal.create(null, q.dataType)
+            if (!mayNaN) {
+              If(EqualTo(cntSafe, Literal(0L)), nullLit, q)
+            } else {
+              // cntSafe = 0 but cntAll > 0 means every non-null value was
+              // NaN: exact percentile's ordering (NaN greatest) answers NaN
+              // at every rank, so do the same instead of crashing the
+              // never-updated sketch buffer.
+              val cntAll = AggregateExpression(
+                Count(Seq(input)), mode, isDistinct = false, filter)
+              val nanLit: Expression = q.dataType match {
+                case at: ArrayType =>
+                  val n = p.percentageExpression.eval() match {
+                    case a: org.apache.spark.sql.catalyst.util.ArrayData => a.numElements()
+                    case _ => 0
+                  }
+                  Literal.create(Seq.fill(n)(Double.NaN), at)
+                case _ => Literal(Double.NaN)
+              }
+              If(EqualTo(cntSafe, Literal(0L)),
+                If(EqualTo(cntAll, Literal(0L)), nullLit, nanLit),
+                q)
+            }
         }
     }
 }

@@ -31,6 +31,19 @@ import org.apache.spark.sql.types._
   * beyond — the user's explicit opt-in, the same contract as Bullet's
   * TOP K.
   *
+  * Boundary ties: when the sort carries a user tiebreak after the
+  * count (`ORDER BY c DESC, x`), asking the sketch for exactly k items
+  * would let IT pick among counts tied at the k-th position before the
+  * tiebreak ever runs — different membership than exact even below
+  * capacity. The rewrite therefore requests the sketch's FULL tracked
+  * capacity whenever a tiebreak is present (below capacity that is
+  * every distinct item, with exact counts), re-applies the user's
+  * whole sort, and only then truncates to k — bit-identical membership
+  * in the exact regime, at the cost of sorting ≤ capacity rows after
+  * the final merge (the shipped sketch bytes are identical). Without a
+  * tiebreak the exact plan's own tie membership is arbitrary, so the
+  * sketch's pick is in-contract and k items suffice.
+  *
   * Scope guards (anything else keeps its exact plan): single
   * non-nullable deterministic grouping expression of a sketch-supported
   * type (null items never reach the sketch, but the exact plan COUNTS a
@@ -95,8 +108,11 @@ object TopKFrequentRewrite extends Rule[LogicalPlan] {
                   so.child.semanticEquals(cntAlias.toAttribute)) &&
                 orders.tail.forall(_.child.deterministic) =>
             val item = agg.groupingExpressions.head
+            // user tiebreak present → surface the full tracked set so the
+            // re-applied sort decides boundary-tie membership (see scaladoc)
+            val sketchK = if (orders.size > 1) maxTracked else k
             val tk = Alias(AggregateExpression(
-              new ApproxTopK(item, Literal(k), Literal(maxTracked)),
+              new ApproxTopK(item, Literal(sketchK), Literal(maxTracked)),
               Complete, isDistinct = false), "__graft_tk")()
             val sketchAgg = Aggregate(Nil, Seq(tk), agg.child)
             val elemType = tk.dataType.asInstanceOf[ArrayType].elementType

@@ -109,11 +109,56 @@ object DedupQueries {
       java.lang.Long.toHexString(
         scala.util.hashing.MurmurHash3.stringHash(d).toLong & 0xffffffffL)
 
+  /** Content stamp of the fixture the near store derives from: file
+    * names + lengths + mtimes of `documents.parquet`. A regenerated
+    * fixture at the SAME path therefore invalidates the store (the old
+    * existence-only check silently served stale signatures). */
+  private[graft] def nearStoreStamp(d: String): String = {
+    val f = new java.io.File(d, "documents.parquet")
+    val parts =
+      if (f.isFile) Seq(s"${f.getName}:${f.length}:${f.lastModified}")
+      else Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
+        .filter(_.isFile).sortBy(_.getName).toSeq
+        .map(p => s"${p.getName}:${p.length}:${p.lastModified}")
+    java.lang.Long.toHexString(
+      scala.util.hashing.MurmurHash3.orderedHash(parts).toLong & 0xffffffffL)
+  }
+
+  /** Finish any compaction swap a crash interrupted: `bands_old` present
+    * without `bands` means the crash hit between the two renames — the
+    * old layout is intact, restore it; both present means the crash hit
+    * after the second rename — the new layout won, drop the leftover. */
+  private[graft] def nearStoreRecover(storePath: String): Unit = {
+    val bands = new java.io.File(storePath + "/bands")
+    val old = new java.io.File(storePath + "/bands_old")
+    if (old.exists()) {
+      if (!bands.exists()) {
+        if (!old.renameTo(bands))
+          throw new java.io.IOException(s"near-store recovery rename failed for $storePath")
+      } else org.apache.commons.io.FileUtils.deleteDirectory(old)
+    }
+    // an orphaned compaction temp dir is always safe to drop
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(storePath + "/bands_compacting"))
+  }
+
   private[graft] def nearStore(s: SparkSession, d: String): (DataFrame, DataFrame) = {
     val srcN = expr("try_cast(substring(source, 4, 10) AS INT)")
     val storePath = nearStorePath(s, d)
     val cap = graft.operators.HotBuckets.maxBucket(s)
-    if (!new java.io.File(storePath + "/sigs").exists()) {
+    // The manifest is written LAST (after bands) and carries the fixture
+    // stamp: its absence means a crashed/partial build, a stale stamp
+    // means the fixture was regenerated — both force a clean rebuild.
+    val manifest = new java.io.File(storePath + "/_MANIFEST")
+    val stamp = nearStoreStamp(d)
+    val valid = manifest.exists() && {
+      val read = new String(
+        java.nio.file.Files.readAllBytes(manifest.toPath),
+        java.nio.charset.StandardCharsets.UTF_8).trim
+      read == stamp
+    }
+    if (!valid) {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(storePath))
       docs(s, d).filter(srcN < 15)
         .select(col("doc_id").as("corpus_id"),
           minhash_sig(toks, 3, NearStoreBands * NearStoreRows).as("sig"),
@@ -126,7 +171,9 @@ object DedupQueries {
         .withColumn("ids", slice(col("ids"), 1, cap))
         .select(col("bkey"), explode(col("ids")).as("corpus_id"))
         .write.mode("overwrite").parquet(storePath + "/bands")
-    }
+      java.nio.file.Files.write(manifest.toPath,
+        stamp.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } else nearStoreRecover(storePath)
     (s.read.parquet(storePath + "/bands"), s.read.parquet(storePath + "/sigs"))
   }
 
@@ -149,15 +196,28 @@ object DedupQueries {
       .write.mode("append").parquet(storePath + "/bands")
   }
 
+  /** Test hook: 1 → crash after the first rename (bands moved aside,
+    * replacement not yet in place — the window the two-rename pattern
+    * makes recoverable), 2 → crash after the second rename (new layout
+    * live, leftover `bands_old` not yet deleted). 0 in production. */
+  private[graft] var compactCrashPoint: Int = 0
+
   /** Periodic store COMPACTION: rewrite bands/ from the accumulated
     * sigs/ exactly the way the initial build does — re-sorting each
     * bucket's posting list and re-applying the HotBuckets cap, so hot
     * buckets grown past the cap by daily appends are bounded again and
     * the many small append files collapse into one sorted layout. Runs
-    * in one pass over the sigs store (never the corpus text). */
+    * in one pass over the sigs store (never the corpus text).
+    *
+    * The swap is the crash-safe two-rename pattern (never
+    * delete-then-rename): `bands` → `bands_old`, `bands_compacting` →
+    * `bands`, delete `bands_old`. A crash at ANY point leaves a store
+    * [[nearStoreRecover]] restores on the next read — there is no
+    * window in which the posting data exists nowhere on disk. */
   private[graft] def nearStoreCompact(s: SparkSession, d: String): Unit = {
     val storePath = nearStorePath(s, d)
     val cap = graft.operators.HotBuckets.maxBucket(s)
+    nearStoreRecover(storePath) // finish any interrupted prior swap first
     val tmpOut = storePath + "/bands_compacting"
     s.read.parquet(storePath + "/sigs")
       .select(col("corpus_id"), nearStoreBandKeys.as("bkey"))
@@ -166,11 +226,19 @@ object DedupQueries {
       .withColumn("ids", slice(col("ids"), 1, cap))
       .select(col("bkey"), explode(col("ids")).as("corpus_id"))
       .write.mode("overwrite").parquet(tmpOut)
-    // atomic-enough swap for a local store; object stores use a manifest
     val bands = new java.io.File(storePath + "/bands")
-    org.apache.commons.io.FileUtils.deleteDirectory(bands)
-    if (!new java.io.File(tmpOut).renameTo(bands))
-      throw new java.io.IOException(s"compaction swap failed for $storePath")
+    val old = new java.io.File(storePath + "/bands_old")
+    if (!bands.renameTo(old))
+      throw new java.io.IOException(s"compaction swap (bands -> bands_old) failed for $storePath")
+    if (compactCrashPoint == 1)
+      throw new java.io.IOException(s"injected compaction crash after first rename: $storePath")
+    if (!new java.io.File(tmpOut).renameTo(bands)) {
+      old.renameTo(bands) // roll the intact old layout back
+      throw new java.io.IOException(s"compaction swap (compacting -> bands) failed for $storePath")
+    }
+    if (compactCrashPoint == 2)
+      throw new java.io.IOException(s"injected compaction crash after second rename: $storePath")
+    org.apache.commons.io.FileUtils.deleteDirectory(old)
   }
 
   /** Convenience commit: screen the fixture's batch split with the

@@ -112,6 +112,37 @@ class ApproxPercentileSpec extends AnyFunSuite {
     }
   }
 
+  test("NaN contract: all-NaN group returns NaN (no sketch crash); mixed NaN excluded") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, 5.0), (1L, 7.0), (1L, 9.0),                  // finite group
+      (2L, Double.NaN), (2L, Double.NaN),                // all-NaN group
+      (3L, 1.0), (3L, 2.0), (3L, Double.NaN)             // mixed group
+    ).toDF("grp", "v")
+    def q() = df.groupBy(col("grp"))
+      .agg(expr("percentile(v, 1.0D)").as("p100"),
+           expr("percentile(v, array(0.0D, 1.0D))").as("ps"))
+      .orderBy(col("grp"))
+    // exact path: NaN sorts greatest, so p100 of groups 2 and 3 is NaN
+    val exact = q().collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(exact(2L).isNaN && exact(3L).isNaN, s"exact NaN ordering changed: $exact")
+    armed {
+      val rows = q().collect()
+      val got = rows.map(r => (r.getLong(0), r.getDouble(1))).toMap
+      assert(got(1L) == 9.0, s"finite group wrong: $got")
+      // all-NaN: must answer NaN like exact — and must NOT crash the
+      // never-updated sketch buffer (the cnt>0-but-empty-sketch hazard)
+      assert(got(2L).isNaN, s"all-NaN group must be NaN: $got")
+      val ps2 = rows.find(_.getLong(0) == 2L).get.getSeq[Double](2)
+      assert(ps2.length == 2 && ps2.forall(_.isNaN),
+        s"all-NaN group array percentages must be all-NaN: $ps2")
+      // mixed: documented NaN-EXCLUSION divergence — armed estimates over
+      // the finite values only (max finite = 2.0), exact says NaN
+      assert(got(3L) == 2.0, s"mixed group must exclude NaN from the sketch: $got")
+      assert(executedPlanStr(q()).contains("kll_sketch_agg"))
+    }
+  }
+
   test("guards: frequency arg, distinct percentile, non-numeric, and unarmed keep exact plans") {
     def freq() = fixture().groupBy(col("grp"))
       .agg(expr("percentile(v, 0.5D, 2L)").as("p"))

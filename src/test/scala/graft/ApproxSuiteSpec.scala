@@ -169,6 +169,84 @@ class ApproxSuiteSpec extends AnyFunSuite {
     }
   }
 
+  test("compaction crash safety: a crash at either rename leaves a store the next read recovers") {
+    import graft.queries.DedupQueries
+    val tmp = java.nio.file.Files.createTempDirectory("graft_compact_crash").toString
+    spark.conf.set("spark.graft.index.dir", tmp)
+    try {
+      def verdicts() = run("dd_incremental_near").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      val baseline = verdicts() // builds the store
+      val storePath = DedupQueries.nearStorePath(spark, sfDir)
+      def bands = new java.io.File(storePath + "/bands")
+      def old = new java.io.File(storePath + "/bands_old")
+
+      // crash point 1: after `bands -> bands_old`, before the replacement
+      // lands — the delete-then-rename pattern would have lost the data
+      // here; two-rename keeps it intact in bands_old
+      DedupQueries.compactCrashPoint = 1
+      intercept[java.io.IOException] { DedupQueries.nearStoreCompact(spark, sfDir) }
+      DedupQueries.compactCrashPoint = 0
+      assert(!bands.exists() && old.exists(),
+        "crash point 1 should leave bands absent but bands_old intact")
+      // a reader arriving mid-crash recovers the swap and screens identically
+      assert(verdicts() == baseline, "post-crash-1 screening diverged")
+      assert(bands.exists() && !old.exists(), "recovery did not restore bands/")
+
+      // crash point 2: new layout live, leftover bands_old not yet deleted
+      DedupQueries.compactCrashPoint = 2
+      intercept[java.io.IOException] { DedupQueries.nearStoreCompact(spark, sfDir) }
+      DedupQueries.compactCrashPoint = 0
+      assert(bands.exists() && old.exists(),
+        "crash point 2 should leave the new bands live with a bands_old leftover")
+      assert(verdicts() == baseline, "post-crash-2 screening diverged")
+      assert(!old.exists(), "recovery did not sweep the bands_old leftover")
+
+      // an uninterrupted compaction still completes cleanly afterwards
+      DedupQueries.nearStoreCompact(spark, sfDir)
+      assert(bands.exists() && !old.exists())
+      assert(verdicts() == baseline, "clean compaction changed screening verdicts")
+    } finally {
+      DedupQueries.compactCrashPoint = 0
+      spark.conf.unset("spark.graft.index.dir")
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+    }
+  }
+
+  test("near store manifest: a regenerated fixture at the same path invalidates the store") {
+    import graft.queries.DedupQueries
+    val tmp = java.nio.file.Files.createTempDirectory("graft_store_stamp").toString
+    spark.conf.set("spark.graft.index.dir", tmp)
+    try {
+      val baseline = run("dd_incremental_near").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      val storePath = DedupQueries.nearStorePath(spark, sfDir)
+      val manifest = new java.io.File(storePath + "/_MANIFEST")
+      assert(manifest.exists(), "store build must finish by writing the manifest")
+      val stamp = new String(java.nio.file.Files.readAllBytes(manifest.toPath)).trim
+      assert(stamp == DedupQueries.nearStoreStamp(sfDir))
+      // a store whose manifest no longer matches the fixture (regenerated
+      // fixture / crashed build) must be rebuilt, not silently served
+      java.nio.file.Files.write(manifest.toPath, "stale".getBytes)
+      val sigsMarker = new java.io.File(storePath + "/sigs/_PROBE_STALE")
+      java.nio.file.Files.write(sigsMarker.toPath, Array.emptyByteArray)
+      assert(run("dd_incremental_near").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap == baseline)
+      assert(!sigsMarker.exists(), "stale store was served instead of rebuilt")
+      assert(new String(java.nio.file.Files.readAllBytes(manifest.toPath)).trim == stamp,
+        "rebuild must restore the fixture stamp")
+      // a crashed FIRST build (no manifest yet) also rebuilds
+      org.apache.commons.io.FileUtils.deleteQuietly(manifest)
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(storePath + "/bands"))
+      assert(run("dd_incremental_near").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap == baseline)
+      assert(manifest.exists())
+    } finally {
+      spark.conf.unset("spark.graft.index.dir")
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+    }
+  }
+
   test("simhash finds the shuffled/mutated near-dup pairs") {
     val sim = run("dd_simhash").select("doc_a", "doc_b")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet

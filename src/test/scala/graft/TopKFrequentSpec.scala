@@ -104,6 +104,37 @@ class TopKFrequentSpec extends AnyFunSuite {
       .contains("approx_top_k"), "unarmed sessions must never rewrite")
   }
 
+  test("boundary ties: counts tied at k with a user tiebreak keep exact membership") {
+    // 20 items, EVERY count tied (=500): any top-3 membership is a
+    // boundary tie, and the tiebreak (item ASC) fully decides it. A
+    // sketch asked for exactly k would pick its own 3 before the
+    // tiebreak runs; the capacity-widened request must not.
+    val allTied = spark.range(10000)
+      .select(coalesce(col("id") % 20, lit(0L)).as("item")) // % is nullable in Spark
+    def q() = allTied.groupBy(col("item")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("item")).limit(3)
+    val exact = q().collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(exact == Seq((0L, 500L), (1L, 500L), (2L, 500L)))
+    armed {
+      val got = q().collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(got == exact, s"boundary-tie membership diverged: $got vs $exact")
+      assert(executedPlanStr(q()).contains("approx_top_k"))
+    }
+    // partial tie straddling k: counts 3,3,2,2,2,1... with k=3 — the
+    // 2-count group tie straddles the boundary, tiebreak picks item 2
+    val straddle = spark.range(13).select(
+      coalesce(when(col("id") < 6, col("id") % 2)       // items 0,1 -> count 3
+        .otherwise((col("id") - 6) % 3 + 2), lit(0L)).as("item")) // items 2,3,4 -> 3,2,2
+    def q2() = straddle.groupBy(col("item")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("item")).limit(3)
+    val exact2 = q2().collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    armed {
+      val got2 = q2().collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(got2 == exact2, s"straddling tie diverged: $got2 vs $exact2")
+      assert(executedPlanStr(q2()).contains("approx_top_k"))
+    }
+  }
+
   test("string keys and count(1) literal-arg form rewrite") {
     val named = fixture().select(concat(lit("u"), col("item")).as("item"))
     def q() = named.groupBy(col("item")).agg(count(lit(1)).as("c"))
