@@ -71,7 +71,11 @@ object Ast {
 
   /** A complete query (B14: durationMs; limit doubles as RAW size).
     * `copyAll` = the reference's Projection COPY mode (`SELECT *, expr`):
-    * keep every original field and add the computed items. */
+    * keep every original field and add the computed items.
+    * `settings` = leading `SET spark.graft.* = v;` statements — the text
+    * surface's lever for the armed sketch modes and the BQL sketch knobs
+    * (`spark.graft.bql.theta.lgk`, `spark.graft.bql.kll.k`); only
+    * spark.graft.* keys parse, anything else is a BqlParseException. */
   final case class Query(
       select: Seq[SelectItem], // empty = SELECT *
       where: Option[Expr],
@@ -83,5 +87,6 @@ object Ast {
       durationMs: Option[Long],
       culling: Seq[String],
       copyAll: Boolean = false,
-      lateral: Option[LateralView] = None)
+      lateral: Option[LateralView] = None,
+      settings: Seq[(String, String)] = Nil)
 }

@@ -16,6 +16,30 @@ import Ast._
   */
 object Compiler {
 
+  /** BQL-tunable sketch knobs (the text surface's per-query lever —
+    * everything else under spark.graft.* is forwarded to the session conf
+    * with Spark SQL `SET` statement semantics: sticky until changed). */
+  val ThetaLgkKey = "spark.graft.bql.theta.lgk"
+  val KllKKey = "spark.graft.bql.kll.k"
+
+  /** Resolve an integer knob: per-query SET > session conf > default,
+    * range-checked (bad values are query errors → the B16 error channel,
+    * never a crash inside DataSketches). */
+  def intSetting(q: Query, conf: String => Option[String],
+      key: String, dflt: Int, lo: Int, hi: Int): Int = {
+    val raw = q.settings.collectFirst { case (k, v) if k == key => v }
+      .orElse(conf(key))
+    raw.map { v =>
+      val n = try v.toInt catch {
+        case _: NumberFormatException =>
+          throw new BqlParseException(s"$key must be an integer, got '$v'")
+      }
+      if (n < lo || n > hi)
+        throw new BqlParseException(s"$key must be in [$lo, $hi], got $n")
+      n
+    }.getOrElse(dflt)
+  }
+
   def column(e: Expr): Column = e match {
     // dotted paths resolve type-aware (struct field OR map key — Bullet's
     // `a.b` reads map subfields; UnresolvedExtractValue handles both)
@@ -170,6 +194,19 @@ object Compiler {
     * the DuckDB-checked batch path and each micro-batch of the streaming
     * engine (partials; the window/duration semantics live in the runtime). */
   def batchPlan(q: Query): DataFrame => DataFrame = { df0 =>
+    // SET statements: the two BQL sketch knobs stay query-local; every
+    // other spark.graft.* key is a session statement (sticky, like Spark
+    // SQL SET) — applied at plan-build so the armed optimizer rules
+    // (spark.graft.approxDistinct/approxPercentile/topkFrequent/...) see
+    // it when the action optimizes this plan.
+    q.settings.foreach { case (k, v) =>
+      if (k != ThetaLgkKey && k != KllKKey) df0.sparkSession.conf.set(k, v)
+    }
+    val sessionConf = (k: String) => df0.sparkSession.conf.getOption(k)
+    // Theta lgk 4..26 and KLL k 8..65535 are the DataSketches-documented
+    // legal ranges for the underlying builders.
+    val thetaLgk = intSetting(q, sessionConf, ThetaLgkKey, 12, 4, 26)
+    val kllK = intSetting(q, sessionConf, KllKKey, 65535, 8, 65535)
     var df = df0
     q.lateral.foreach(lv => df = lateralStage(lv)(df))
     q.where.foreach(w => df = df.filter(column(w)))
@@ -182,7 +219,7 @@ object Compiler {
         else df.groupBy(keyCols: _*).agg(aggCols.head, aggCols.tail: _*)
       case CountDistinctAgg(fields, name) =>
         // Theta-sketch estimate — mergeable partial state (B6)
-        df.agg(expr(s"theta_sketch_estimate(theta_sketch_agg(${compositeKey(fields)}))").as(name))
+        df.agg(expr(s"theta_sketch_estimate(theta_sketch_agg(${compositeKey(fields)}, $thetaLgk))").as(name))
       case TopKAgg(k, fields, countName) =>
         df.groupBy(fields.map(col): _*)
           .agg(count(lit(1)).as(countName))
@@ -190,7 +227,7 @@ object Compiler {
           .limit(k)
       case QuantileAgg(field, probs, name) =>
         val ps = if (probs.nonEmpty) probs else Seq(0.25, 0.5, 0.75)
-        df.agg(expr(s"kll_sketch_get_quantile_double(kll_sketch_agg_double($field, 65535)," +
+        df.agg(expr(s"kll_sketch_get_quantile_double(kll_sketch_agg_double($field, $kllK)," +
             s" array(${ps.mkString(",")}))").as("__qv"))
           .select(posexplode(col("__qv")).as(Seq("__i", name)))
           .select(element_at(lit(ps.toArray), col("__i") + 1).as("quantile"), col(name))

@@ -8,6 +8,7 @@ import Ast._
   * dependency — the classpath is frozen). Grammar subset:
   *
   * {{{
+  * [SET spark.graft.<key> = <value> [;]]...
   * SELECT <*|items> FROM STREAM
   *   [WHERE expr] [GROUP BY items] [HAVING expr]
   *   [ORDER BY expr [ASC|DESC], ...]
@@ -25,7 +26,7 @@ final class BqlParseException(msg: String) extends Exception(msg)
 object Parser {
 
   private val TokenRe: Regex =
-    """\s*(?:(>=|<=|!=|==|<>|[(),*+\-/%<>=\[\].])|('(?:[^'\\]|\\.)*')|([A-Za-z_][A-Za-z0-9_.$]*)|(-?\d+\.\d+(?:[eE][+-]?\d+)?|-?\d+))""".r
+    """\s*(?:(>=|<=|!=|==|<>|[(),*+\-/%<>=\[\].;])|('(?:[^'\\]|\\.)*')|([A-Za-z_][A-Za-z0-9_.$]*)|(-?\d+\.\d+(?:[eE][+-]?\d+)?|-?\d+))""".r
 
   private def tokenize(s: String): Vector[String] = {
     var rest = s.trim
@@ -70,7 +71,35 @@ object Parser {
       "ISNULL", "ISNOTNULL", "IF", "CAST", "CONTAINSKEY", "CONTAINSVALUE", "SIZEIS",
       "JSON", "FILTER")
 
+    /** Leading `SET spark.graft.<key> = <value> [;]` statements — the
+      * text surface's session/sketch lever (SURVEY §2.B armed modes).
+      * Only spark.graft.* keys are accepted: a BQL text must never be
+      * able to mutate arbitrary engine conf (that is the embedding
+      * application's privilege, not the query author's). Values are a
+      * quoted string, a number, or a bare word (kll/theta/true/...). */
+    private def setStatements(): Seq[(String, String)] = {
+      val b = Vector.newBuilder[(String, String)]
+      while (accept("SET")) {
+        val key = next()
+        if (!key.startsWith("spark.graft."))
+          throw new BqlParseException(
+            s"SET only accepts spark.graft.* keys, got '$key'")
+        expect("=")
+        val t = peek
+        if (t.isEmpty || t == ";" || t.toUpperCase == "SELECT" || t.toUpperCase == "SET")
+          throw new BqlParseException(s"missing value for SET $key")
+        next()
+        val value =
+          if (t.startsWith("'")) t.substring(1, t.length - 1).replace("\\'", "'")
+          else t
+        b += key -> value
+        accept(";")
+      }
+      b.result()
+    }
+
     def query(): Query = {
+      val settings = setStatements()
       expect("SELECT")
       val star = accept("*")
       // `SELECT *, expr AS x` = Projection COPY mode (B2)
@@ -158,7 +187,7 @@ object Parser {
         }
       val plainSelect = items.filterNot(_.expr.isInstanceOf[AggCall])
       Query(plainSelect, where, agg, having, order, limit, window, duration, culling, copyAll,
-        lateral)
+        lateral, settings)
     }
 
     private def windowSpec(): WindowSpec = {

@@ -164,6 +164,37 @@ object BqlQueries {
           "WHERE e >= 0.3 ORDER BY vec_id, ev")
     },
 
+    // SET through the text surface (B6 + the armed-modes lever): the BQL
+    // theta knob raises the sketch's nominal entries (lgk 17 → 131072)
+    // above the fixture's event_id cardinality (10k at sf0.01, 100k at
+    // sf0.1), so the sketch answers EXACTLY and the DuckDB oracle
+    // hash-matches at BOTH scales. At the default lgk=12 (4096 nominal)
+    // this query would be an estimate at either SF — a passing oracle
+    // therefore PROVES the SET statement reached the sketch.
+    QueryDef("bql_set_distinct", Some(
+      "SELECT count(DISTINCT event_id) AS n_events FROM events")) { (s, d) =>
+      bql(s, d, "events",
+        "SET spark.graft.bql.theta.lgk = 17; " +
+          "SELECT COUNT(DISTINCT event_id) AS n_events FROM STREAM")
+    },
+
+    // SET tuning the KLL knob (B7): k=32768 covers the click subset at
+    // both SFs (2006 / 19863 rows), so the sketch stays in its exact
+    // regime and the inclusive-rank oracle hash-matches.
+    QueryDef("bql_set_quantile", Some(
+      """WITH s AS (SELECT value AS v,
+        |    row_number() OVER (ORDER BY value) AS rn,
+        |    count(*) OVER () AS n FROM events WHERE event_type = 'click'),
+        |  p AS (SELECT unnest([0.1,0.9]) AS p)
+        |SELECT CAST(p.p AS DOUBLE) AS quantile, min(s.v) AS q
+        |FROM p, s WHERE s.rn >= ceil(p.p * s.n)
+        |GROUP BY p.p ORDER BY quantile""".stripMargin)) { (s, d) =>
+      bql(s, d, "events",
+        "SET spark.graft.bql.kll.k = 32768; " +
+          "SELECT QUANTILE(value, 0.1, 0.9) AS q FROM STREAM " +
+          "WHERE event_type == 'click' ORDER BY quantile")
+    },
+
     // B2 COPY-mode projection end-to-end: `SELECT *, expr AS x` keeps
     // every source column and appends computed ones — bullet-core's COPY
     // projection (vs PASSTHROUGH/NO_COPY), here one Catalyst projection

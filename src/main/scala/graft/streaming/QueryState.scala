@@ -108,12 +108,18 @@ object QueryState {
       }
       new RawState(q, q.limit.getOrElse(DefaultRawMax), reactive)
     case g: GroupAgg => new GroupState(q, g)
-    case cd: CountDistinctAgg => new ThetaState(cd)
+    // per-query sketch knobs via BQL SET (the streaming default of KLL
+    // k=2048 trades accuracy for checkpoint size; a query that wants the
+    // batch path's 65535 asks for it in its own text)
+    case cd: CountDistinctAgg =>
+      new ThetaState(cd, Compiler.intSetting(q, _ => None, Compiler.ThetaLgkKey, 12, 4, 26))
     case tk: TopKAgg => new TopKState(tk)
     case qa: QuantileAgg => new KllState(qa.field, KllPresent.Quantiles(
-      if (qa.probs.nonEmpty) qa.probs else Seq(0.25, 0.5, 0.75), qa.name))
+      if (qa.probs.nonEmpty) qa.probs else Seq(0.25, 0.5, 0.75), qa.name),
+      Compiler.intSetting(q, _ => None, Compiler.KllKKey, 2048, 8, 65535))
     case pa: PmfAgg => new KllState(pa.field, KllPresent.Distribution(
-      pa.points, pa.cdf, pa.name, pa.linearN))
+      pa.points, pa.cdf, pa.name, pa.linearN),
+      Compiler.intSetting(q, _ => None, Compiler.KllKKey, 2048, 8, 65535))
   }
 }
 
@@ -370,8 +376,11 @@ final class GroupState(q: Query, g: GroupAgg) extends QueryState with KeyedCombi
 
 /** COUNT DISTINCT (B6): per-batch Theta sketch binaries from the
   * executors, merged on the driver with the DataSketches union. */
-final class ThetaState(cd: CountDistinctAgg) extends QueryState with GlobalCombinable {
-  private var union: Union = SetOperation.builder().buildUnion()
+final class ThetaState(cd: CountDistinctAgg, lgk: Int = 12)
+    extends QueryState with GlobalCombinable {
+  private def newUnion(): Union =
+    SetOperation.builder().setLogNominalEntries(lgk).buildUnion()
+  private var union: Union = newUnion()
 
   override def update(batch: DataFrame): Long = {
     val cs = partialAggCols(None)
@@ -382,7 +391,7 @@ final class ThetaState(cd: CountDistinctAgg) extends QueryState with GlobalCombi
   override def partialAggCols(pred: Option[Column]): Seq[Column] = {
     val key = expr(Compiler.compositeKey(cd.fields))
     val k = pred.map(p => when(p, key)).getOrElse(key)
-    Seq(call_function("theta_sketch_agg", k).as("sk"),
+    Seq(call_function("theta_sketch_agg", k, lit(lgk)).as("sk"),
       count(pred.map(p => when(p, lit(1))).getOrElse(lit(1))).as("__n"))
   }
   override def mergeCombined(row: Row, start: Int): Long = {
@@ -397,10 +406,10 @@ final class ThetaState(cd: CountDistinctAgg) extends QueryState with GlobalCombi
       Array(est), StructType(Seq(StructField(cd.name, LongType)))))
   }
 
-  override def reset(): Unit = union = SetOperation.builder().buildUnion()
+  override def reset(): Unit = union = newUnion()
   override def snapshot(): Array[Byte] = union.getResult.toByteArray
   override def restore(bytes: Array[Byte]): Unit = {
-    union = SetOperation.builder().buildUnion()
+    union = newUnion()
     if (bytes.nonEmpty) union.union(Memory.wrap(bytes))
   }
 }
@@ -499,9 +508,9 @@ object KllPresent {
 
 /** DISTRIBUTION (B7, all three forms: QUANTILE/PMF/CDF): per-batch KLL
   * sketch binaries merged on the driver. */
-final class KllState(field: String, presentAs: KllPresent)
+final class KllState(field: String, presentAs: KllPresent, k: Int = 2048)
     extends QueryState with GlobalCombinable {
-  private var sketch: KllDoublesSketch = KllDoublesSketch.newHeapInstance(2048)
+  private var sketch: KllDoublesSketch = KllDoublesSketch.newHeapInstance(k)
 
   override def update(batch: DataFrame): Long = {
     val cs = partialAggCols(None)
@@ -511,7 +520,7 @@ final class KllState(field: String, presentAs: KllPresent)
   override def partialWidth: Int = 2
   override def partialAggCols(pred: Option[Column]): Seq[Column] = {
     val v = pred.map(p => when(p, col(field))).getOrElse(col(field))
-    Seq(call_function("kll_sketch_agg_double", v, lit(2048)).as("sk"),
+    Seq(call_function("kll_sketch_agg_double", v, lit(k)).as("sk"),
       count(v).as("__n"))
   }
   override def mergeCombined(row: Row, start: Int): Long = {
@@ -561,10 +570,10 @@ final class KllState(field: String, presentAs: KllPresent)
     }
   }
 
-  override def reset(): Unit = { sketch = KllDoublesSketch.newHeapInstance(2048) }
+  override def reset(): Unit = { sketch = KllDoublesSketch.newHeapInstance(k) }
   override def snapshot(): Array[Byte] = sketch.toByteArray
   override def restore(bytes: Array[Byte]): Unit = {
-    sketch = if (bytes.isEmpty) KllDoublesSketch.newHeapInstance(2048)
+    sketch = if (bytes.isEmpty) KllDoublesSketch.newHeapInstance(k)
     else KllDoublesSketch.heapify(Memory.wrap(bytes))
   }
 }

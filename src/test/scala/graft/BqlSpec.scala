@@ -99,7 +99,8 @@ class BqlSpec extends AnyFunSuite {
     val rnd = new scala.util.Random(13)
     val frags = Array("SELECT", "FROM", "STREAM", "WHERE", "GROUP", "BY", "(", ")",
       ",", "*", "+", "==", "AND", "'x", "x'", "COUNT", "TOP", "WINDOWING",
-      "EVERY", "LIMIT", "DURATION", "1", "1.5", "field", "AS", "\u0000", "%%")
+      "EVERY", "LIMIT", "DURATION", "1", "1.5", "field", "AS", "\u0000", "%%",
+      "SET", ";", "=", "spark.graft.k")
     (1 to 300).foreach { _ =>
       val s = Seq.fill(rnd.nextInt(12))(frags(rnd.nextInt(frags.length))).mkString(" ")
       try { Parser.parse(s); () }
@@ -108,6 +109,51 @@ class BqlSpec extends AnyFunSuite {
         case e: Throwable => fail(s"input '$s' threw ${e.getClass.getName}: ${e.getMessage}")
       }
     }
+  }
+
+  test("SET statements parse: spark.graft.* only, query-local knob precedence") {
+    val q = Parser.parse(
+      "SET spark.graft.bql.theta.lgk = 17; SET spark.graft.approxDistinct = 'true' " +
+        "SELECT COUNT(DISTINCT event_id) AS n FROM STREAM")
+    assert(q.settings == Seq(
+      "spark.graft.bql.theta.lgk" -> "17",
+      "spark.graft.approxDistinct" -> "true"))
+    // the text surface must not be able to mutate arbitrary engine conf
+    val bad = Seq(
+      "SET spark.sql.shuffle.partitions = 1; SELECT * FROM STREAM",
+      "SET spark.graft.bql.theta.lgk SELECT * FROM STREAM", // missing =
+      "SET spark.graft.bql.theta.lgk = SELECT * FROM STREAM", // missing value
+      "SET spark.graft.bql.theta.lgk = ; SELECT * FROM STREAM",
+      "SET = 17 SELECT * FROM STREAM")
+    bad.foreach(b => assertThrows[BqlParseException](Parser.parse(b)))
+    // knob resolution: per-query SET > session conf > default, range-checked
+    assert(Compiler.intSetting(q, _ => Some("16"), Compiler.ThetaLgkKey, 12, 4, 26) == 17)
+    val noSet = Parser.parse("SELECT COUNT(DISTINCT a) AS n FROM STREAM")
+    assert(Compiler.intSetting(noSet, _ => Some("16"), Compiler.ThetaLgkKey, 12, 4, 26) == 16)
+    assert(Compiler.intSetting(noSet, _ => None, Compiler.ThetaLgkKey, 12, 4, 26) == 12)
+    // out-of-range / non-integer knob values are query errors (B16 channel)
+    intercept[BqlParseException](
+      Compiler.compile("SET spark.graft.bql.theta.lgk = 99; " +
+        "SELECT COUNT(DISTINCT event_id) AS n FROM STREAM")._2(events))
+    intercept[BqlParseException](
+      Compiler.compile("SET spark.graft.bql.kll.k = abc; " +
+        "SELECT QUANTILE(value, 0.5) AS q FROM STREAM")._2(events))
+  }
+
+  test("SET semantics: knobs reach the sketch; other keys stick in session conf") {
+    // lgk=4 → 16 nominal entries, above the 3 distinct event types: the
+    // tiny sketch still answers exactly, proving the knob reached the
+    // builder (the default 4096-entry sketch would too — the point is the
+    // query RUNS with the overridden size and stays correct below it)
+    val df = events.limit(200)
+    val n = Compiler.compile("SET spark.graft.bql.theta.lgk = 4; " +
+      "SELECT COUNT(DISTINCT event_type) AS n FROM STREAM")._2(df).head().getLong(0)
+    assert(n == df.select("event_type").distinct().count())
+    // non-knob spark.graft.* keys behave like Spark SQL SET: sticky
+    val key = "spark.graft.test.sticky"
+    Compiler.compile(s"SET $key = on SELECT event_id FROM STREAM LIMIT 1")._2(df).collect()
+    assert(spark.conf.get(key) == "on")
+    spark.conf.unset(key)
   }
 
   test("string literals with escaped quotes and IS NULL / BETWEEN / IN / LIKE") {
