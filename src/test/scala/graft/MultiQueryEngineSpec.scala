@@ -151,6 +151,31 @@ class MultiQueryEngineSpec extends AnyFunSuite {
     assert(rs.head.clip.records.head("nu").asInstanceOf[Long] == exact)
   }
 
+  test("BQL SET sizes the streaming sketch state (B6 + SET)") {
+    val e = newEngine()
+    // lgk=4 → 16 nominal entries, far below the 1000 distinct event_ids:
+    // the tiny sketch must ESTIMATE; the default (lgk=12, 4096 entries)
+    // answers exactly. Different answers from the two queries over the
+    // same batches prove the SET text reached the state's sketch builder.
+    e.submit("small", "SET spark.graft.bql.theta.lgk = 4; " +
+      "SELECT COUNT(DISTINCT event_id) AS n FROM STREAM DURATION 1000")
+    e.submit("dflt", "SELECT COUNT(DISTINCT event_id) AS n FROM STREAM DURATION 1000")
+    batches(4).foreach(e.processBatch)
+    now += 2000
+    e.tick()
+    val rs = e.drainResults().map(m => m.queryId -> m.clip.records).toMap
+    val exact = 1000L
+    assert(rs("dflt").head("n").asInstanceOf[Long] == exact)
+    val est = rs("small").head("n").asInstanceOf[Long]
+    // estimation-mode RSE at 16 entries is 1/sqrt(16) = 25%; 3·RSE band
+    assert(est != exact, "16-entry sketch answered exactly — SET ignored?")
+    assert(math.abs(est - exact).toDouble / exact < 0.75, s"estimate $est")
+    // a bad knob value is a parse/validate error on the B16 channel
+    assert(e.submit("bad", "SET spark.graft.bql.theta.lgk = 99; " +
+      "SELECT COUNT(DISTINCT event_id) AS n FROM STREAM").isLeft)
+    assert(e.drainResults().map(_.kind) == Seq(ResultKind.Fail))
+  }
+
   test("TOP K merges counts across batches (B8)") {
     val e = newEngine()
     e.submit("q11", "SELECT TOP(3, event_type) AS cnt FROM STREAM DURATION 1000")
