@@ -69,13 +69,25 @@ object Ast {
   // ---- post-aggregations (B9-B12) ----
   final case class OrderItem(expr: Expr, desc: Boolean)
 
+  /** The conf keys a BQL `SET` statement may touch — an ALLOWLIST, not a
+    * prefix check: accuracy levers a query author may legitimately hold
+    * (the per-query sketch knobs and the armed sketch-mode switches).
+    * Privileged engine conf — store/index paths, caps, guards — stays
+    * the embedding application's privilege; a text query naming one is a
+    * parse error. */
+  val SettableKeys: Set[String] = Set(
+    "spark.graft.bql.theta.lgk", "spark.graft.bql.kll.k",
+    "spark.graft.approxDistinct",
+    "spark.graft.approxPercentile", "spark.graft.approxPercentile.k",
+    "spark.graft.approxTopK", "spark.graft.approxTopK.maxItemsTracked",
+    "spark.graft.topk.rewriteMaxK")
+
   /** A complete query (B14: durationMs; limit doubles as RAW size).
     * `copyAll` = the reference's Projection COPY mode (`SELECT *, expr`):
     * keep every original field and add the computed items.
-    * `settings` = leading `SET spark.graft.* = v;` statements — the text
-    * surface's lever for the armed sketch modes and the BQL sketch knobs
-    * (`spark.graft.bql.theta.lgk`, `spark.graft.bql.kll.k`); only
-    * spark.graft.* keys parse, anything else is a BqlParseException. */
+    * `settings` = leading `SET <key> = v;` statements — the text
+    * surface's lever for the armed sketch modes and the BQL sketch knobs;
+    * only [[SettableKeys]] parse, anything else is a BqlParseException. */
   final case class Query(
       select: Seq[SelectItem], // empty = SELECT *
       where: Option[Expr],

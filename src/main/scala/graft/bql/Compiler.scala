@@ -204,9 +204,11 @@ object Compiler {
     }
     val sessionConf = (k: String) => df0.sparkSession.conf.getOption(k)
     // Theta lgk 4..26 and KLL k 8..65535 are the DataSketches-documented
-    // legal ranges for the underlying builders.
-    val thetaLgk = intSetting(q, sessionConf, ThetaLgkKey, 12, 4, 26)
-    val kllK = intSetting(q, sessionConf, KllKKey, 65535, 8, 65535)
+    // legal ranges for the underlying builders. LAZY: only a query whose
+    // aggregate actually uses a knob validates it — a bad bql.* value in
+    // session conf must not fail an unrelated RAW/filter query.
+    lazy val thetaLgk = intSetting(q, sessionConf, ThetaLgkKey, 12, 4, 26)
+    lazy val kllK = intSetting(q, sessionConf, KllKKey, 65535, 8, 65535)
     var df = df0
     q.lateral.foreach(lv => df = lateralStage(lv)(df))
     q.where.foreach(w => df = df.filter(column(w)))

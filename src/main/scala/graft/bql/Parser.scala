@@ -71,27 +71,32 @@ object Parser {
       "ISNULL", "ISNOTNULL", "IF", "CAST", "CONTAINSKEY", "CONTAINSVALUE", "SIZEIS",
       "JSON", "FILTER")
 
-    /** Leading `SET spark.graft.<key> = <value> [;]` statements — the
-      * text surface's session/sketch lever (SURVEY §2.B armed modes).
-      * Only spark.graft.* keys are accepted: a BQL text must never be
-      * able to mutate arbitrary engine conf (that is the embedding
-      * application's privilege, not the query author's). Values are a
-      * quoted string, a number, or a bare word (kll/theta/true/...). */
+    /** Leading `SET <key> = <value> [;]` statements — the text surface's
+      * session/sketch lever (SURVEY §2.B armed modes). Keys are checked
+      * against the [[Ast.SettableKeys]] ALLOWLIST: a BQL text must never
+      * be able to mutate arbitrary engine conf — store/index paths, caps
+      * and guards are the embedding application's privilege, not the
+      * query author's. Values are a quoted string, a number, or a bare
+      * word (kll/theta/true/...) — an operator token where a value
+      * belongs is a parse error, not a conf write. */
+    private val SetValueRe = """[A-Za-z_][A-Za-z0-9_.$]*|-?\d+(?:\.\d+)?(?:[eE][+-]?\d+)?""".r
     private def setStatements(): Seq[(String, String)] = {
       val b = Vector.newBuilder[(String, String)]
       while (accept("SET")) {
         val key = next()
-        if (!key.startsWith("spark.graft."))
+        if (!Ast.SettableKeys(key))
           throw new BqlParseException(
-            s"SET only accepts spark.graft.* keys, got '$key'")
+            s"SET does not accept '$key'; settable keys: " +
+              Ast.SettableKeys.toSeq.sorted.mkString(", "))
         expect("=")
         val t = peek
         if (t.isEmpty || t == ";" || t.toUpperCase == "SELECT" || t.toUpperCase == "SET")
           throw new BqlParseException(s"missing value for SET $key")
-        next()
         val value =
           if (t.startsWith("'")) t.substring(1, t.length - 1).replace("\\'", "'")
-          else t
+          else if (SetValueRe.matches(t)) t
+          else throw new BqlParseException(s"bad value '$t' for SET $key")
+        next()
         b += key -> value
         accept(";")
       }

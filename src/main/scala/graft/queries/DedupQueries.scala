@@ -190,6 +190,12 @@ object DedupQueries {
     * batch yields zero `new`/`dup_in_batch` verdicts. */
   private[graft] def nearStoreCommit(s: SparkSession, d: String, newDocs: DataFrame): Unit = {
     val storePath = nearStorePath(s, d)
+    // finish any interrupted compaction swap BEFORE appending: an append
+    // against a crash-point-1 store (bands/ moved aside, bands_old/
+    // holding all postings) would otherwise create a fresh bands/ whose
+    // presence makes the next recover DELETE bands_old — silently losing
+    // every pre-crash posting.
+    nearStoreRecover(storePath)
     newDocs.select(col("doc_id").as("corpus_id"), col("sig"), col("fp"))
       .write.mode("append").parquet(storePath + "/sigs")
     newDocs.select(col("doc_id").as("corpus_id"), nearStoreBandKeys.as("bkey"))

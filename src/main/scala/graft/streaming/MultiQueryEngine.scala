@@ -93,13 +93,20 @@ final class MultiQueryEngine(
   def submit(id: String, bql: String): Either[String, Unit] =
     try {
       val q = Parser.parse(bql)
+      // batch-path parity for SET: the two bql.* knobs stay query-local
+      // (read off q.settings by QueryState below), every other allowed
+      // key gets Spark SQL SET stickiness in the session conf
+      q.settings.foreach { case (k, v) =>
+        if (k != Compiler.ThetaLgkKey && k != Compiler.KllKKey) spark.conf.set(k, v)
+      }
       val now = clock()
       // a live id cannot be silently replaced — the old query would
       // vanish with no terminal signal (no COMPLETE/KILL/FAIL), breaking
       // the lifecycle accounting. Duplicates go to the error channel;
       // kill() first to re-issue. (restore() is the sanctioned replace
       // path: checkpointed state IS the same query.)
-      if (live.putIfAbsent(id, new Live(id, bql, q, QueryState.forQuery(q), now)).isDefined) {
+      if (live.putIfAbsent(id, new Live(id, bql, q,
+          QueryState.forQuery(q, k => spark.conf.getOption(k)), now)).isDefined) {
         metrics.queriesReceived.incrementAndGet()
         metrics.queriesFailed.incrementAndGet()
         emit(id, ResultKind.Fail, Clip(
@@ -588,7 +595,8 @@ final class MultiQueryEngine(
     SerUtil.read[List[(String, String, Long, Long, Long, Int, Long, Long, Array[Byte])]](bytes)
       .foreach { case (id, bql, submittedAt, wStart, wRecs, emits, iStart, batches, stateBytes) =>
         val q = Parser.parse(bql)
-        val l = new Live(id, bql, q, QueryState.forQuery(q), submittedAt)
+        val l = new Live(id, bql, q,
+          QueryState.forQuery(q, k => spark.conf.getOption(k)), submittedAt)
         l.windowStart = wStart
         l.windowRecords = wRecs
         l.emitsInInterval = emits

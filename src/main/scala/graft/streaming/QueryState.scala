@@ -96,7 +96,7 @@ object QueryState {
   val DefaultRawMax = 100
   val MaxGroups = 500
 
-  def forQuery(q: Query): QueryState = q.agg match {
+  def forQuery(q: Query, conf: String => Option[String] = _ => None): QueryState = q.agg match {
     // RAW with a tumbling RECORD window is the reference's "reactive"
     // query (`FilterStreamingTest.scala:241-275`): it emits a window per N
     // records — each window carrying exactly those records — and never
@@ -108,18 +108,20 @@ object QueryState {
       }
       new RawState(q, q.limit.getOrElse(DefaultRawMax), reactive)
     case g: GroupAgg => new GroupState(q, g)
-    // per-query sketch knobs via BQL SET (the streaming default of KLL
-    // k=2048 trades accuracy for checkpoint size; a query that wants the
-    // batch path's 65535 asks for it in its own text)
+    // per-query sketch knobs via BQL SET, falling back to session conf
+    // (same precedence as the batch compiler: per-query SET > session
+    // conf > default — the streaming default of KLL k=2048 trades
+    // accuracy for checkpoint size; a query that wants the batch path's
+    // 65535 asks for it in its own text or the session sets it)
     case cd: CountDistinctAgg =>
-      new ThetaState(cd, Compiler.intSetting(q, _ => None, Compiler.ThetaLgkKey, 12, 4, 26))
+      new ThetaState(cd, Compiler.intSetting(q, conf, Compiler.ThetaLgkKey, 12, 4, 26))
     case tk: TopKAgg => new TopKState(tk)
     case qa: QuantileAgg => new KllState(qa.field, KllPresent.Quantiles(
       if (qa.probs.nonEmpty) qa.probs else Seq(0.25, 0.5, 0.75), qa.name),
-      Compiler.intSetting(q, _ => None, Compiler.KllKKey, 2048, 8, 65535))
+      Compiler.intSetting(q, conf, Compiler.KllKKey, 2048, 8, 65535))
     case pa: PmfAgg => new KllState(pa.field, KllPresent.Distribution(
       pa.points, pa.cdf, pa.name, pa.linearN),
-      Compiler.intSetting(q, _ => None, Compiler.KllKKey, 2048, 8, 65535))
+      Compiler.intSetting(q, conf, Compiler.KllKKey, 2048, 8, 65535))
   }
 }
 

@@ -118,12 +118,20 @@ class BqlSpec extends AnyFunSuite {
     assert(q.settings == Seq(
       "spark.graft.bql.theta.lgk" -> "17",
       "spark.graft.approxDistinct" -> "true"))
-    // the text surface must not be able to mutate arbitrary engine conf
+    // the text surface must not be able to mutate arbitrary engine conf:
+    // non-graft keys AND privileged graft keys (paths, caps, guards) are
+    // rejected — only the Ast.SettableKeys accuracy levers parse
     val bad = Seq(
       "SET spark.sql.shuffle.partitions = 1; SELECT * FROM STREAM",
+      "SET spark.graft.index.dir = '/tmp/evil'; SELECT * FROM STREAM",
+      "SET spark.graft.allowQuadratic = true; SELECT * FROM STREAM",
       "SET spark.graft.bql.theta.lgk SELECT * FROM STREAM", // missing =
       "SET spark.graft.bql.theta.lgk = SELECT * FROM STREAM", // missing value
       "SET spark.graft.bql.theta.lgk = ; SELECT * FROM STREAM",
+      // an operator token where a value belongs is a parse error, never
+      // a conf write ("," would otherwise become the stored value)
+      "SET spark.graft.approxTopK = , SELECT * FROM STREAM",
+      "SET spark.graft.approxTopK = * SELECT * FROM STREAM",
       "SET = 17 SELECT * FROM STREAM")
     bad.foreach(b => assertThrows[BqlParseException](Parser.parse(b)))
     // knob resolution: per-query SET > session conf > default, range-checked
@@ -149,11 +157,21 @@ class BqlSpec extends AnyFunSuite {
     val n = Compiler.compile("SET spark.graft.bql.theta.lgk = 4; " +
       "SELECT COUNT(DISTINCT event_type) AS n FROM STREAM")._2(df).head().getLong(0)
     assert(n == df.select("event_type").distinct().count())
-    // non-knob spark.graft.* keys behave like Spark SQL SET: sticky
-    val key = "spark.graft.test.sticky"
-    Compiler.compile(s"SET $key = on SELECT event_id FROM STREAM LIMIT 1")._2(df).collect()
-    assert(spark.conf.get(key) == "on")
+    // non-knob allowlisted keys behave like Spark SQL SET: sticky in the
+    // session conf (approxPercentile.k is inert unless the percentile
+    // mode is armed, so the brief sticky window cannot affect others)
+    val key = "spark.graft.approxPercentile.k"
+    Compiler.compile(s"SET $key = 200 SELECT event_id FROM STREAM LIMIT 1")._2(df).collect()
+    assert(spark.conf.get(key) == "200")
     spark.conf.unset(key)
+    // a bad bql.* value in SESSION conf must not fail an unrelated
+    // query that uses no sketch (knobs resolve lazily per aggregate)
+    spark.conf.set(Compiler.KllKKey, "not-a-number")
+    try {
+      assert(Compiler.compile("SELECT event_id FROM STREAM LIMIT 1")._2(df).count() == 1)
+      intercept[BqlParseException](
+        Compiler.compile("SELECT QUANTILE(value, 0.5) AS q FROM STREAM")._2(df))
+    } finally spark.conf.unset(Compiler.KllKKey)
   }
 
   test("string literals with escaped quotes and IS NULL / BETWEEN / IN / LIKE") {

@@ -174,6 +174,15 @@ class MultiQueryEngineSpec extends AnyFunSuite {
     assert(e.submit("bad", "SET spark.graft.bql.theta.lgk = 99; " +
       "SELECT COUNT(DISTINCT event_id) AS n FROM STREAM").isLeft)
     assert(e.drainResults().map(_.kind) == Seq(ResultKind.Fail))
+    // session-conf fallback (batch-path precedence parity): a state built
+    // with no per-query SET reads the knob off the conf accessor
+    val qNoSet = graft.bql.Parser.parse("SELECT COUNT(DISTINCT event_id) AS n FROM STREAM")
+    val st = graft.streaming.QueryState.forQuery(qNoSet,
+      k => if (k == graft.bql.Compiler.ThetaLgkKey) Some("4") else None)
+    st.update(events)
+    val viaConf = st.present(spark).head.getLong(0)
+    assert(viaConf != exact && math.abs(viaConf - exact).toDouble / exact < 0.75,
+      s"conf-sized sketch answered $viaConf")
   }
 
   test("TOP K merges counts across batches (B8)") {
