@@ -236,6 +236,139 @@ object SketchQueries {
         .agg(expr("theta_sketch_estimate(theta_sketch_agg(concat_ws('|', l_partkey, l_suppkey), 17))")
           .as("n_groups"))
         .select(col("n_groups"), (col("n_groups") <= 500).as("under_cap"))
+    },
+
+    // ---- persisted sketch-rollup store (the sketch warehouse) ----
+    // B6's state interchange as a PIPELINE, not just a column: daily
+    // mergeable partials persist once, and every report below reads the
+    // O(days) store — never the events table. At 100 TB this is the
+    // pattern the sketch family exists for: "30-day MAU" costs a merge
+    // of 30 KB-sized rows instead of a rescan of 30 days of raw events
+    // (reference merge path: JoinStreaming.scala:126; plan-gated in
+    // SketchStoreSpec — no events scan may appear in either query plan).
+
+    // Weekly rollup + per-week median from the store alone. Exact at
+    // oracle scale on BOTH SFs (weekly distinct users ≤ 1500 ≪ the
+    // lgk=17 sketch's 131072 nominal entries; weekly rows ≪ KLL 65535);
+    // at 100x the same plan answers within the SketchRegimeSpec bounds.
+    QueryDef("op_sketch_rollup", Some(
+      """WITH e AS (SELECT CAST(floor((CAST(strftime(ts, '%d') AS INT) - 1) / 7) AS BIGINT) AS wk,
+        |    user_id, value FROM events),
+        |a AS (SELECT wk, CAST(count(*) AS BIGINT) AS n_events,
+        |    count(DISTINCT user_id) AS users FROM e GROUP BY wk),
+        |q AS (SELECT wk, min(v) AS p50 FROM (
+        |    SELECT wk, value AS v,
+        |      row_number() OVER (PARTITION BY wk ORDER BY value) AS rn,
+        |      count(*) OVER (PARTITION BY wk) AS n FROM e)
+        |  WHERE rn >= ceil(0.5 * n) GROUP BY wk)
+        |SELECT wk, n_events, users, p50 FROM a JOIN q USING (wk)
+        |ORDER BY wk""".stripMargin)) { (s, d) =>
+      sketchStore(s, d)
+        .withColumn("wk",
+          floor((substring(col("day"), 9, 2).cast(IntegerType) - 1) / 7).cast(LongType))
+        .groupBy(col("wk"))
+        .agg(sum(col("n_events")).as("n_events"),
+          expr("theta_sketch_estimate(theta_union_agg(tsk, 17))").as("users"),
+          expr("element_at(kll_sketch_get_quantile_double(kll_merge_agg_double(ksk), array(0.5D)), 1)")
+            .as("p50"))
+        .orderBy(col("wk"))
+    },
+
+    // Trailing-7-day active users (the "30-day MAU" shape at oracle
+    // scale) per day, from the store alone. NOT a nested-loop range
+    // join: each store row explodes to the ≤7 window anchors it serves
+    // (O(7·days) rows), a broadcast semi-join keeps anchors that are
+    // real days, and one hash aggregate merges the sketches — the plan
+    // a 10-year daily store needs (3650 rows, still KBs).
+    QueryDef("op_sketch_window", Some(
+      """WITH days AS (SELECT DISTINCT CAST(ts AS DATE) AS dd FROM events),
+        |e AS (SELECT CAST(ts AS DATE) AS ed, user_id FROM events)
+        |SELECT strftime(d.dd, '%Y-%m-%d') AS day, CAST(count(*) AS BIGINT) AS n7,
+        |  count(DISTINCT e.user_id) AS mau7
+        |FROM days d JOIN e ON e.ed BETWEEN d.dd - 6 AND d.dd
+        |GROUP BY d.dd ORDER BY day""".stripMargin)) { (s, d) =>
+      val store = sketchStore(s, d)
+        .select(to_date(col("day")).as("sday"), col("n_events"), col("tsk"))
+      val anchors = store.select(col("sday").as("day"))
+      store
+        .withColumn("day", explode(expr("sequence(sday, date_add(sday, 6))")))
+        .join(broadcast(anchors), Seq("day"), "left_semi")
+        .groupBy(col("day"))
+        .agg(sum(col("n_events")).as("n7"),
+          expr("theta_sketch_estimate(theta_union_agg(tsk, 17))").as("mau7"))
+        .select(date_format(col("day"), "yyyy-MM-dd").as("day"), col("n7"), col("mau7"))
+        .orderBy(col("day"))
     }
   )
+
+  // ---- sketch-store plumbing ----
+
+  /** Store location for fixture dir `d` — the near-dup store's keying
+    * convention (content-addressed under spark.graft.index.dir). */
+  private[graft] def sketchStorePath(s: org.apache.spark.sql.SparkSession, d: String): String =
+    s.conf.getOption("spark.graft.index.dir")
+      .getOrElse("/tmp/graft_index_store") + "/sketch_store_" +
+      java.lang.Long.toHexString(
+        scala.util.hashing.MurmurHash3.stringHash(d).toLong & 0xffffffffL)
+
+  /** Content stamp of `events.parquet` — a regenerated fixture at the
+    * same path invalidates the store instead of serving stale partials
+    * (the near store's manifest discipline). */
+  private[graft] def sketchStoreStamp(d: String): String = {
+    val f = new java.io.File(d, "events.parquet")
+    val parts =
+      if (f.isFile) Seq(s"${f.getName}:${f.length}:${f.lastModified}")
+      else Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
+        .filter(_.isFile).sortBy(_.getName).toSeq
+        .map(p => s"${p.getName}:${p.length}:${p.lastModified}")
+    java.lang.Long.toHexString(
+      scala.util.hashing.MurmurHash3.orderedHash(parts).toLong & 0xffffffffL)
+  }
+
+  /** The persisted daily-partial store: one row per day carrying the
+    * exact count plus the two mergeable sketch binaries
+    * (Theta lgk=17 over user_id, KLL k=65535 over value). Built ONCE per
+    * fixture content (manifest written LAST — a crash mid-build leaves a
+    * store the next read rebuilds); every consumer reads the parquet
+    * store, never the events table. */
+  private[graft] def sketchStore(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val path = sketchStorePath(s, d)
+    val manifest = new java.io.File(path, "_manifest")
+    val stamp = sketchStoreStamp(d)
+    val valid = manifest.isFile &&
+      new String(java.nio.file.Files.readAllBytes(manifest.toPath), "UTF-8") == stamp
+    if (!valid) {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
+      t(s, d, "events")
+        .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
+        .agg(count(lit(1)).as("n_events"),
+          expr("theta_sketch_agg(user_id, 17)").as("tsk"),
+          expr("kll_sketch_agg_double(value, 65535)").as("ksk"))
+        .write.mode("overwrite").parquet(path + "/days")
+      java.nio.file.Files.write(manifest.toPath, stamp.getBytes("UTF-8"))
+    }
+    s.read.parquet(path + "/days")
+  }
+
+  /** Day-N+1 maintenance: fold a new day's raw events into the store as
+    * one appended partial row per day. IDEMPOTENT per day — days already
+    * present are anti-joined away, so an at-least-once scheduler cannot
+    * double-count n_events (the sketches would union out duplicates, the
+    * exact count would not). */
+  private[graft] def sketchStoreCommit(s: org.apache.spark.sql.SparkSession,
+      d: String, dayEvents: org.apache.spark.sql.DataFrame): Unit = {
+    val path = sketchStorePath(s, d)
+    // day list to the driver (O(days) — a 10-year store is 3650 strings)
+    // rather than an anti-join reading the same path the write appends to
+    val existingDays = sketchStore(s, d).select(col("day"))
+      .collect().map(_.getString(0)).toSeq
+    dayEvents
+      .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as("n_events"),
+        expr("theta_sketch_agg(user_id, 17)").as("tsk"),
+        expr("kll_sketch_agg_double(value, 65535)").as("ksk"))
+      .filter(if (existingDays.isEmpty) lit(true) else !col("day").isin(existingDays: _*))
+      .write.mode("append").parquet(path + "/days")
+  }
 }

@@ -46,7 +46,12 @@ class DeterminismSpec extends AnyFunSuite {
     // round-10: store-backed near-dup screening (store build + banded
     // candidates + sig verify must not move with partitioning), the
     // pair-graph-derived QA report, and the multi-frame codec round trip
-    "dd_incremental_near", "dd_cluster_stats", "mm_frames_gif")
+    "dd_incremental_near", "dd_cluster_stats", "mm_frames_gif",
+    // round-11: the persisted sketch-rollup store — daily Theta/KLL
+    // partials and their merged weekly/trailing-window reports must not
+    // move with the partitioning (sketch build and union are
+    // partition-order-free by construction)
+    "op_sketch_rollup", "op_sketch_window")
 
   private def canonical(name: String): Seq[String] =
     SparkEntry.queries(name)(spark, sfDir).collect().map(_.toString).toSeq.sorted
