@@ -218,7 +218,8 @@ object ScaleCheck {
           "ss_classify", "op_global_rank", "j_asof_nearest",
           "src_orc_roundtrip", "pipe_curate", "samp_interleave",
           "emb_generate", "ss_infer", "srch_hard_negatives",
-          "mm_resize_png", "op_sketch_rollup", "op_sketch_window")
+          "mm_resize_png", "op_sketch_rollup", "op_sketch_window",
+          "ss_sketch_maintain")
     val selected = if (only.isEmpty) names else names.filter(only)
     // dd_semdedup is excluded the same way dd_embed_cosine is: replicated
     // embeddings are bit-identical across copies, so k-fold data has k²

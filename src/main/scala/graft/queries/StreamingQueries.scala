@@ -981,6 +981,95 @@ object StreamingQueries {
         }
       } finally q.stop()
       s.table(sink).orderBy(col("doc_id"))
+    },
+
+    // STREAMING MAINTENANCE of the sketch-rollup store (op_sketch_*'s
+    // ingest side made streaming-native): a watermarked 1-day event-time
+    // window holds the day's Theta/KLL partials in the STATE STORE and
+    // appends each day's finished row to the parquet store exactly once,
+    // when the watermark closes it — the production shape where the
+    // sketch warehouse is fed by the live stream instead of a nightly
+    // batch job. The drained store then answers the trailing-7-day
+    // active-users report, and that answer is the ORACLE-CHECKED result:
+    // stream-maintained store ≡ DuckDB recompute over raw events, which
+    // also proves ≡ the batch-built store (same oracle as
+    // op_sketch_window). Far-future sentinel rows close the final day
+    // for a total drain; their own day's window never closes, so the
+    // sentinel never reaches the store.
+    QueryDef("ss_sketch_maintain", Some(
+      """WITH days AS (SELECT DISTINCT CAST(ts AS DATE) AS dd FROM events),
+        |e AS (SELECT CAST(ts AS DATE) AS ed, user_id FROM events)
+        |SELECT strftime(d.dd, '%Y-%m-%d') AS day, CAST(count(*) AS BIGINT) AS n7,
+        |  count(DISTINCT e.user_id) AS mau7
+        |FROM days d JOIN e ON e.ed BETWEEN d.dd - 6 AND d.dd
+        |GROUP BY d.dd ORDER BY day""".stripMargin)) { (s, d) =>
+      import s.implicits._
+      implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val rows = Tables.load(s, d, "events")
+        .select(col("user_id"), col("value"), unix_micros(col("ts")).as("us"))
+        .orderBy(col("us")).collect()
+        .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+      val sentinelUs = rows.last._3 + 3L * 24 * 3600 * 1000000
+      val base = java.nio.file.Files
+        .createTempDirectory("graft_ss_sketch_store").toFile
+      // recursive cleanup at JVM exit: the lazy result plan still reads
+      // the store when the caller executes it, so an eager delete here
+      // would race the collection
+      org.apache.commons.io.FileUtils.forceDeleteOnExit(base)
+      val storeDays = new java.io.File(base, "days").getAbsolutePath
+      val ckpt = new java.io.File(base, "ckpt").getAbsolutePath
+
+      val feed = MemoryStream[(Long, Double, Long)]
+      // No sentinel filter: a pre-aggregate filter would be PUSHED BELOW
+      // the watermark node (it does not reference ts), silencing the
+      // clock advance. Instead the sentinel rows are ordinary data in a
+      // far-future day whose own window never closes before stop() — so
+      // they advance the watermark, day 30 emits, and the append-mode
+      // file sink never writes the sentinel day at all.
+      val partials = feed.toDF().toDF("user_id", "value", "us")
+        .withColumn("ts", timestamp_micros(col("us")))
+        .withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "1 day").as("w"))
+        .agg(count(lit(1)).as("n_events"),
+          expr("theta_sketch_agg(user_id, 17)").as("tsk"),
+          expr("kll_sketch_agg_double(value, 65535)").as("ksk"))
+        .select(date_format(col("w.start"), "yyyy-MM-dd").as("day"),
+          col("n_events"), col("tsk"), col("ksk"))
+      // append mode + file sink: one immutable store row per closed day
+      val q = partials.writeStream.format("parquet")
+        .option("path", storeDays).option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+      try {
+        val nSlices = s.conf.get("spark.graft.ssjoin.slices", "4").toInt
+        val per = math.max(1, (rows.length + nSlices - 1) / nSlices)
+        rows.grouped(per).foreach { slice =>
+          feed.addData(slice.toSeq)
+          q.processAllAvailable()
+        }
+        // two sentinel rounds: the first advances the watermark past day
+        // 30's close, the SECOND gives the engine the batch in which the
+        // newly-closed window actually emits (watermark updates take
+        // effect one batch after they are observed); the sentinel day's
+        // own window stays open forever, so it never reaches the store
+        feed.addData((-1L, 0.0, sentinelUs))
+        q.processAllAvailable()
+        feed.addData((-1L, 0.0, sentinelUs + 1000000L))
+        q.processAllAvailable()
+      } finally q.stop()
+
+      // the trailing-7-day report off the STREAM-MAINTAINED store — the
+      // exact op_sketch_window plan, reading only what the stream wrote
+      val store = s.read.parquet(storeDays)
+        .select(to_date(col("day")).as("sday"), col("n_events"), col("tsk"))
+      val anchors = store.select(col("sday").as("day"))
+      store
+        .withColumn("day", explode(expr("sequence(sday, date_add(sday, 6))")))
+        .join(broadcast(anchors), Seq("day"), "left_semi")
+        .groupBy(col("day"))
+        .agg(sum(col("n_events")).as("n7"),
+          expr("theta_sketch_estimate(theta_union_agg(tsk, 17))").as("mau7"))
+        .select(date_format(col("day"), "yyyy-MM-dd").as("day"), col("n7"), col("mau7"))
+        .orderBy(col("day"))
     }
   )
 }
