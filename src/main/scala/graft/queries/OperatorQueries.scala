@@ -1035,6 +1035,159 @@ object OperatorQueries {
         .withColumn("rank", element_at(offMap, col("b")) + row_number().over(w))
         .select(col("doc_id"), col("n_chars"), col("rank").cast(LongType).as("rank"))
         .orderBy(col("doc_id"))
+    },
+
+    // MULTI-TOUCH ATTRIBUTION — the marketing-analytics shape a clickstream
+    // warehouse runs daily: credit each purchase to the click/view touches
+    // that preceded it within a 7-day lookback, linearly. All money moves
+    // as integer cents so the result is a pure function of the data:
+    // each touch gets cents div n, the LATEST touch (ts, then event_id,
+    // both descending — a total order) absorbs the remainder, and
+    // conversions with no touches land in an explicit '(none)' bucket, so
+    // credit_cents sums EXACTLY to total purchase cents — the invariant
+    // AttributionSpec pins. Scale: the conversion↔touch join co-partitions
+    // both sides on user_id (one exchange each, range predicate as the
+    // SMJ post-filter — per-user event counts bound the pair blowup), the
+    // remainder window clusters on conv_id, and the final aggregate is
+    // 3 rows. Hot users are the op_salted_join/AQE-skew story.
+    QueryDef("op_attribution", Some(
+      """WITH conv AS (
+        |  SELECT event_id AS conv_id, user_id, ts AS cts,
+        |         CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events WHERE event_type = 'purchase'),
+        |tch AS (
+        |  SELECT c.conv_id, c.cents, t.event_id AS touch_id,
+        |         t.event_type AS touch_type, t.ts AS tts
+        |  FROM conv c JOIN events t ON t.user_id = c.user_id
+        |  WHERE t.event_type IN ('click', 'view')
+        |    AND t.ts < c.cts AND t.ts >= c.cts - INTERVAL 7 DAY),
+        |r AS (
+        |  SELECT conv_id, cents, touch_type,
+        |    row_number() OVER (PARTITION BY conv_id
+        |                       ORDER BY tts DESC, touch_id DESC) AS rn,
+        |    count(*) OVER (PARTITION BY conv_id) AS nt
+        |  FROM tch),
+        |cred AS (
+        |  SELECT touch_type, conv_id,
+        |    cents // nt + CASE WHEN rn = 1
+        |      THEN cents - (cents // nt) * nt ELSE 0 END AS credit
+        |  FROM r),
+        |attr AS (
+        |  SELECT touch_type, CAST(count(*) AS BIGINT) AS n_touches,
+        |    count(DISTINCT conv_id) AS n_conversions,
+        |    CAST(sum(credit) AS BIGINT) AS credit_cents
+        |  FROM cred GROUP BY touch_type),
+        |none AS (
+        |  SELECT '(none)' AS touch_type, CAST(count(*) AS BIGINT) AS n_touches,
+        |    CAST(count(*) AS BIGINT) AS n_conversions,
+        |    CAST(sum(cents) AS BIGINT) AS credit_cents
+        |  FROM conv c
+        |  WHERE NOT EXISTS (SELECT 1 FROM tch t WHERE t.conv_id = c.conv_id)
+        |  HAVING count(*) > 0)
+        |SELECT * FROM attr UNION ALL SELECT * FROM none
+        |ORDER BY touch_type""".stripMargin)) { (s, d) =>
+      val e = ev(s, d)
+      val conv = e.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("conv_id"), col("user_id"),
+          col("ts").as("cts"),
+          round(col("value") * 100, 0).cast(LongType).as("cents"))
+      val touch = e.filter(col("event_type").isin("click", "view"))
+        .select(col("user_id").as("t_user"), col("event_id").as("touch_id"),
+          col("event_type").as("touch_type"), col("ts").as("tts"))
+      val tch = conv.join(touch,
+          col("user_id") === col("t_user") &&
+            col("tts") < col("cts") &&
+            col("tts") >= col("cts") - expr("INTERVAL 7 DAYS"))
+        .select(col("conv_id"), col("cents"), col("touch_id"),
+          col("touch_type"), col("tts"))
+      val byConv = Window.partitionBy(col("conv_id"))
+      val ranked = tch
+        .withColumn("rn", row_number().over(
+          byConv.orderBy(col("tts").desc, col("touch_id").desc)))
+        .withColumn("nt", count(lit(1)).over(byConv))
+      val cred = ranked.select(col("touch_type"), col("conv_id"),
+        (expr("cents div nt") + when(col("rn") === 1,
+          col("cents") - expr("cents div nt") * col("nt"))
+          .otherwise(lit(0L))).as("credit"))
+      val attr = cred.groupBy(col("touch_type"))
+        .agg(count(lit(1)).as("n_touches"),
+          countDistinct(col("conv_id")).as("n_conversions"),
+          sum(col("credit")).cast(LongType).as("credit_cents"))
+      val none = conv
+        .join(tch.select(col("conv_id")).distinct(), Seq("conv_id"), "left_anti")
+        .agg(count(lit(1)).as("n_touches"), count(lit(1)).as("n_conversions"),
+          sum(col("cents")).cast(LongType).as("credit_cents"))
+        .select(lit("(none)").as("touch_type"), col("n_touches"),
+          col("n_conversions"), col("credit_cents"))
+        .filter(col("n_touches") > 0)
+      attr.unionByName(none).orderBy(col("touch_type"))
+    },
+
+    // PAGERANK — iterative graph computation as repeated declarative
+    // passes, the operator class (fixed-point iteration) nothing else in
+    // the inventory exercises. Graph: the undirected trade network
+    // (customer c<->supplier s for every order line), walked 6 damped
+    // steps. Everything is INTEGER arithmetic in parts-per-million —
+    // share = rank div outdeg, next = 150000 + (85 * Σshares) div 100 —
+    // so the fixed-iteration result is bit-identical to the oracle's
+    // unrolled recomputation: no float summation order, no convergence
+    // epsilon. Scale plan per iteration: the O(nodes) rank table joins
+    // edges BROADCAST (edges never shuffle), and the dst aggregate ships
+    // only map-combined partial sums — O(nodes) per partition. Edges
+    // materialize ONCE to scratch parquet (lineage cut; 6 linear scans,
+    // not 6 recomputes of the orders⋈lineitem distinct). Graduation when
+    // the rank table outgrows a broadcast: pre-bucket edges by src
+    // (op_bucketed_join's lever) and shuffle the rank table instead.
+    QueryDef("op_pagerank", Some {
+      val iters = 6
+      val steps = (1 to iters).map { i =>
+        s"""pr$i AS (
+           |  SELECT e.dst AS id,
+           |    150000 + (85 * CAST(sum(p.r // d.od) AS BIGINT)) // 100 AS r
+           |  FROM pr${i - 1} p
+           |  JOIN odeg d ON d.src = p.id
+           |  JOIN edges e ON e.src = p.id
+           |  GROUP BY e.dst)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH pairs AS (
+         |  SELECT DISTINCT 'c' || o_custkey AS c, 's' || l_suppkey AS sp
+         |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+         |edges AS (SELECT c AS src, sp AS dst FROM pairs
+         |          UNION ALL SELECT sp AS src, c AS dst FROM pairs),
+         |odeg AS (SELECT src, CAST(count(*) AS BIGINT) AS od
+         |         FROM edges GROUP BY src),
+         |pr0 AS (SELECT src AS id, CAST(1000000 AS BIGINT) AS r FROM odeg),
+         |$steps
+         |SELECT id, r AS rank_ppm FROM pr$iters
+         |ORDER BY rank_ppm DESC, id LIMIT 20""".stripMargin
+    }) { (s, d) =>
+      val iters = 6
+      val scratch = s"target/pagerank/edges_${Integer.toHexString(d.hashCode)}"
+      val pairs = Tables.load(s, d, "orders")
+        .select(col("o_orderkey"), col("o_custkey"))
+        .join(Tables.load(s, d, "lineitem")
+          .select(col("l_orderkey"), col("l_suppkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(concat(lit("c"), col("o_custkey")).as("c"),
+          concat(lit("s"), col("l_suppkey")).as("sp"))
+        .distinct()
+      pairs.select(col("c").as("src"), col("sp").as("dst"))
+        .unionByName(pairs.select(col("sp").as("src"), col("c").as("dst")))
+        .write.mode("overwrite").parquet(scratch)
+      val edges = s.read.parquet(scratch)
+      val odeg = edges.groupBy(col("src")).agg(count(lit(1)).as("od"))
+      var rank = odeg.select(col("src").as("id"), lit(1000000L).as("r"))
+      for (_ <- 1 to iters) {
+        val shares = broadcast(
+          rank.join(odeg.withColumnRenamed("src", "id"), "id")
+            .select(col("id"), expr("r div od").as("share")))
+        rank = edges.join(shares, edges("src") === shares("id"))
+          .groupBy(col("dst")).agg(sum(col("share")).as("inc"))
+          .select(col("dst").as("id"),
+            (lit(150000L) + expr("(85 * inc) div 100")).as("r"))
+      }
+      rank.select(col("id"), col("r").as("rank_ppm"))
+        .orderBy(col("rank_ppm").desc, col("id")).limit(20)
     }
   )
 }

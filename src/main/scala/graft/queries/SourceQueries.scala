@@ -89,6 +89,46 @@ object SourceQueries {
           floor(element_at(col("embedding"), 1).cast("double") * 1000000)
             .cast("long").as("e0_micros"))
         .orderBy(col("vec_id"))
+    },
+
+    // SCHEMA EVOLUTION — a long-lived event log's schemas drift: the first
+    // half of the month was written before the `value` column existed, the
+    // second half carries it. The reader must (a) union the drops by NAME
+    // with the missing column as null (`mergeSchema=true` — set explicitly;
+    // the default samples ONE footer and which one is scan-order luck) and
+    // (b) surface the directory layer (v=1/v=2) as a discovered partition
+    // column. The oracle recomputes the same per-type profile from the raw
+    // fixture with the v1 rows' values nulled — a reader that filled the
+    // missing column with anything but null, or dropped v1 rows, fails the
+    // hash. Scale: schema merge is a FOOTER operation (O(files) driver-side
+    // listing, not a data scan), and the aggregate is one linear pass.
+    QueryDef("src_schema_evolution", Some(
+      """SELECT event_type,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(count(CASE WHEN CAST(ts AS DATE) > DATE '2024-01-15'
+        |             THEN value END) AS BIGINT) AS n_value,
+        |  CAST(sum(CASE WHEN CAST(ts AS DATE) > DATE '2024-01-15'
+        |           THEN CAST(round(value * 100) AS BIGINT) END) AS BIGINT)
+        |    AS value_cents
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)) { (s, d) =>
+      val out = scratch("evolve", d)
+      val e = Tables.load(s, d, "events")
+      // v1 drop: pre-`value` schema (the column does not exist on disk)
+      e.filter(to_date(col("ts")) <= lit("2024-01-15"))
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+        .write.mode("overwrite").parquet(s"$out/v=1")
+      // v2 drop: the evolved schema carries `value`
+      e.filter(to_date(col("ts")) > lit("2024-01-15"))
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"))
+        .write.mode("overwrite").parquet(s"$out/v=2")
+      s.read.option("mergeSchema", "true").parquet(out)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_rows"),
+          count(col("value")).as("n_value"),
+          sum(round(col("value") * 100, 0).cast("long"))
+            .cast("long").as("value_cents"))
+        .orderBy(col("event_type"))
     }
   )
 }
