@@ -178,12 +178,23 @@ object ScaleCheck {
           // the hot template collapses 10% of docs onto ONE token-set
           // fingerprint — the algebraic first-occurrence + store join
           // must shrug it off
+          // op_pagerank: the hot customer densifies one node's in-edge
+          // set — per-iteration work stays edge-linear because the dst
+          // aggregate combines the hot node's contributions map-side
+          // and the rank table broadcasts regardless of degree.
+          // (op_attribution is EXCLUDED from skew mode the dd_semdedup
+          // way: a 10%-hot user makes the touch x conversion pair set
+          // itself quadratic — the semantics, not the plan; the
+          // documented graduation is salting/AQE on user_id.)
           "dd_cross_near", "ss_topk", "dd_incremental", "dd_incremental_near",
           "dd_cluster_stats", "ss_near_screen",
           // hot o_custkey: the forget cascade's semi/anti joins stay
           // broadcast (tombstones are key-bounded), so a hot customer
           // only grows the scanned side linearly
-          "op_forget_users")
+          // op_cooccur_topk: the hot customer's (c, s) rows COLLAPSE in
+          // the distinct pass (<= |suppliers| rows per customer however
+          // hot), so the per-customer self-join never sees the hot mass
+          "op_forget_users", "op_pagerank", "op_cooccur_topk")
       else
         Seq("b5_group_agg", "b1_filter_compound", "j_multiway_star",
           "b6_theta_distinct", "b8_freq_topk", "dd_minhash_lsh", "ann_lsh_topk",
@@ -219,7 +230,8 @@ object ScaleCheck {
           "src_orc_roundtrip", "pipe_curate", "samp_interleave",
           "emb_generate", "ss_infer", "srch_hard_negatives",
           "mm_resize_png", "op_sketch_rollup", "op_sketch_window",
-          "ss_sketch_maintain")
+          "ss_sketch_maintain", "op_attribution", "op_pagerank",
+          "src_schema_evolution", "op_cooccur_topk")
     val selected = if (only.isEmpty) names else names.filter(only)
     // dd_semdedup is excluded the same way dd_embed_cosine is: replicated
     // embeddings are bit-identical across copies, so k-fold data has k²

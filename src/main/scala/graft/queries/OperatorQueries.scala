@@ -1188,6 +1188,56 @@ object OperatorQueries {
       }
       rank.select(col("id"), col("r").as("rank_ppm"))
         .orderBy(col("rank_ppm").desc, col("id")).limit(20)
+    },
+
+    // CO-OCCURRENCE TOP-K — item-item collaborative filtering, the
+    // "customers who bought X also bought Y" mining pass: suppliers
+    // ranked by how many customers they share. The classic scale shape:
+    // one distinct pass to (customer, supplier), a per-customer
+    // self-join (bounded by the per-customer item count — cap it at
+    // ingest for power-law users; here the supplier dim bounds it), a
+    // pair-count aggregate, and a BOUNDED-HEAP top-5 per supplier
+    // (topk_min partial+final — each map task ships <= 5 neighbors per
+    // supplier, never the full neighbor list; the b8_topk_grouped
+    // machinery, not a window sort). Counts are integers, tiebreak is
+    // (count desc, neighbor asc) — deterministic on both engines.
+    QueryDef("op_cooccur_topk", Some(
+      """WITH pairs AS (
+        |  SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+        |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+        |co AS (
+        |  SELECT a.s AS sa, b.s AS sb, CAST(count(*) AS BIGINT) AS n_common
+        |  FROM pairs a JOIN pairs b ON a.c = b.c AND a.s < b.s
+        |  GROUP BY a.s, b.s),
+        |sym AS (SELECT sa AS s, sb AS nb, n_common FROM co
+        |        UNION ALL SELECT sb AS s, sa AS nb, n_common FROM co),
+        |r AS (SELECT s, nb, n_common,
+        |        row_number() OVER (PARTITION BY s
+        |                           ORDER BY n_common DESC, nb) AS rnk
+        |      FROM sym)
+        |SELECT s AS supp, rnk, nb AS neighbor, n_common
+        |FROM r WHERE rnk <= 5 ORDER BY supp, rnk""".stripMargin)) { (s, d) =>
+      import graft.functions.topk_min
+      val pairs = Tables.load(s, d, "orders")
+        .select(col("o_orderkey"), col("o_custkey"))
+        .join(Tables.load(s, d, "lineitem")
+          .select(col("l_orderkey"), col("l_suppkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("c"), col("l_suppkey").as("s"))
+        .distinct()
+      val b = pairs.select(col("c").as("c2"), col("s").as("s2"))
+      val co = pairs.join(b, col("c") === col("c2") && col("s") < col("s2"))
+        .groupBy(col("s").as("sa"), col("s2").as("sb"))
+        .agg(count(lit(1)).as("n_common"))
+      val sym = co.select(col("sa").as("s"), col("sb").as("nb"), col("n_common"))
+        .unionByName(co.select(col("sb").as("s"), col("sa").as("nb"), col("n_common")))
+      sym.groupBy(col("s"))
+        .agg(topk_min(struct((-col("n_common")).as("ncnt"),
+          col("nb").as("nb"), col("n_common").as("n_common")), 5).as("tk"))
+        .select(col("s"), posexplode(col("tk")).as(Seq("pos", "st")))
+        .select(col("s").as("supp"), (col("pos") + 1).as("rnk"),
+          col("st.nb").as("neighbor"), col("st.n_common").as("n_common"))
+        .orderBy(col("supp"), col("rnk"))
     }
   )
 }

@@ -102,6 +102,30 @@ class AttributionGraphSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  // ---- op_cooccur_topk ----
+
+  test("co-occurrence top-k ranks via the bounded heap, not a window sort") {
+    val p = finalPlan(SparkEntry.queries("op_cooccur_topk")(spark, sfDir)).toString
+    assert(!p.contains("Window"),
+      s"per-supplier neighbor ranking must be the topk_min aggregate, not WindowExec:\n$p")
+    assert(p.contains("topk_min"), p)
+  }
+
+  test("co-occurrence neighbor lists are symmetric and capped at 5") {
+    val rows = SparkEntry.queries("op_cooccur_topk")(spark, sfDir).collect()
+    val perSupp = rows.groupBy(_.getLong(0))
+    assert(perSupp.values.forall(_.length <= 5))
+    // rank sequences are 1..n with counts non-increasing
+    perSupp.values.foreach { rs =>
+      val sorted = rs.sortBy(_.getInt(1))
+      assert(sorted.map(_.getInt(1)).toSeq == (1 to rs.length),
+        "ranks must be dense 1..n")
+      val counts = sorted.map(_.getLong(3)).toSeq
+      assert(counts == counts.sorted(Ordering[Long].reverse),
+        "neighbor counts must be non-increasing in rank")
+    }
+  }
+
   // ---- src_schema_evolution ----
 
   test("schema evolution: merged read null-fills the missing column and keeps every row") {
