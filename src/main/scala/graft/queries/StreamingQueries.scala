@@ -1070,6 +1070,120 @@ object StreamingQueries {
           expr("theta_sketch_estimate(theta_union_agg(tsk, 17))").as("mau7"))
         .select(date_format(col("day"), "yyyy-MM-dd").as("day"), col("n7"), col("mau7"))
         .orderBy(col("day"))
+    },
+
+    // INCREMENTAL VIEW MAINTENANCE of a join-aggregate — op_cooccur_topk's
+    // co-occurrence counts kept current by a stream of (customer,
+    // supplier) interactions, the online-recommender update loop. The
+    // classic IVM delta rule for a per-key pair count: a NEW distinct
+    // pair (c, s) adds one co-occurrence with every supplier ALREADY
+    // associated with c (plus the pairs arriving in the same batch,
+    // counted once) — so each micro-batch does anti-join (dedupe vs the
+    // seen store), one join against the store's per-customer postings,
+    // one within-batch self-join, and folds the summed deltas into the
+    // counts store. Arrival order cannot matter (the delta rule sums to
+    // the same C(n,2) per customer however the pairs are sliced) — a
+    // spec re-drains with a different slice count and compares
+    // bit-for-bit, and the oracle recomputes the final top-5 from
+    // scratch. Store versions alternate v0/v1 (read one, write the
+    // other — no read-your-own-overwrite). Scale: per batch the
+    // day-slice side is broadcast-sized and the seen/counts stores are
+    // the big side (bucket them by c / (sa,sb) at scale — the
+    // op_bucketed_join lever); the final report is the same bounded-heap
+    // top-5, never a window sort.
+    QueryDef("ss_cooccur_maintain", Some(
+      """WITH pairs AS (
+        |  SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+        |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+        |co AS (
+        |  SELECT a.s AS sa, b.s AS sb, CAST(count(*) AS BIGINT) AS n_common
+        |  FROM pairs a JOIN pairs b ON a.c = b.c AND a.s < b.s
+        |  GROUP BY a.s, b.s),
+        |sym AS (SELECT sa AS s, sb AS nb, n_common FROM co
+        |        UNION ALL SELECT sb AS s, sa AS nb, n_common FROM co),
+        |r AS (SELECT s, nb, n_common,
+        |        row_number() OVER (PARTITION BY s
+        |                           ORDER BY n_common DESC, nb) AS rnk
+        |      FROM sym)
+        |SELECT s AS supp, rnk, nb AS neighbor, n_common
+        |FROM r WHERE rnk <= 5 ORDER BY supp, rnk""".stripMargin)) { (s, d) =>
+      import s.implicits._
+      implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import graft.functions.topk_min
+      val base = s.conf.getOption("spark.graft.index.dir")
+        .getOrElse("/tmp/graft_index_store") + "/cooccur_" +
+        java.lang.Long.toHexString(
+          scala.util.hashing.MurmurHash3.stringHash(d).toLong & 0xffffffffL)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+      // interaction stream in orderkey arrival order (raw rows, with the
+      // duplicate (c, s) re-interactions real feeds carry)
+      val rows = Tables.load(s, d, "orders")
+        .select(col("o_orderkey"), col("o_custkey"))
+        .join(Tables.load(s, d, "lineitem")
+          .select(col("l_orderkey"), col("l_suppkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_orderkey").as("k"), col("o_custkey").as("c"),
+          col("l_suppkey").as("sp"))
+        .orderBy(col("k"), col("c"), col("sp"))
+        .collect().map(r => (r.getLong(1), r.getLong(2)))
+      val nSlices = s.conf.get("spark.graft.ssjoin.slices", "4").toInt
+      val per = math.max(1, (rows.length + nSlices - 1) / nSlices)
+
+      Seq.empty[(Long, Long)].toDF("c", "s")
+        .write.mode("overwrite").parquet(s"$base/seen_v0")
+      Seq.empty[(Long, Long, Long)].toDF("sa", "sb", "n")
+        .write.mode("overwrite").parquet(s"$base/counts_v0")
+      var version = 0
+
+      val feed = MemoryStream[(Long, Long)]
+      val q = feed.toDF().toDF("c", "s").writeStream
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          val seen = s.read.parquet(s"$base/seen_v$version")
+          val counts = s.read.parquet(s"$base/counts_v$version")
+          val newPairs = b.dropDuplicates("c", "s")
+            .join(seen, Seq("c", "s"), "left_anti").persist()
+          val incCross = newPairs
+            .join(seen.withColumnRenamed("s", "s_old"), Seq("c"))
+            .select(least(col("s"), col("s_old")).as("sa"),
+              greatest(col("s"), col("s_old")).as("sb"))
+          val incNew = newPairs
+            .join(newPairs.select(col("c"), col("s").as("s2")), Seq("c"))
+            .filter(col("s") < col("s2"))
+            .select(col("s").as("sa"), col("s2").as("sb"))
+          val inc = incCross.unionByName(incNew)
+            .groupBy(col("sa"), col("sb")).agg(count(lit(1)).as("dn"))
+          counts.join(inc, Seq("sa", "sb"), "full_outer")
+            .select(col("sa"), col("sb"),
+              (coalesce(col("n"), lit(0L)) + coalesce(col("dn"), lit(0L))).as("n"))
+            .write.mode("overwrite").parquet(s"$base/counts_v${1 - version}")
+          seen.unionByName(newPairs.select(col("c"), col("s")))
+            .write.mode("overwrite").parquet(s"$base/seen_v${1 - version}")
+          version = 1 - version
+          newPairs.unpersist(false)
+          ()
+        }
+        .start()
+      try {
+        rows.grouped(per).foreach { slice =>
+          feed.addData(slice.toSeq)
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+
+      // the report off the STREAM-MAINTAINED counts store — the exact
+      // op_cooccur_topk bounded-heap plan, reading only what IVM wrote
+      val counts = s.read.parquet(s"$base/counts_v$version")
+      val sym = counts
+        .select(col("sa").as("s"), col("sb").as("nb"), col("n").as("n_common"))
+        .unionByName(counts
+          .select(col("sb").as("s"), col("sa").as("nb"), col("n").as("n_common")))
+      sym.groupBy(col("s"))
+        .agg(topk_min(struct((-col("n_common")).as("ncnt"),
+          col("nb").as("nb"), col("n_common").as("n_common")), 5).as("tk"))
+        .select(col("s"), posexplode(col("tk")).as(Seq("pos", "st")))
+        .select(col("s").as("supp"), (col("pos") + 1).as("rnk"),
+          col("st.nb").as("neighbor"), col("st.n_common").as("n_common"))
+        .orderBy(col("supp"), col("rnk"))
     }
   )
 }

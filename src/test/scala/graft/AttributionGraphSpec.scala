@@ -126,6 +126,27 @@ class AttributionGraphSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming co-occurrence IVM is slice-invariant and equals the batch view") {
+    // the incremental delta rule must be arrival-order-free: re-drain the
+    // same interactions in 3 slices and 6 slices, compare bit-for-bit,
+    // and both must equal the from-scratch batch computation
+    val batch = SparkEntry.queries("op_cooccur_topk")(spark, sfDir).collect().toSeq
+    val saved = spark.conf.getOption("spark.graft.ssjoin.slices")
+    try {
+      spark.conf.set("spark.graft.ssjoin.slices", "3")
+      val a = SparkEntry.queries("ss_cooccur_maintain")(spark, sfDir).collect().toSeq
+      spark.conf.set("spark.graft.ssjoin.slices", "6")
+      val b = SparkEntry.queries("ss_cooccur_maintain")(spark, sfDir).collect().toSeq
+      assert(a == b, "IVM result must not depend on how the stream is sliced")
+      assert(a == batch, "stream-maintained counts must equal the batch join-aggregate")
+    } finally {
+      saved match {
+        case Some(v) => spark.conf.set("spark.graft.ssjoin.slices", v)
+        case None => spark.conf.unset("spark.graft.ssjoin.slices")
+      }
+    }
+  }
+
   // ---- src_schema_evolution ----
 
   test("schema evolution: merged read null-fills the missing column and keeps every row") {
