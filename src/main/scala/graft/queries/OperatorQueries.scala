@@ -1238,6 +1238,73 @@ object OperatorQueries {
         .select(col("s").as("supp"), (col("pos") + 1).as("rnk"),
           col("st.nb").as("neighbor"), col("st.n_common").as("n_common"))
         .orderBy(col("supp"), col("rnk"))
+    },
+
+    // TIME-SERIES ANOMALY DETECTION — the drift monitor a pipeline runs
+    // over its daily ingest metrics: per event_type daily counts on a
+    // DENSE calendar (generated sequence × distinct types, both
+    // broadcast-sized — absent days are real zeros, not missing rows, or
+    // every lag distance lies), then an 8-day trailing EWMA with
+    // POWER-OF-TWO weights 2^7..2^0 over lags 1..8. Everything stays in
+    // BIGINT — ewma_num is the weighted sum, ewma_den = 256 - 2^(8-min(rn,8))
+    // the weight mass actually present — so spike (count > 5/4 × EWMA) and
+    // dip (count < 4/5 × EWMA) are integer cross-multiplications, exact and
+    // DuckDB-hash-identical; no float ever appears. Scale: the daily
+    // aggregate is the only corpus exchange (partial+final on
+    // (type, day)); the window partitions are per-type series of length
+    // |days| — thousands of rows per metric, never per-event.
+    QueryDef("op_anomaly_ewma", Some(
+      """WITH b AS (SELECT min(CAST(ts AS DATE)) AS lo, max(CAST(ts AS DATE)) AS hi FROM events),
+        |cal AS (SELECT CAST(unnest(generate_series(lo::TIMESTAMP, hi::TIMESTAMP,
+        |                                           INTERVAL 1 DAY)) AS DATE) AS day FROM b),
+        |types AS (SELECT DISTINCT event_type FROM events),
+        |daily AS (SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS c
+        |          FROM events GROUP BY 1, 2),
+        |dense AS (SELECT t.event_type, g.day, CAST(COALESCE(d.c, 0) AS BIGINT) AS c
+        |          FROM types t CROSS JOIN cal g
+        |          LEFT JOIN daily d ON d.event_type = t.event_type AND d.day = g.day),
+        |x AS (SELECT event_type, day, c,
+        |        row_number() OVER w - 1 AS rn,
+        |        COALESCE(lag(c, 1) OVER w, 0) * 128 + COALESCE(lag(c, 2) OVER w, 0) * 64 +
+        |        COALESCE(lag(c, 3) OVER w, 0) * 32  + COALESCE(lag(c, 4) OVER w, 0) * 16 +
+        |        COALESCE(lag(c, 5) OVER w, 0) * 8   + COALESCE(lag(c, 6) OVER w, 0) * 4 +
+        |        COALESCE(lag(c, 7) OVER w, 0) * 2   + COALESCE(lag(c, 8) OVER w, 0) AS num
+        |      FROM dense WINDOW w AS (PARTITION BY event_type ORDER BY day))
+        |SELECT event_type, strftime(day, '%Y-%m-%d') AS day, c,
+        |  CAST(num AS BIGINT) AS ewma_num,
+        |  CAST(256 - (1 << (8 - LEAST(rn, 8))) AS BIGINT) AS ewma_den,
+        |  CAST(CASE WHEN rn >= 3 AND 4 * c * (256 - (1 << (8 - LEAST(rn, 8)))) > 5 * num
+        |       THEN 1 ELSE 0 END AS INT) AS spike,
+        |  CAST(CASE WHEN rn >= 3 AND 5 * c * (256 - (1 << (8 - LEAST(rn, 8)))) < 4 * num
+        |       THEN 1 ELSE 0 END AS INT) AS dip
+        |FROM x ORDER BY event_type, day""".stripMargin)) { (s, d) =>
+      val events = ev(s, d)
+      val daily = events
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("c"))
+      val cal = events.agg(min(to_date(col("ts"))).as("lo"),
+          max(to_date(col("ts"))).as("hi"))
+        .select(explode(expr("sequence(lo, hi, interval 1 day)")).as("day"))
+      val grid = events.select(col("event_type")).distinct()
+        .crossJoin(broadcast(cal))
+      val dense = grid.join(daily, Seq("event_type", "day"), "left")
+        .select(col("event_type"), col("day"),
+          coalesce(col("c"), lit(0L)).as("c"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      val num = (1 to 8)
+        .map(k => coalesce(lag(col("c"), k).over(w), lit(0L)) * lit(1L << (8 - k)))
+        .reduce(_ + _)
+      dense
+        .withColumn("rn", row_number().over(w) - 1)
+        .withColumn("num", num)
+        .select(col("event_type"), date_format(col("day"), "yyyy-MM-dd").as("day"),
+          col("c"), col("num").cast(LongType).as("ewma_num"),
+          expr("CAST(256 - shiftleft(1, 8 - least(rn, 8)) AS BIGINT)").as("ewma_den"),
+          expr("CAST(CASE WHEN rn >= 3 AND 4 * c * (256 - shiftleft(1, 8 - least(rn, 8))) > 5 * num" +
+            " THEN 1 ELSE 0 END AS INT)").as("spike"),
+          expr("CAST(CASE WHEN rn >= 3 AND 5 * c * (256 - shiftleft(1, 8 - least(rn, 8))) < 4 * num" +
+            " THEN 1 ELSE 0 END AS INT)").as("dip"))
+        .orderBy(col("event_type"), col("day"))
     }
   )
 }

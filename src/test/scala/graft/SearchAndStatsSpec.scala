@@ -230,4 +230,39 @@ class SearchAndStatsSpec extends AnyFunSuite {
       ("srcA", "srcB", 1L, 2L, 0.5),
       ("srcB", "srcA", 1L, 1L, 1.0)), s"got $rows")
   }
+
+  // ---- op_anomaly_ewma ---------------------------------------------------
+
+  test("ewma anomaly: hand-built series flags the planted spike and dip") {
+    // one metric, 10 consecutive days: steady 16/day, a dip (2) planted on
+    // day 7 and a spike (40) on day 10. The value-level gate on the driver
+    // fixtures is the DuckDB oracle (hash-exact at sf0.001/0.01/0.1); this
+    // pins the FLAG semantics on a series where the answer is computable by
+    // hand — and guards against thresholds that silently never fire.
+    val dir = Files.createTempDirectory("graft-ewma-fixture").toString
+    val s = spark
+    import s.implicits._
+    val counts = Map(7 -> 2, 10 -> 40).withDefaultValue(16)
+    (1 to 10).flatMap { day =>
+      Seq.fill(counts(day))((java.sql.Timestamp.valueOf(f"2024-02-$day%02d 12:00:00"), "m"))
+    }.toDF("ts", "event_type")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val rows = SparkEntry.queries("op_anomaly_ewma")(spark, dir).collect()
+      .map(r => r.getString(1) -> ((r.getLong(2), r.getLong(4), r.getInt(5), r.getInt(6))))
+      .toMap
+    assert(rows.size == 10)
+    // weight-mass ramp: day1 has no history, day2 one lag, day9+ all eight
+    assert(rows("2024-02-01")._2 == 0L)
+    assert(rows("2024-02-02")._2 == 128L)
+    assert(rows("2024-02-09")._2 == 255L && rows("2024-02-10")._2 == 255L)
+    // day 10: EWMA of (16×7 then 2 at lag 3... ) is well under 40×4/5
+    assert(rows("2024-02-10")._3 == 1, s"spike must fire: $rows")
+    // day 7: rn=6 → den = 256 - 2^2 = 252; count 2 vs EWMA 16 → dip
+    assert(rows("2024-02-07") ==(2L, 252L, 0, 1), s"dip must fire: $rows")
+    // the steady head (inside the rn>=3 guard) stays quiet
+    assert(rows("2024-02-05")._3 == 0 && rows("2024-02-05")._4 == 0)
+    // days 1-3 are guard-silenced even though day 1 has zero history
+    assert(rows("2024-02-02")._3 == 0 && rows("2024-02-02")._4 == 0)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
 }
