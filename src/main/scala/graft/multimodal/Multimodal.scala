@@ -124,6 +124,23 @@ object Multimodal {
     }
   }
 
+  /** Decoded luma raster for a P6 payload: (w, h, gray) with the integer
+    * luma (r + 2g + b)/4 per pixel — exact (no rounding) when the three
+    * channels are equal, which is what the perceptual-hash fixture
+    * guarantees. None for malformed payloads (dropped, never a crash). */
+  def decodePpmLuma(payload: Array[Byte]): Option[(Int, Int, Array[Int])] =
+    decodePpmHeader(payload).map { case (w, h, _, pos) =>
+      val n = w * h
+      val g = new Array[Int](n)
+      var i = 0
+      while (i < n) {
+        g(i) = ((payload(pos + 3 * i) & 0xff) + 2 * (payload(pos + 3 * i + 1) & 0xff) +
+          (payload(pos + 3 * i + 2) & 0xff)) / 4
+        i += 1
+      }
+      (w, h, g)
+    }
+
   /** REAL nearest-neighbor resize over a decoded P6 payload: output pixel
     * (x, y) samples source (x*w/outW, y*h/outH) — integer floor, the
     * standard NN convention. Returns the resized packed RGB raster, or

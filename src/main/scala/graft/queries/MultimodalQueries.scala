@@ -68,6 +68,41 @@ object MultimodalQueries {
     }(enc)
   }
 
+  /** Perceptual-hash fixture: families of 4 consecutive doc_ids share one
+    * grayscale two-tone base image (dims and tone pattern derived from the
+    * family id, tones 40/200, r=g=b so the decoded luma (r+2g+b)/4 is
+    * exact); variants v=1..3 flip exactly ONE pixel's tone each, at
+    * family-derived positions. So within a family every pair is Hamming
+    * ≤ 2 on the average-hash while cross-family hashes differ in ~half
+    * their bits — the planted near-dup structure the banded join must
+    * recover, and every byte is a closed form of doc_id the SQL oracle
+    * reproduces. */
+  private def phashPayloads(s: org.apache.spark.sql.SparkSession, d: String) = {
+    val docs = Tables.load(s, d, "documents").select(col("doc_id"))
+    val enc = org.apache.spark.sql.Encoders.row(StructType(Seq(
+      StructField("doc_id", LongType), StructField("payload", BinaryType))))
+    docs.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val fam = id - id % 4
+        val v = (id % 4).toInt
+        val w = (4 + (fam / 4) % 5).toInt; val h = (3 + (fam / 4) % 4).toInt
+        val n = w * h
+        val flipPos = if (v > 0) (((fam / 4) * 3 + v * 7) % n).toInt else -1
+        val px = new Array[Byte](n * 3)
+        var i = 0
+        while (i < n) {
+          val t0 = ((fam * 1000003L + i * 40503L) >> 7) & 1L
+          val bit = if (i == flipPos) 1L - t0 else t0
+          val g = (40 + 160 * bit).toByte
+          px(3 * i) = g; px(3 * i + 1) = g; px(3 * i + 2) = g
+          i += 1
+        }
+        org.apache.spark.sql.Row(id, Multimodal.encodePpmP6(w, h, px))
+      }
+    }(enc)
+  }
+
   /** Deterministic PCM fixture for the audio decode query: per doc, a
     * mono s16le WAV of (8 + id%33) samples at (8000 + (id%4)*4000) Hz
     * with s_i = ((id*31 + i*17) mod 2048) - 1024 — every sample is a
@@ -393,6 +428,93 @@ object MultimodalQueries {
           }
         }
       }(enc).orderBy(col("doc_id"), col("frame_idx"))
+    },
+
+    // PERCEPTUAL-HASH IMAGE NEAR-DUP — the image twin of dd_minhash_lsh,
+    // oracle-exact end to end: synthesized PPMs go through the REAL
+    // encode→decode round trip (header parse + raster walk), the decoded
+    // luma raster folds into an average-hash (bit i = luma_i·n > Σluma,
+    // a cross-multiplication — no float, no mean rounding; MSB-first
+    // fold, acc·2+bit), the 64-bit-at-most hash splits into 3 disjoint
+    // bands of ⌈n/3⌉ bits, candidates pair on (dims, band, value) — the
+    // pigeonhole guarantee: Hamming ≤ 2 leaves ≥1 band untouched — and
+    // survivors pass an exact bit_count(xor) ≤ 2 filter. The DuckDB
+    // oracle recomputes hashes from the fixture's closed form and runs
+    // the SAME band join, so membership AND distances hash-match; what
+    // the Spark side certifies is that the real codec round trip feeds
+    // them. Scale: per-doc decode is the documented imperative seam;
+    // everything after is codegen (HOF aggregate, 3-row explode, equi
+    // hash join on band keys); no quadratic pass anywhere — the classic
+    // pHash-dedup shape for an image corpus.
+    QueryDef("mm_phash_neardup", Some(
+      """WITH m AS (SELECT doc_id, doc_id - doc_id % 4 AS fam, doc_id % 4 AS v
+        |           FROM documents),
+        |d AS (SELECT doc_id, fam, v,
+        |    4 + (fam // 4) % 5 AS w, 3 + (fam // 4) % 4 AS h,
+        |    (4 + (fam // 4) % 5) * (3 + (fam // 4) % 4) AS n FROM m),
+        |px AS (SELECT doc_id, w, h, n, fam, v, unnest(range(0, n)) AS i FROM d),
+        |g AS (SELECT doc_id, w, h, n, i,
+        |    40 + 160 * (((((fam * 1000003 + i * 40503) >> 7) & 1)
+        |      + CASE WHEN v > 0 AND i = ((fam // 4) * 3 + v * 7) % n
+        |             THEN 1 ELSE 0 END) % 2) AS gray
+        |  FROM px),
+        |sgs AS (SELECT doc_id, w, h, n, i, gray,
+        |    sum(gray) OVER (PARTITION BY doc_id) AS gsum FROM g),
+        |hs AS (SELECT doc_id, any_value(w) AS w, any_value(h) AS h,
+        |    any_value(n) AS n,
+        |    CAST(sum(CASE WHEN gray * n > gsum
+        |         THEN CAST(1 AS BIGINT) << CAST(n - 1 - i AS INT)
+        |         ELSE 0 END) AS BIGINT) AS hash
+        |  FROM sgs GROUP BY doc_id),
+        |e AS (SELECT doc_id, w, h, hash,
+        |    bb, (hash >> CAST(bb * ((n + 2) // 3) AS INT))
+        |      & ((CAST(1 AS BIGINT) << CAST((n + 2) // 3 AS INT)) - 1) AS bv
+        |  FROM hs CROSS JOIN (SELECT unnest([0, 1, 2]) AS bb)),
+        |c AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    a.hash AS hash_a, b.hash AS hash_b
+        |  FROM e a JOIN e b ON a.w = b.w AND a.h = b.h AND a.bb = b.bb
+        |    AND a.bv = b.bv AND a.doc_id < b.doc_id)
+        |SELECT doc_a, doc_b,
+        |  CAST(bit_count(xor(hash_a, hash_b)) AS BIGINT) AS hamming
+        |FROM c WHERE bit_count(xor(hash_a, hash_b)) <= 2
+        |ORDER BY doc_a, doc_b""".stripMargin)) { (s, d) =>
+      val enc = org.apache.spark.sql.Encoders.row(StructType(Seq(
+        StructField("doc_id", LongType), StructField("w", IntegerType),
+        StructField("h", IntegerType),
+        StructField("px", ArrayType(IntegerType, containsNull = false)))))
+      val decoded = phashPayloads(s, d).mapPartitions { rows =>
+        rows.flatMap { r =>
+          Multimodal.decodePpmLuma(r.getAs[Array[Byte]](1)).map { case (w, h, g) =>
+            org.apache.spark.sql.Row(r.getLong(0), w, h, g.toSeq)
+          }
+        }
+      }(enc)
+      val hashed = decoded
+        .withColumn("n", col("w") * col("h"))
+        .withColumn("gsum", expr("aggregate(px, 0L, (a, x) -> a + CAST(x AS BIGINT))"))
+        .withColumn("hash", expr(
+          "aggregate(px, 0L, (a, x) -> a * 2L + " +
+            "IF(CAST(x AS BIGINT) * CAST(n AS BIGINT) > gsum, 1L, 0L))"))
+        .withColumn("wb", expr("CAST((n + 2) div 3 AS INT)"))
+        .select(col("doc_id"), col("w"), col("h"), col("hash"), col("wb"))
+      val banded = hashed
+        .withColumn("bb", explode(array(lit(0), lit(1), lit(2))))
+        .withColumn("bv", expr("shiftright(hash, bb * wb) & (shiftleft(1L, wb) - 1L)"))
+      val la = banded.select(col("doc_id").as("doc_a"), col("w").as("w_a"),
+        col("h").as("h_a"), col("bb").as("bb_a"), col("bv").as("bv_a"),
+        col("hash").as("hash_a"))
+      val lb = banded.select(col("doc_id").as("doc_b"), col("w").as("w_b"),
+        col("h").as("h_b"), col("bb").as("bb_b"), col("bv").as("bv_b"),
+        col("hash").as("hash_b"))
+      la.join(lb, col("w_a") === col("w_b") && col("h_a") === col("h_b") &&
+          col("bb_a") === col("bb_b") && col("bv_a") === col("bv_b") &&
+          col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b"), col("hash_a"), col("hash_b"))
+        .distinct()
+        .withColumn("hamming", expr("CAST(bit_count(hash_a ^ hash_b) AS BIGINT)"))
+        .filter(col("hamming") <= 2)
+        .select(col("doc_a"), col("doc_b"), col("hamming"))
+        .orderBy(col("doc_a"), col("doc_b"))
     }
   )
 }

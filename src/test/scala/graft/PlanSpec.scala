@@ -576,6 +576,17 @@ class PlanSpec extends AnyFunSuite {
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
   }
 
+  test("phash near-dup pairs via the band equi-join, never an all-pairs product") {
+    // the image twin of the minhash discipline: candidates must come from
+    // the (dims, band, value) hash join — an inequality-only formulation
+    // would nested-loop O(|docs|²) over every same-dim pair
+    val p = planStr("mm_phash_neardup")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"band join must stay an equi-join:\n$p")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), p)
+  }
+
   test("scd2 history build rides one user-keyed exchange end to end") {
     // both row_number windows, the run aggregate, and the lead window
     // all cluster on user_id (or a superset) — hashpartitioning(user_id)
