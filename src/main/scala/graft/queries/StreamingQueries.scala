@@ -1079,9 +1079,10 @@ object StreamingQueries {
     // pair (c, s) adds one co-occurrence with every supplier ALREADY
     // associated with c (plus the pairs arriving in the same batch,
     // counted once) — so each micro-batch does anti-join (dedupe vs the
-    // seen store), one join against the store's per-customer postings,
-    // one within-batch self-join, and folds the summed deltas into the
-    // counts store. Arrival order cannot matter (the delta rule sums to
+    // seen store), one join against the store's per-customer postings
+    // (the broadcast-hinted day batch builds; the store streams
+    // map-side, the ss_near_screen orientation), one within-batch
+    // self-join, and folds the summed deltas into the counts store. Arrival order cannot matter (the delta rule sums to
     // the same C(n,2) per customer however the pairs are sliced) — a
     // spec re-drains with a different slice count and compares
     // bit-for-bit, and the oracle recomputes the final top-5 from
@@ -1142,7 +1143,7 @@ object StreamingQueries {
           val counts = s.read.parquet(s"$base/counts_v$version")
           val newPairs = b.dropDuplicates("c", "s")
             .join(seen, Seq("c", "s"), "left_anti").persist()
-          val incCross = newPairs
+          val incCross = broadcast(newPairs)
             .join(seen.withColumnRenamed("s", "s_old"), Seq("c"))
             .select(least(col("s"), col("s_old")).as("sa"),
               greatest(col("s"), col("s_old")).as("sb"))
