@@ -232,7 +232,7 @@ object ScaleCheck {
           "mm_resize_png", "op_sketch_rollup", "op_sketch_window",
           "ss_sketch_maintain", "op_attribution", "op_pagerank",
           "src_schema_evolution", "op_cooccur_topk", "ss_cooccur_maintain",
-          "op_anomaly_ewma")
+          "op_anomaly_ewma", "mm_phash_neardup")
     val selected = if (only.isEmpty) names else names.filter(only)
     // dd_semdedup is excluded the same way dd_embed_cosine is: replicated
     // embeddings are bit-identical across copies, so k-fold data has k²
