@@ -194,7 +194,13 @@ object ScaleCheck {
           // op_cooccur_topk: the hot customer's (c, s) rows COLLAPSE in
           // the distinct pass (<= |suppliers| rows per customer however
           // hot), so the per-customer self-join never sees the hot mass
-          "op_forget_users", "op_pagerank", "op_cooccur_topk")
+          // ss_cooccur_maintain: the hot customer's interactions dedupe
+          // to <= |suppliers| distinct (c, s) pairs in the batch
+          // dropDuplicates AND in the seen store, so the postings join
+          // and the within-batch self-join face the collapsed basket,
+          // not the raw hot mass — same defense as op_cooccur_topk
+          "op_forget_users", "op_pagerank", "op_cooccur_topk",
+          "ss_cooccur_maintain")
       else
         Seq("b5_group_agg", "b1_filter_compound", "j_multiway_star",
           "b6_theta_distinct", "b8_freq_topk", "dd_minhash_lsh", "ann_lsh_topk",
