@@ -1253,31 +1253,7 @@ object OperatorQueries {
     // aggregate is the only corpus exchange (partial+final on
     // (type, day)); the window partitions are per-type series of length
     // |days| — thousands of rows per metric, never per-event.
-    QueryDef("op_anomaly_ewma", Some(
-      """WITH b AS (SELECT min(CAST(ts AS DATE)) AS lo, max(CAST(ts AS DATE)) AS hi FROM events),
-        |cal AS (SELECT CAST(unnest(generate_series(lo::TIMESTAMP, hi::TIMESTAMP,
-        |                                           INTERVAL 1 DAY)) AS DATE) AS day FROM b),
-        |types AS (SELECT DISTINCT event_type FROM events),
-        |daily AS (SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS c
-        |          FROM events GROUP BY 1, 2),
-        |dense AS (SELECT t.event_type, g.day, CAST(COALESCE(d.c, 0) AS BIGINT) AS c
-        |          FROM types t CROSS JOIN cal g
-        |          LEFT JOIN daily d ON d.event_type = t.event_type AND d.day = g.day),
-        |x AS (SELECT event_type, day, c,
-        |        row_number() OVER w - 1 AS rn,
-        |        COALESCE(lag(c, 1) OVER w, 0) * 128 + COALESCE(lag(c, 2) OVER w, 0) * 64 +
-        |        COALESCE(lag(c, 3) OVER w, 0) * 32  + COALESCE(lag(c, 4) OVER w, 0) * 16 +
-        |        COALESCE(lag(c, 5) OVER w, 0) * 8   + COALESCE(lag(c, 6) OVER w, 0) * 4 +
-        |        COALESCE(lag(c, 7) OVER w, 0) * 2   + COALESCE(lag(c, 8) OVER w, 0) AS num
-        |      FROM dense WINDOW w AS (PARTITION BY event_type ORDER BY day))
-        |SELECT event_type, strftime(day, '%Y-%m-%d') AS day, c,
-        |  CAST(num AS BIGINT) AS ewma_num,
-        |  CAST(256 - (1 << (8 - LEAST(rn, 8))) AS BIGINT) AS ewma_den,
-        |  CAST(CASE WHEN rn >= 3 AND 4 * c * (256 - (1 << (8 - LEAST(rn, 8)))) > 5 * num
-        |       THEN 1 ELSE 0 END AS INT) AS spike,
-        |  CAST(CASE WHEN rn >= 3 AND 5 * c * (256 - (1 << (8 - LEAST(rn, 8)))) < 4 * num
-        |       THEN 1 ELSE 0 END AS INT) AS dip
-        |FROM x ORDER BY event_type, day""".stripMargin)) { (s, d) =>
+    QueryDef("op_anomaly_ewma", Some(OperatorQueries.anomalyEwmaSql)) { (s, d) =>
       val events = ev(s, d)
       val daily = events
         .groupBy(col("event_type"), to_date(col("ts")).as("day"))
@@ -1307,4 +1283,35 @@ object OperatorQueries {
         .orderBy(col("event_type"), col("day"))
     }
   )
+
+  /** ONE oracle for the EWMA drift monitor, shared by the batch op
+    * (op_anomaly_ewma) and its streaming twin (ss_anomaly_ewma) — the two
+    * monitors are integer-exact and must agree bit-for-bit, so they are
+    * checked against the identical SQL. */
+  // lazy: referenced from `defs` above, which initializes first
+  private[queries] lazy val anomalyEwmaSql: String =
+      """WITH b AS (SELECT min(CAST(ts AS DATE)) AS lo, max(CAST(ts AS DATE)) AS hi FROM events),
+        |cal AS (SELECT CAST(unnest(generate_series(lo::TIMESTAMP, hi::TIMESTAMP,
+        |                                           INTERVAL 1 DAY)) AS DATE) AS day FROM b),
+        |types AS (SELECT DISTINCT event_type FROM events),
+        |daily AS (SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS c
+        |          FROM events GROUP BY 1, 2),
+        |dense AS (SELECT t.event_type, g.day, CAST(COALESCE(d.c, 0) AS BIGINT) AS c
+        |          FROM types t CROSS JOIN cal g
+        |          LEFT JOIN daily d ON d.event_type = t.event_type AND d.day = g.day),
+        |x AS (SELECT event_type, day, c,
+        |        row_number() OVER w - 1 AS rn,
+        |        COALESCE(lag(c, 1) OVER w, 0) * 128 + COALESCE(lag(c, 2) OVER w, 0) * 64 +
+        |        COALESCE(lag(c, 3) OVER w, 0) * 32  + COALESCE(lag(c, 4) OVER w, 0) * 16 +
+        |        COALESCE(lag(c, 5) OVER w, 0) * 8   + COALESCE(lag(c, 6) OVER w, 0) * 4 +
+        |        COALESCE(lag(c, 7) OVER w, 0) * 2   + COALESCE(lag(c, 8) OVER w, 0) AS num
+        |      FROM dense WINDOW w AS (PARTITION BY event_type ORDER BY day))
+        |SELECT event_type, strftime(day, '%Y-%m-%d') AS day, c,
+        |  CAST(num AS BIGINT) AS ewma_num,
+        |  CAST(256 - (1 << (8 - LEAST(rn, 8))) AS BIGINT) AS ewma_den,
+        |  CAST(CASE WHEN rn >= 3 AND 4 * c * (256 - (1 << (8 - LEAST(rn, 8)))) > 5 * num
+        |       THEN 1 ELSE 0 END AS INT) AS spike,
+        |  CAST(CASE WHEN rn >= 3 AND 5 * c * (256 - (1 << (8 - LEAST(rn, 8)))) < 4 * num
+        |       THEN 1 ELSE 0 END AS INT) AS dip
+        |FROM x ORDER BY event_type, day""".stripMargin
 }

@@ -1185,6 +1185,66 @@ object StreamingQueries {
         .select(col("s").as("supp"), (col("pos") + 1).as("rnk"),
           col("st.nb").as("neighbor"), col("st.n_common").as("n_common"))
         .orderBy(col("supp"), col("rnk"))
+    },
+
+    // Streaming twin of op_anomaly_ewma — the drift monitor run the way
+    // production runs it: the dense per-type daily-count feed (every type ×
+    // every calendar day, zero-filled — the frame a metrics pipeline emits)
+    // arrives in day order across micro-batches, and a keyed GroupState of
+    // O(1) per event_type (days-seen counter + last ≤8 counts) folds each
+    // day into the truncated integer EWMA as it lands. All-integer math, so
+    // the drained append-mode sink is bit-identical to the batch monitor —
+    // the oracle is op_anomaly_ewma's SQL verbatim (shared val, cannot
+    // drift). Scale: state is |types| tuples of ≤9 longs, the stream
+    // exchange hashes on event_type only, and each micro-batch is one
+    // linear pass over that day's metric rows — no event rescans ever.
+    QueryDef("ss_anomaly_ewma", Some(OperatorQueries.anomalyEwmaSql)) { (s, d) =>
+      import s.implicits._
+      implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val daily = Tables.load(s, d, "events")
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("c"))
+        .select(col("event_type"),
+          date_format(col("day"), "yyyy-MM-dd").as("day"), col("c"))
+        .collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      val types = daily.map(_._1).distinct.sorted
+      val days = {
+        val ds0 = daily.map(_._2)
+        val lo = java.time.LocalDate.parse(ds0.min)
+        val hi = java.time.LocalDate.parse(ds0.max)
+        Iterator.iterate(lo)(_.plusDays(1)).takeWhile(!_.isAfter(hi))
+          .map(_.toString).toVector
+      }
+      val have = daily.map(r => (r._1, r._2) -> r._3).toMap
+      // one entry per calendar day; each slice ships whole days so the
+      // per-key in-order contract holds across micro-batches
+      val dense = days.map(day =>
+        types.map(t => (t, day, have.getOrElse((t, day), 0L))))
+      val nSlices = s.conf.get("spark.graft.ssjoin.slices", "4").toInt
+      val per = math.max(1, (dense.length + nSlices - 1) / nSlices)
+
+      val feed = MemoryStream[(String, String, Long)]
+      val monitored = graft.streaming.StatefulOps.ewmaMonitor(feed.toDS())
+      val sink = "ss_anomaly_ewma_sink"
+      s.catalog.dropTempView(sink)
+      val savedParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions",
+        s.conf.get("spark.graft.ssjoin.parts", "4"))
+      val q =
+        try monitored.toDF().writeStream.format("memory").queryName(sink)
+          .outputMode("append").start()
+        finally s.conf.set("spark.sql.shuffle.partitions", savedParts)
+      try {
+        dense.grouped(per).foreach { chunk =>
+          feed.addData(chunk.flatten)
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+      s.table(sink)
+        .select(col("event_type"), col("day"), col("c"),
+          col("ewma_num"), col("ewma_den"), col("spike"), col("dip"))
+        .orderBy(col("event_type"), col("day"))
     }
   )
 }

@@ -85,6 +85,48 @@ object StatefulOps {
         OutputMode.Append(), timeoutConf)(step)
   }
 
+  /** One emitted row of the streaming EWMA drift monitor — the same frame
+    * and flag semantics as the batch op (`op_anomaly_ewma`,
+    * queries/OperatorQueries.scala): truncated integer EWMA over the last
+    * 8 daily counts (weights 128..1, denominator 256 - 2^(8-min(rn,8))),
+    * spike when 4·c·den > 5·num, dip when 5·c·den < 4·num, both gated on
+    * rn >= 3 warm-up days. All-integer, so streaming ≡ batch bit-exactly. */
+  case class EwmaRow(event_type: String, day: String, c: Long,
+      ewma_num: Long, ewma_den: Long, spike: Int, dip: Int)
+
+  /** Monitor state for one key: days seen so far + the last up-to-8 daily
+    * counts, most recent first — O(1) per key in the state store. */
+  case class EwmaState(rn: Int, prev: List[Long])
+
+  /** Streaming EWMA drift monitor over a dense per-key daily-count feed
+    * (key, day "yyyy-MM-dd", count). Input days must arrive in order per
+    * key across micro-batches (a daily metrics feed is); within a batch
+    * rows are sorted by day before folding. Emits exactly one row per
+    * input row (append mode), so the drained sink equals the batch
+    * monitor's full series. */
+  def ewmaMonitor(ds: Dataset[(String, String, Long)]): Dataset[EwmaRow] = {
+    import ds.sparkSession.implicits._
+    def step(key: String, rows: Iterator[(String, String, Long)],
+        state: GroupState[EwmaState]): Iterator[EwmaRow] = {
+      var cur = state.getOption.getOrElse(EwmaState(0, Nil))
+      val out = Vector.newBuilder[EwmaRow]
+      rows.toSeq.sortBy(_._2).foreach { case (_, day, c) =>
+        val padded = cur.prev.padTo(8, 0L)
+        val num = (1 to 8).map(k => padded(k - 1) * (1L << (8 - k))).sum
+        val den = 256L - (1L << (8 - math.min(cur.rn, 8)))
+        val spike = if (cur.rn >= 3 && 4 * c * den > 5 * num) 1 else 0
+        val dip = if (cur.rn >= 3 && 5 * c * den < 4 * num) 1 else 0
+        out += EwmaRow(key, day, c, num, den, spike, dip)
+        cur = EwmaState(cur.rn + 1, (c :: cur.prev).take(8))
+      }
+      state.update(cur)
+      out.result().iterator
+    }
+    ds.groupByKey(_._1)
+      .flatMapGroupsWithState[EwmaState, EwmaRow](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout)(step)
+  }
+
   /** Streaming exact dedup — the live-ingest twin of the batch `dd_exact`
     * query: drop any record whose content hash was already seen inside
     * the watermark horizon. Built on Spark's

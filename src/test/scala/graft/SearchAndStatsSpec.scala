@@ -265,4 +265,35 @@ class SearchAndStatsSpec extends AnyFunSuite {
     assert(rows("2024-02-02")._3 == 0 && rows("2024-02-02")._4 == 0)
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
   }
+
+  test("ewma anomaly: streaming twin equals batch at any slice boundary") {
+    // same planted series; the drained flatMapGroupsWithState monitor must
+    // reproduce the batch frame bit-exactly whether the 10 days arrive in
+    // 2 big micro-batches or 7 ragged ones (slice-boundary invariance is
+    // the genuinely streaming property — state must carry the EWMA tail
+    // across batch cuts).
+    val dir = Files.createTempDirectory("graft-ewma-ss-fixture").toString
+    val s = spark
+    import s.implicits._
+    val counts = Map(7 -> 2, 10 -> 40).withDefaultValue(16)
+    (1 to 10).flatMap { day =>
+      Seq.fill(counts(day))((java.sql.Timestamp.valueOf(f"2024-02-$day%02d 12:00:00"), "m"))
+    }.toDF("ts", "event_type")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val batch = SparkEntry.queries("op_anomaly_ewma")(spark, dir).collect().toSeq
+    val saved = spark.conf.getOption("spark.graft.ssjoin.slices")
+    try {
+      Seq("2", "7").foreach { n =>
+        spark.conf.set("spark.graft.ssjoin.slices", n)
+        val streamed = SparkEntry.queries("ss_anomaly_ewma")(spark, dir).collect().toSeq
+        assert(streamed == batch, s"drained stream != batch at $n slices")
+      }
+    } finally {
+      saved match {
+        case Some(v) => spark.conf.set("spark.graft.ssjoin.slices", v)
+        case None => spark.conf.unset("spark.graft.ssjoin.slices")
+      }
+    }
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
 }
