@@ -703,6 +703,63 @@ object TextQueries {
         .select(col("doc_id"), col("lang"), score.as("score"))
         .withColumn("pred_en", when(col("score") > 0, 1).otherwise(0))
         .orderBy(col("doc_id"))
+    },
+
+    // Collocation mining: the top-100 bigrams by LIFT — observed bigram
+    // probability over the product of its words' unigram probabilities.
+    // Lift is the PMI statistic without the log (log is monotone, so the
+    // RANKING is identical), which keeps the score a pure IEEE
+    // mul/div chain both engines evaluate bit-identically — ln() would
+    // differ between libm implementations and break the hash gate. Min
+    // support 5 drops hapax pairs whose lift is pure noise (the standard
+    // collocation-extraction practice). Scale: tokens explode once,
+    // unigram/bigram counts are map-side-combined aggregates, the two
+    // vocab joins hash on the word (vocab-sized, not corpus-sized), and
+    // the top-100 is a TakeOrderedAndProject bounded heap — no full sort,
+    // no driver collect. Deterministic total order: (lift DESC, x, y).
+    QueryDef("tx_collocations", Some(
+      """WITH t AS (SELECT string_split(text,' ') AS t FROM documents),
+        |tok AS (SELECT unnest(t) AS w FROM t),
+        |uni AS (SELECT w, count(*) AS c_w FROM tok GROUP BY w),
+        |bg0 AS (SELECT unnest([{'x': t[i], 'y': t[i+1]} FOR i IN range(1, len(t))]) AS p FROM t),
+        |bg AS (SELECT p.x AS x, p.y AS y FROM bg0),
+        |n AS (SELECT count(*) AS n_tok FROM tok),
+        |m AS (SELECT count(*) AS m_bg FROM bg),
+        |cand AS (SELECT x, y, count(*) AS c_xy FROM bg GROUP BY x, y HAVING count(*) >= 5)
+        |SELECT x, y, c_xy, ux.c_w AS c_x, uy.c_w AS c_y,
+        |  CAST(c_xy AS DOUBLE) / CAST(m_bg AS DOUBLE)
+        |    / (CAST(ux.c_w AS DOUBLE) / CAST(n_tok AS DOUBLE))
+        |    / (CAST(uy.c_w AS DOUBLE) / CAST(n_tok AS DOUBLE)) AS lift
+        |FROM cand
+        |JOIN uni ux ON ux.w = cand.x
+        |JOIN uni uy ON uy.w = cand.y
+        |CROSS JOIN n CROSS JOIN m
+        |ORDER BY lift DESC, x, y LIMIT 100""".stripMargin)) { (s, d) =>
+      val t = toks
+      val base = docs(s, d).select(t.as("t"))
+      val tok = base.select(explode(col("t")).as("w"))
+      val uni = tok.groupBy(col("w")).agg(count(lit(1)).as("c_w"))
+      val pairs = filter(
+        zip_with(col("t"), slice(col("t"), lit(2), size(col("t"))),
+          (a, b) => struct(a.as("x"), b.as("y"))),
+        p => p.getField("y").isNotNull)
+      val bg = base.select(explode(pairs).as("p"))
+        .select(col("p.x").as("x"), col("p.y").as("y"))
+      val nTok = tok.agg(count(lit(1)).as("n_tok"))
+      val mBg = bg.agg(count(lit(1)).as("m_bg"))
+      val cand = bg.groupBy(col("x"), col("y")).agg(count(lit(1)).as("c_xy"))
+        .filter(col("c_xy") >= 5)
+      val lift = col("c_xy").cast(DoubleType) / col("m_bg").cast(DoubleType) /
+        (col("c_x").cast(DoubleType) / col("n_tok").cast(DoubleType)) /
+        (col("c_y").cast(DoubleType) / col("n_tok").cast(DoubleType))
+      cand
+        .join(uni.select(col("w").as("x"), col("c_w").as("c_x")), Seq("x"))
+        .join(uni.select(col("w").as("y"), col("c_w").as("c_y")), Seq("y"))
+        .crossJoin(broadcast(nTok)).crossJoin(broadcast(mBg))
+        .select(col("x"), col("y"), col("c_xy"), col("c_x"), col("c_y"),
+          lift.as("lift"))
+        .orderBy(col("lift").desc, col("x"), col("y"))
+        .limit(100)
     }
   )
 

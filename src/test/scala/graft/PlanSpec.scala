@@ -60,6 +60,14 @@ class PlanSpec extends AnyFunSuite {
     assert("HashAggregate".r.findAllIn(p).size >= 2, p)
   }
 
+  test("collocation top-100 is a bounded heap with broadcast totals") {
+    val p = planStr("tx_collocations")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-100 by lift must be per-partition heaps, not a global sort:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"the 1-row token/bigram totals must broadcast:\n$p")
+  }
+
   /** AQE hides subtrees behind QueryStageExec leaves; disable it while
     * rendering generated code so codegenString can traverse the plan. */
   private def codegenOf(name: String): String = {
