@@ -1251,6 +1251,47 @@ object OperatorQueries {
     // dip (count < 4/5 × EWMA) are integer cross-multiplications, exact and
     // DuckDB-hash-identical; no float ever appears. Scale: the daily
     // aggregate is the only corpus exchange (partial+final on
+    // Sequential-pattern mining: the top-25 3-event-type paths users take
+    // WITHIN a session (op_sessionize's 2-day gap rule) — the journey
+    // report behind funnel design, one level up from op_transitions'
+    // pairwise Markov counts. Spark-first trick: instead of re-shuffling
+    // on (user, session_id) for the triple window, everything runs in ONE
+    // window partition (user_id, ordered ts/event_id) — the session
+    // boundary is enforced by also leading the new-session flag: a triple
+    // counts only if the 2nd and 3rd events are continuations (b1=0,
+    // b2=0). One exchange + one in-partition sort total; the aggregate is
+    // |types|³ keys at most, map-side combined; the top-25 is a
+    // TakeOrderedAndProject bounded heap. Tie-free total order:
+    // (n_paths DESC, e1, e2, e3).
+    QueryDef("op_top_paths", Some(
+      """WITH x AS (SELECT user_id, ts, event_id, event_type,
+        |    CASE WHEN ts - lag(ts) OVER w <= INTERVAL 2 DAY THEN 0 ELSE 1 END AS new_s
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |tri AS (SELECT event_type AS e1,
+        |    lead(event_type, 1) OVER w AS e2, lead(event_type, 2) OVER w AS e3,
+        |    lead(new_s, 1) OVER w AS b1, lead(new_s, 2) OVER w AS b2
+        |  FROM x WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT e1, e2, e3, count(*) AS n_paths
+        |FROM tri WHERE e3 IS NOT NULL AND b1 = 0 AND b2 = 0
+        |GROUP BY e1, e2, e3
+        |ORDER BY n_paths DESC, e1, e2, e3 LIMIT 25""".stripMargin)) { (s, d) =>
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      ev(s, d)
+        .withColumn("new_s",
+          when(col("ts").cast(LongType) - lag(col("ts"), 1).over(w).cast(LongType) <= 172800, 0)
+            .otherwise(1))
+        .select(col("event_type").as("e1"),
+          lead(col("event_type"), 1).over(w).as("e2"),
+          lead(col("event_type"), 2).over(w).as("e3"),
+          lead(col("new_s"), 1).over(w).as("b1"),
+          lead(col("new_s"), 2).over(w).as("b2"))
+        .filter(col("e3").isNotNull && col("b1") === 0 && col("b2") === 0)
+        .groupBy(col("e1"), col("e2"), col("e3"))
+        .agg(count(lit(1)).as("n_paths"))
+        .orderBy(col("n_paths").desc, col("e1"), col("e2"), col("e3"))
+        .limit(25)
+    },
+
     // (type, day)); the window partitions are per-type series of length
     // |days| — thousands of rows per metric, never per-event.
     QueryDef("op_anomaly_ewma", Some(OperatorQueries.anomalyEwmaSql)) { (s, d) =>

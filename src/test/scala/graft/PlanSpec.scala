@@ -60,6 +60,17 @@ class PlanSpec extends AnyFunSuite {
     assert("HashAggregate".r.findAllIn(p).size >= 2, p)
   }
 
+  test("top-paths mines triples in ONE user window pass, heap-selects top-25") {
+    val p = planStr("op_top_paths")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-25 paths must be per-partition heaps, not a global sort:\n$p")
+    // the session boundary must ride the SAME user_id window as the
+    // triple leads — re-partitioning on (user, session) would double the
+    // event-table shuffle
+    assert("hashpartitioning\\(user_id".r.findAllIn(p).size == 1,
+      s"expected exactly one user_id exchange:\n$p")
+  }
+
   test("collocation top-100 is a bounded heap with broadcast totals") {
     val p = planStr("tx_collocations")
     assert(p.contains("TakeOrderedAndProject"),
