@@ -442,6 +442,28 @@ object Multimodal {
       .map(off => java.util.Arrays.copyOfRange(payload, off, off + frameBytes))
   }
 
+  /** REAL WAV decode to the raw sample stream: (doc_id, sample_rate,
+    * samples int[]) — the imperative seam for sample-level audio ops
+    * (VAD, resampling); everything downstream of it stays declarative
+    * DataFrame ops. Malformed payloads are dropped, matching the decode
+    * contract (a pipeline skips bad blobs, it never crashes an executor). */
+  def decodeWavSamples(df: DataFrame, idCol: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("sample_rate", IntegerType, nullable = false),
+      StructField("samples", ArrayType(IntegerType, containsNull = false))))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    val idIdx = df.schema.fieldIndex(idCol)
+    val payloadIdx = df.schema.fieldIndex("payload")
+    df.mapPartitions { rows =>
+      rows.flatMap { r =>
+        decodeWavPcm16(r.getAs[Array[Byte]](payloadIdx)).map { case (rate, ss) =>
+          Row(r.getLong(idIdx), rate, ss.map(_.toInt).toSeq)
+        }
+      }
+    }(enc)
+  }
+
   /** Batch feature extraction over partitions. Per-partition setup happens
     * once (where a codec context would be created), then rows stream
     * through — identical execution shape to `mapInPandas`. */

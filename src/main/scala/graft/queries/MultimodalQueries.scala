@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -158,6 +159,61 @@ object MultimodalQueries {
           element_at(col("features"), 5).cast(LongType).as("max_abs"),
           element_at(col("features"), 6).cast(LongType).as("zero_x"))
         .orderBy(col("doc_id"))
+    },
+
+    // Energy-based voice-activity segmentation — the audio twin of
+    // sessionize: decode the SAME synthesized WAVs through the real RIFF
+    // parser to the raw sample stream, frame them (8 samples/frame), mark
+    // frames active when integer energy Σs² ≥ 2.8M (the uniform-noise
+    // mean 2048²/12 ≈ 350k per sample), and merge consecutive active
+    // frames into segments with the gaps-and-islands window. All integer
+    // math end to end, so the oracle recomputes every segment from the
+    // fixture's closed form. Scale: one bounded explode (|samples| per
+    // payload), frame energies map-side combined, the island window runs
+    // per-doc over |frames| rows — never per-sample — and the final
+    // aggregate is per-segment.
+    QueryDef("mm_audio_vad", Some(
+      """WITH m AS (SELECT doc_id, 8 + doc_id % 33 AS n FROM documents),
+        |s AS (SELECT doc_id, unnest(range(0, n)) AS i FROM m),
+        |v AS (SELECT doc_id, i, (doc_id * 31 + i * 17) % 2048 - 1024 AS sv FROM s),
+        |f AS (SELECT doc_id, i // 8 AS frame, CAST(sum(sv * sv) AS BIGINT) AS e
+        |      FROM v GROUP BY 1, 2),
+        |a AS (SELECT doc_id, frame, e,
+        |      CASE WHEN e >= 2800000 THEN 1 ELSE 0 END AS act FROM f),
+        |g AS (SELECT *, CASE WHEN act = 1 AND COALESCE(lag(act) OVER w, 0) = 0
+        |      THEN 1 ELSE 0 END AS new_seg
+        |      FROM a WINDOW w AS (PARTITION BY doc_id ORDER BY frame)),
+        |sg AS (SELECT *, sum(new_seg) OVER (PARTITION BY doc_id ORDER BY frame
+        |       ROWS UNBOUNDED PRECEDING) AS seg FROM g)
+        |SELECT doc_id, CAST(seg AS BIGINT) AS seg_id,
+        |  CAST(min(frame) AS BIGINT) AS start_frame,
+        |  CAST(count(*) AS BIGINT) AS n_frames,
+        |  CAST(sum(e) AS BIGINT) AS seg_energy
+        |FROM sg WHERE act = 1 GROUP BY doc_id, seg
+        |ORDER BY doc_id, seg_id""".stripMargin)) { (s, d) =>
+      val decoded = Multimodal.decodeWavSamples(
+        Multimodal.ingest(wavPayloads(s, d), "payload", Multimodal.WavFormat),
+        "doc_id")
+      val frames = decoded
+        .select(col("doc_id"), posexplode(col("samples")).as(Seq("i", "sv")))
+        .groupBy(col("doc_id"), expr("CAST(i div 8 AS BIGINT)").as("frame"))
+        .agg(sum(col("sv") * col("sv")).as("e"))
+        .withColumn("act", when(col("e") >= 2800000L, 1).otherwise(0))
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("frame"))
+      val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      frames
+        .withColumn("new_seg",
+          when(col("act") === 1 && coalesce(lag(col("act"), 1).over(w), lit(0)) === 0, 1)
+            .otherwise(0))
+        .withColumn("seg", sum(col("new_seg")).over(cum))
+        .filter(col("act") === 1)
+        .groupBy(col("doc_id"), col("seg"))
+        .agg(min(col("frame")).as("start_frame"),
+          count(lit(1)).as("n_frames"),
+          sum(col("e")).as("seg_energy"))
+        .select(col("doc_id"), col("seg").cast(LongType).as("seg_id"),
+          col("start_frame"), col("n_frames"), col("seg_energy"))
+        .orderBy(col("doc_id"), col("seg_id"))
     },
 
     // Ingest contract: payload + typed metadata. Metadata is
