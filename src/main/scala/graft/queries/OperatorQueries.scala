@@ -1251,6 +1251,55 @@ object OperatorQueries {
     // dip (count < 4/5 × EWMA) are integer cross-multiplications, exact and
     // DuckDB-hash-identical; no float ever appears. Scale: the daily
     // aggregate is the only corpus exchange (partial+final on
+    // Multi-objective curation: the per-language Pareto frontier of
+    // documents on (length, vocabulary richness) — "keep every doc no
+    // other doc beats on BOTH axes", the skyline operator of the
+    // curation literature. Exact integer axes (n_chars, distinct-token
+    // count), so the whole frontier is oracle-checkable. A point
+    // survives iff no point of the same lang has x' > x with y' >= y
+    // (strictly-greater-x max via a RANGE .. 1 PRECEDING frame) nor
+    // x' = x with y' > y (same-x max). Scale shape: the naive skyline is
+    // one window per lang — |lang| = 5 partitions would serialize 100 TB
+    // through 5 sorts. Instead phase 1 computes the skyline per
+    // (lang, 32-way doc_id bucket) — domination is transitive, so a doc
+    // dominated inside its bucket is dominated globally and the bucket
+    // skyline is a SUPERSET of the global one — and phase 2 re-runs the
+    // same window per lang over only the ~|skyline|·32 survivors. The
+    // oracle computes the global frontier directly; the two plans must
+    // agree exactly.
+    QueryDef("op_skyline", Some(
+      """WITH p AS (SELECT doc_id, lang, n_chars,
+        |    CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct
+        |  FROM documents),
+        |sk AS (SELECT *,
+        |    max(n_distinct) OVER (PARTITION BY lang ORDER BY n_chars DESC
+        |      RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS m_gt,
+        |    max(n_distinct) OVER (PARTITION BY lang, n_chars) AS m_eq
+        |  FROM p)
+        |SELECT doc_id, lang, n_chars, n_distinct
+        |FROM sk WHERE (m_gt IS NULL OR n_distinct > m_gt) AND n_distinct = m_eq
+        |ORDER BY lang, doc_id""".stripMargin)) { (s, d) =>
+      def skyline(df: DataFrame, parts: org.apache.spark.sql.Column*): DataFrame = {
+        val byX = Window.partitionBy(parts: _*).orderBy(col("n_chars").desc)
+          .rangeBetween(Window.unboundedPreceding, -1)
+        val eqX = Window.partitionBy(parts :+ col("n_chars"): _*)
+        df.withColumn("m_gt", max(col("n_distinct")).over(byX))
+          .withColumn("m_eq", max(col("n_distinct")).over(eqX))
+          .filter((col("m_gt").isNull || col("n_distinct") > col("m_gt")) &&
+            col("n_distinct") === col("m_eq"))
+          .drop("m_gt", "m_eq")
+      }
+      val points = Tables.load(s, d, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          size(array_distinct(split(col("text"), " "))).cast(LongType).as("n_distinct"))
+      val local = skyline(
+        points.withColumn("bucket", pmod(crc32(col("doc_id").cast(StringType)), lit(32))),
+        col("lang"), col("bucket"))
+      skyline(local.drop("bucket"), col("lang"))
+        .select(col("doc_id"), col("lang"), col("n_chars"), col("n_distinct"))
+        .orderBy(col("lang"), col("doc_id"))
+    },
+
     // Sequential-pattern mining: the top-25 3-event-type paths users take
     // WITHIN a session (op_sessionize's 2-day gap rule) — the journey
     // report behind funnel design, one level up from op_transitions'

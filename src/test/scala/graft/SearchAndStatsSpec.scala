@@ -266,6 +266,23 @@ class SearchAndStatsSpec extends AnyFunSuite {
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
   }
 
+  test("skyline: strict domination, same-x domination, duplicates kept") {
+    // axes: x = n_chars (helper sets it to text.length), y = distinct
+    // tokens. A(13,5)=B dup — both kept; C(13,4) loses to A on same x;
+    // D(15,3) and E(11,6) are frontier corners; F(11,5) is strictly
+    // dominated by A (13>11, 5>=5).
+    val dir = docsDir(Seq(
+      (0L, "a b c d e a a", "en", "s"),   // A (13,5)
+      (1L, "a b c d e a a", "en", "s"),   // B duplicate of A
+      (2L, "a b c d a a a", "en", "s"),   // C (13,4) dominated
+      (3L, "a b c a a a a a", "en", "s"), // D (15,3)
+      (4L, "a b c d e f", "en", "s"),     // E (11,6)
+      (5L, "a b c d e a", "en", "s")))    // F (11,5) dominated
+    val got = SparkEntry.queries("op_skyline")(spark, dir)
+      .collect().map(_.getLong(0)).toSet
+    assert(got == Set(0L, 1L, 3L, 4L), s"got $got")
+  }
+
   test("ewma anomaly: streaming twin equals batch at any slice boundary") {
     // same planted series; the drained flatMapGroupsWithState monitor must
     // reproduce the batch frame bit-exactly whether the 10 days arrive in
