@@ -200,7 +200,17 @@ object ScaleCheck {
           // and the within-batch self-join face the collapsed basket,
           // not the raw hot mass — same defense as op_cooccur_topk
           "op_forget_users", "op_pagerank", "op_cooccur_topk",
-          "ss_cooccur_maintain")
+          "ss_cooccur_maintain",
+          // hot template: 10% of all bigrams collapse onto ~40 distinct
+          // bigram keys — the hot-vocab worst case for collocation
+          // counting (map-side combine must absorb it); hot user: one
+          // window partition holds 10% of the event timeline for path
+          // mining — linear share per copy, the sessionize shape
+          "tx_collocations", "op_top_paths",
+          // hot template: 10% of docs share ONE token set — tf/df for
+          // the ~40 boiler terms concentrates on single term keys; the
+          // df aggregate and the per-doc heap must absorb it map-side
+          "tx_keywords")
       else
         Seq("b5_group_agg", "b1_filter_compound", "j_multiway_star",
           "b6_theta_distinct", "b8_freq_topk", "dd_minhash_lsh", "ann_lsh_topk",
@@ -238,7 +248,9 @@ object ScaleCheck {
           "mm_resize_png", "op_sketch_rollup", "op_sketch_window",
           "ss_sketch_maintain", "op_attribution", "op_pagerank",
           "src_schema_evolution", "op_cooccur_topk", "ss_cooccur_maintain",
-          "op_anomaly_ewma", "mm_phash_neardup")
+          "op_anomaly_ewma", "mm_phash_neardup",
+          "tx_collocations", "op_top_paths", "op_skyline", "mm_audio_vad",
+          "ss_anomaly_ewma", "op_time_travel", "tx_keywords")
     val selected = if (only.isEmpty) names else names.filter(only)
     // dd_semdedup is excluded the same way dd_embed_cosine is: replicated
     // embeddings are bit-identical across copies, so k-fold data has k²

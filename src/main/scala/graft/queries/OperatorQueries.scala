@@ -1251,6 +1251,77 @@ object OperatorQueries {
     // dip (count < 4/5 × EWMA) are integer cross-multiplications, exact and
     // DuckDB-hash-identical; no float ever appears. Scale: the daily
     // aggregate is the only corpus exchange (partial+final on
+    // TIME TRAVEL / point-in-time census: rebuild the SCD2 state history
+    // (op_scd2's gaps-and-islands intervals) and answer "how many users
+    // were in each state AS OF t" for 8 evenly-spaced snapshot times —
+    // the warehouse time-travel query pattern over a history table.
+    // Spark-first trick: NO interval join at all. Snapshot times form an
+    // arithmetic grid (lo + i·step), so each validity interval knows the
+    // exact probe indices it covers by integer math — i from
+    // ceil((vf-lo)/step) to floor((vt-lo-1)/step) — and a sequence()
+    // explode emits one (probe, user, state) row per covered snapshot.
+    // The oracle cross-joins probes × intervals with the containment
+    // predicate; the two must agree exactly. Scale: the history build is
+    // op_scd2's one-exchange shape, the explode fans out at most
+    // |probes| rows per interval, the census aggregate is
+    // |probes|×|types| keys map-side combined, and the global (lo, step)
+    // frame is a broadcast 1-row cross join.
+    QueryDef("op_time_travel", Some(
+      """WITH r AS (
+        |  SELECT user_id, event_type, ts, event_id,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |    - row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS grp
+        |  FROM events),
+        |i AS (
+        |  SELECT user_id, event_type, min(ts) AS vf
+        |  FROM r GROUP BY user_id, event_type, grp),
+        |h AS (
+        |  SELECT user_id, event_type, epoch_us(vf) AS vf_us,
+        |    epoch_us(lead(vf) OVER (PARTITION BY user_id ORDER BY vf)) AS vt_us
+        |  FROM i),
+        |b AS (SELECT min(epoch_us(ts)) AS lo,
+        |        (max(epoch_us(ts)) - min(epoch_us(ts))) // 8 AS step FROM events),
+        |p AS (SELECT unnest(range(0, 8)) AS probe_i FROM b),
+        |t AS (SELECT probe_i, lo + probe_i * step AS probe_us FROM p CROSS JOIN b)
+        |SELECT t.probe_i, t.probe_us, h.event_type,
+        |  count(*) AS n_users
+        |FROM h JOIN t ON h.vf_us <= t.probe_us
+        |  AND (h.vt_us IS NULL OR t.probe_us < h.vt_us)
+        |GROUP BY t.probe_i, t.probe_us, h.event_type
+        |ORDER BY probe_i, event_type""".stripMargin)) { (s, d) =>
+      val events = ev(s, d)
+      val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val byUserType = Window.partitionBy(col("user_id"), col("event_type"))
+        .orderBy(col("ts"), col("event_id"))
+      val intervals = events
+        .select(col("user_id"), col("event_type"), col("ts"),
+          (row_number().over(byUser) - row_number().over(byUserType)).as("grp"))
+        .groupBy(col("user_id"), col("event_type"), col("grp"))
+        .agg(min(col("ts")).as("vf"))
+        .select(col("user_id"), col("event_type"),
+          unix_micros(col("vf")).as("vf_us"),
+          unix_micros(lead(col("vf"), 1)
+            .over(Window.partitionBy(col("user_id")).orderBy(col("vf")))).as("vt_us"))
+      val bounds = events.agg(
+          min(unix_micros(col("ts"))).as("lo"),
+          max(unix_micros(col("ts"))).as("hi"))
+        .select(col("lo"), expr("(hi - lo) div 8").as("step"))
+      // covered probe indices by integer math: ceil-div for the first,
+      // strict-upper floor-div for the last; clamp to the 0..7 grid
+      intervals.crossJoin(broadcast(bounds))
+        .withColumn("i_lo",
+          greatest(expr("CAST((vf_us - lo + step - 1) div step AS INT)"), lit(0)))
+        .withColumn("i_hi",
+          least(coalesce(expr("CAST((vt_us - lo - 1) div step AS INT)"), lit(7)), lit(7)))
+        .filter(col("i_lo") <= col("i_hi"))
+        .select(col("event_type"), col("lo"), col("step"),
+          explode(expr("sequence(i_lo, i_hi)")).as("probe_i"))
+        .groupBy(col("probe_i"), (col("lo") + col("probe_i") * col("step")).as("probe_us"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy(col("probe_i"), col("event_type"))
+    },
+
     // Multi-objective curation: the per-language Pareto frontier of
     // documents on (length, vocabulary richness) — "keep every doc no
     // other doc beats on BOTH axes", the skyline operator of the

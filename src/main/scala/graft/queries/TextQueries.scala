@@ -705,6 +705,45 @@ object TextQueries {
         .orderBy(col("doc_id"))
     },
 
+    // Keyword extraction: each doc's top-3 terms by tf/df — the TF-IDF
+    // ranking with the idf log dropped (log is monotone in 1/df, so the
+    // per-doc ORDER is identical) to keep the score one IEEE division
+    // both engines compute bit-identically. Scale shape: tf is a
+    // (doc, term) map-side-combined aggregate, df reuses tf's frame
+    // (term-keyed, vocab-sized), the join hashes on term, and the
+    // per-doc top-3 is the topk_min bounded heap (partial+final, ~3
+    // rows per doc cross the final exchange) — NO WindowExec, no
+    // per-doc sort of the full posting list. Deterministic: ties break
+    // on term ascending inside the heap's struct order.
+    QueryDef("tx_keywords", Some(
+      """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY 1, 2),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |sc AS (SELECT doc_id, term, tf, df,
+        |    CAST(tf AS DOUBLE) / CAST(df AS DOUBLE) AS score,
+        |    row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY CAST(tf AS DOUBLE) / CAST(df AS DOUBLE) DESC, term) AS rnk
+        |  FROM tf JOIN df USING (term))
+        |SELECT doc_id, rnk, term, tf, df, score
+        |FROM sc WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin)) { (s, d) =>
+      import graft.functions.topk_min
+      val tf = docs(s, d)
+        .select(col("doc_id"), explode(toks).as("term"))
+        .groupBy(col("doc_id"), col("term"))
+        .agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val score = col("tf").cast(DoubleType) / col("df").cast(DoubleType)
+      tf.join(df, Seq("term"))
+        .groupBy(col("doc_id"))
+        .agg(topk_min(struct((-score).as("ns"), col("term").as("term"),
+          col("tf").as("tf"), col("df").as("df")), 3).as("tk"))
+        .select(col("doc_id"), posexplode(col("tk")).as(Seq("p", "st")))
+        .select(col("doc_id"), (col("p") + 1).as("rnk"),
+          col("st.term").as("term"), col("st.tf").as("tf"),
+          col("st.df").as("df"), (-col("st.ns")).as("score"))
+        .orderBy(col("doc_id"), col("rnk"))
+    },
+
     // Collocation mining: the top-100 bigrams by LIFT — observed bigram
     // probability over the product of its words' unigram probabilities.
     // Lift is the PMI statistic without the log (log is monotone, so the

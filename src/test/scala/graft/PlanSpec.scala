@@ -71,6 +71,22 @@ class PlanSpec extends AnyFunSuite {
       s"expected exactly one user_id exchange:\n$p")
   }
 
+  test("keywords top-3/doc is the bounded heap, not a per-doc window sort") {
+    val p = planStr("tx_keywords")
+    assert(!p.contains("WindowExec") && !p.contains("Window"),
+      s"per-doc top-3 must be topk_min partial+final, not a window rank:\n$p")
+    assert(p.contains("topk_min") || p.contains("TopKMin"),
+      s"expected the bounded-heap aggregate in the plan:\n$p")
+  }
+
+  test("time travel joins no intervals: probe coverage is sequence math") {
+    val p = planStr("op_time_travel")
+    assert(!p.contains("SortMergeJoin"),
+      s"interval containment must be the sequence explode, not a range join:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"the 1-row (lo, step) frame must broadcast:\n$p")
+  }
+
   test("collocation top-100 is a bounded heap with broadcast totals") {
     val p = planStr("tx_collocations")
     assert(p.contains("TakeOrderedAndProject"),
