@@ -503,7 +503,48 @@ object MultimodalQueries {
     // hash join on band keys); no quadratic pass anywhere — the classic
     // pHash-dedup shape for an image corpus.
     QueryDef("mm_phash_neardup", Some(
-      """WITH m AS (SELECT doc_id, doc_id - doc_id % 4 AS fam, doc_id % 4 AS v
+      s"""WITH $phashPairCte
+        |SELECT doc_a, doc_b,
+        |  CAST(bit_count(xor(hash_a, hash_b)) AS BIGINT) AS hamming
+        |FROM c WHERE bit_count(xor(hash_a, hash_b)) <= 2
+        |ORDER BY doc_a, doc_b""".stripMargin)) { (s, d) =>
+      phashPairs(s, d).orderBy(col("doc_a"), col("doc_b"))
+    },
+
+    // Image DUP CLUSTERS: the pHash pair graph closed into connected
+    // components — dd_dup_clusters' treatment applied to the multimodal
+    // family, so an image corpus gets the same cluster/canonicalize
+    // machinery text gets. The pair source is the SHARED phashPairs
+    // helper (cluster and pair queries cannot drift); clustering
+    // delegates to the shared ConnectedComponents operator (driver
+    // union-find below the conf cap, distributed min-label /
+    // alternating-stars above it). The oracle closes the same pair
+    // graph with a recursive transitive-closure CTE and labels each
+    // node with its min reachable id — exactly the CC contract.
+    QueryDef("mm_phash_clusters", Some(
+      s"""WITH RECURSIVE $phashPairCte,
+        |p AS (SELECT doc_a, doc_b FROM c
+        |      WHERE bit_count(xor(hash_a, hash_b)) <= 2),
+        |eg AS (SELECT doc_a AS a, doc_b AS b FROM p
+        |       UNION SELECT doc_b, doc_a FROM p),
+        |reach(a, b) AS (SELECT a, b FROM eg
+        |  UNION SELECT r.a, eg.b FROM reach r JOIN eg ON r.b = eg.a),
+        |lab AS (SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+        |        FROM reach GROUP BY a)
+        |SELECT doc_id, cluster_id FROM lab ORDER BY doc_id""".stripMargin)) { (s, d) =>
+      graft.operators.ConnectedComponents
+        .components(phashPairs(s, d).select(col("doc_a"), col("doc_b")))
+        .select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
+        .orderBy(col("doc_id"))
+    }
+  )
+
+  /** Oracle CTE body shared by the pHash pair and cluster queries: the
+    * closed-form hash recomputation, 3-band split and banded equi-join —
+    * ends at `c` = candidate pairs with both hashes. (Lazy: referenced
+    * from `defs`, which initializes first.) */
+  private lazy val phashPairCte: String =
+      """m AS (SELECT doc_id, doc_id - doc_id % 4 AS fam, doc_id % 4 AS v
         |           FROM documents),
         |d AS (SELECT doc_id, fam, v,
         |    4 + (fam // 4) % 5 AS w, 3 + (fam // 4) % 4 AS h,
@@ -529,48 +570,48 @@ object MultimodalQueries {
         |c AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
         |    a.hash AS hash_a, b.hash AS hash_b
         |  FROM e a JOIN e b ON a.w = b.w AND a.h = b.h AND a.bb = b.bb
-        |    AND a.bv = b.bv AND a.doc_id < b.doc_id)
-        |SELECT doc_a, doc_b,
-        |  CAST(bit_count(xor(hash_a, hash_b)) AS BIGINT) AS hamming
-        |FROM c WHERE bit_count(xor(hash_a, hash_b)) <= 2
-        |ORDER BY doc_a, doc_b""".stripMargin)) { (s, d) =>
-      val enc = org.apache.spark.sql.Encoders.row(StructType(Seq(
-        StructField("doc_id", LongType), StructField("w", IntegerType),
-        StructField("h", IntegerType),
-        StructField("px", ArrayType(IntegerType, containsNull = false)))))
-      val decoded = phashPayloads(s, d).mapPartitions { rows =>
-        rows.flatMap { r =>
-          Multimodal.decodePpmLuma(r.getAs[Array[Byte]](1)).map { case (w, h, g) =>
-            org.apache.spark.sql.Row(r.getLong(0), w, h, g.toSeq)
-          }
+        |    AND a.bv = b.bv AND a.doc_id < b.doc_id)""".stripMargin
+
+  /** Shared pHash pair machinery: real P6 decode → average-hash fold →
+    * 3-band split → banded equi-join → exact Hamming ≤ 2 filter.
+    * Returns (doc_a, doc_b, hamming), doc_a < doc_b, unordered. */
+  private def phashPairs(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(StructType(Seq(
+      StructField("doc_id", LongType), StructField("w", IntegerType),
+      StructField("h", IntegerType),
+      StructField("px", ArrayType(IntegerType, containsNull = false)))))
+    val decoded = phashPayloads(s, d).mapPartitions { rows =>
+      rows.flatMap { r =>
+        Multimodal.decodePpmLuma(r.getAs[Array[Byte]](1)).map { case (w, h, g) =>
+          org.apache.spark.sql.Row(r.getLong(0), w, h, g.toSeq)
         }
-      }(enc)
-      val hashed = decoded
-        .withColumn("n", col("w") * col("h"))
-        .withColumn("gsum", expr("aggregate(px, 0L, (a, x) -> a + CAST(x AS BIGINT))"))
-        .withColumn("hash", expr(
-          "aggregate(px, 0L, (a, x) -> a * 2L + " +
-            "IF(CAST(x AS BIGINT) * CAST(n AS BIGINT) > gsum, 1L, 0L))"))
-        .withColumn("wb", expr("CAST((n + 2) div 3 AS INT)"))
-        .select(col("doc_id"), col("w"), col("h"), col("hash"), col("wb"))
-      val banded = hashed
-        .withColumn("bb", explode(array(lit(0), lit(1), lit(2))))
-        .withColumn("bv", expr("shiftright(hash, bb * wb) & (shiftleft(1L, wb) - 1L)"))
-      val la = banded.select(col("doc_id").as("doc_a"), col("w").as("w_a"),
-        col("h").as("h_a"), col("bb").as("bb_a"), col("bv").as("bv_a"),
-        col("hash").as("hash_a"))
-      val lb = banded.select(col("doc_id").as("doc_b"), col("w").as("w_b"),
-        col("h").as("h_b"), col("bb").as("bb_b"), col("bv").as("bv_b"),
-        col("hash").as("hash_b"))
-      la.join(lb, col("w_a") === col("w_b") && col("h_a") === col("h_b") &&
-          col("bb_a") === col("bb_b") && col("bv_a") === col("bv_b") &&
-          col("doc_a") < col("doc_b"))
-        .select(col("doc_a"), col("doc_b"), col("hash_a"), col("hash_b"))
-        .distinct()
-        .withColumn("hamming", expr("CAST(bit_count(hash_a ^ hash_b) AS BIGINT)"))
-        .filter(col("hamming") <= 2)
-        .select(col("doc_a"), col("doc_b"), col("hamming"))
-        .orderBy(col("doc_a"), col("doc_b"))
-    }
-  )
+      }
+    }(enc)
+    val hashed = decoded
+      .withColumn("n", col("w") * col("h"))
+      .withColumn("gsum", expr("aggregate(px, 0L, (a, x) -> a + CAST(x AS BIGINT))"))
+      .withColumn("hash", expr(
+        "aggregate(px, 0L, (a, x) -> a * 2L + " +
+          "IF(CAST(x AS BIGINT) * CAST(n AS BIGINT) > gsum, 1L, 0L))"))
+      .withColumn("wb", expr("CAST((n + 2) div 3 AS INT)"))
+      .select(col("doc_id"), col("w"), col("h"), col("hash"), col("wb"))
+    val banded = hashed
+      .withColumn("bb", explode(array(lit(0), lit(1), lit(2))))
+      .withColumn("bv", expr("shiftright(hash, bb * wb) & (shiftleft(1L, wb) - 1L)"))
+    val la = banded.select(col("doc_id").as("doc_a"), col("w").as("w_a"),
+      col("h").as("h_a"), col("bb").as("bb_a"), col("bv").as("bv_a"),
+      col("hash").as("hash_a"))
+    val lb = banded.select(col("doc_id").as("doc_b"), col("w").as("w_b"),
+      col("h").as("h_b"), col("bb").as("bb_b"), col("bv").as("bv_b"),
+      col("hash").as("hash_b"))
+    la.join(lb, col("w_a") === col("w_b") && col("h_a") === col("h_b") &&
+        col("bb_a") === col("bb_b") && col("bv_a") === col("bv_b") &&
+        col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("hash_a"), col("hash_b"))
+      .distinct()
+      .withColumn("hamming", expr("CAST(bit_count(hash_a ^ hash_b) AS BIGINT)"))
+      .filter(col("hamming") <= 2)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+  }
 }
