@@ -48,7 +48,12 @@ object PlanDump {
     "op_pagerank" -> "6 PageRank iterations: edges scan-only, rank table broadcast, dst partials map-combined",
     "op_cooccur_topk" -> "co-occurrence CF: distinct collapse, per-customer self-join, bounded-heap top-5",
     "op_anomaly_ewma" -> "EWMA drift monitor: one corpus aggregate, broadcast calendar grid, per-type windows",
-    "mm_phash_neardup" -> "pHash near-dup: decode seam, HOF hash fold, 3-band equi-join, exact xor filter")
+    "mm_phash_neardup" -> "pHash near-dup: decode seam, HOF hash fold, 3-band equi-join, exact xor filter",
+    "op_top_paths" -> "path mining: ONE user_id window (session flag rides the triple leads), heap top-25",
+    "op_skyline" -> "Pareto frontier: per-(lang,bucket) skyline prefilter, then the global pass on survivors",
+    "op_time_travel" -> "point-in-time census: SCD2 build + sequence() probe explode, NO interval join",
+    "tx_collocations" -> "collocations by lift: map-combined counts, vocab joins, broadcast totals, heap top-100",
+    "tx_keywords" -> "keywords by tf/df: map-combined tf, term-keyed df join, topk_min heap (no WindowExec)")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
