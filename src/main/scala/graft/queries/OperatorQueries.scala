@@ -1251,6 +1251,70 @@ object OperatorQueries {
     // dip (count < 4/5 × EWMA) are integer cross-multiplications, exact and
     // DuckDB-hash-identical; no float ever appears. Scale: the daily
     // aggregate is the only corpus exchange (partial+final on
+    // COMMUNITY DETECTION: synchronous label propagation over the same
+    // customer↔supplier trade network as op_pagerank — 3 unrolled rounds
+    // where every node adopts its neighbors' MOST FREQUENT label, ties
+    // to the lexicographically smallest. Fixed rounds + a total tie
+    // order make sync LP fully deterministic, so the oracle recomputes
+    // every round as an unrolled CTE and the assignment hash-matches —
+    // no convergence epsilon, no run-to-run drift (the classic async-LP
+    // failure mode). Completes the iterative-graph class: CC finds
+    // components, PageRank ranks, LP finds dense subgroups. Scale plan
+    // per round (op_pagerank's shape): edges materialize once to scratch
+    // and NEVER shuffle — the O(nodes) label table broadcasts in, the
+    // (dst, lbl) count combines map-side, and the per-node argmax is
+    // min(struct(-c, lbl)) — an aggregate, not a window. Graduation when
+    // labels outgrow a broadcast: bucket edges by src and shuffle the
+    // label table instead.
+    QueryDef("op_label_prop", Some {
+      val rounds = 3
+      val steps = (1 to rounds).map { i =>
+        s"""cnt$i AS (
+           |  SELECT e.dst AS id, l.lbl, count(*) AS c
+           |  FROM lab${i - 1} l JOIN edges e ON e.src = l.id
+           |  GROUP BY 1, 2),
+           |lab$i AS (
+           |  SELECT id, lbl FROM (
+           |    SELECT id, lbl,
+           |      row_number() OVER (PARTITION BY id ORDER BY c DESC, lbl) AS rn
+           |    FROM cnt$i) WHERE rn = 1)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH pairs AS (
+         |  SELECT DISTINCT 'c' || o_custkey AS c, 's' || l_suppkey AS sp
+         |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+         |edges AS (SELECT c AS src, sp AS dst FROM pairs
+         |          UNION ALL SELECT sp AS src, c AS dst FROM pairs),
+         |lab0 AS (SELECT DISTINCT src AS id, src AS lbl FROM edges),
+         |$steps
+         |SELECT id, lbl AS community FROM lab$rounds
+         |ORDER BY id""".stripMargin
+    }) { (s, d) =>
+      val rounds = 3
+      val scratch = s"target/labelprop/edges_${Integer.toHexString(d.hashCode)}"
+      val pairs = Tables.load(s, d, "orders")
+        .select(col("o_orderkey"), col("o_custkey"))
+        .join(Tables.load(s, d, "lineitem")
+          .select(col("l_orderkey"), col("l_suppkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(concat(lit("c"), col("o_custkey")).as("c"),
+          concat(lit("s"), col("l_suppkey")).as("sp"))
+        .distinct()
+      pairs.select(col("c").as("src"), col("sp").as("dst"))
+        .unionByName(pairs.select(col("sp").as("src"), col("c").as("dst")))
+        .write.mode("overwrite").parquet(scratch)
+      val edges = s.read.parquet(scratch)
+      var labels = edges.select(col("src").as("id")).distinct()
+        .select(col("id"), col("id").as("lbl"))
+      for (_ <- 1 to rounds) {
+        labels = edges.join(broadcast(labels), edges("src") === labels("id"))
+          .groupBy(col("dst"), col("lbl")).agg(count(lit(1)).as("c"))
+          .groupBy(col("dst"))
+          .agg(min(struct((-col("c")).as("nc"), col("lbl").as("lbl"))).as("m"))
+          .select(col("dst").as("id"), col("m.lbl").as("lbl"))
+      }
+      labels.select(col("id"), col("lbl").as("community")).orderBy(col("id"))
+    },
+
     // TIME TRAVEL / point-in-time census: rebuild the SCD2 state history
     // (op_scd2's gaps-and-islands intervals) and answer "how many users
     // were in each state AS OF t" for 8 evenly-spaced snapshot times —

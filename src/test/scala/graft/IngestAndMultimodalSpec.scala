@@ -286,6 +286,21 @@ class IngestAndMultimodalSpec extends AnyFunSuite {
     assert(Multimodal.decode(enc, Multimodal.WavFormat).toSeq == f.toSeq)
   }
 
+  test("decodeWavSamples seam: valid rows decode, malformed rows drop") {
+    val s = spark
+    import s.implicits._
+    val good = Multimodal.encodeWavPcm16(8000, Array[Short](7, -8, 9))
+    val bad = "definitely not a RIFF container, way past 44 bytes....".getBytes
+    val truncated = good.take(20)
+    val df = Seq((1L, good), (2L, bad), (3L, truncated), (4L, good))
+      .toDF("doc_id", "payload")
+    val out = Multimodal.decodeWavSamples(df, "doc_id")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getSeq[Int](2)))
+      .sortBy(_._1)
+    assert(out.map(_._1).toSeq == Seq(1L, 4L), s"malformed rows must drop: ${out.toSeq}")
+    assert(out.forall { case (_, rate, ss) => rate == 8000 && ss == Seq(7, -8, 9) })
+  }
+
   test("PPM P6 nearest-neighbor resize: exact sample positions, malformed safety") {
     // 4x2 source with distinct per-pixel values; resize to 2x2 samples
     // (x*4/2, y*2/2) = source pixels (0,0),(2,0),(0,1),(2,1)
