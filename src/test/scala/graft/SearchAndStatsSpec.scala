@@ -283,6 +283,69 @@ class SearchAndStatsSpec extends AnyFunSuite {
     assert(got == Set(0L, 1L, 3L, 4L), s"got $got")
   }
 
+  test("skyline: 400-point seeded fuzz equals the brute-force O(n^2) reference") {
+    // random corpora where duplicate points, same-x ties and dense
+    // frontiers all occur by construction; the two-phase bucketed plan
+    // must reproduce the literal domination definition every time.
+    val rnd = new scala.util.Random(20260815L)
+    (1 to 3).foreach { round =>
+      // text with controlled (n_chars, n_distinct): y distinct tokens,
+      // padded with repeats of the first token to stretch length
+      val rows = (0L until 400L).map { id =>
+        val y = 1 + rnd.nextInt(12)
+        val pad = rnd.nextInt(12)
+        val toks = (0 until y).map(j => s"t$j") ++ Seq.fill(pad)("t0")
+        (id, toks.mkString(" "), if (rnd.nextBoolean()) "en" else "de", "s")
+      }
+      val dir = docsDir(rows)
+      val pts = rows.map { case (id, text, lang, _) =>
+        (id, lang, text.length.toLong, text.split(" ").distinct.length.toLong)
+      }
+      val expected = pts.filter { case (_, lang, x, y) =>
+        !pts.exists { case (_, l2, x2, y2) =>
+          l2 == lang && x2 >= x && y2 >= y && (x2 > x || y2 > y)
+        }
+      }.map(_._1).toSet
+      val got = SparkEntry.queries("op_skyline")(spark, dir)
+        .collect().map(_.getLong(0)).toSet
+      assert(got == expected, s"round $round: got ${got.size}, want ${expected.size}")
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
+
+  test("ewma monitor: seeded random batch splits all equal the batch frame") {
+    // beyond the fixed 2/7-slice check: 5 random slicings of a random
+    // 40-day two-metric series — state must carry the EWMA tail across
+    // ANY micro-batch cut.
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(20260815L)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ewma-fuzz").toString
+    val d0 = java.time.LocalDate.parse("2024-03-01")
+    val rows = for {
+      day <- 1 to 40
+      m <- Seq("a", "b")
+      c = 1 + rnd.nextInt(30)
+      _ <- 1 to c
+    } yield (java.sql.Timestamp.valueOf(s"${d0.plusDays(day - 1)} 12:00:00"), m)
+    rows.toDF("ts", "event_type").write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val batch = SparkEntry.queries("op_anomaly_ewma")(spark, dir).collect().toSeq
+    val saved = spark.conf.getOption("spark.graft.ssjoin.slices")
+    try {
+      (1 to 5).foreach { i =>
+        spark.conf.set("spark.graft.ssjoin.slices", (1 + rnd.nextInt(10)).toString)
+        val streamed = SparkEntry.queries("ss_anomaly_ewma")(spark, dir).collect().toSeq
+        assert(streamed == batch, s"fuzz slicing $i diverged")
+      }
+    } finally {
+      saved match {
+        case Some(v) => spark.conf.set("spark.graft.ssjoin.slices", v)
+        case None => spark.conf.unset("spark.graft.ssjoin.slices")
+      }
+    }
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
+
   test("ewma anomaly: streaming twin equals batch at any slice boundary") {
     // same planted series; the drained flatMapGroupsWithState monitor must
     // reproduce the batch frame bit-exactly whether the 10 days arrive in
