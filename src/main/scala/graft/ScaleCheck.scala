@@ -210,7 +210,17 @@ object ScaleCheck {
           // hot template: 10% of docs share ONE token set — tf/df for
           // the ~40 boiler terms concentrates on single term keys; the
           // df aggregate and the per-doc heap must absorb it map-side
-          "tx_keywords")
+          "tx_keywords",
+          // hot customer: one dense graph node for label propagation —
+          // its (dst, lbl) counts must combine map-side and the label
+          // broadcast is node-bounded regardless of degree.
+          // (op_skyline is EXCLUDED from skew the dd_semdedup way: the
+          // hot stratum is 10% identical docs in their OWN lang, i.e.
+          // one giant non-dominated tie group — the output IS 10% of
+          // the corpus by the operator's definition, semantics not
+          // plan. mm_phash_* skew ≡ uniform: payloads derive from
+          // doc_id, which the skew transform never touches.)
+          "op_label_prop")
       else
         Seq("b5_group_agg", "b1_filter_compound", "j_multiway_star",
           "b6_theta_distinct", "b8_freq_topk", "dd_minhash_lsh", "ann_lsh_topk",
