@@ -1402,18 +1402,7 @@ object OperatorQueries {
     // same window per lang over only the ~|skyline|·32 survivors. The
     // oracle computes the global frontier directly; the two plans must
     // agree exactly.
-    QueryDef("op_skyline", Some(
-      """WITH p AS (SELECT doc_id, lang, n_chars,
-        |    CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct
-        |  FROM documents),
-        |sk AS (SELECT *,
-        |    max(n_distinct) OVER (PARTITION BY lang ORDER BY n_chars DESC
-        |      RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS m_gt,
-        |    max(n_distinct) OVER (PARTITION BY lang, n_chars) AS m_eq
-        |  FROM p)
-        |SELECT doc_id, lang, n_chars, n_distinct
-        |FROM sk WHERE (m_gt IS NULL OR n_distinct > m_gt) AND n_distinct = m_eq
-        |ORDER BY lang, doc_id""".stripMargin)) { (s, d) =>
+    QueryDef("op_skyline", Some(OperatorQueries.skylineSql)) { (s, d) =>
       def skyline(df: DataFrame, parts: org.apache.spark.sql.Column*): DataFrame = {
         val byX = Window.partitionBy(parts: _*).orderBy(col("n_chars").desc)
           .rangeBetween(Window.unboundedPreceding, -1)
@@ -1513,6 +1502,24 @@ object OperatorQueries {
     * (op_anomaly_ewma) and its streaming twin (ss_anomaly_ewma) — the two
     * monitors are integer-exact and must agree bit-for-bit, so they are
     * checked against the identical SQL. */
+  /** ONE oracle for the document Pareto frontier, shared by the batch op
+    * (op_skyline) and its streaming maintenance twin (ss_skyline_maintain)
+    * — incremental frontier folding is exact (domination is transitive),
+    * so both are checked against the identical SQL. (Lazy: referenced
+    * from `defs`, which initializes first.) */
+  private[queries] lazy val skylineSql: String =
+    """WITH p AS (SELECT doc_id, lang, n_chars,
+      |    CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct
+      |  FROM documents),
+      |sk AS (SELECT *,
+      |    max(n_distinct) OVER (PARTITION BY lang ORDER BY n_chars DESC
+      |      RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS m_gt,
+      |    max(n_distinct) OVER (PARTITION BY lang, n_chars) AS m_eq
+      |  FROM p)
+      |SELECT doc_id, lang, n_chars, n_distinct
+      |FROM sk WHERE (m_gt IS NULL OR n_distinct > m_gt) AND n_distinct = m_eq
+      |ORDER BY lang, doc_id""".stripMargin
+
   // lazy: referenced from `defs` above, which initializes first
   private[queries] lazy val anomalyEwmaSql: String =
       """WITH b AS (SELECT min(CAST(ts AS DATE)) AS lo, max(CAST(ts AS DATE)) AS hi FROM events),

@@ -1245,6 +1245,55 @@ object StreamingQueries {
         .select(col("event_type"), col("day"), col("c"),
           col("ewma_num"), col("ewma_den"), col("spike"), col("dip"))
         .orderBy(col("event_type"), col("day"))
+    },
+
+    // Streaming twin of op_skyline — INCREMENTAL Pareto-frontier
+    // maintenance: each micro-batch of arriving documents folds into a
+    // per-lang frontier held in GroupState (domination is transitive, so
+    // dropping dominated points early is EXACT — incremental ≡ batch),
+    // and the drained sink's latest emission per lang is the final
+    // frontier, checked against the batch skyline's SQL verbatim
+    // (shared val, cannot drift). This is the production shape of
+    // multi-objective curation: the frontier stays current as the
+    // corpus streams in, at O(|frontier|) state per lang — the whole
+    // point is that the non-dominated set is tiny relative to the
+    // stream, so the state store never grows with corpus size.
+    QueryDef("ss_skyline_maintain", Some(OperatorQueries.skylineSql)) { (s, d) =>
+      import s.implicits._
+      implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val rows = Tables.load(s, d, "documents")
+        .select(col("lang"), col("doc_id"), col("n_chars"),
+          size(array_distinct(split(col("text"), " "))).cast("long").as("nd"))
+        .orderBy(col("doc_id"))
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      val nSlices = s.conf.get("spark.graft.ssjoin.slices", "4").toInt
+      val per = math.max(1, (rows.length + nSlices - 1) / nSlices)
+
+      val feed = MemoryStream[(String, Long, Long, Long)]
+      val maintained = graft.streaming.StatefulOps.skylineMaintain(feed.toDS())
+      val sink = "ss_skyline_sink"
+      s.catalog.dropTempView(sink)
+      val savedParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions",
+        s.conf.get("spark.graft.ssjoin.parts", "4"))
+      val q =
+        try maintained.toDF().writeStream.format("memory").queryName(sink)
+          .outputMode("append").start()
+        finally s.conf.set("spark.sql.shuffle.partitions", savedParts)
+      try {
+        rows.grouped(per).foreach { slice =>
+          feed.addData(slice.toSeq)
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+      val drained = s.table(sink)
+      val last = drained.groupBy(col("lang").as("l")).agg(max(col("seq")).as("mseq"))
+      drained.join(broadcast(last),
+          col("lang") === col("l") && col("seq") === col("mseq"))
+        .select(col("doc_id"), col("lang"), col("x").as("n_chars"),
+          col("y").as("n_distinct"))
+        .orderBy(col("lang"), col("doc_id"))
     }
   )
 }

@@ -13,7 +13,7 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * Scale shape: state is O(1) per key (stage index + first-stage
   * timestamp), partitioned by key across executors in Spark's state store
   * (RocksDB-backed in production), no driver involvement. */
-object StatefulOps {
+object StatefulOps extends Serializable {
 
   /** Funnel progress for one key: next stage to match + when the funnel
     * opened. */
@@ -124,6 +124,54 @@ object StatefulOps {
     }
     ds.groupByKey(_._1)
       .flatMapGroupsWithState[EwmaState, EwmaRow](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout)(step)
+  }
+
+  /** One point on a maintained Pareto frontier (see `ss_skyline_maintain`):
+    * emitted with the per-key batch sequence number so the drained sink's
+    * latest emission per key IS the final frontier. */
+  case class SkyRow(lang: String, seq: Int, doc_id: Long, x: Long, y: Long)
+
+  /** Frontier state for one key: batch counter + the current
+    * non-dominated set. O(|frontier|) per key — the whole point of
+    * incremental skyline maintenance is that this set is tiny relative
+    * to the stream. */
+  case class SkyState(seq: Int, frontier: List[(Long, Long, Long)])
+
+  /** Exact 2-D skyline of a point set under STRICT domination (q kills p
+    * iff qx>=px, qy>=py and one strict) with duplicate maximal points
+    * kept — the same contract as the batch op_skyline query. One sort +
+    * sweep, O(n log n). */
+  private[graft] def skylineOf(pts: Seq[(Long, Long, Long)]): List[(Long, Long, Long)] = {
+    val out = List.newBuilder[(Long, Long, Long)]
+    var best = Long.MinValue
+    pts.groupBy(_._2).toSeq.sortBy(-_._1).foreach { case (_, ps) =>
+      val my = ps.map(_._3).max
+      if (my > best) { out ++= ps.filter(_._3 == my); best = my }
+    }
+    out.result()
+  }
+
+  /** Incremental Pareto-frontier maintenance: each micro-batch's points
+    * fold into the per-key frontier (domination is transitive, so
+    * dropping dominated points early never changes the final skyline —
+    * incremental ≡ batch exactly). Emits the full current frontier per
+    * batch tagged with a seq number; the final frontier is the max-seq
+    * emission per key. Input: (key, id, x, y). */
+  def skylineMaintain(ds: Dataset[(String, Long, Long, Long)]): Dataset[SkyRow] = {
+    import ds.sparkSession.implicits._
+    def step(key: String, rows: Iterator[(String, Long, Long, Long)],
+        state: GroupState[SkyState]): Iterator[SkyRow] = {
+      val cur = state.getOption.getOrElse(SkyState(0, Nil))
+      val pts = cur.frontier ++ rows.map(r => (r._2, r._3, r._4))
+      val next = SkyState(cur.seq + 1, skylineOf(pts))
+      state.update(next)
+      next.frontier.iterator.map { case (id, x, y) =>
+        SkyRow(key, next.seq, id, x, y)
+      }
+    }
+    ds.groupByKey(_._1)
+      .flatMapGroupsWithState[SkyState, SkyRow](
         OutputMode.Append(), GroupStateTimeout.NoTimeout)(step)
   }
 

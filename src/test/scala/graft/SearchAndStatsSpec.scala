@@ -313,6 +313,34 @@ class SearchAndStatsSpec extends AnyFunSuite {
     }
   }
 
+  test("skyline maintenance: drained frontier equals batch at any slicing") {
+    // arrival order must not matter: the incremental fold (frontier ++
+    // batch, re-skyline) is exact because domination is transitive.
+    val dir = docsDir(Seq(
+      (0L, "a b c d e a a", "en", "s"),
+      (1L, "a b c d e a a", "en", "s"),
+      (2L, "a b c d a a a", "en", "s"),
+      (3L, "a b c a a a a a", "en", "s"),
+      (4L, "a b c d e f", "en", "s"),
+      (5L, "a b c d e a", "en", "s"),
+      (6L, "x y z", "de", "s")))
+    val batch = SparkEntry.queries("op_skyline")(spark, dir).collect().toSeq
+    val saved = spark.conf.getOption("spark.graft.ssjoin.slices")
+    try {
+      Seq("2", "5").foreach { n =>
+        spark.conf.set("spark.graft.ssjoin.slices", n)
+        val streamed = SparkEntry.queries("ss_skyline_maintain")(spark, dir).collect().toSeq
+        assert(streamed == batch, s"maintained frontier != batch at $n slices")
+      }
+    } finally {
+      saved match {
+        case Some(v) => spark.conf.set("spark.graft.ssjoin.slices", v)
+        case None => spark.conf.unset("spark.graft.ssjoin.slices")
+      }
+    }
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
+
   test("ewma monitor: seeded random batch splits all equal the batch frame") {
     // beyond the fixed 2/7-slice check: 5 random slicings of a random
     // 40-day two-metric series — state must carry the EWMA tail across
