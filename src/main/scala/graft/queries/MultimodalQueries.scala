@@ -216,6 +216,58 @@ object MultimodalQueries {
         .orderBy(col("doc_id"), col("seg_id"))
     },
 
+    // Spatial TILING — the patch operator of a vision pipeline: each
+    // decoded image splits into 2×2 quadrants (tile = (2y div h)·2 +
+    // (2x div w), pure integer so odd dims split deterministically) and
+    // per (doc, tile) the pixel count and integer luma sum/min/max come
+    // out. The REAL P6 decode feeds it through the same raster seam as
+    // the pHash query; the oracle recomputes every pixel from the
+    // fixture's closed form, so the tile aggregates are hash-exact.
+    // Scale: one bounded explode (n = w·h pixels per payload), the tile
+    // aggregate map-side combines to 4 rows per doc, no shuffle beyond
+    // the final (doc, tile) hash.
+    QueryDef("mm_tile_stats", Some(
+      """WITH m AS (SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h,
+        |    (4 + doc_id % 5) * (3 + doc_id % 4) AS n,
+        |    ((4 + doc_id % 5) * (3 + doc_id % 4)) // 2 AS na
+        |  FROM documents),
+        |px AS (SELECT doc_id, w, h, na, unnest(range(0, n)) AS i FROM m),
+        |g AS (SELECT doc_id, w, h, i, i % w AS x, i // w AS y,
+        |    CASE WHEN i < na
+        |      THEN (doc_id % 256 + 2 * ((doc_id * 7) % 256) + (doc_id * 13) % 256) // 4
+        |      ELSE ((doc_id * 3) % 256 + 2 * ((doc_id * 11) % 256) + (doc_id * 17) % 256) // 4
+        |    END AS luma
+        |  FROM px),
+        |t AS (SELECT doc_id, (2 * y) // h * 2 + (2 * x) // w AS tile, luma FROM g)
+        |SELECT doc_id, CAST(tile AS INT) AS tile,
+        |  count(*) AS n_px, CAST(sum(luma) AS BIGINT) AS luma_sum,
+        |  CAST(min(luma) AS BIGINT) AS luma_min, CAST(max(luma) AS BIGINT) AS luma_max
+        |FROM t GROUP BY doc_id, tile
+        |ORDER BY doc_id, tile""".stripMargin)) { (s, d) =>
+      val enc = org.apache.spark.sql.Encoders.row(StructType(Seq(
+        StructField("doc_id", LongType), StructField("w", IntegerType),
+        StructField("h", IntegerType),
+        StructField("px", ArrayType(IntegerType, containsNull = false)))))
+      val decoded = ppmPayloads(s, d).mapPartitions { rows =>
+        rows.flatMap { r =>
+          Multimodal.decodePpmLuma(r.getAs[Array[Byte]](1)).map { case (w, h, g) =>
+            org.apache.spark.sql.Row(r.getLong(0), w, h, g.toSeq)
+          }
+        }
+      }(enc)
+      decoded
+        .select(col("doc_id"), col("w"), col("h"),
+          posexplode(col("px")).as(Seq("i", "luma")))
+        .withColumn("tile",
+          expr("CAST((2 * (i div w)) div h * 2 + (2 * (i % w)) div w AS INT)"))
+        .groupBy(col("doc_id"), col("tile"))
+        .agg(count(lit(1)).as("n_px"),
+          sum(col("luma")).as("luma_sum"),
+          min(col("luma")).cast(LongType).as("luma_min"),
+          max(col("luma")).cast(LongType).as("luma_max"))
+        .orderBy(col("doc_id"), col("tile"))
+    },
+
     // Ingest contract: payload + typed metadata. Metadata is
     // SQL-expressible → full oracle (md5 of the bytes == md5 of the text
     // for our ascii stand-in payloads).
