@@ -1251,6 +1251,65 @@ object OperatorQueries {
     // dip (count < 4/5 × EWMA) are integer cross-multiplications, exact and
     // DuckDB-hash-identical; no float ever appears. Scale: the daily
     // aggregate is the only corpus exchange (partial+final on
+    // LEAD-LAG ANALYSIS: covariance of the click and purchase daily
+    // series at lags -3..+3 — "do purchases follow clicks, and by how
+    // many days?", the cross-series diagnostic behind attribution
+    // lookback windows. Everything integer-exact: the covariance
+    // NUMERATOR n·Σxy − Σx·Σy is exact over each lag's overlap window
+    // (the Pearson denominator needs a sqrt, so the normalized value is
+    // deliberately left to the consumer — the numerator's sign and
+    // relative magnitude carry the lead-lag signal). Scale: the only
+    // corpus pass is the daily conditional-count aggregate (map-side
+    // combined); the lag join runs on the |days|-row dense frame with
+    // the 7-row lag table broadcast — post-aggregate frames only.
+    QueryDef("op_lag_cov", Some(
+      """WITH b AS (SELECT min(CAST(ts AS DATE)) AS lo, max(CAST(ts AS DATE)) AS hi FROM events),
+        |cal AS (SELECT CAST(unnest(generate_series(lo::TIMESTAMP, hi::TIMESTAMP,
+        |                                           INTERVAL 1 DAY)) AS DATE) AS day, lo FROM b),
+        |daily AS (SELECT CAST(ts AS DATE) AS day,
+        |    count(*) FILTER (WHERE event_type = 'click') AS x,
+        |    count(*) FILTER (WHERE event_type = 'purchase') AS y
+        |  FROM events GROUP BY 1),
+        |dense AS (SELECT CAST(c.day - c.lo AS INT) AS i,
+        |    CAST(COALESCE(d.x, 0) AS BIGINT) AS x,
+        |    CAST(COALESCE(d.y, 0) AS BIGINT) AS y
+        |  FROM cal c LEFT JOIN daily d ON d.day = c.day),
+        |lags AS (SELECT CAST(unnest(range(-3, 4)) AS INT) AS lag),
+        |j AS (SELECT l.lag, a.x, bb.y
+        |  FROM lags l CROSS JOIN dense a
+        |  JOIN dense bb ON bb.i = a.i + l.lag),
+        |agg AS (SELECT lag, count(*) AS n_days,
+        |    CAST(sum(x * y) AS BIGINT) AS sxy,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy
+        |  FROM j GROUP BY lag)
+        |SELECT lag, n_days, sxy, sx, sy,
+        |  n_days * sxy - sx * sy AS cov_num
+        |FROM agg ORDER BY lag""".stripMargin)) { (s, d) =>
+      val events = ev(s, d)
+      val daily = events.groupBy(to_date(col("ts")).as("day"))
+        .agg(count(when(col("event_type") === "click", 1)).as("x"),
+          count(when(col("event_type") === "purchase", 1)).as("y"))
+      val cal = events
+        .agg(min(to_date(col("ts"))).as("lo"), max(to_date(col("ts"))).as("hi"))
+        .select(explode(expr("sequence(lo, hi, interval 1 day)")).as("day"), col("lo"))
+      val dense = cal.join(daily, Seq("day"), "left")
+        .select(datediff(col("day"), col("lo")).as("i"),
+          coalesce(col("x"), lit(0L)).as("x"),
+          coalesce(col("y"), lit(0L)).as("y"))
+      val lags = s.range(-3, 4).select(col("id").cast(IntegerType).as("lag"))
+      dense.select(col("i").as("ia"), col("x"))
+        .crossJoin(broadcast(lags))
+        .join(dense.select(col("i").as("ib"), col("y")),
+          col("ib") === col("ia") + col("lag"))
+        .groupBy(col("lag"))
+        .agg(count(lit(1)).as("n_days"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"))
+        .select(col("lag"), col("n_days"), col("sxy"), col("sx"), col("sy"),
+          (col("n_days") * col("sxy") - col("sx") * col("sy")).as("cov_num"))
+        .orderBy(col("lag"))
+    },
+
     // COMMUNITY DETECTION: synchronous label propagation over the same
     // customer↔supplier trade network as op_pagerank — 3 unrolled rounds
     // where every node adopts its neighbors' MOST FREQUENT label, ties
