@@ -318,20 +318,7 @@ object OperatorQueries {
     // per-key full sort; conditional mins are algebraic and map-side
     // combined. LEFT joins keep users who stall mid-funnel (null later
     // stages) — the drop-off signal itself.
-    QueryDef("op_funnel", Some(
-      """WITH v AS (SELECT user_id, min(ts) AS tv FROM events
-        |  WHERE event_type = 'view' GROUP BY user_id),
-        |c AS (SELECT e.user_id, min(e.ts) AS tc FROM events e
-        |  JOIN v ON e.user_id = v.user_id AND e.ts > v.tv
-        |  WHERE e.event_type = 'click' GROUP BY e.user_id),
-        |p AS (SELECT e.user_id, min(e.ts) AS tp FROM events e
-        |  JOIN c ON e.user_id = c.user_id AND e.ts > c.tc
-        |  WHERE e.event_type = 'purchase' GROUP BY e.user_id)
-        |SELECT v.user_id, epoch_us(tv) AS view_us,
-        |  epoch_us(tc) AS click_us, epoch_us(tp) AS purchase_us
-        |FROM v LEFT JOIN c ON v.user_id = c.user_id
-        |LEFT JOIN p ON v.user_id = p.user_id
-        |ORDER BY v.user_id""".stripMargin)) { (s, d) =>
+    QueryDef("op_funnel", Some(OperatorQueries.funnelSql)) { (s, d) =>
       val e = ev(s, d).select(col("user_id"), col("event_type"), col("ts"))
       val v = e.filter(col("event_type") === "view")
         .groupBy(col("user_id")).agg(min(col("ts")).as("tv"))
@@ -1561,6 +1548,26 @@ object OperatorQueries {
     * (op_anomaly_ewma) and its streaming twin (ss_anomaly_ewma) — the two
     * monitors are integer-exact and must agree bit-for-bit, so they are
     * checked against the identical SQL. */
+  /** ONE oracle for the first-completion funnel, shared by the batch op
+    * (op_funnel) and its streaming twin (ss_funnel) — the keyed fold is
+    * bit-equivalent to the conditional-min chain, so both are checked
+    * against the identical SQL. (Lazy: referenced from `defs`, which
+    * initializes first.) */
+  private[queries] lazy val funnelSql: String =
+    """WITH v AS (SELECT user_id, min(ts) AS tv FROM events
+      |  WHERE event_type = 'view' GROUP BY user_id),
+      |c AS (SELECT e.user_id, min(e.ts) AS tc FROM events e
+      |  JOIN v ON e.user_id = v.user_id AND e.ts > v.tv
+      |  WHERE e.event_type = 'click' GROUP BY e.user_id),
+      |p AS (SELECT e.user_id, min(e.ts) AS tp FROM events e
+      |  JOIN c ON e.user_id = c.user_id AND e.ts > c.tc
+      |  WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+      |SELECT v.user_id, epoch_us(tv) AS view_us,
+      |  epoch_us(tc) AS click_us, epoch_us(tp) AS purchase_us
+      |FROM v LEFT JOIN c ON v.user_id = c.user_id
+      |LEFT JOIN p ON v.user_id = p.user_id
+      |ORDER BY v.user_id""".stripMargin
+
   /** ONE oracle for the document Pareto frontier, shared by the batch op
     * (op_skyline) and its streaming maintenance twin (ss_skyline_maintain)
     * — incremental frontier folding is exact (domination is transitive),

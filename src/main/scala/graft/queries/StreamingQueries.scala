@@ -1294,6 +1294,53 @@ object StreamingQueries {
         .select(col("doc_id"), col("lang"), col("x").as("n_chars"),
           col("y").as("n_distinct"))
         .orderBy(col("lang"), col("doc_id"))
+    },
+
+    // Streaming twin of op_funnel — LIVE conversion tracking: each user's
+    // first-completion path (earliest view → earliest later click →
+    // earliest later purchase) folds incrementally in a per-user
+    // GroupState as the event log replays in time order. The fold is
+    // bit-equivalent to the batch conditional-min chain (strict-> makes
+    // same-timestamp stages never match, whatever the within-batch
+    // processing order), so the drained max-seq frame per user equals
+    // the batch funnel row-for-row and the oracle is op_funnel's SQL
+    // verbatim (shared val). O(1) state per user; each micro-batch is
+    // one linear pass — the conversion dashboard never rescans history.
+    QueryDef("ss_funnel", Some(OperatorQueries.funnelSql)) { (s, d) =>
+      import s.implicits._
+      implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val rows = Tables.load(s, d, "events")
+        .filter(col("event_type").isin("view", "click", "purchase"))
+        .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+        .orderBy(col("us"), col("user_id"))
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      val nSlices = s.conf.get("spark.graft.ssjoin.slices", "4").toInt
+      val per = math.max(1, (rows.length + nSlices - 1) / nSlices)
+
+      val feed = MemoryStream[(Long, String, Long)]
+      val funnel = graft.streaming.StatefulOps.funnelFirstPath(feed.toDS())
+      val sink = "ss_funnel_sink"
+      s.catalog.dropTempView(sink)
+      val savedParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions",
+        s.conf.get("spark.graft.ssjoin.parts", "4"))
+      val q =
+        try funnel.toDF().writeStream.format("memory").queryName(sink)
+          .outputMode("append").start()
+        finally s.conf.set("spark.sql.shuffle.partitions", savedParts)
+      try {
+        rows.grouped(per).foreach { slice =>
+          feed.addData(slice.toSeq)
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+      val drained = s.table(sink)
+      val last = drained.groupBy(col("user_id").as("u")).agg(max(col("seq")).as("mseq"))
+      drained.join(broadcast(last),
+          col("user_id") === col("u") && col("seq") === col("mseq"))
+        .select(col("user_id"), col("view_us"), col("click_us"), col("purchase_us"))
+        .orderBy(col("user_id"))
     }
   )
 }

@@ -85,6 +85,49 @@ object StatefulOps extends Serializable {
         OutputMode.Append(), timeoutConf)(step)
   }
 
+  /** First-completion funnel state for one user (see `ss_funnel`):
+    * earliest view, earliest click strictly after it, earliest purchase
+    * strictly after that — the same stage anchors as the batch
+    * `op_funnel` query, folded incrementally. */
+  case class PathState(seq: Int, tv: Option[Long], tc: Option[Long], tp: Option[Long])
+
+  /** Per-batch emission of the current first-path state (max-seq row per
+    * user is the final answer). Stage times in epoch micros; later
+    * stages null while the user is stalled — the drop-off signal. */
+  case class PathRow(user_id: Long, seq: Int, view_us: Long,
+      click_us: Option[Long], purchase_us: Option[Long])
+
+  /** Streaming first-completion funnel: fold (user, eventType, tsUs)
+    * events in event-time order into the 3-stage anchor chain. Exactly
+    * the batch conditional-min semantics — a same-timestamp click never
+    * matches its view (strict >), whatever the within-batch processing
+    * order — so the drained max-seq frame equals the batch funnel
+    * row-for-row. Input batches must be time-contiguous ascending (a
+    * replayed log is); O(1) state per user. */
+  def funnelFirstPath(ds: Dataset[(Long, String, Long)]): Dataset[PathRow] = {
+    import ds.sparkSession.implicits._
+    def step(key: Long, rows: Iterator[(Long, String, Long)],
+        state: GroupState[PathState]): Iterator[PathRow] = {
+      var cur = state.getOption.getOrElse(PathState(0, None, None, None))
+      rows.toSeq.sortBy(_._3).foreach { case (_, tpe, ts) =>
+        tpe match {
+          case "view" if cur.tv.isEmpty => cur = cur.copy(tv = Some(ts))
+          case "click" if cur.tv.exists(ts > _) && cur.tc.isEmpty =>
+            cur = cur.copy(tc = Some(ts))
+          case "purchase" if cur.tc.exists(ts > _) && cur.tp.isEmpty =>
+            cur = cur.copy(tp = Some(ts))
+          case _ => ()
+        }
+      }
+      cur = cur.copy(seq = cur.seq + 1)
+      state.update(cur)
+      cur.tv.iterator.map(v => PathRow(key, cur.seq, v, cur.tc, cur.tp))
+    }
+    ds.groupByKey(_._1)
+      .flatMapGroupsWithState[PathState, PathRow](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout)(step)
+  }
+
   /** One emitted row of the streaming EWMA drift monitor — the same frame
     * and flag semantics as the batch op (`op_anomaly_ewma`,
     * queries/OperatorQueries.scala): truncated integer EWMA over the last
