@@ -345,13 +345,7 @@ object OperatorQueries {
     // the second aggregate exchange carries ~25 rows per task regardless
     // of corpus size. Tie-free order (asserted on the fixture) makes
     // lead() deterministic; event_id breaks any future tie.
-    QueryDef("op_transitions", Some(
-      """SELECT event_type AS src, next_type AS dst, count(*) AS n FROM (
-        |  SELECT event_type,
-        |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
-        |  FROM events)
-        |WHERE next_type IS NOT NULL
-        |GROUP BY src, dst ORDER BY src, dst""".stripMargin)) { (s, d) =>
+    QueryDef("op_transitions", Some(OperatorQueries.transitionsSql)) { (s, d) =>
       val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
       ev(s, d)
         .select(col("event_type").as("src"),
@@ -1548,6 +1542,18 @@ object OperatorQueries {
     * (op_anomaly_ewma) and its streaming twin (ss_anomaly_ewma) — the two
     * monitors are integer-exact and must agree bit-for-bit, so they are
     * checked against the identical SQL. */
+  /** ONE oracle for the event-transition matrix, shared by the batch op
+    * (op_transitions) and its streaming twin (ss_transitions) — the
+    * remembered-last-event fold emits the identical pair multiset, so
+    * both check against the same SQL. (Lazy: referenced from `defs`.) */
+  private[queries] lazy val transitionsSql: String =
+    """SELECT event_type AS src, next_type AS dst, count(*) AS n FROM (
+      |  SELECT event_type,
+      |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+      |  FROM events)
+      |WHERE next_type IS NOT NULL
+      |GROUP BY src, dst ORDER BY src, dst""".stripMargin
+
   /** ONE oracle for the first-completion funnel, shared by the batch op
     * (op_funnel) and its streaming twin (ss_funnel) — the keyed fold is
     * bit-equivalent to the conditional-min chain, so both are checked

@@ -1341,6 +1341,50 @@ object StreamingQueries {
           col("user_id") === col("u") && col("seq") === col("mseq"))
         .select(col("user_id"), col("view_us"), col("click_us"), col("purchase_us"))
         .orderBy(col("user_id"))
+    },
+
+    // Streaming twin of op_transitions — the Markov-transition feed
+    // maintained live: per-user O(1) GroupState remembers the LAST event
+    // so consecutive-pair extraction crosses micro-batch boundaries, and
+    // the drained pair multiset equals the batch lead() extraction
+    // exactly (oracle = op_transitions' SQL, shared val). The per-batch
+    // emission is the raw (src, dst) pair stream — the thing a sequence
+    // model's data loader tails — and the final matrix is one
+    // |types|²-key aggregate over the drained sink.
+    QueryDef("ss_transitions", Some(OperatorQueries.transitionsSql)) { (s, d) =>
+      import s.implicits._
+      implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val rows = Tables.load(s, d, "events")
+        .select(col("user_id"), unix_micros(col("ts")).as("us"),
+          col("event_id"), col("event_type"))
+        .orderBy(col("us"), col("event_id"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      val nSlices = s.conf.get("spark.graft.ssjoin.slices", "4").toInt
+      val per = math.max(1, (rows.length + nSlices - 1) / nSlices)
+
+      val feed = MemoryStream[(Long, Long, Long, String)]
+      val pairs = graft.streaming.StatefulOps.transitionPairs(feed.toDS())
+        .toDF("src", "dst")
+      val sink = "ss_transitions_sink"
+      s.catalog.dropTempView(sink)
+      val savedParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions",
+        s.conf.get("spark.graft.ssjoin.parts", "4"))
+      val q =
+        try pairs.writeStream.format("memory").queryName(sink)
+          .outputMode("append").start()
+        finally s.conf.set("spark.sql.shuffle.partitions", savedParts)
+      try {
+        rows.grouped(per).foreach { slice =>
+          feed.addData(slice.toSeq)
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+      s.table(sink)
+        .groupBy(col("src"), col("dst"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("src"), col("dst"))
     }
   )
 }

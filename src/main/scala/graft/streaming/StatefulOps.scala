@@ -128,6 +128,35 @@ object StatefulOps extends Serializable {
         OutputMode.Append(), GroupStateTimeout.NoTimeout)(step)
   }
 
+  /** Last seen event for one user (see `ss_transitions`): the O(1) state
+    * that lets consecutive-pair extraction cross micro-batch boundaries. */
+  case class LastEvent(us: Long, eid: Long, tpe: String)
+
+  /** Streaming consecutive-pair extraction: per user (ordered by event
+    * time, event_id tie-break), emit one (src, dst) row per adjacent
+    * event pair — the Markov-transition feed, maintained live. The
+    * boundary pair between micro-batches comes out of the remembered
+    * last event, so the drained pair multiset equals the batch lead()
+    * extraction exactly. Input: (userId, tsUs, eventId, eventType),
+    * batches time-contiguous ascending. */
+  def transitionPairs(ds: Dataset[(Long, Long, Long, String)]): Dataset[(String, String)] = {
+    import ds.sparkSession.implicits._
+    def step(key: Long, rows: Iterator[(Long, Long, Long, String)],
+        state: GroupState[LastEvent]): Iterator[(String, String)] = {
+      var prev = state.getOption
+      val out = Vector.newBuilder[(String, String)]
+      rows.toSeq.sortBy(r => (r._2, r._3)).foreach { case (_, us, eid, tpe) =>
+        prev.foreach(p => out += ((p.tpe, tpe)))
+        prev = Some(LastEvent(us, eid, tpe))
+      }
+      prev.foreach(state.update)
+      out.result().iterator
+    }
+    ds.groupByKey(_._1)
+      .flatMapGroupsWithState[LastEvent, (String, String)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout)(step)
+  }
+
   /** One emitted row of the streaming EWMA drift monitor — the same frame
     * and flag semantics as the batch op (`op_anomaly_ewma`,
     * queries/OperatorQueries.scala): truncated integer EWMA over the last
