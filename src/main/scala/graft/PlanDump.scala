@@ -53,7 +53,9 @@ object PlanDump {
     "op_skyline" -> "Pareto frontier: per-(lang,bucket) skyline prefilter, then the global pass on survivors",
     "op_time_travel" -> "point-in-time census: SCD2 build + sequence() probe explode, NO interval join",
     "tx_collocations" -> "collocations by lift: map-combined counts, vocab joins, broadcast totals, heap top-100",
-    "tx_keywords" -> "keywords by tf/df: map-combined tf, term-keyed df join, topk_min heap (no WindowExec)")
+    "tx_keywords" -> "keywords by tf/df: map-combined tf, term-keyed df join, topk_min heap (no WindowExec)",
+    "op_label_prop" -> "label propagation: edges never shuffle, label broadcast, argmax as min(struct(-c,lbl))",
+    "op_lag_cov" -> "lead-lag covariance: one corpus aggregate, dense-frame lag join with 7-row broadcast")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
