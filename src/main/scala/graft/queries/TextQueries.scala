@@ -744,6 +744,32 @@ object TextQueries {
         .orderBy(col("doc_id"), col("rnk"))
     },
 
+    // Rule-based suffix stemming + the vocabulary-collapse report: which
+    // stems absorb the most surface variants (the normalization step
+    // before vocabulary building / fuzzy matching). The stemmer is ONE
+    // CASE expression over LIKE/left/length — ANSI constructs both
+    // engines implement identically — and the SAME text is compiled by
+    // Spark's expr() and run by DuckDB, so the two sides cannot drift.
+    // Scale: tokens explode once, the stem is a codegen'd scalar map,
+    // count(DISTINCT variant) per stem is Spark's two-phase distinct
+    // aggregate (stem-keyed, vocab-sized), top-50 is a bounded heap.
+    QueryDef("tx_stem_vocab", Some(
+      s"""WITH tok AS (SELECT unnest(string_split(text, ' ')) AS t FROM documents),
+        |s AS (SELECT t, ${TextQueries.stemCase} AS stem FROM tok),
+        |g AS (SELECT stem, count(DISTINCT t) AS n_variants, count(*) AS n_tokens
+        |      FROM s GROUP BY stem)
+        |SELECT stem, n_variants, n_tokens
+        |FROM g ORDER BY n_variants DESC, stem LIMIT 50""".stripMargin)) { (s, d) =>
+      docs(s, d)
+        .select(explode(toks).as("t"))
+        .select(col("t"), expr(TextQueries.stemCase).as("stem"))
+        .groupBy(col("stem"))
+        .agg(countDistinct(col("t")).as("n_variants"),
+          count(lit(1)).as("n_tokens"))
+        .orderBy(col("n_variants").desc, col("stem"))
+        .limit(50)
+    },
+
     // Collocation mining: the top-100 bigrams by LIFT — observed bigram
     // probability over the product of its words' unigram probabilities.
     // Lift is the PMI statistic without the log (log is monotone, so the
@@ -806,6 +832,22 @@ object TextQueries {
     * cross-engine exact (see FunctionQueries.fn_feature_hash). */
   private[queries] def bucketOf(t: Column): Column =
     conv(substring(md5(t), 1, 4), 16, 10).cast(LongType) % 64
+
+  /** The suffix-strip stemmer as ONE CASE expression over the token
+    * column `t` — only LIKE / left / length / || (ANSI constructs Spark
+    * and DuckDB implement identically), so the same text serves as the
+    * Spark expr() and the oracle SQL. Rules in first-match order with
+    * min-stem-length guards; 'ies'→'y' precedes the plain 'es'/'s'
+    * strips, 'ss' never loses its s. (Lazy: referenced from `defs`.) */
+  private[queries] lazy val stemCase: String =
+    """CASE
+      | WHEN t LIKE '%ing' AND length(t) > 6 THEN left(t, length(t)-3)
+      | WHEN t LIKE '%ies' AND length(t) > 5 THEN left(t, length(t)-3) || 'y'
+      | WHEN t LIKE '%ed' AND length(t) > 5 THEN left(t, length(t)-2)
+      | WHEN t LIKE '%es' AND length(t) > 5 THEN left(t, length(t)-2)
+      | WHEN t LIKE '%ly' AND length(t) > 5 THEN left(t, length(t)-2)
+      | WHEN t LIKE '%s' AND t NOT LIKE '%ss' AND length(t) > 4 THEN left(t, length(t)-1)
+      | ELSE t END""".stripMargin.replace("\n", "")
 
   private[queries] def bucketedTokensSql: String =
     """SELECT doc_id, lang, source,
