@@ -87,6 +87,30 @@ class PlanSpec extends AnyFunSuite {
       s"the 1-row (lo, step) frame must broadcast:\n$p")
   }
 
+  test("label propagation: labels broadcast every round, edges never sort-merge") {
+    val p = planStr("op_label_prop")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3,
+      s"each of the 3 rounds must broadcast the O(nodes) label table:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"the edge table must never shuffle for a label join:\n$p")
+  }
+
+  test("skyline runs bucketed-prefilter then global: two window partitionings") {
+    val p = planStr("op_skyline")
+    assert(p.contains("hashpartitioning(lang") ,
+      s"expected lang-keyed window exchanges:\n$p")
+    assert(p.contains("bucket"),
+      s"phase 1 must partition by (lang, bucket) — the scale prefilter:\n$p")
+  }
+
+  test("lag covariance joins only post-aggregate frames") {
+    val p = planStr("op_lag_cov")
+    assert(!p.contains("CartesianProduct"),
+      s"the 7-row lag table must broadcast, not cartesian:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"the daily conditional counts must combine map-side:\n$p")
+  }
+
   test("collocation top-100 is a bounded heap with broadcast totals") {
     val p = planStr("tx_collocations")
     assert(p.contains("TakeOrderedAndProject"),
