@@ -220,7 +220,13 @@ object ScaleCheck {
           // the corpus by the operator's definition, semantics not
           // plan. mm_phash_* skew ≡ uniform: payloads derive from
           // doc_id, which the skew transform never touches.)
-          "op_label_prop")
+          "op_label_prop",
+          // hot user: 10% of the event timeline in ONE key — a single
+          // SCD2 window partition (time travel), one GroupState group
+          // whose per-batch slice sorts in one task (funnel,
+          // transitions). All linear-share shapes; the gate is that
+          // nothing quadratic hides in the per-key fold.
+          "op_time_travel", "ss_funnel", "ss_transitions")
       else
         Seq("b5_group_agg", "b1_filter_compound", "j_multiway_star",
           "b6_theta_distinct", "b8_freq_topk", "dd_minhash_lsh", "ann_lsh_topk",
