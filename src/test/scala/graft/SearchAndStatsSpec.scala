@@ -283,6 +283,77 @@ class SearchAndStatsSpec extends AnyFunSuite {
     assert(got == Set(0L, 1L, 3L, 4L), s"got $got")
   }
 
+  /** Write an events table with the driver fixture's schema. */
+  private def eventsDir(rows: Seq[(Long, Long, String, String)]): String = {
+    val dir = Files.createTempDirectory("graft-events-fixture").toString
+    val s = spark
+    import s.implicits._
+    rows.map { case (eid, uid, tpe, ts) =>
+      (eid, java.sql.Timestamp.valueOf(ts), uid, tpe, 1.0, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    dir
+  }
+
+  test("streaming funnel: strict-> anchors, stalls, and batch equality") {
+    // user 1: view 10:00, click 10:00 (SAME ts — strict > must reject),
+    // click 11:00 (anchors), purchase 10:30 (BEFORE the click — reject),
+    // purchase 12:00 (completes). user 2: click with no view — excluded.
+    // user 3: view only — stalled with null later stages.
+    val dir = eventsDir(Seq(
+      (1L, 1L, "view", "2024-05-01 10:00:00"),
+      (2L, 1L, "click", "2024-05-01 10:00:00"),
+      (3L, 1L, "click", "2024-05-01 11:00:00"),
+      (4L, 1L, "purchase", "2024-05-01 10:30:00"),
+      (5L, 1L, "purchase", "2024-05-01 12:00:00"),
+      (6L, 2L, "click", "2024-05-01 09:00:00"),
+      (7L, 3L, "view", "2024-05-01 08:00:00")))
+    val batch = SparkEntry.queries("op_funnel")(spark, dir).collect().toSeq
+    val saved = spark.conf.getOption("spark.graft.ssjoin.slices")
+    try {
+      Seq("1", "6").foreach { n =>
+        spark.conf.set("spark.graft.ssjoin.slices", n)
+        val streamed = SparkEntry.queries("ss_funnel")(spark, dir).collect().toSeq
+        assert(streamed == batch, s"ss_funnel != op_funnel at $n slices")
+      }
+    } finally {
+      saved match {
+        case Some(v) => spark.conf.set("spark.graft.ssjoin.slices", v)
+        case None => spark.conf.unset("spark.graft.ssjoin.slices")
+      }
+    }
+    val byUser = batch.map(r => r.getLong(0) -> r).toMap
+    assert(byUser.keySet == Set(1L, 3L), s"user 2 (no view) must be absent: $batch")
+    assert(!byUser(1L).isNullAt(2) && !byUser(1L).isNullAt(3), "user 1 completes")
+    assert(byUser(3L).isNullAt(2) && byUser(3L).isNullAt(3), "user 3 stalls")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
+
+  test("streaming transitions: boundary pairs survive any batch cut") {
+    // one user, 6 events — with 6 slices every adjacent pair CROSSES a
+    // micro-batch boundary and must come out of the remembered state.
+    val dir = eventsDir((1 to 6).map(i =>
+      (i.toLong, 1L, Seq("view", "click")(i % 2), f"2024-05-01 1$i%d:00:00")))
+    val batch = SparkEntry.queries("op_transitions")(spark, dir).collect().toSeq
+    val saved = spark.conf.getOption("spark.graft.ssjoin.slices")
+    try {
+      Seq("1", "6").foreach { n =>
+        spark.conf.set("spark.graft.ssjoin.slices", n)
+        val streamed = SparkEntry.queries("ss_transitions")(spark, dir).collect().toSeq
+        assert(streamed == batch, s"ss_transitions != op_transitions at $n slices")
+      }
+    } finally {
+      saved match {
+        case Some(v) => spark.conf.set("spark.graft.ssjoin.slices", v)
+        case None => spark.conf.unset("spark.graft.ssjoin.slices")
+      }
+    }
+    // 5 adjacent pairs alternate click->view / view->click
+    assert(batch.map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet ==
+      Set(("click", "view", 3L), ("view", "click", 2L)), s"got $batch")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
+
   test("skyline: 400-point seeded fuzz equals the brute-force O(n^2) reference") {
     // random corpora where duplicate points, same-x ties and dense
     // frontiers all occur by construction; the two-phase bucketed plan
