@@ -269,7 +269,7 @@ object ScaleCheck {
           "ss_anomaly_ewma", "op_time_travel", "tx_keywords",
           "mm_phash_clusters", "op_label_prop", "ss_skyline_maintain",
           "mm_tile_stats", "op_lag_cov", "ss_funnel", "ss_transitions",
-          "tx_stem_vocab")
+          "tx_stem_vocab", "ss_scd2_maintain")
     val selected = if (only.isEmpty) names else names.filter(only)
     // dd_semdedup is excluded the same way dd_embed_cosine is: replicated
     // embeddings are bit-identical across copies, so k-fold data has k²

@@ -366,19 +366,7 @@ object OperatorQueries {
     // the second window (lead for the interval end) runs over the RUNS
     // frame, one row per run, not per event. Deterministic: per-user ts
     // are tie-free (asserted), event_id breaks any future tie.
-    QueryDef("op_scd2", Some(
-      """WITH r AS (
-        |  SELECT user_id, event_type, ts, event_id,
-        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
-        |    - row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS grp
-        |  FROM events),
-        |i AS (
-        |  SELECT user_id, event_type, min(ts) AS vf, count(*) AS n_events
-        |  FROM r GROUP BY user_id, event_type, grp)
-        |SELECT user_id, event_type, epoch_us(vf) AS valid_from_us,
-        |  epoch_us(lead(vf) OVER (PARTITION BY user_id ORDER BY vf)) AS valid_to_us,
-        |  n_events
-        |FROM i ORDER BY user_id, valid_from_us""".stripMargin)) { (s, d) =>
+    QueryDef("op_scd2", Some(OperatorQueries.scd2Sql)) { (s, d) =>
       val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
       val byUserType = Window.partitionBy(col("user_id"), col("event_type"))
         .orderBy(col("ts"), col("event_id"))
@@ -1542,6 +1530,25 @@ object OperatorQueries {
     * (op_anomaly_ewma) and its streaming twin (ss_anomaly_ewma) — the two
     * monitors are integer-exact and must agree bit-for-bit, so they are
     * checked against the identical SQL. */
+  /** ONE oracle for the SCD2 history build, shared by the batch op
+    * (op_scd2) and its streaming maintenance twin (ss_scd2_maintain) —
+    * the incremental run fold closes intervals at exactly the batch
+    * lead() boundaries, so both check against the identical SQL.
+    * (Lazy: referenced from `defs`.) */
+  private[queries] lazy val scd2Sql: String =
+    """WITH r AS (
+      |  SELECT user_id, event_type, ts, event_id,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |    - row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS grp
+      |  FROM events),
+      |i AS (
+      |  SELECT user_id, event_type, min(ts) AS vf, count(*) AS n_events
+      |  FROM r GROUP BY user_id, event_type, grp)
+      |SELECT user_id, event_type, epoch_us(vf) AS valid_from_us,
+      |  epoch_us(lead(vf) OVER (PARTITION BY user_id ORDER BY vf)) AS valid_to_us,
+      |  n_events
+      |FROM i ORDER BY user_id, valid_from_us""".stripMargin
+
   /** ONE oracle for the event-transition matrix, shared by the batch op
     * (op_transitions) and its streaming twin (ss_transitions) — the
     * remembered-last-event fold emits the identical pair multiset, so

@@ -1385,6 +1385,58 @@ object StreamingQueries {
         .groupBy(col("src"), col("dst"))
         .agg(count(lit(1)).as("n"))
         .orderBy(col("src"), col("dst"))
+    },
+
+    // Streaming twin of op_scd2 — the dimension HISTORY maintained live:
+    // per-user O(1) GroupState holds the open validity run; a type
+    // change closes it (valid_to = the new run's start, exactly the
+    // batch lead() contract) and emits the closed row exactly once,
+    // while the still-open run re-emits per batch with a seq counter so
+    // the drained closed rows ∪ max-seq open rows equal the batch
+    // gaps-and-islands build row-for-row — oracle is op_scd2's SQL
+    // verbatim (shared val). This is how a warehouse actually keeps
+    // SCD2 current: fold the day's events into open runs, never rescan
+    // history.
+    QueryDef("ss_scd2_maintain", Some(OperatorQueries.scd2Sql)) { (s, d) =>
+      import s.implicits._
+      implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val rows = Tables.load(s, d, "events")
+        .select(col("user_id"), unix_micros(col("ts")).as("us"),
+          col("event_id"), col("event_type"))
+        .orderBy(col("us"), col("event_id"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      val nSlices = s.conf.get("spark.graft.ssjoin.slices", "4").toInt
+      val per = math.max(1, (rows.length + nSlices - 1) / nSlices)
+
+      val feed = MemoryStream[(Long, Long, Long, String)]
+      val hist = graft.streaming.StatefulOps.scd2Maintain(feed.toDS())
+      val sink = "ss_scd2_sink"
+      s.catalog.dropTempView(sink)
+      val savedParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions",
+        s.conf.get("spark.graft.ssjoin.parts", "4"))
+      val q =
+        try hist.toDF().writeStream.format("memory").queryName(sink)
+          .outputMode("append").start()
+        finally s.conf.set("spark.sql.shuffle.partitions", savedParts)
+      try {
+        rows.grouped(per).foreach { slice =>
+          feed.addData(slice.toSeq)
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+      val drained = s.table(sink)
+      val lastOpen = drained.filter(col("closed") === 0)
+        .groupBy(col("user_id").as("u")).agg(max(col("seq")).as("mseq"))
+      val openRows = drained.filter(col("closed") === 0)
+        .join(broadcast(lastOpen),
+          col("user_id") === col("u") && col("seq") === col("mseq"))
+      drained.filter(col("closed") === 1)
+        .unionByName(openRows.select(drained.columns.map(col): _*))
+        .select(col("user_id"), col("event_type"), col("valid_from_us"),
+          col("valid_to_us"), col("n_events"))
+        .orderBy(col("user_id"), col("valid_from_us"))
     }
   )
 }

@@ -128,6 +128,51 @@ object StatefulOps extends Serializable {
         OutputMode.Append(), GroupStateTimeout.NoTimeout)(step)
   }
 
+  /** Open SCD2 run for one user (see `ss_scd2_maintain`): the state that
+    * lets history building close runs across micro-batch boundaries. */
+  case class Scd2State(seq: Int, tpe: String, vfUs: Long, n: Long)
+
+  /** One SCD2 history row: closed rows (closed=1) are emitted exactly
+    * once when the run ends; the still-open run re-emits per batch with
+    * the seq counter, and the max-seq open row per user is the final
+    * open-ended interval. */
+  case class Scd2Row(user_id: Long, seq: Int, closed: Int, event_type: String,
+      valid_from_us: Long, valid_to_us: Option[Long], n_events: Long)
+
+  /** Incremental SCD2 / history-build: fold the time-ordered event stream
+    * into per-user validity runs — consecutive same-type events extend
+    * the open run; a type change closes it (valid_to = the new run's
+    * start, the batch lead() contract) and opens the next. O(1) state
+    * per user; drained closed rows + max-seq open rows equal the batch
+    * gaps-and-islands build exactly. Input: (userId, tsUs, eventId,
+    * eventType), batches time-contiguous ascending. */
+  def scd2Maintain(ds: Dataset[(Long, Long, Long, String)]): Dataset[Scd2Row] = {
+    import ds.sparkSession.implicits._
+    def step(key: Long, rows: Iterator[(Long, Long, Long, String)],
+        state: GroupState[Scd2State]): Iterator[Scd2Row] = {
+      var cur = state.getOption
+      val out = Vector.newBuilder[Scd2Row]
+      rows.toSeq.sortBy(r => (r._2, r._3)).foreach { case (_, us, _, tpe) =>
+        cur match {
+          case Some(open) if open.tpe == tpe =>
+            cur = Some(open.copy(n = open.n + 1))
+          case Some(open) =>
+            out += Scd2Row(key, open.seq, 1, open.tpe, open.vfUs, Some(us), open.n)
+            cur = Some(Scd2State(open.seq, tpe, us, 1L))
+          case None =>
+            cur = Some(Scd2State(0, tpe, us, 1L))
+        }
+      }
+      cur = cur.map(o => o.copy(seq = o.seq + 1))
+      cur.foreach(state.update)
+      cur.foreach(o => out += Scd2Row(key, o.seq, 0, o.tpe, o.vfUs, None, o.n))
+      out.result().iterator
+    }
+    ds.groupByKey(_._1)
+      .flatMapGroupsWithState[Scd2State, Scd2Row](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout)(step)
+  }
+
   /** Last seen event for one user (see `ss_transitions`): the O(1) state
     * that lets consecutive-pair extraction cross micro-batch boundaries. */
   case class LastEvent(us: Long, eid: Long, tpe: String)
