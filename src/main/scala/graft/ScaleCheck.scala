@@ -226,7 +226,7 @@ object ScaleCheck {
           // whose per-batch slice sorts in one task (funnel,
           // transitions). All linear-share shapes; the gate is that
           // nothing quadratic hides in the per-key fold.
-          "op_time_travel", "ss_funnel", "ss_transitions")
+          "op_time_travel", "ss_funnel", "ss_transitions", "ss_scd2_maintain")
       else
         Seq("b5_group_agg", "b1_filter_compound", "j_multiway_star",
           "b6_theta_distinct", "b8_freq_topk", "dd_minhash_lsh", "ann_lsh_topk",
