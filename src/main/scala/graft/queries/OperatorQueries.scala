@@ -167,7 +167,9 @@ object OperatorQueries {
       val cum = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
       ev(s, d)
         .withColumn("new_s",
-          when(col("ts").cast(LongType) - lag(col("ts"), 1).over(byUser).cast(LongType) <= 172800, 0)
+          // exact microsecond interval — matches the oracle's `ts - lag(ts)
+          // <= INTERVAL 2 DAY` even for sub-second timestamps
+          when(unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(byUser)) <= 172800000000L, 0)
             .otherwise(1))
         .withColumn("session_id", sum(col("new_s")).over(cum).cast(LongType))
         .groupBy(col("user_id"), col("session_id"))
@@ -1209,17 +1211,6 @@ object OperatorQueries {
         .orderBy(col("supp"), col("rnk"))
     },
 
-    // TIME-SERIES ANOMALY DETECTION — the drift monitor a pipeline runs
-    // over its daily ingest metrics: per event_type daily counts on a
-    // DENSE calendar (generated sequence × distinct types, both
-    // broadcast-sized — absent days are real zeros, not missing rows, or
-    // every lag distance lies), then an 8-day trailing EWMA with
-    // POWER-OF-TWO weights 2^7..2^0 over lags 1..8. Everything stays in
-    // BIGINT — ewma_num is the weighted sum, ewma_den = 256 - 2^(8-min(rn,8))
-    // the weight mass actually present — so spike (count > 5/4 × EWMA) and
-    // dip (count < 4/5 × EWMA) are integer cross-multiplications, exact and
-    // DuckDB-hash-identical; no float ever appears. Scale: the daily
-    // aggregate is the only corpus exchange (partial+final on
     // LEAD-LAG ANALYSIS: covariance of the click and purchase daily
     // series at lags -3..+3 — "do purchases follow clicks, and by how
     // many days?", the cross-series diagnostic behind attribution
@@ -1479,7 +1470,10 @@ object OperatorQueries {
       val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
       ev(s, d)
         .withColumn("new_s",
-          when(col("ts").cast(LongType) - lag(col("ts"), 1).over(w).cast(LongType) <= 172800, 0)
+          // exact microsecond interval — matches the oracle's `ts - lag(ts)
+          // <= INTERVAL 2 DAY` even if timestamps gain sub-second parts
+          // (cast-to-seconds would floor each side independently)
+          when(unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w)) <= 172800000000L, 0)
             .otherwise(1))
         .select(col("event_type").as("e1"),
           lead(col("event_type"), 1).over(w).as("e2"),
@@ -1493,6 +1487,17 @@ object OperatorQueries {
         .limit(25)
     },
 
+    // TIME-SERIES ANOMALY DETECTION — the drift monitor a pipeline runs
+    // over its daily ingest metrics: per event_type daily counts on a
+    // DENSE calendar (generated sequence × distinct types, both
+    // broadcast-sized — absent days are real zeros, not missing rows, or
+    // every lag distance lies), then an 8-day trailing EWMA with
+    // POWER-OF-TWO weights 2^7..2^0 over lags 1..8. Everything stays in
+    // BIGINT — ewma_num is the weighted sum, ewma_den = 256 - 2^(8-min(rn,8))
+    // the weight mass actually present — so spike (count > 5/4 × EWMA) and
+    // dip (count < 4/5 × EWMA) are integer cross-multiplications, exact and
+    // DuckDB-hash-identical; no float ever appears. Scale: the daily
+    // aggregate is the only corpus exchange (partial+final on
     // (type, day)); the window partitions are per-type series of length
     // |days| — thousands of rows per metric, never per-event.
     QueryDef("op_anomaly_ewma", Some(OperatorQueries.anomalyEwmaSql)) { (s, d) =>
@@ -1526,10 +1531,6 @@ object OperatorQueries {
     }
   )
 
-  /** ONE oracle for the EWMA drift monitor, shared by the batch op
-    * (op_anomaly_ewma) and its streaming twin (ss_anomaly_ewma) — the two
-    * monitors are integer-exact and must agree bit-for-bit, so they are
-    * checked against the identical SQL. */
   /** ONE oracle for the SCD2 history build, shared by the batch op
     * (op_scd2) and its streaming maintenance twin (ss_scd2_maintain) —
     * the incremental run fold closes intervals at exactly the batch
@@ -1599,7 +1600,11 @@ object OperatorQueries {
       |FROM sk WHERE (m_gt IS NULL OR n_distinct > m_gt) AND n_distinct = m_eq
       |ORDER BY lang, doc_id""".stripMargin
 
-  // lazy: referenced from `defs` above, which initializes first
+  /** ONE oracle for the EWMA drift monitor, shared by the batch op
+    * (op_anomaly_ewma) and its streaming twin (ss_anomaly_ewma) — the two
+    * monitors are integer-exact and must agree bit-for-bit, so they are
+    * checked against the identical SQL. (Lazy: referenced from `defs`,
+    * which initializes first.) */
   private[queries] lazy val anomalyEwmaSql: String =
       """WITH b AS (SELECT min(CAST(ts AS DATE)) AS lo, max(CAST(ts AS DATE)) AS hi FROM events),
         |cal AS (SELECT CAST(unnest(generate_series(lo::TIMESTAMP, hi::TIMESTAMP,
