@@ -1,0 +1,225 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Machine-readable quality gates for the NON-oracle (approximate /
+  * seed-dependent) queries — the 17 `no_oracle` rows in the driver's
+  * CORRECTNESS artifact. Each row re-measures the query's primary
+  * quantitative gate (recall vs its exact counterpart, differential
+  * parity with its batch twin, structural completeness, error bound)
+  * exactly as the spec suite does (ApproxSuiteSpec / BloomPrefilterSpec /
+  * IndexPersistenceSpec / IngestAndMultimodalSpec own the full
+  * assertions; this main distills one health number per gate) and emits
+  * ONE JSON file the driver can diff round-over-round without running
+  * ScalaTest:
+  *
+  * {{{
+  * sbt "runMain graft.GateCheck /root/testdata/sf0.01 GATES.json"
+  * }}}
+  *
+  * Output: `{"sf": ..., "all_pass": bool, "gates": [{"query", "gate",
+  * "measured", "op", "bound", "pass"}, ...]}` — every no_oracle query
+  * contributes at least one row; a recall regression flips `pass` false.
+  * Everything here is deterministic (seeded hashes, fixed fixtures), so
+  * a pass/fail flip is a real regression, never flake. */
+object GateCheck {
+
+  final case class Gate(query: String, gate: String, measured: Double,
+      op: String, bound: Double) {
+    def pass: Boolean = op match {
+      case ">=" => measured >= bound
+      case "<=" => measured <= bound
+      case "==" => measured == bound
+      case _ => false
+    }
+    def json: String =
+      s"""{"query":"$query","gate":"$gate","measured":$measured,""" +
+        s""""op":"$op","bound":$bound,"pass":$pass}"""
+  }
+
+  private def pairSet(df: DataFrame, a: String, b: String): Set[(Long, Long)] =
+    df.select(a, b).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val outFile = if (args.length > 1) args(1) else "GATES.json"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = GraftSession.configure(SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus))
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    def run(name: String): DataFrame = SparkEntry.queries(name)(spark, sfDir)
+
+    val gates = scala.collection.mutable.ArrayBuffer.empty[Gate]
+
+    // ---- near-dup candidate generation vs the exact shingle baseline ----
+    val exactPairs = pairSet(run("dd_ngram_jaccard"), "doc_a", "doc_b")
+    val lshPairs = pairSet(run("dd_minhash_lsh"), "doc_a", "doc_b")
+    gates += Gate("dd_minhash_lsh", "pair_recall_vs_exact_jaccard",
+      (exactPairs & lshPairs).size.toDouble / math.max(1, exactPairs.size), ">=", 0.8)
+    val simPairs = pairSet(run("dd_simhash"), "doc_a", "doc_b")
+    gates += Gate("dd_simhash", "pair_recall_vs_exact_jaccard",
+      (exactPairs & simPairs).size.toDouble / math.max(1, exactPairs.size), ">=", 0.5)
+
+    // ---- embedding near-dup vs the exact cosine baseline ----
+    val exactCos = pairSet(run("dd_embed_cosine"), "vec_a", "vec_b")
+    val semPairs = pairSet(run("dd_semdedup"), "vec_a", "vec_b")
+    gates += Gate("dd_semdedup", "pair_recall_vs_exact_cosine",
+      (exactCos & semPairs).size.toDouble / math.max(1, exactCos.size), ">=", 0.8)
+    gates += Gate("dd_semdedup", "false_positive_pairs",
+      (semPairs -- exactCos).size.toDouble, "==", 0)
+
+    // ---- decontamination / incremental screens: doc recall vs exact ----
+    val sources = graft.sources.Tables.load(spark, sfDir, "documents")
+      .select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val exactContaminated = exactPairs.flatMap { case (a, b) =>
+      (sources(a) == "src0", sources(b) == "src0") match {
+        case (true, false) => Some(b)
+        case (false, true) => Some(a)
+        case _ => None
+      }
+    }
+    val crossNear = run("dd_cross_near").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    gates += Gate("dd_cross_near", "doc_recall_vs_exact_cross_split",
+      (exactContaminated & crossNear).size.toDouble /
+        math.max(1, exactContaminated.size), ">=", 0.7)
+
+    def srcNum(src: String): Int =
+      scala.util.Try(src.drop(3).toInt).getOrElse(Int.MinValue)
+    val exactCrossBatch = exactPairs.flatMap { case (a, b) =>
+      (srcNum(sources(a)) >= 15, srcNum(sources(b)) >= 15) match {
+        case (true, false) => Some(a)
+        case (false, true) => Some(b)
+        case _ => None
+      }
+    }
+    val verdicts = run("dd_incremental_near").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val flagged = verdicts.filter { case (_, v) =>
+      v == "near_dup_of_corpus" || v == "dup_of_corpus" }.keySet
+    gates += Gate("dd_incremental_near", "doc_recall_vs_exact_cross_batch",
+      (exactCrossBatch & flagged).size.toDouble /
+        math.max(1, exactCrossBatch.size), ">=", 0.7)
+
+    // ss_near_screen: sig-verified drain ≡ the batch store verdicts
+    // (drained ∖ exact-dups == near verdicts, and nothing outside both)
+    val nearV = verdicts.filter(_._2 == "near_dup_of_corpus").keySet
+    val dupV = verdicts.filter(_._2 == "dup_of_corpus").keySet
+    val screened = run("ss_near_screen").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val screenDiff = ((screened -- dupV) -- nearV).size +
+      (nearV -- (screened -- dupV)).size + (screened -- nearV -- dupV).size
+    gates += Gate("ss_near_screen", "verdict_set_difference_vs_batch",
+      screenDiff.toDouble, "==", 0)
+
+    // ---- bloom decontamination prefilter + its streaming twin ----
+    val bloom = run("dd_bloom_prefilter").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val bloomFlagged = bloom.filter(_._2 == 1L).map(_._1).toSet
+    // ground truth: train docs sharing a token-set fingerprint with the
+    // eval split (the BloomPrefilterSpec truth join, same md5 expression
+    // as Fingerprints.tokenSetFp)
+    val docsDf = graft.sources.Tables.load(spark, sfDir, "documents")
+    val fpCol = md5(concat_ws(" ", array_sort(array_distinct(split(col("text"), " ")))))
+    val withFp = docsDf.select(col("doc_id"), col("source"), fpCol.as("fp"))
+    val evalFps = withFp.filter(col("source") === "src0").select(col("fp")).distinct()
+    val truth = withFp.filter(col("source") =!= "src0")
+      .join(evalFps, Seq("fp"), "left_semi")
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    val bloomFp = (bloomFlagged -- truth).size
+    gates += Gate("dd_bloom_prefilter", "false_positive_docs",
+      bloomFp.toDouble, "<=", math.max(1, bloom.length / 100).toDouble)
+    gates += Gate("dd_bloom_prefilter", "missed_true_collisions",
+      (truth -- bloomFlagged).size.toDouble, "==", 0)
+    val bloomStream = run("ss_bloom_screen").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    gates += Gate("ss_bloom_screen", "row_mismatches_vs_batch",
+      bloomStream.diff(bloom.sorted.toSeq).size.toDouble +
+        bloom.sorted.toSeq.diff(bloomStream).size.toDouble, "==", 0)
+
+    // ---- ANN family: recall@10 vs the exact brute-force ranks ----
+    // Bounds mirror ApproxSuiteSpec's fixture gates. ann_ivf_bigk scans
+    // nProbe=8 of 64 lists (12.5% coverage); on the weak-cosine-structure
+    // fixture its recall tracks coverage (measured 0.46, deterministic) —
+    // the gate is that it beats the coverage floor ~3x. The spec suite
+    // additionally holds bigk to >= 0.8 on a cosine-CLUSTERED fixture.
+    val brute = pairSet(run("ann_brute_topk"), "qid", "vec_id")
+    for ((q, bound) <- Seq(("ann_lsh_topk", 0.5), ("ann_ivf_topk", 0.5),
+        ("ann_ivf_bigk", 0.35), ("ann_pq_topk", 0.7))) {
+      val approx = pairSet(run(q), "qid", "vec_id")
+      gates += Gate(q, "recall_at_10_vs_brute",
+        (brute & approx).size.toDouble / math.max(1, brute.size), ">=", bound)
+    }
+    // (the spec suite additionally gates ivf/pq >= 0.8 on a synthetic
+    // cosine-clustered fixture — fixture construction stays in ScalaTest)
+
+    // ann_bucket_stats: exact partition of the corpus across buckets
+    val bucketRows = run("ann_bucket_stats").collect()
+    val nVecs = graft.sources.Tables.load(spark, sfDir, "embeddings").count()
+    gates += Gate("ann_bucket_stats", "vectors_outside_exactly_one_bucket",
+      math.abs(bucketRows.map(_.getLong(1)).sum - nVecs).toDouble, "==", 0)
+
+    // ---- bitext: ANN alignment vs the exact margin miner ----
+    val exactBx = run("emb_bitext_mine").collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    val annBx = run("emb_bitext_ann").collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    val agree = exactBx.count { case (a, (b, _)) =>
+      annBx.get(a).exists(_._1 == b) }
+    gates += Gate("emb_bitext_ann", "pick_agreement_vs_exact",
+      agree.toDouble / math.max(1, exactBx.size), ">=", 0.4)
+    val ratios = exactBx.collect { case (a, (_, m)) if m > 0 && annBx.contains(a) =>
+      annBx(a)._2.toDouble / m }
+    gates += Gate("emb_bitext_ann", "mean_margin_ratio_vs_exact",
+      ratios.sum / math.max(1, ratios.size), ">=", 0.95)
+
+    // ---- PCA: distributed projection variance vs driver eigenvalues ----
+    val pcaRows = run("emb_pca_project").collect()
+    val pcaDev = pcaRows.map { r =>
+      val (v, evv) = (r.getLong(2), r.getLong(3))
+      math.abs(v - evv).toDouble / math.max(1.0, evv / 20.0)
+    }.max
+    gates += Gate("emb_pca_project", "max_component_var_deviation",
+      pcaDev, "<=", 1.0)
+
+    // ---- streaming IVF assignment vs the batch pass ----
+    val drained = run("ss_ann_assign").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val embeddings = graft.sources.Tables.load(spark, sfDir, "embeddings")
+    val k = spark.conf.getOption("spark.graft.ivf.k").map(_.toInt).getOrElse(16)
+    val cents = graft.queries.Ivf.train(embeddings, k, iters = 3, trainSample = 2000)
+    val batchAssign = graft.queries.Ivf.assigned(embeddings, cents).collect()
+      .map(r => r.getLong(0) -> r.getInt(2).toLong).toMap
+    gates += Gate("ss_ann_assign", "assignment_mismatches_vs_batch",
+      (batchAssign.count { case (id, c) => !drained.get(id).contains(c) } +
+        (drained.keySet -- batchAssign.keySet).size).toDouble, "==", 0)
+
+    // ---- generic multimodal kernel: distributed ≡ driver-side decode ----
+    val mmRows = run("mm_features").collect()
+    val localFeats = docsDf.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) ->
+        graft.multimodal.Multimodal.decodeToFeatures(r.getString(1).getBytes)).toMap
+    val mmMismatch = mmRows.count { r =>
+      val f = localFeats(r.getLong(0))
+      val topBin = f.indexOf(f.max) + 1
+      r.getInt(1) != topBin || r.getInt(2) != f.length
+    } + (localFeats.size - mmRows.length)
+    gates += Gate("mm_features", "kernel_parity_mismatches",
+      mmMismatch.toDouble, "==", 0)
+
+    val allPass = gates.forall(_.pass)
+    val json = s"""{"sf":"$sfDir","all_pass":$allPass,"n_gates":${gates.size},""" +
+      s""""gates":[${gates.map(_.json).mkString(",")}]}"""
+    java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
+      json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    gates.foreach(g => println(
+      f"[gate] ${if (g.pass) "PASS" else "FAIL"} ${g.query}%-22s ${g.gate}%-40s ${g.measured}%.4f ${g.op} ${g.bound}"))
+    println(s"[gate] ${gates.count(_.pass)}/${gates.size} pass -> $outFile")
+    spark.stop()
+    if (!allPass) sys.exit(1)
+  }
+}

@@ -182,10 +182,14 @@ object ScaleCheck {
           // set — per-iteration work stays edge-linear because the dst
           // aggregate combines the hot node's contributions map-side
           // and the rank table broadcasts regardless of degree.
-          // (op_attribution is EXCLUDED from skew mode the dd_semdedup
-          // way: a 10%-hot user makes the touch x conversion pair set
-          // itself quadratic — the semantics, not the plan; the
-          // documented graduation is salting/AQE on user_id.)
+          // op_attribution: a 10%-hot user makes the touch x conversion
+          // pair SET quadratic in the hot share — semantics, not plan —
+          // so each copy's hot clique is a large CONSTANT and kx copies
+          // mean kx cliques (linear). The plan question is whether one
+          // task emits a whole clique: run with
+          // conf:spark.graft.attribution.saltBuckets=8 to measure the
+          // salted path (the default path leans on AQE skew-join).
+          "op_attribution",
           "dd_cross_near", "ss_topk", "dd_incremental", "dd_incremental_near",
           "dd_cluster_stats", "ss_near_screen",
           // hot o_custkey: the forget cascade's semi/anti joins stay

@@ -1020,7 +1020,15 @@ object OperatorQueries {
     // both sides on user_id (one exchange each, range predicate as the
     // SMJ post-filter — per-user event counts bound the pair blowup), the
     // remainder window clusters on conv_id, and the final aggregate is
-    // 3 rows. Hot users are the op_salted_join/AQE-skew story.
+    // 3 rows. Hot users: the pair SET is quadratic in the hot share by
+    // semantics (every conversion sees every lookback touch), so the plan
+    // risk is one task EMITTING the hot user's whole pair set; with
+    // spark.graft.attribution.saltBuckets = R > 1 the touch side is
+    // salted by hash(touch_id) mod R and the (small) conversion side
+    // replicated R ways, joining on (user_id, salt) — the hot user's
+    // emit spreads over R tasks, pairs and credits bit-identical
+    // (AttributionGraphSpec forces the path and proves it). Default off:
+    // AQE skew-join splitting already sub-partitions a skewed SMJ side.
     QueryDef("op_attribution", Some(
       """WITH conv AS (
         |  SELECT event_id AS conv_id, user_id, ts AS cts,
@@ -1065,10 +1073,21 @@ object OperatorQueries {
       val touch = e.filter(col("event_type").isin("click", "view"))
         .select(col("user_id").as("t_user"), col("event_id").as("touch_id"),
           col("event_type").as("touch_type"), col("ts").as("tts"))
-      val tch = conv.join(touch,
-          col("user_id") === col("t_user") &&
-            col("tts") < col("cts") &&
-            col("tts") >= col("cts") - expr("INTERVAL 7 DAYS"))
+      val saltB = s.conf.getOption("spark.graft.attribution.saltBuckets")
+        .map(_.toInt).getOrElse(0)
+      val timePred = col("tts") < col("cts") &&
+        col("tts") >= col("cts") - expr("INTERVAL 7 DAYS")
+      val tch = (if (saltB <= 1)
+          conv.join(touch, col("user_id") === col("t_user") && timePred)
+        else {
+          val saltedTouch = touch.withColumn("tsalt",
+            pmod(xxhash64(col("touch_id")), lit(saltB)).cast(IntegerType))
+          val convR = conv.withColumn("csalt",
+            explode(array((0 until saltB).map(lit): _*)))
+          convR.join(saltedTouch,
+            col("user_id") === col("t_user") &&
+              col("csalt") === col("tsalt") && timePred)
+        })
         .select(col("conv_id"), col("cents"), col("touch_id"),
           col("touch_type"), col("tts"))
       val byConv = Window.partitionBy(col("conv_id"))
@@ -1106,9 +1125,13 @@ object OperatorQueries {
     // edges BROADCAST (edges never shuffle), and the dst aggregate ships
     // only map-combined partial sums — O(nodes) per partition. Edges
     // materialize ONCE to scratch parquet (lineage cut; 6 linear scans,
-    // not 6 recomputes of the orders⋈lineitem distinct). Graduation when
-    // the rank table outgrows a broadcast: pre-bucket edges by src
-    // (op_bucketed_join's lever) and shuffle the rank table instead.
+    // not 6 recomputes of the orders⋈lineitem distinct); the out-degree
+    // table is computed once and cached, not re-derived per iteration.
+    // When the rank table outgrows a broadcast
+    // (spark.graft.graph.broadcastMaxNodes, GraphIterate's conf), edges
+    // are instead src-partitioned and cached once and each iteration
+    // shuffle-hash-joins only the rank table over to them — bit-identical
+    // by integer arithmetic (GraphPathSpec forces the path and proves it).
     QueryDef("op_pagerank", Some {
       val iters = 6
       val steps = (1 to iters).map { i =>
@@ -1132,8 +1155,8 @@ object OperatorQueries {
          |SELECT id, r AS rank_ppm FROM pr$iters
          |ORDER BY rank_ppm DESC, id LIMIT 20""".stripMargin
     }) { (s, d) =>
+      import graft.operators.GraphIterate
       val iters = 6
-      val scratch = s"target/pagerank/edges_${Integer.toHexString(d.hashCode)}"
       val pairs = Tables.load(s, d, "orders")
         .select(col("o_orderkey"), col("o_custkey"))
         .join(Tables.load(s, d, "lineitem")
@@ -1142,17 +1165,17 @@ object OperatorQueries {
         .select(concat(lit("c"), col("o_custkey")).as("c"),
           concat(lit("s"), col("l_suppkey")).as("sp"))
         .distinct()
-      pairs.select(col("c").as("src"), col("sp").as("dst"))
-        .unionByName(pairs.select(col("sp").as("src"), col("c").as("dst")))
-        .write.mode("overwrite").parquet(scratch)
-      val edges = s.read.parquet(scratch)
-      val odeg = edges.groupBy(col("src")).agg(count(lit(1)).as("od"))
+      val g = GraphIterate.prepare(s,
+        pairs.select(col("c").as("src"), col("sp").as("dst"))
+          .unionByName(pairs.select(col("sp").as("src"), col("c").as("dst"))),
+        "pagerank", d)
+      val odeg = GraphIterate.persistBounded(
+        g.edges.groupBy(col("src")).agg(count(lit(1)).as("od")))
       var rank = odeg.select(col("src").as("id"), lit(1000000L).as("r"))
       for (_ <- 1 to iters) {
-        val shares = broadcast(
-          rank.join(odeg.withColumnRenamed("src", "id"), "id")
-            .select(col("id"), expr("r div od").as("share")))
-        rank = edges.join(shares, edges("src") === shares("id"))
+        val shares = rank.join(odeg.withColumnRenamed("src", "id"), "id")
+          .select(col("id"), expr("r div od").as("share"))
+        rank = g.joinTable(shares, "src", "id")
           .groupBy(col("dst")).agg(sum(col("share")).as("inc"))
           .select(col("dst").as("id"),
             (lit(150000L) + expr("(85 * inc) div 100")).as("r"))
@@ -1282,9 +1305,11 @@ object OperatorQueries {
     // per round (op_pagerank's shape): edges materialize once to scratch
     // and NEVER shuffle — the O(nodes) label table broadcasts in, the
     // (dst, lbl) count combines map-side, and the per-node argmax is
-    // min(struct(-c, lbl)) — an aggregate, not a window. Graduation when
-    // labels outgrow a broadcast: bucket edges by src and shuffle the
-    // label table instead.
+    // min(struct(-c, lbl)) — an aggregate, not a window. When labels
+    // outgrow a broadcast (spark.graft.graph.broadcastMaxNodes), edges
+    // are src-partitioned and cached once and each round shuffle-hash-
+    // joins only the label table to them (GraphIterate; GraphPathSpec
+    // forces the path and proves bit-identity).
     QueryDef("op_label_prop", Some {
       val rounds = 3
       val steps = (1 to rounds).map { i =>
@@ -1308,8 +1333,8 @@ object OperatorQueries {
          |SELECT id, lbl AS community FROM lab$rounds
          |ORDER BY id""".stripMargin
     }) { (s, d) =>
+      import graft.operators.GraphIterate
       val rounds = 3
-      val scratch = s"target/labelprop/edges_${Integer.toHexString(d.hashCode)}"
       val pairs = Tables.load(s, d, "orders")
         .select(col("o_orderkey"), col("o_custkey"))
         .join(Tables.load(s, d, "lineitem")
@@ -1318,14 +1343,14 @@ object OperatorQueries {
         .select(concat(lit("c"), col("o_custkey")).as("c"),
           concat(lit("s"), col("l_suppkey")).as("sp"))
         .distinct()
-      pairs.select(col("c").as("src"), col("sp").as("dst"))
-        .unionByName(pairs.select(col("sp").as("src"), col("c").as("dst")))
-        .write.mode("overwrite").parquet(scratch)
-      val edges = s.read.parquet(scratch)
-      var labels = edges.select(col("src").as("id")).distinct()
+      val g = GraphIterate.prepare(s,
+        pairs.select(col("c").as("src"), col("sp").as("dst"))
+          .unionByName(pairs.select(col("sp").as("src"), col("c").as("dst"))),
+        "labelprop", d)
+      var labels = g.edges.select(col("src").as("id")).distinct()
         .select(col("id"), col("id").as("lbl"))
       for (_ <- 1 to rounds) {
-        labels = edges.join(broadcast(labels), edges("src") === labels("id"))
+        labels = g.joinTable(labels, "src", "id")
           .groupBy(col("dst"), col("lbl")).agg(count(lit(1)).as("c"))
           .groupBy(col("dst"))
           .agg(min(struct((-col("c")).as("nc"), col("lbl").as("lbl"))).as("m"))

@@ -53,6 +53,23 @@ class AttributionGraphSpec extends AnyFunSuite {
       s"conversion-touch join must be an equi-join on user_id:\n$p")
   }
 
+  test("attribution salted path (saltBuckets=4) is bit-identical and joins on the salt") {
+    // the hot-user escalation: touches salted by hash(touch_id) mod R,
+    // conversions replicated R ways — the hot user's quadratic pair EMIT
+    // spreads over R tasks while pairs and credits stay exact
+    val base = SparkEntry.queries("op_attribution")(spark, sfDir).collect().toSeq
+    spark.conf.set("spark.graft.attribution.saltBuckets", "4")
+    try {
+      val df = SparkEntry.queries("op_attribution")(spark, sfDir)
+      val salted = df.collect().toSeq
+      assert(salted == base, "salting must not change a single credited cent")
+      val p = finalPlan(df).toString
+      assert(p.contains("tsalt") && p.contains("csalt"),
+        s"salted path must join on the salt columns:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+    } finally spark.conf.unset("spark.graft.attribution.saltBuckets")
+  }
+
   // ---- op_pagerank ----
 
   /** Driver-side reference: the same 6 damped integer iterations computed
