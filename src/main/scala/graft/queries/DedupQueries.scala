@@ -187,19 +187,42 @@ object DedupQueries {
     * day-sized postings); periodic [[nearStoreCompact]] re-caps hot
     * buckets and collapses the append files.
     * Spec-gated (ApproxSuiteSpec): after commit, re-screening the same
-    * batch yields zero `new`/`dup_in_batch` verdicts. */
+    * batch yields zero `new`/`dup_in_batch` verdicts.
+    *
+    * Runs under [[graft.operators.StoreLock]] with an anti-join against
+    * the sigs already present: two at-least-once schedulers committing
+    * the same batch concurrently serialize, and the second appends
+    * nothing — per-doc idempotent, not just single-writer-safe
+    * (CommitConcurrencySpec races it). The fresh slice is staged to a
+    * scratch dir first so the sigs append never reads the directory it
+    * is writing. */
   private[graft] def nearStoreCommit(s: SparkSession, d: String, newDocs: DataFrame): Unit = {
     val storePath = nearStorePath(s, d)
-    // finish any interrupted compaction swap BEFORE appending: an append
-    // against a crash-point-1 store (bands/ moved aside, bands_old/
-    // holding all postings) would otherwise create a fresh bands/ whose
-    // presence makes the next recover DELETE bands_old — silently losing
-    // every pre-crash posting.
-    nearStoreRecover(storePath)
-    newDocs.select(col("doc_id").as("corpus_id"), col("sig"), col("fp"))
-      .write.mode("append").parquet(storePath + "/sigs")
-    newDocs.select(col("doc_id").as("corpus_id"), nearStoreBandKeys.as("bkey"))
-      .write.mode("append").parquet(storePath + "/bands")
+    graft.operators.StoreLock.withLock(storePath) {
+      // finish any interrupted compaction swap BEFORE appending: an append
+      // against a crash-point-1 store (bands/ moved aside, bands_old/
+      // holding all postings) would otherwise create a fresh bands/ whose
+      // presence makes the next recover DELETE bands_old — silently losing
+      // every pre-crash posting.
+      nearStoreRecover(storePath)
+      val staging = storePath + "/_staging_commit"
+      newDocs.select(col("doc_id").as("corpus_id"), col("sig"), col("fp"))
+        .join(s.read.parquet(storePath + "/sigs").select(col("corpus_id")),
+          Seq("corpus_id"), "left_anti")
+        .write.mode("overwrite").parquet(staging)
+      // bands FIRST, sigs LAST: the anti-join keys on sigs, so the sigs
+      // append is the commit point — a crash between the two appends is
+      // healed by the retry (the doc is still absent from sigs, so both
+      // appends re-run; the duplicate band postings that leaves are
+      // candidate-generation noise the next compaction rewrites away,
+      // whereas the reverse order would orphan a doc out of screening
+      // forever).
+      val fresh = s.read.parquet(staging)
+      fresh.select(col("corpus_id"), nearStoreBandKeys.as("bkey"))
+        .write.mode("append").parquet(storePath + "/bands")
+      fresh.write.mode("append").parquet(storePath + "/sigs")
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(staging))
+    }
   }
 
   /** Test hook: 1 → crash after the first rename (bands moved aside,
@@ -223,28 +246,33 @@ object DedupQueries {
   private[graft] def nearStoreCompact(s: SparkSession, d: String): Unit = {
     val storePath = nearStorePath(s, d)
     val cap = graft.operators.HotBuckets.maxBucket(s)
-    nearStoreRecover(storePath) // finish any interrupted prior swap first
-    val tmpOut = storePath + "/bands_compacting"
-    s.read.parquet(storePath + "/sigs")
-      .select(col("corpus_id"), nearStoreBandKeys.as("bkey"))
-      .groupBy(col("bkey"))
-      .agg(sort_array(collect_list(col("corpus_id"))).as("ids"))
-      .withColumn("ids", slice(col("ids"), 1, cap))
-      .select(col("bkey"), explode(col("ids")).as("corpus_id"))
-      .write.mode("overwrite").parquet(tmpOut)
-    val bands = new java.io.File(storePath + "/bands")
-    val old = new java.io.File(storePath + "/bands_old")
-    if (!bands.renameTo(old))
-      throw new java.io.IOException(s"compaction swap (bands -> bands_old) failed for $storePath")
-    if (compactCrashPoint == 1)
-      throw new java.io.IOException(s"injected compaction crash after first rename: $storePath")
-    if (!new java.io.File(tmpOut).renameTo(bands)) {
-      old.renameTo(bands) // roll the intact old layout back
-      throw new java.io.IOException(s"compaction swap (compacting -> bands) failed for $storePath")
+    // same lock as the commit path: a compaction swapping bands/ out from
+    // under a concurrent commit's append (or two compactors renaming at
+    // once) would corrupt the layout the two-rename pattern protects
+    graft.operators.StoreLock.withLock(storePath) {
+      nearStoreRecover(storePath) // finish any interrupted prior swap first
+      val tmpOut = storePath + "/bands_compacting"
+      s.read.parquet(storePath + "/sigs")
+        .select(col("corpus_id"), nearStoreBandKeys.as("bkey"))
+        .groupBy(col("bkey"))
+        .agg(sort_array(collect_list(col("corpus_id"))).as("ids"))
+        .withColumn("ids", slice(col("ids"), 1, cap))
+        .select(col("bkey"), explode(col("ids")).as("corpus_id"))
+        .write.mode("overwrite").parquet(tmpOut)
+      val bands = new java.io.File(storePath + "/bands")
+      val old = new java.io.File(storePath + "/bands_old")
+      if (!bands.renameTo(old))
+        throw new java.io.IOException(s"compaction swap (bands -> bands_old) failed for $storePath")
+      if (compactCrashPoint == 1)
+        throw new java.io.IOException(s"injected compaction crash after first rename: $storePath")
+      if (!new java.io.File(tmpOut).renameTo(bands)) {
+        old.renameTo(bands) // roll the intact old layout back
+        throw new java.io.IOException(s"compaction swap (compacting -> bands) failed for $storePath")
+      }
+      if (compactCrashPoint == 2)
+        throw new java.io.IOException(s"injected compaction crash after second rename: $storePath")
+      org.apache.commons.io.FileUtils.deleteDirectory(old)
     }
-    if (compactCrashPoint == 2)
-      throw new java.io.IOException(s"injected compaction crash after second rename: $storePath")
-    org.apache.commons.io.FileUtils.deleteDirectory(old)
   }
 
   /** Convenience commit: screen the fixture's batch split with the

@@ -355,20 +355,27 @@ object SketchQueries {
     * one appended partial row per day. IDEMPOTENT per day — days already
     * present are anti-joined away, so an at-least-once scheduler cannot
     * double-count n_events (the sketches would union out duplicates, the
-    * exact count would not). */
+    * exact count would not). The read-check-then-append runs under
+    * [[graft.operators.StoreLock]], so two schedulers committing the
+    * SAME day concurrently serialize: the second sees the day present
+    * and appends nothing (CommitConcurrencySpec races it). */
   private[graft] def sketchStoreCommit(s: org.apache.spark.sql.SparkSession,
       d: String, dayEvents: org.apache.spark.sql.DataFrame): Unit = {
     val path = sketchStorePath(s, d)
-    // day list to the driver (O(days) — a 10-year store is 3650 strings)
-    // rather than an anti-join reading the same path the write appends to
-    val existingDays = sketchStore(s, d).select(col("day"))
-      .collect().map(_.getString(0)).toSeq
-    dayEvents
-      .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
-      .agg(count(lit(1)).as("n_events"),
-        expr("theta_sketch_agg(user_id, 17)").as("tsk"),
-        expr("kll_sketch_agg_double(value, 65535)").as("ksk"))
-      .filter(if (existingDays.isEmpty) lit(true) else !col("day").isin(existingDays: _*))
-      .write.mode("append").parquet(path + "/days")
+    graft.operators.StoreLock.withLock(path) {
+      // day list to the driver (O(days) — a 10-year store is 3650 strings)
+      // rather than an anti-join reading the same path the write appends
+      // to; the collect completes (and so does the check) before the
+      // append starts, and the lock holds across both
+      val existingDays = sketchStore(s, d).select(col("day"))
+        .collect().map(_.getString(0)).toSeq
+      dayEvents
+        .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
+        .agg(count(lit(1)).as("n_events"),
+          expr("theta_sketch_agg(user_id, 17)").as("tsk"),
+          expr("kll_sketch_agg_double(value, 65535)").as("ksk"))
+        .filter(if (existingDays.isEmpty) lit(true) else !col("day").isin(existingDays: _*))
+        .write.mode("append").parquet(path + "/days")
+    }
   }
 }

@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import graft.streaming.HarnessFeed.HarnessFeedOps
 import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
@@ -47,7 +48,7 @@ object StreamingQueries {
       val rows = Tables.load(s, d, "events")
         .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"))
         .orderBy(col("us"), col("event_id"))
-        .collect()
+        .harnessFeed()
         .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
       val (lo, hi) = (rows.head._3, rows.last._3)
       // each slice pair is one stateful micro-batch round; 4 rounds already
@@ -131,7 +132,7 @@ object StreamingQueries {
       val rows = Tables.load(s, d, "events")
         .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"))
         .orderBy(col("us"), col("event_id"))
-        .collect()
+        .harnessFeed()
         .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
       val (lo, hi) = (rows.head._3, rows.last._3)
       val nSlices = s.conf.get("spark.graft.ssjoin.slices", "4").toInt
@@ -218,7 +219,7 @@ object StreamingQueries {
       val rows = Tables.load(s, d, "events")
         .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"))
         .orderBy(col("us"), col("event_id"))
-        .collect()
+        .harnessFeed()
         .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
       val (lo, hi) = (rows.head._3, rows.last._3)
       val nSlices = s.conf.get("spark.graft.ssjoin.slices", "4").toInt
@@ -285,7 +286,7 @@ object StreamingQueries {
         .select(col("event_id"), col("user_id"), col("event_type"),
           unix_micros(col("ts")).as("us"))
         .orderBy(col("us"), col("event_id"))
-        .collect()
+        .harnessFeed()
         .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
       val (lo, hi) = (rows.head._4, rows.last._4)
       val nSlices = s.conf.get("spark.graft.ssjoin.slices", "4").toInt
@@ -350,7 +351,7 @@ object StreamingQueries {
         .select(col("event_id"), col("user_id"), col("event_type"),
           unix_micros(col("ts")).as("us"))
         .orderBy(col("us"), col("event_id"))
-        .collect()
+        .harnessFeed()
         .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
       val (lo, hi) = (rows.head._4, rows.last._4)
       val nSlices = s.conf.get("spark.graft.ssjoin.slices", "4").toInt
@@ -419,7 +420,7 @@ object StreamingQueries {
         .select(col("event_id"), col("user_id"), col("event_type"),
           col("value"), unix_micros(col("ts")).as("us"))
         .orderBy(col("us"), col("event_id"))
-        .collect()
+        .harnessFeed()
         .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3), r.getLong(4)))
       val (lo, hi) = (rows.head._5, rows.last._5)
       val nSlices = s.conf.get("spark.graft.ssjoin.slices", "4").toInt
@@ -477,7 +478,7 @@ object StreamingQueries {
       val rows = Tables.load(s, d, "events")
         .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"))
         .orderBy(col("us"), col("event_id"))
-        .collect()
+        .harnessFeed()
         .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
       val (lo, hi) = (rows.head._3, rows.last._3)
       val nSlices = s.conf.get("spark.graft.ssjoin.slices", "4").toInt
@@ -539,7 +540,7 @@ object StreamingQueries {
         Ivf.train(e, kClusters, iters, trainSample))
       val cents = graft.operators.IndexStore.loadIvf(s, idxPath)
 
-      val rows = e.orderBy(col("vec_id")).collect()
+      val rows = e.orderBy(col("vec_id")).harnessFeed()
         .map(r => (r.getLong(0), r.getSeq[Float](1)))
       val nSlices = s.conf.get("spark.graft.ssjoin.slices", "4").toInt
       val per = rows.length / nSlices + 1
@@ -592,7 +593,7 @@ object StreamingQueries {
       val capN = s.conf.get("spark.graft.groupCap", "5").toInt
       val rows = Tables.load(s, d, "documents")
         .select(col("doc_id"), col("source"), col("n_chars"))
-        .orderBy(col("doc_id")).collect()
+        .orderBy(col("doc_id")).harnessFeed()
         .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
       val nSlices = s.conf.get("spark.graft.ssjoin.slices", "4").toInt
       val per = rows.length / nSlices + 1
@@ -647,7 +648,7 @@ object StreamingQueries {
       implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
       val rows = Tables.load(s, d, "documents")
         .select(col("doc_id"), col("lang"), col("n_chars"))
-        .orderBy(col("doc_id")).collect()
+        .orderBy(col("doc_id")).harnessFeed()
         .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
       val nSlices = s.conf.get("spark.graft.ssjoin.slices", "4").toInt
       val per = rows.length / nSlices + 1
@@ -714,7 +715,7 @@ object StreamingQueries {
 
       val rows = base.filter(col("source") =!= evalSource)
         .select(col("doc_id"), col("fph")).orderBy(col("doc_id"))
-        .collect().map(r => (r.getLong(0), r.getLong(1)))
+        .harnessFeed().map(r => (r.getLong(0), r.getLong(1)))
       val nSlices = s.conf.get("spark.graft.ssjoin.slices", "4").toInt
       val per = math.max(1, (rows.length + nSlices - 1) / nSlices)
 
@@ -763,7 +764,7 @@ object StreamingQueries {
       val srcN = expr("try_cast(substring(source, 4, 10) AS INT)")
       val rows = Tables.load(s, d, "documents").filter(srcN >= 15)
         .select(col("doc_id"), col("text")).orderBy(col("doc_id"))
-        .collect().map(r => (r.getLong(0), r.getString(1)))
+        .harnessFeed().map(r => (r.getLong(0), r.getString(1)))
       val nSlices = s.conf.get("spark.graft.ssjoin.slices", "4").toInt
       val per = math.max(1, (rows.length + nSlices - 1) / nSlices)
 
@@ -833,7 +834,7 @@ object StreamingQueries {
         .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
           col("l_extendedprice"), col("l_discount"), col("l_returnflag"))
         .orderBy(col("l_orderkey"), col("l_linenumber"))
-        .collect()
+        .harnessFeed()
         .map(r => (r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getString(5)))
       val nSlices = s.conf.get("spark.graft.ssjoin.slices", "4").toInt
       val per = math.max(1, (rows.length + nSlices - 1) / nSlices)
@@ -898,7 +899,7 @@ object StreamingQueries {
       implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
       val trained = TextQueries.trainedWeights(s, d)
         .select(col("bucket"), col("w"))
-        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+        .harnessFeed().map(r => (r.getLong(0), r.getLong(1))).toSeq
       val path = s"target/indexstore/weights_${Integer.toHexString(d.hashCode)}"
       graft.operators.IndexStore.saveWeights(s, path, trained)
       val loaded = graft.operators.IndexStore.loadWeights(s, path)
@@ -908,7 +909,7 @@ object StreamingQueries {
         .filter(col("source").isin("src0", "src1"))
         .select(col("doc_id"), col("lang"), col("text"))
         .orderBy(col("doc_id"))
-        .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+        .harnessFeed().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
       val nSlices = s.conf.get("spark.graft.ssjoin.slices", "4").toInt
       val per = math.max(1, (rows.length + nSlices - 1) / nSlices)
 
@@ -958,7 +959,7 @@ object StreamingQueries {
       implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
       val rows = Tables.load(s, d, "documents")
         .select(col("doc_id"), col("text")).orderBy(col("doc_id"))
-        .collect().map(r => (r.getLong(0), r.getString(1)))
+        .harnessFeed().map(r => (r.getLong(0), r.getString(1)))
       val nSlices = s.conf.get("spark.graft.ssjoin.slices", "4").toInt
       val per = math.max(1, (rows.length + nSlices - 1) / nSlices)
 
@@ -1007,7 +1008,7 @@ object StreamingQueries {
       implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
       val rows = Tables.load(s, d, "events")
         .select(col("user_id"), col("value"), unix_micros(col("ts")).as("us"))
-        .orderBy(col("us")).collect()
+        .orderBy(col("us")).harnessFeed()
         .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
       val sentinelUs = rows.last._3 + 3L * 24 * 3600 * 1000000
       val base = java.nio.file.Files
@@ -1126,7 +1127,7 @@ object StreamingQueries {
         .select(col("o_orderkey").as("k"), col("o_custkey").as("c"),
           col("l_suppkey").as("sp"))
         .orderBy(col("k"), col("c"), col("sp"))
-        .collect().map(r => (r.getLong(1), r.getLong(2)))
+        .harnessFeed().map(r => (r.getLong(1), r.getLong(2)))
       val nSlices = s.conf.get("spark.graft.ssjoin.slices", "4").toInt
       val per = math.max(1, (rows.length + nSlices - 1) / nSlices)
 
@@ -1206,7 +1207,7 @@ object StreamingQueries {
         .agg(count(lit(1)).as("c"))
         .select(col("event_type"),
           date_format(col("day"), "yyyy-MM-dd").as("day"), col("c"))
-        .collect()
+        .harnessFeed()
         .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
       val types = daily.map(_._1).distinct.sorted
       val days = {
@@ -1265,7 +1266,7 @@ object StreamingQueries {
         .select(col("lang"), col("doc_id"), col("n_chars"),
           size(array_distinct(split(col("text"), " "))).cast("long").as("nd"))
         .orderBy(col("doc_id"))
-        .collect()
+        .harnessFeed()
         .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
       val nSlices = s.conf.get("spark.graft.ssjoin.slices", "4").toInt
       val per = math.max(1, (rows.length + nSlices - 1) / nSlices)
@@ -1313,7 +1314,7 @@ object StreamingQueries {
         .filter(col("event_type").isin("view", "click", "purchase"))
         .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
         .orderBy(col("us"), col("user_id"))
-        .collect()
+        .harnessFeed()
         .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
       val nSlices = s.conf.get("spark.graft.ssjoin.slices", "4").toInt
       val per = math.max(1, (rows.length + nSlices - 1) / nSlices)
@@ -1358,7 +1359,7 @@ object StreamingQueries {
         .select(col("user_id"), unix_micros(col("ts")).as("us"),
           col("event_id"), col("event_type"))
         .orderBy(col("us"), col("event_id"))
-        .collect()
+        .harnessFeed()
         .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
       val nSlices = s.conf.get("spark.graft.ssjoin.slices", "4").toInt
       val per = math.max(1, (rows.length + nSlices - 1) / nSlices)
@@ -1404,7 +1405,7 @@ object StreamingQueries {
         .select(col("user_id"), unix_micros(col("ts")).as("us"),
           col("event_id"), col("event_type"))
         .orderBy(col("us"), col("event_id"))
-        .collect()
+        .harnessFeed()
         .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
       val nSlices = s.conf.get("spark.graft.ssjoin.slices", "4").toInt
       val per = math.max(1, (rows.length + nSlices - 1) / nSlices)
