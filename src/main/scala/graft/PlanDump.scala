@@ -55,7 +55,8 @@ object PlanDump {
     "tx_collocations" -> "collocations by lift: map-combined counts, vocab joins, broadcast totals, heap top-100",
     "tx_keywords" -> "keywords by tf/df: map-combined tf, term-keyed df join, topk_min heap (no WindowExec)",
     "op_label_prop" -> "label propagation: edges never shuffle, label broadcast, argmax as min(struct(-c,lbl))",
-    "op_lag_cov" -> "lead-lag covariance: one corpus aggregate, dense-frame lag join with 7-row broadcast")
+    "op_lag_cov" -> "lead-lag covariance: one corpus aggregate, dense-frame lag join with 7-row broadcast",
+    "op_triangles" -> "mutual-kNN triangles: bounded-heap kNN (pre-checkpoint), equi-join closure over a<b<c edges")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"

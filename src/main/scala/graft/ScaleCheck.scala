@@ -93,6 +93,11 @@ object ScaleCheck {
       .config("spark.sql.shuffle.partitions", cpus))
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // the kx replicas are a DELIBERATELY larger differential replay, so
+    // scale the ss_* harness-feeder cap with k (an explicit conf: arg
+    // still wins — user confs apply after this default)
+    spark.conf.set(graft.streaming.HarnessFeed.MaxRowsKey,
+      (graft.streaming.HarnessFeed.DefaultMaxRows.toLong * math.max(1, k)).toString)
     confs.foreach { case (key, value) => spark.conf.set(key, value) }
 
     // replicate with shifted ids (documents/embeddings get distinct ids so
@@ -230,7 +235,15 @@ object ScaleCheck {
           // whose per-batch slice sorts in one task (funnel,
           // transitions). All linear-share shapes; the gate is that
           // nothing quadratic hides in the per-key fold.
-          "op_time_travel", "ss_funnel", "ss_transitions", "ss_scd2_maintain")
+          "op_time_travel", "ss_funnel", "ss_transitions", "ss_scd2_maintain",
+          // hot customer: its basket collapses to <= |suppliers| rows in
+          // the distinct pass BEFORE the co-occurrence self-join (the
+          // op_cooccur_topk defense), and the mutual-kNN edge set stays
+          // <= 5|S| whatever the degree skew upstream; hot user: one
+          // GroupState group whose days-set is calendar-bounded — the
+          // retention fold is linear in the hot key's share; gap fill:
+          // one O(1)-state group sorting 10% of each batch — linear share
+          "op_triangles", "ss_retention_maintain", "ss_gap_fill")
       else
         Seq("b5_group_agg", "b1_filter_compound", "j_multiway_star",
           "b6_theta_distinct", "b8_freq_topk", "dd_minhash_lsh", "ann_lsh_topk",
@@ -273,7 +286,8 @@ object ScaleCheck {
           "ss_anomaly_ewma", "op_time_travel", "tx_keywords",
           "mm_phash_clusters", "op_label_prop", "ss_skyline_maintain",
           "mm_tile_stats", "op_lag_cov", "ss_funnel", "ss_transitions",
-          "tx_stem_vocab", "ss_scd2_maintain")
+          "tx_stem_vocab", "ss_scd2_maintain", "op_triangles",
+          "ss_retention_maintain", "ss_gap_fill")
     val selected = if (only.isEmpty) names else names.filter(only)
     // dd_semdedup is excluded the same way dd_embed_cosine is: replicated
     // embeddings are bit-identical across copies, so k-fold data has k²

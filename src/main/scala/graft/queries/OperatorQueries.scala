@@ -426,17 +426,7 @@ object OperatorQueries {
     // frame joined back broadcast. No windows, no per-user sort — every
     // reduction is algebraic, so a hot user (10% of the log) folds
     // map-side exactly like op_cdc_upsert.
-    QueryDef("op_retention", Some(
-      """WITH f AS (SELECT user_id, min(CAST(ts AS DATE)) AS c FROM events GROUP BY user_id),
-        |a AS (SELECT DISTINCT e.user_id, f.c,
-        |        date_diff('day', f.c, CAST(e.ts AS DATE)) AS d
-        |      FROM events e JOIN f USING (user_id)),
-        |coh AS (SELECT c, count(*) AS n_cohort FROM f GROUP BY c)
-        |SELECT strftime(a.c, '%Y-%m-%d') AS cohort_day, a.d, count(*) AS n_retained,
-        |  any_value(coh.n_cohort) AS n_cohort
-        |FROM a JOIN coh USING (c)
-        |WHERE a.d IN (0, 1, 3, 7)
-        |GROUP BY a.c, a.d ORDER BY cohort_day, d""".stripMargin)) { (s, d) =>
+    QueryDef("op_retention", Some(OperatorQueries.retentionSql)) { (s, d) =>
       val e = Tables.load(s, d, "events").select(col("user_id"), to_date(col("ts")).as("day"))
       val f = e.groupBy(col("user_id")).agg(min(col("day")).as("c"))
       val coh = f.groupBy(col("c")).agg(count(lit(1)).as("n_cohort"))
@@ -461,15 +451,7 @@ object OperatorQueries {
     // user_id, the per-user timeline sorted once within its task. No
     // float arithmetic (values are copied, not computed), so the double
     // column hash-compares exactly.
-    QueryDef("op_gap_fill", Some(
-      """SELECT event_id, user_id, v,
-        |  last_value(v IGNORE NULLS) OVER (PARTITION BY user_id
-        |    ORDER BY ts, event_id
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
-        |FROM (SELECT event_id, user_id, ts,
-        |        CASE WHEN event_type <> 'scroll' THEN value END AS v
-        |      FROM events)
-        |ORDER BY event_id""".stripMargin)) { (s, d) =>
+    QueryDef("op_gap_fill", Some(OperatorQueries.gapFillSql)) { (s, d) =>
       val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       Tables.load(s, d, "events")
@@ -1553,8 +1535,142 @@ object OperatorQueries {
           expr("CAST(CASE WHEN rn >= 3 AND 5 * c * (256 - shiftleft(1, 8 - least(rn, 8))) < 4 * num" +
             " THEN 1 ELSE 0 END AS INT)").as("dip"))
         .orderBy(col("event_type"), col("day"))
+    },
+
+    // TRIANGLE COUNTING / local clustering coefficients — the subgraph-
+    // counting class of graph analytics (CC finds components, PageRank
+    // ranks, LP finds groups; triangles measure local density). Graph:
+    // the MUTUAL top-5 co-occurrence k-NN graph over suppliers (edge iff
+    // each endpoint ranks the other in its top-5 shared-customer
+    // neighbors, op_cooccur_topk's ranking with the same (count DESC, nb)
+    // total tiebreak) — the graph a curation pipeline actually builds,
+    // and SPARSE BY CONSTRUCTION: mutual-kNN degree is ≤ k at any corpus
+    // size, so wedge work is bounded by k²·|nodes|/2 — no density
+    // threshold to tune, no quadratic blowup on a dense corpus (a fixed
+    // co-occurrence cutoff makes this fixture's graph COMPLETE). Output:
+    // per node, degree, triangle count, and the local clustering
+    // coefficient in integer ppm (2·10⁶·tri div deg·(deg−1)) — all
+    // integer, hash-exact. Plan: the kNN ranking is the bounded-heap
+    // topk_min shape; edges (≤ k·|nodes| rows) materialize once via
+    // localCheckpoint and close triangles through two self-joins on the
+    // canonical a<b<c orientation — each triangle enumerated exactly
+    // once; Catalyst broadcasts the tiny edge frame. For general
+    // (unbounded-degree) graphs the refinement is degree-ordered
+    // orientation, which bounds wedges by arboricity — unnecessary here
+    // because the k-NN construction already bounds the degree.
+    QueryDef("op_triangles", Some(
+      """WITH pairs AS (
+        |  SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+        |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+        |co AS (
+        |  SELECT a.s AS sa, b.s AS sb, CAST(count(*) AS BIGINT) AS n_common
+        |  FROM pairs a JOIN pairs b ON a.c = b.c AND a.s < b.s
+        |  GROUP BY a.s, b.s),
+        |sym AS (SELECT sa AS s, sb AS nb, n_common FROM co
+        |        UNION ALL SELECT sb AS s, sa AS nb, n_common FROM co),
+        |knn AS (SELECT s, nb FROM (
+        |    SELECT s, nb, row_number() OVER (PARTITION BY s
+        |      ORDER BY n_common DESC, nb) AS rnk FROM sym) WHERE rnk <= 5),
+        |edges AS (
+        |  SELECT a.s AS u, a.nb AS v FROM knn a JOIN knn b
+        |    ON a.s = b.nb AND a.nb = b.s AND a.s < a.nb),
+        |deg AS (SELECT x AS supp, CAST(count(*) AS BIGINT) AS deg FROM (
+        |    SELECT u AS x FROM edges UNION ALL SELECT v FROM edges) GROUP BY x),
+        |tri AS (
+        |  SELECT e1.u AS a, e1.v AS b, e2.v AS c3
+        |  FROM edges e1 JOIN edges e2 ON e2.u = e1.v
+        |  JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v),
+        |tcnt AS (SELECT x AS supp, CAST(count(*) AS BIGINT) AS n_tri FROM (
+        |    SELECT a AS x FROM tri UNION ALL SELECT b FROM tri
+        |    UNION ALL SELECT c3 FROM tri) GROUP BY x)
+        |SELECT d.supp, d.deg, COALESCE(t.n_tri, 0) AS n_tri,
+        |  CASE WHEN d.deg >= 2
+        |    THEN (2000000 * COALESCE(t.n_tri, 0)) // (d.deg * (d.deg - 1))
+        |    ELSE 0 END AS coeff_ppm
+        |FROM deg d LEFT JOIN tcnt t ON t.supp = d.supp
+        |ORDER BY d.supp""".stripMargin)) { (s, d) =>
+      import graft.functions.topk_min
+      val pairs = Tables.load(s, d, "orders")
+        .select(col("o_orderkey"), col("o_custkey"))
+        .join(Tables.load(s, d, "lineitem")
+          .select(col("l_orderkey"), col("l_suppkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("c"), col("l_suppkey").as("s"))
+        .distinct()
+      val b = pairs.select(col("c").as("c2"), col("s").as("s2"))
+      val co = pairs.join(b, col("c") === col("c2") && col("s") < col("s2"))
+        .groupBy(col("s").as("sa"), col("s2").as("sb"))
+        .agg(count(lit(1)).as("n_common"))
+      val sym = co.select(col("sa").as("s"), col("sb").as("nb"), col("n_common"))
+        .unionByName(co.select(col("sb").as("s"), col("sa").as("nb"), col("n_common")))
+      val knn = sym.groupBy(col("s"))
+        .agg(topk_min(struct((-col("n_common")).as("ncnt"),
+          col("nb").as("nb")), 5).as("tk"))
+        .select(col("s"), explode(col("tk")).as("st"))
+        .select(col("s"), col("st.nb").as("nb"))
+      // mutual edges, canonical u < v; eager localCheckpoint cuts the
+      // co-occurrence lineage so the three triangle scans re-read k·|S|
+      // edge rows, not three recomputes of the counting pass
+      val edges = knn.alias("ka").join(knn.alias("kb"),
+          col("ka.s") === col("kb.nb") && col("ka.nb") === col("kb.s") &&
+            col("ka.s") < col("ka.nb"))
+        .select(col("ka.s").as("u"), col("ka.nb").as("v"))
+        .localCheckpoint(true)
+      val deg = edges.select(col("u").as("x"))
+        .unionByName(edges.select(col("v").as("x")))
+        .groupBy(col("x")).agg(count(lit(1)).as("deg"))
+      val tri = edges
+        .join(edges.select(col("u").as("b2"), col("v").as("c2x")),
+          col("v") === col("b2"))
+        .join(edges.select(col("u").as("a3"), col("v").as("c3x")),
+          col("u") === col("a3") && col("c2x") === col("c3x"))
+        .select(col("u").as("ta"), col("v").as("tb"), col("c2x").as("tc"))
+      val tcnt = tri.select(col("ta").as("x"))
+        .unionByName(tri.select(col("tb").as("x")))
+        .unionByName(tri.select(col("tc").as("x")))
+        .groupBy(col("x")).agg(count(lit(1)).as("n_tri"))
+      deg.join(tcnt.withColumnRenamed("x", "xx"), col("x") === col("xx"), "left")
+        .select(col("x").as("supp"), col("deg"),
+          coalesce(col("n_tri"), lit(0L)).as("n_tri"),
+          when(col("deg") >= 2,
+            expr("(2000000 * coalesce(n_tri, 0)) div (deg * (deg - 1))"))
+            .otherwise(lit(0L)).as("coeff_ppm"))
+        .orderBy(col("supp"))
     }
   )
+
+  /** ONE oracle for the per-user forward fill, shared by the batch op
+    * (op_gap_fill) and its streaming twin (ss_gap_fill) — the per-user
+    * last-known-value fold is the window's running last_value exactly,
+    * so both are checked against the identical SQL. (Lazy: referenced
+    * from `defs`, which initializes first.) */
+  private[queries] lazy val gapFillSql: String =
+    """SELECT event_id, user_id, v,
+      |  last_value(v IGNORE NULLS) OVER (PARTITION BY user_id
+      |    ORDER BY ts, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+      |FROM (SELECT event_id, user_id, ts,
+      |        CASE WHEN event_type <> 'scroll' THEN value END AS v
+      |      FROM events)
+      |ORDER BY event_id""".stripMargin
+
+  /** ONE oracle for the cohort-retention matrix, shared by the batch op
+    * (op_retention) and its streaming maintenance twin
+    * (ss_retention_maintain) — the per-user (first-day, active-days)
+    * fold reproduces the min/distinct algebra exactly, so both are
+    * checked against the identical SQL. (Lazy: referenced from `defs`,
+    * which initializes first.) */
+  private[queries] lazy val retentionSql: String =
+    """WITH f AS (SELECT user_id, min(CAST(ts AS DATE)) AS c FROM events GROUP BY user_id),
+      |a AS (SELECT DISTINCT e.user_id, f.c,
+      |        date_diff('day', f.c, CAST(e.ts AS DATE)) AS d
+      |      FROM events e JOIN f USING (user_id)),
+      |coh AS (SELECT c, count(*) AS n_cohort FROM f GROUP BY c)
+      |SELECT strftime(a.c, '%Y-%m-%d') AS cohort_day, a.d, count(*) AS n_retained,
+      |  any_value(coh.n_cohort) AS n_cohort
+      |FROM a JOIN coh USING (c)
+      |WHERE a.d IN (0, 1, 3, 7)
+      |GROUP BY a.c, a.d ORDER BY cohort_day, d""".stripMargin
 
   /** ONE oracle for the SCD2 history build, shared by the batch op
     * (op_scd2) and its streaming maintenance twin (ss_scd2_maintain) —

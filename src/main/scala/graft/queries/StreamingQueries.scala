@@ -1438,6 +1438,110 @@ object StreamingQueries {
         .select(col("user_id"), col("event_type"), col("valid_from_us"),
           col("valid_to_us"), col("n_events"))
         .orderBy(col("user_id"), col("valid_from_us"))
+    },
+
+    // Streaming twin of op_retention — the cohort dashboard maintained
+    // live: each user's (first-seen day, distinct active days) folds in a
+    // per-user GroupState as the log replays, which is exactly the batch
+    // min/DISTINCT algebra — late-arriving EARLIER days re-base the
+    // user's cohort and the stored days re-land on the right deltas, so
+    // the drained max-seq frame rolls up to op_retention's matrix
+    // bit-for-bit (oracle = op_retention's SQL, shared val). State is
+    // O(distinct active days) per user (calendar-bounded); the final
+    // rollup is a |cohorts|×4-key aggregate over the per-user frame,
+    // with the tiny cohort-sizes frame joined back broadcast.
+    QueryDef("ss_retention_maintain", Some(OperatorQueries.retentionSql)) { (s, d) =>
+      import s.implicits._
+      implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val rows = Tables.load(s, d, "events")
+        .select(col("user_id"),
+          datediff(to_date(col("ts")), lit("1970-01-01")).as("eday"),
+          unix_micros(col("ts")).as("us"))
+        .orderBy(col("us"), col("user_id"))
+        .harnessFeed()
+        .map(r => (r.getLong(0), r.getInt(1)))
+      val nSlices = s.conf.get("spark.graft.ssjoin.slices", "4").toInt
+      val per = math.max(1, (rows.length + nSlices - 1) / nSlices)
+
+      val feed = MemoryStream[(Long, Int)]
+      val ret = graft.streaming.StatefulOps.retentionMaintain(feed.toDS())
+      val sink = "ss_retention_sink"
+      s.catalog.dropTempView(sink)
+      val savedParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions",
+        s.conf.get("spark.graft.ssjoin.parts", "4"))
+      val q =
+        try ret.toDF().writeStream.format("memory").queryName(sink)
+          .outputMode("append").start()
+        finally s.conf.set("spark.sql.shuffle.partitions", savedParts)
+      try {
+        rows.grouped(per).foreach { slice =>
+          feed.addData(slice.toSeq)
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+      val drained = s.table(sink)
+      val last = drained.groupBy(col("user_id").as("u")).agg(max(col("seq")).as("mseq"))
+      val fin = drained.join(broadcast(last),
+        col("user_id") === col("u") && col("seq") === col("mseq"))
+      // fin self-joins below (cohort sizes vs delta counts) — rename the
+      // size side's key so the two lineages cannot conflict
+      val coh = fin.select(col("c").as("cc"))
+        .groupBy(col("cc")).agg(count(lit(1)).as("n_cohort"))
+      fin.select(col("c"), explode(array(
+          when(col("d0"), lit(0L)), when(col("d1"), lit(1L)),
+          when(col("d3"), lit(3L)), when(col("d7"), lit(7L)))).as("d"))
+        .filter(col("d").isNotNull)
+        .groupBy(col("c"), col("d"))
+        .agg(count(lit(1)).as("n_retained"))
+        .join(broadcast(coh), col("c") === col("cc"))
+        .select(date_format(date_add(to_date(lit("1970-01-01")), col("c")),
+          "yyyy-MM-dd").as("cohort_day"),
+          col("d"), col("n_retained"), col("n_cohort"))
+        .orderBy(col("cohort_day"), col("d"))
+    },
+
+    // Streaming twin of op_gap_fill — imputation IN FLIGHT: each user's
+    // last known reading lives in an O(1) GroupState, so every arriving
+    // event emits exactly once with its forward-filled value — the batch
+    // `last_value IGNORE NULLS` window semantics, but the consumer never
+    // waits for a window pass over history. Missing readings ('scroll'
+    // events) pick up the carried value even when the carrier arrived
+    // many micro-batches earlier; the drained sink equals the batch fill
+    // row-for-row (oracle = op_gap_fill's SQL, shared val).
+    QueryDef("ss_gap_fill", Some(OperatorQueries.gapFillSql)) { (s, d) =>
+      import s.implicits._
+      implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val rows = Tables.load(s, d, "events")
+        .select(col("user_id"), unix_micros(col("ts")).as("us"), col("event_id"),
+          when(col("event_type") =!= "scroll", col("value")).as("v"))
+        .orderBy(col("us"), col("event_id"))
+        .harnessFeed()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+      val nSlices = s.conf.get("spark.graft.ssjoin.slices", "4").toInt
+      val per = math.max(1, (rows.length + nSlices - 1) / nSlices)
+
+      val feed = MemoryStream[(Long, Long, Long, Option[Double])]
+      val filled = graft.streaming.StatefulOps.gapFill(feed.toDS())
+      val sink = "ss_gap_fill_sink"
+      s.catalog.dropTempView(sink)
+      val savedParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions",
+        s.conf.get("spark.graft.ssjoin.parts", "4"))
+      val q =
+        try filled.toDF().writeStream.format("memory").queryName(sink)
+          .outputMode("append").start()
+        finally s.conf.set("spark.sql.shuffle.partitions", savedParts)
+      try {
+        rows.grouped(per).foreach { slice =>
+          feed.addData(slice.toSeq)
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+      s.table(sink)
+        .select(col("event_id"), col("user_id"), col("v"), col("filled"))
+        .orderBy(col("event_id"))
     }
   )
 }

@@ -292,6 +292,71 @@ object StatefulOps extends Serializable {
         OutputMode.Append(), GroupStateTimeout.NoTimeout)(step)
   }
 
+  /** Cohort-retention state for one user (see `ss_retention_maintain`):
+    * first-seen day + every distinct active day (epoch days). The days
+    * set is needed in full because a LATE earlier day re-bases the
+    * cohort, changing which stored days land on the 0/1/3/7 deltas —
+    * O(distinct active days) per user, the calendar-bounded analogue of
+    * the skyline twin's O(|frontier|). */
+  case class RetentionState(seq: Int, days: Set[Int])
+
+  /** Per-batch emission of one user's retention row: cohort day + which
+    * of the 0/1/3/7 deltas the user has hit so far (max-seq row per user
+    * is the final answer). */
+  case class RetentionRow(user_id: Long, seq: Int, c: Int,
+      d0: Boolean, d1: Boolean, d3: Boolean, d7: Boolean)
+
+  /** Incremental cohort retention: fold (user, activeEpochDay) arrivals
+    * into the per-user (min day, distinct days) state — exactly the
+    * batch min/DISTINCT algebra, so the drained max-seq frame reproduces
+    * op_retention's matrix after the harness-side rollup. */
+  def retentionMaintain(ds: Dataset[(Long, Int)]): Dataset[RetentionRow] = {
+    import ds.sparkSession.implicits._
+    def step(key: Long, rows: Iterator[(Long, Int)],
+        state: GroupState[RetentionState]): Iterator[RetentionRow] = {
+      val cur = state.getOption.getOrElse(RetentionState(0, Set.empty))
+      val next = RetentionState(cur.seq + 1, cur.days ++ rows.map(_._2))
+      state.update(next)
+      val c = next.days.min
+      Iterator.single(RetentionRow(key, next.seq, c,
+        next.days(c), next.days(c + 1), next.days(c + 3), next.days(c + 7)))
+    }
+    ds.groupByKey(_._1)
+      .flatMapGroupsWithState[RetentionState, RetentionRow](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout)(step)
+  }
+
+  /** Forward-fill state for one user (see `ss_gap_fill`): the last
+    * non-null reading — O(1), the smallest possible enrichment state. */
+  case class FillState(last: Option[Double])
+
+  /** One forward-filled event, emitted exactly once as it arrives. */
+  case class FillRow(event_id: Long, user_id: Long,
+      v: Option[Double], filled: Option[Double])
+
+  /** Streaming per-key forward fill (gap imputation in flight): each
+    * user's last known reading carries across micro-batch boundaries in
+    * GroupState, so every event emits with its imputed value the moment
+    * it arrives — exactly the batch `last_value IGNORE NULLS` window
+    * semantics over a time-ordered replay. Input: (user, tsUs, eventId,
+    * reading or None). */
+  def gapFill(ds: Dataset[(Long, Long, Long, Option[Double])]): Dataset[FillRow] = {
+    import ds.sparkSession.implicits._
+    def step(key: Long, rows: Iterator[(Long, Long, Long, Option[Double])],
+        state: GroupState[FillState]): Iterator[FillRow] = {
+      var last = state.getOption.flatMap(_.last)
+      val out = rows.toSeq.sortBy(r => (r._2, r._3)).map { case (_, _, eid, v) =>
+        if (v.isDefined) last = v
+        FillRow(eid, key, v, last)
+      }
+      state.update(FillState(last))
+      out.iterator
+    }
+    ds.groupByKey(_._1)
+      .flatMapGroupsWithState[FillState, FillRow](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout)(step)
+  }
+
   /** Streaming exact dedup — the live-ingest twin of the batch `dd_exact`
     * query: drop any record whose content hash was already seen inside
     * the watermark horizon. Built on Spark's
