@@ -241,9 +241,15 @@ object ScaleCheck {
           // op_cooccur_topk defense), and the mutual-kNN edge set stays
           // <= 5|S| whatever the degree skew upstream; hot user: one
           // GroupState group whose days-set is calendar-bounded — the
-          // retention fold is linear in the hot key's share; gap fill:
-          // one O(1)-state group sorting 10% of each batch — linear share
-          "op_triangles", "ss_retention_maintain", "ss_gap_fill")
+          // retention fold is linear in the hot key's share; gap fill /
+          // path mining: O(1)-state groups sorting 10% of each batch —
+          // linear share. (ss_attribution is EXCLUDED from skew the
+          // op_attribution way: the hot user's per-purchase candidate
+          // scan over its 7-day touch window is quadratic in the hot
+          // share BY SEMANTICS, concentrated in one GroupState key —
+          // the batch op's salted path is the documented escalation.)
+          "op_triangles", "ss_retention_maintain", "ss_gap_fill",
+          "ss_top_paths")
       else
         Seq("b5_group_agg", "b1_filter_compound", "j_multiway_star",
           "b6_theta_distinct", "b8_freq_topk", "dd_minhash_lsh", "ann_lsh_topk",
@@ -287,7 +293,8 @@ object ScaleCheck {
           "mm_phash_clusters", "op_label_prop", "ss_skyline_maintain",
           "mm_tile_stats", "op_lag_cov", "ss_funnel", "ss_transitions",
           "tx_stem_vocab", "ss_scd2_maintain", "op_triangles",
-          "ss_retention_maintain", "ss_gap_fill")
+          "ss_retention_maintain", "ss_gap_fill", "ss_attribution",
+          "ss_top_paths")
     val selected = if (only.isEmpty) names else names.filter(only)
     // dd_semdedup is excluded the same way dd_embed_cosine is: replicated
     // embeddings are bit-identical across copies, so k-fold data has k²

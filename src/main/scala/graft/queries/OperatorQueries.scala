@@ -1011,42 +1011,7 @@ object OperatorQueries {
     // emit spreads over R tasks, pairs and credits bit-identical
     // (AttributionGraphSpec forces the path and proves it). Default off:
     // AQE skew-join splitting already sub-partitions a skewed SMJ side.
-    QueryDef("op_attribution", Some(
-      """WITH conv AS (
-        |  SELECT event_id AS conv_id, user_id, ts AS cts,
-        |         CAST(round(value * 100) AS BIGINT) AS cents
-        |  FROM events WHERE event_type = 'purchase'),
-        |tch AS (
-        |  SELECT c.conv_id, c.cents, t.event_id AS touch_id,
-        |         t.event_type AS touch_type, t.ts AS tts
-        |  FROM conv c JOIN events t ON t.user_id = c.user_id
-        |  WHERE t.event_type IN ('click', 'view')
-        |    AND t.ts < c.cts AND t.ts >= c.cts - INTERVAL 7 DAY),
-        |r AS (
-        |  SELECT conv_id, cents, touch_type,
-        |    row_number() OVER (PARTITION BY conv_id
-        |                       ORDER BY tts DESC, touch_id DESC) AS rn,
-        |    count(*) OVER (PARTITION BY conv_id) AS nt
-        |  FROM tch),
-        |cred AS (
-        |  SELECT touch_type, conv_id,
-        |    cents // nt + CASE WHEN rn = 1
-        |      THEN cents - (cents // nt) * nt ELSE 0 END AS credit
-        |  FROM r),
-        |attr AS (
-        |  SELECT touch_type, CAST(count(*) AS BIGINT) AS n_touches,
-        |    count(DISTINCT conv_id) AS n_conversions,
-        |    CAST(sum(credit) AS BIGINT) AS credit_cents
-        |  FROM cred GROUP BY touch_type),
-        |none AS (
-        |  SELECT '(none)' AS touch_type, CAST(count(*) AS BIGINT) AS n_touches,
-        |    CAST(count(*) AS BIGINT) AS n_conversions,
-        |    CAST(sum(cents) AS BIGINT) AS credit_cents
-        |  FROM conv c
-        |  WHERE NOT EXISTS (SELECT 1 FROM tch t WHERE t.conv_id = c.conv_id)
-        |  HAVING count(*) > 0)
-        |SELECT * FROM attr UNION ALL SELECT * FROM none
-        |ORDER BY touch_type""".stripMargin)) { (s, d) =>
+    QueryDef("op_attribution", Some(OperatorQueries.attributionSql)) { (s, d) =>
       val e = ev(s, d)
       val conv = e.filter(col("event_type") === "purchase")
         .select(col("event_id").as("conv_id"), col("user_id"),
@@ -1462,18 +1427,7 @@ object OperatorQueries {
     // |types|³ keys at most, map-side combined; the top-25 is a
     // TakeOrderedAndProject bounded heap. Tie-free total order:
     // (n_paths DESC, e1, e2, e3).
-    QueryDef("op_top_paths", Some(
-      """WITH x AS (SELECT user_id, ts, event_id, event_type,
-        |    CASE WHEN ts - lag(ts) OVER w <= INTERVAL 2 DAY THEN 0 ELSE 1 END AS new_s
-        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
-        |tri AS (SELECT event_type AS e1,
-        |    lead(event_type, 1) OVER w AS e2, lead(event_type, 2) OVER w AS e3,
-        |    lead(new_s, 1) OVER w AS b1, lead(new_s, 2) OVER w AS b2
-        |  FROM x WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
-        |SELECT e1, e2, e3, count(*) AS n_paths
-        |FROM tri WHERE e3 IS NOT NULL AND b1 = 0 AND b2 = 0
-        |GROUP BY e1, e2, e3
-        |ORDER BY n_paths DESC, e1, e2, e3 LIMIT 25""".stripMargin)) { (s, d) =>
+    QueryDef("op_top_paths", Some(OperatorQueries.topPathsSql)) { (s, d) =>
       val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
       ev(s, d)
         .withColumn("new_s",
@@ -1638,6 +1592,68 @@ object OperatorQueries {
         .orderBy(col("supp"))
     }
   )
+
+  /** ONE oracle for the multi-touch attribution report, shared by the
+    * batch op (op_attribution) and its streaming twin (ss_attribution) —
+    * the live fold credits each purchase the moment it arrives with the
+    * identical integer algebra (base = cents div n, remainder to the
+    * latest (ts, event_id) touch), so both are checked against the
+    * identical SQL. (Lazy: referenced from `defs`, which initializes
+    * first.) */
+  private[queries] lazy val attributionSql: String =
+    """WITH conv AS (
+      |  SELECT event_id AS conv_id, user_id, ts AS cts,
+      |         CAST(round(value * 100) AS BIGINT) AS cents
+      |  FROM events WHERE event_type = 'purchase'),
+      |tch AS (
+      |  SELECT c.conv_id, c.cents, t.event_id AS touch_id,
+      |         t.event_type AS touch_type, t.ts AS tts
+      |  FROM conv c JOIN events t ON t.user_id = c.user_id
+      |  WHERE t.event_type IN ('click', 'view')
+      |    AND t.ts < c.cts AND t.ts >= c.cts - INTERVAL 7 DAY),
+      |r AS (
+      |  SELECT conv_id, cents, touch_type,
+      |    row_number() OVER (PARTITION BY conv_id
+      |                       ORDER BY tts DESC, touch_id DESC) AS rn,
+      |    count(*) OVER (PARTITION BY conv_id) AS nt
+      |  FROM tch),
+      |cred AS (
+      |  SELECT touch_type, conv_id,
+      |    cents // nt + CASE WHEN rn = 1
+      |      THEN cents - (cents // nt) * nt ELSE 0 END AS credit
+      |  FROM r),
+      |attr AS (
+      |  SELECT touch_type, CAST(count(*) AS BIGINT) AS n_touches,
+      |    count(DISTINCT conv_id) AS n_conversions,
+      |    CAST(sum(credit) AS BIGINT) AS credit_cents
+      |  FROM cred GROUP BY touch_type),
+      |none AS (
+      |  SELECT '(none)' AS touch_type, CAST(count(*) AS BIGINT) AS n_touches,
+      |    CAST(count(*) AS BIGINT) AS n_conversions,
+      |    CAST(sum(cents) AS BIGINT) AS credit_cents
+      |  FROM conv c
+      |  WHERE NOT EXISTS (SELECT 1 FROM tch t WHERE t.conv_id = c.conv_id)
+      |  HAVING count(*) > 0)
+      |SELECT * FROM attr UNION ALL SELECT * FROM none
+      |ORDER BY touch_type""".stripMargin
+
+  /** ONE oracle for the top session paths, shared by the batch op
+    * (op_top_paths) and its streaming twin (ss_top_paths) — the
+    * remembered-last-two fold emits the identical triple multiset, so
+    * both are checked against the identical SQL. (Lazy: referenced from
+    * `defs`, which initializes first.) */
+  private[queries] lazy val topPathsSql: String =
+    """WITH x AS (SELECT user_id, ts, event_id, event_type,
+      |    CASE WHEN ts - lag(ts) OVER w <= INTERVAL 2 DAY THEN 0 ELSE 1 END AS new_s
+      |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |tri AS (SELECT event_type AS e1,
+      |    lead(event_type, 1) OVER w AS e2, lead(event_type, 2) OVER w AS e3,
+      |    lead(new_s, 1) OVER w AS b1, lead(new_s, 2) OVER w AS b2
+      |  FROM x WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+      |SELECT e1, e2, e3, count(*) AS n_paths
+      |FROM tri WHERE e3 IS NOT NULL AND b1 = 0 AND b2 = 0
+      |GROUP BY e1, e2, e3
+      |ORDER BY n_paths DESC, e1, e2, e3 LIMIT 25""".stripMargin
 
   /** ONE oracle for the per-user forward fill, shared by the batch op
     * (op_gap_fill) and its streaming twin (ss_gap_fill) — the per-user

@@ -1542,6 +1542,108 @@ object StreamingQueries {
       s.table(sink)
         .select(col("event_id"), col("user_id"), col("v"), col("filled"))
         .orderBy(col("event_id"))
+    },
+
+    // Streaming twin of op_attribution — attribution IN FLIGHT: each
+    // purchase credits the user's 7-day click/view lookback the moment
+    // it arrives, from an event-time-evicted per-user touch window in
+    // GroupState (touches older than latest-ts − 7d can never credit
+    // again — the watermarked-join state bound). The integer credit
+    // algebra is the batch one verbatim (base = cents div n, remainder
+    // to the latest (ts, event_id) touch, untouched purchases to an
+    // explicit '(none)' row), so money conserves to the cent at EVERY
+    // micro-batch boundary and the drained per-pair rows aggregate to
+    // the batch report bit-for-bit (oracle = op_attribution's SQL,
+    // shared val). This is the real-time-bidding shape: the dashboard
+    // reads live credit rows, never a window pass over history.
+    QueryDef("ss_attribution", Some(OperatorQueries.attributionSql)) { (s, d) =>
+      import s.implicits._
+      implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val rows = Tables.load(s, d, "events")
+        .select(col("user_id"), unix_micros(col("ts")).as("us"), col("event_id"),
+          col("event_type"), round(col("value") * 100, 0).cast("long").as("cents"))
+        .orderBy(col("us"), col("event_id"))
+        .harnessFeed()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3), r.getLong(4)))
+      val nSlices = s.conf.get("spark.graft.ssjoin.slices", "4").toInt
+      val per = math.max(1, (rows.length + nSlices - 1) / nSlices)
+
+      val feed = MemoryStream[(Long, Long, Long, String, Long)]
+      val credits = graft.streaming.StatefulOps.attributionLive(feed.toDS())
+      val sink = "ss_attribution_sink"
+      s.catalog.dropTempView(sink)
+      val savedParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions",
+        s.conf.get("spark.graft.ssjoin.parts", "4"))
+      val q =
+        try credits.toDF().writeStream.format("memory").queryName(sink)
+          .outputMode("append").start()
+        finally s.conf.set("spark.sql.shuffle.partitions", savedParts)
+      try {
+        rows.grouped(per).foreach { slice =>
+          feed.addData(slice.toSeq)
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+      val drained = s.table(sink)
+      val attr = drained.filter(col("touch_type") =!= "(none)")
+        .groupBy(col("touch_type"))
+        .agg(count(lit(1)).as("n_touches"),
+          countDistinct(col("conv_id")).as("n_conversions"),
+          sum(col("credit")).cast("long").as("credit_cents"))
+      val none = drained.filter(col("touch_type") === "(none)")
+        .agg(count(lit(1)).as("n_touches"), count(lit(1)).as("n_conversions"),
+          sum(col("credit")).cast("long").as("credit_cents"))
+        .select(lit("(none)").as("touch_type"), col("n_touches"),
+          col("n_conversions"), col("credit_cents"))
+        .filter(col("n_touches") > 0)
+      attr.unionByName(none).orderBy(col("touch_type"))
+    },
+
+    // Streaming twin of op_top_paths — sequence mining LIVE: a per-user
+    // O(1) GroupState remembers the last TWO event types plus whether
+    // their gap stayed inside the 2-day session rule, so each arriving
+    // event completes (or not) a session triple across micro-batch
+    // boundaries — the batch lead/lead window semantics exactly, and
+    // the drained triple multiset aggregates to the same top-25
+    // (oracle = op_top_paths' SQL, shared val). One element deeper than
+    // ss_transitions' pair state; the emitted triple stream is what a
+    // journey-analytics consumer tails.
+    QueryDef("ss_top_paths", Some(OperatorQueries.topPathsSql)) { (s, d) =>
+      import s.implicits._
+      implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val rows = Tables.load(s, d, "events")
+        .select(col("user_id"), unix_micros(col("ts")).as("us"),
+          col("event_id"), col("event_type"))
+        .orderBy(col("us"), col("event_id"))
+        .harnessFeed()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      val nSlices = s.conf.get("spark.graft.ssjoin.slices", "4").toInt
+      val per = math.max(1, (rows.length + nSlices - 1) / nSlices)
+
+      val feed = MemoryStream[(Long, Long, Long, String)]
+      val triples = graft.streaming.StatefulOps.pathTriples(feed.toDS())
+        .toDF("e1", "e2", "e3")
+      val sink = "ss_top_paths_sink"
+      s.catalog.dropTempView(sink)
+      val savedParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions",
+        s.conf.get("spark.graft.ssjoin.parts", "4"))
+      val q =
+        try triples.writeStream.format("memory").queryName(sink)
+          .outputMode("append").start()
+        finally s.conf.set("spark.sql.shuffle.partitions", savedParts)
+      try {
+        rows.grouped(per).foreach { slice =>
+          feed.addData(slice.toSeq)
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+      s.table(sink)
+        .groupBy(col("e1"), col("e2"), col("e3"))
+        .agg(count(lit(1)).as("n_paths"))
+        .orderBy(col("n_paths").desc, col("e1"), col("e2"), col("e3"))
+        .limit(25)
     }
   )
 }

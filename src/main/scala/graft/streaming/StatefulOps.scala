@@ -357,6 +357,98 @@ object StatefulOps extends Serializable {
         OutputMode.Append(), GroupStateTimeout.NoTimeout)(step)
   }
 
+  private val SevenDaysUs = 7L * 24 * 3600 * 1000000L
+  private val TwoDaysUs = 2L * 24 * 3600 * 1000000L
+
+  /** Live-attribution state for one user (see `ss_attribution`): the
+    * click/view touches still inside any future conversion's 7-day
+    * lookback. Touches older than (latest seen ts − 7d) can never credit
+    * again and are evicted on arrival — O(touches per user per week),
+    * the same bound the watermarked stream-stream join holds. */
+  case class TouchState(touches: List[(Long, Long, String)])
+
+  /** One credited (conversion, touch) pair — or the whole-conversion
+    * `(none)` row for an untouched purchase — emitted exactly once the
+    * moment the purchase arrives. */
+  case class CreditRow(touch_type: String, conv_id: Long, credit: Long)
+
+  /** Streaming multi-touch attribution: each purchase credits the
+    * user's click/view touches of the preceding 7 days LINEARLY in
+    * integer cents the moment it arrives — base = cents div n to every
+    * touch, remainder to the latest touch by (ts, event_id), untouched
+    * purchases to an explicit `(none)` row — exactly the batch
+    * op_attribution credit algebra, so the drained per-pair rows
+    * aggregate to the batch report bit-for-bit and money conserves to
+    * the cent at every micro-batch boundary. Input: (user, tsUs,
+    * eventId, eventType, cents). */
+  def attributionLive(
+      ds: Dataset[(Long, Long, Long, String, Long)]): Dataset[CreditRow] = {
+    import ds.sparkSession.implicits._
+    def step(key: Long, rows: Iterator[(Long, Long, Long, String, Long)],
+        state: GroupState[TouchState]): Iterator[CreditRow] = {
+      var touches = state.getOption.map(_.touches).getOrElse(Nil)
+      val out = List.newBuilder[CreditRow]
+      rows.toSeq.sortBy(r => (r._2, r._3)).foreach { case (_, us, eid, tpe, cents) =>
+        touches = touches.filter(_._1 >= us - SevenDaysUs)
+        tpe match {
+          case "click" | "view" => touches = (us, eid, tpe) :: touches
+          case "purchase" =>
+            // strict tts < cts: a same-instant touch never credits
+            val cand = touches.filter(t => t._1 < us)
+            if (cand.isEmpty) out += CreditRow("(none)", eid, cents)
+            else {
+              val n = cand.size
+              val base = cents / n
+              val rem = cents - base * n
+              val latest = cand.maxBy(t => (t._1, t._2))
+              cand.foreach { t =>
+                out += CreditRow(t._3, eid, base + (if (t == latest) rem else 0L))
+              }
+            }
+          case _ => ()
+        }
+      }
+      state.update(TouchState(touches))
+      out.result().iterator
+    }
+    ds.groupByKey(_._1)
+      .flatMapGroupsWithState[TouchState, CreditRow](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout)(step)
+  }
+
+  /** Sequence-mining state for one user (see `ss_top_paths`): the last
+    * two event types plus whether the gap between them stayed inside
+    * the 2-day session rule — O(1), the transitionPairs shape one
+    * element deeper. */
+  case class PathMineState(prev2: Option[String], prev1: Option[String],
+      lastUs: Long, withinSession: Boolean)
+
+  /** Live 3-event session-path extraction: emits (e1, e2, e3) the
+    * moment the third event arrives, iff both gaps stayed within the
+    * 2-day session rule — the batch lead/lead window semantics with
+    * triples crossing micro-batch boundaries out of the remembered
+    * state. Input: (user, tsUs, eventId, eventType). */
+  def pathTriples(
+      ds: Dataset[(Long, Long, Long, String)]): Dataset[(String, String, String)] = {
+    import ds.sparkSession.implicits._
+    def step(key: Long, rows: Iterator[(Long, Long, Long, String)],
+        state: GroupState[PathMineState]): Iterator[(String, String, String)] = {
+      var cur = state.getOption.getOrElse(PathMineState(None, None, Long.MinValue, false))
+      val out = List.newBuilder[(String, String, String)]
+      rows.toSeq.sortBy(r => (r._2, r._3)).foreach { case (_, us, _, tpe) =>
+        val gapOk = cur.prev1.isDefined && us - cur.lastUs <= TwoDaysUs
+        for (p2 <- cur.prev2; p1 <- cur.prev1 if cur.withinSession && gapOk)
+          out += ((p2, p1, tpe))
+        cur = PathMineState(cur.prev1, Some(tpe), us, gapOk)
+      }
+      state.update(cur)
+      out.result().iterator
+    }
+    ds.groupByKey(_._1)
+      .flatMapGroupsWithState[PathMineState, (String, String, String)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout)(step)
+  }
+
   /** Streaming exact dedup — the live-ingest twin of the batch `dd_exact`
     * query: drop any record whose content hash was already seen inside
     * the watermark horizon. Built on Spark's

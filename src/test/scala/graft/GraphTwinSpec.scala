@@ -184,6 +184,76 @@ class GraphTwinSpec extends AnyFunSuite {
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir2))
   }
 
+  // ---- ss_attribution / ss_top_paths ----
+
+  test("live attribution: slice-invariant, equals the batch report, conserves money") {
+    val batch = SparkEntry.queries("op_attribution")(spark, sfDir).collect().toSeq
+    val saved = spark.conf.getOption("spark.graft.ssjoin.slices")
+    try {
+      Seq("1", "6").foreach { n =>
+        spark.conf.set("spark.graft.ssjoin.slices", n)
+        val streamed = SparkEntry.queries("ss_attribution")(spark, sfDir).collect().toSeq
+        assert(streamed == batch, s"ss_attribution != op_attribution at $n slices")
+      }
+    } finally {
+      saved match {
+        case Some(v) => spark.conf.set("spark.graft.ssjoin.slices", v)
+        case None => spark.conf.unset("spark.graft.ssjoin.slices")
+      }
+    }
+    val total = graft.sources.Tables.load(spark, sfDir, "events")
+      .filter(col("event_type") === "purchase")
+      .agg(sum(round(col("value") * 100, 0).cast("long"))).head.getLong(0)
+    assert(batch.map(_.getLong(3)).sum == total,
+      "drained credits must sum exactly to total purchase cents")
+  }
+
+  test("live attribution: a touch credits a purchase arriving many batches later") {
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val feed = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Long, Long, String, Long)]
+    val credits = graft.streaming.StatefulOps.attributionLive(feed.toDS())
+    spark.catalog.dropTempView("attr_boundary_sink")
+    val q = credits.toDF().writeStream.format("memory")
+      .queryName("attr_boundary_sink").outputMode("append").start()
+    val day = 86400000000L
+    try {
+      feed.addData((1L, 10L * day, 1L, "click", 0L)) // touch, batch 1
+      q.processAllAvailable()
+      feed.addData((1L, 10L * day + 1, 2L, "view", 0L)) // touch, batch 2
+      q.processAllAvailable()
+      // purchase inside the 7-day window, batch 3: both touches credit,
+      // remainder (101 - 50*2 = 1) to the LATER touch (the view)
+      feed.addData((1L, 12L * day, 3L, "purchase", 101L))
+      q.processAllAvailable()
+      // purchase >7d after both touches, batch 4: window evicted -> (none)
+      feed.addData((1L, 20L * day, 4L, "purchase", 7L))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("attr_boundary_sink").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(rows == Set(("click", 3L, 50L), ("view", 3L, 51L), ("(none)", 4L, 7L)),
+      rows.toString)
+  }
+
+  test("live path mining: slice-invariant and equals the batch top-25") {
+    val batch = SparkEntry.queries("op_top_paths")(spark, sfDir).collect().toSeq
+    val saved = spark.conf.getOption("spark.graft.ssjoin.slices")
+    try {
+      Seq("1", "6").foreach { n =>
+        spark.conf.set("spark.graft.ssjoin.slices", n)
+        val streamed = SparkEntry.queries("ss_top_paths")(spark, sfDir).collect().toSeq
+        assert(streamed == batch, s"ss_top_paths != op_top_paths at $n slices")
+      }
+    } finally {
+      saved match {
+        case Some(v) => spark.conf.set("spark.graft.ssjoin.slices", v)
+        case None => spark.conf.unset("spark.graft.ssjoin.slices")
+      }
+    }
+  }
+
   test("retention fold: an earlier day arriving in a LATER batch re-bases the state") {
     import spark.implicits._
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
