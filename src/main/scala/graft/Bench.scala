@@ -1,7 +1,25 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+  /** Host-contention marker: 1/5/15-min loadavg + runnable/total process
+    * counts from /proc/loadavg, so the verdict's ±15% host band is
+    * machine-attributable (a loaded host at bench time explains a uniform
+    * drift; an idle one rules it out). Best-effort — absent /proc yields
+    * nulls, never a bench failure. */
+  private def loadMarker(): String =
+    try {
+      val parts = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("/proc/loadavg")),
+        java.nio.charset.StandardCharsets.UTF_8).trim.split("\\s+")
+      val procs = parts(3).split("/")
+      s"""{"load1":${parts(0)},"load5":${parts(1)},"load15":${parts(2)},""" +
+        s""""runnable":${procs(0)},"procs":${procs(1)}}"""
+    } catch { case _: Throwable =>
+      """{"load1":null,"load5":null,"load15":null,"runnable":null,"procs":null}"""
+    }
+
   def main(args: Array[String]): Unit = {
+    val loadStart = loadMarker()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = GraftSession.configure(SparkSession.builder()
@@ -57,6 +75,7 @@ object Bench {
     val subtotal = baselineSubset.values.sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""baseline_subset_sec":$subtotal,"baseline_subset_n":${baselineSubset.size},""" +
+      s""""load_start":$loadStart,"load_end":${loadMarker()},""" +
       s""""sf":"$sfDir"}""")
     spark.stop()
   }

@@ -15,12 +15,15 @@ import org.apache.spark.sql.functions._
   * ScalaTest:
   *
   * {{{
-  * sbt "runMain graft.GateCheck /root/testdata/sf0.01 GATES.json"
+  * sbt "runMain graft.GateCheck /root/testdata/sf0.01,/root/testdata/sf0.1 GATES.json 13"
   * }}}
   *
-  * Output: `{"sf": ..., "all_pass": bool, "gates": [{"query", "gate",
-  * "measured", "op", "bound", "pass"}, ...]}` — every no_oracle query
-  * contributes at least one row; a recall regression flips `pass` false.
+  * Output: `{"round": N, "sfs": [...], "all_pass": bool, "runs": [{"sf",
+  * "all_pass", "gates": [{"query", "gate", "measured", "op", "bound",
+  * "pass"}, ...]}, ...]}` (top-level `sf`/`gates` mirror the first run
+  * for round-over-round diffs against the pre-13 single-SF format) —
+  * every no_oracle query contributes at least one row PER SCALE; a
+  * recall regression at either SF flips `pass` false.
   * Everything here is deterministic (seeded hashes, fixed fixtures), so
   * a pass/fail flip is a real regression, never flake. */
 object GateCheck {
@@ -42,14 +45,45 @@ object GateCheck {
     df.select(a, b).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
 
   def main(args: Array[String]): Unit = {
-    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    // arg0: comma-separated SF dirs (estimate-regime gates run at EVERY
+    // listed scale — sketch-capacity recalls at sf0.1 are a different
+    // regime than sf0.01); arg1: output file; arg2: round label.
+    val sfDirs = args.headOption.getOrElse("/root/testdata/sf0.01,/root/testdata/sf0.1")
+      .split(",").map(_.trim).filter(_.nonEmpty).toSeq
     val outFile = if (args.length > 1) args(1) else "GATES.json"
+    val round = if (args.length > 2) args(2).toInt else 0
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = GraftSession.configure(SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus))
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+
+    val runs = sfDirs.map { sfDir =>
+      val gates = gatesFor(spark, sfDir)
+      gates.foreach(g => println(
+        f"[gate] ${if (g.pass) "PASS" else "FAIL"} [$sfDir] ${g.query}%-22s ${g.gate}%-40s ${g.measured}%.4f ${g.op} ${g.bound}"))
+      sfDir -> gates
+    }
+    val allPass = runs.forall(_._2.forall(_.pass))
+    val nGates = runs.map(_._2.size).sum
+    val runsJson = runs.map { case (sf, gates) =>
+      s"""{"sf":"$sf","all_pass":${gates.forall(_.pass)},"n_gates":${gates.size},""" +
+        s""""gates":[${gates.map(_.json).mkString(",")}]}"""
+    }.mkString(",")
+    val json = s"""{"round":$round,"sfs":[${sfDirs.map("\"" + _ + "\"").mkString(",")}],""" +
+      s""""sf":"${sfDirs.head}","all_pass":$allPass,"n_gates":$nGates,""" +
+      s""""gates":[${runs.head._2.map(_.json).mkString(",")}],"runs":[$runsJson]}"""
+    java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
+      json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    println(s"[gate] ${runs.map(_._2.count(_.pass)).sum}/$nGates pass " +
+      s"across ${sfDirs.size} SFs -> $outFile")
+    spark.stop()
+    if (!allPass) sys.exit(1)
+  }
+
+  /** All gate rows for one fixture scale. */
+  def gatesFor(spark: SparkSession, sfDir: String): Seq[Gate] = {
     def run(name: String): DataFrame = SparkEntry.queries(name)(spark, sfDir)
 
     val gates = scala.collection.mutable.ArrayBuffer.empty[Gate]
@@ -111,8 +145,9 @@ object GateCheck {
     val dupV = verdicts.filter(_._2 == "dup_of_corpus").keySet
     val screened = run("ss_near_screen").select("doc_id")
       .collect().map(_.getLong(0)).toSet
+    // symmetric difference of (screened ∖ exact-dups) vs the near verdicts
     val screenDiff = ((screened -- dupV) -- nearV).size +
-      (nearV -- (screened -- dupV)).size + (screened -- nearV -- dupV).size
+      (nearV -- (screened -- dupV)).size
     gates += Gate("ss_near_screen", "verdict_set_difference_vs_batch",
       screenDiff.toDouble, "==", 0)
 
@@ -211,15 +246,6 @@ object GateCheck {
     gates += Gate("mm_features", "kernel_parity_mismatches",
       mmMismatch.toDouble, "==", 0)
 
-    val allPass = gates.forall(_.pass)
-    val json = s"""{"sf":"$sfDir","all_pass":$allPass,"n_gates":${gates.size},""" +
-      s""""gates":[${gates.map(_.json).mkString(",")}]}"""
-    java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
-      json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    gates.foreach(g => println(
-      f"[gate] ${if (g.pass) "PASS" else "FAIL"} ${g.query}%-22s ${g.gate}%-40s ${g.measured}%.4f ${g.op} ${g.bound}"))
-    println(s"[gate] ${gates.count(_.pass)}/${gates.size} pass -> $outFile")
-    spark.stop()
-    if (!allPass) sys.exit(1)
+    gates.toSeq
   }
 }

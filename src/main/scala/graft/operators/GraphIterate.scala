@@ -3,6 +3,8 @@ package graft.operators
 import java.util.concurrent.ConcurrentLinkedQueue
 import java.util.concurrent.atomic.AtomicLong
 
+import scala.collection.mutable.ArrayBuffer
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -37,12 +39,22 @@ import org.apache.spark.sql.functions._
   * order-of-magnitude switch; HLL's ±2% is immaterial to it.
   *
   * Scratch edges land in a per-invocation directory keyed by an MD5 of
-  * the dataset path plus a JVM-unique counter, so two concurrent sessions
-  * on one fixture (or two fixtures whose paths collide on hashCode) can
-  * never clobber each other mid-read; every scratch dir is removed by a
-  * JVM shutdown hook. Cached distributed-mode edge frames live in a small
-  * bounded registry (oldest unpersisted beyond 4 entries — an evicted
-  * frame just recomputes from its scratch parquet). */
+  * the dataset path plus the process PID plus a JVM-unique counter, so two
+  * concurrent sessions — same JVM or two JVMs sharing one working
+  * directory — can never clobber each other mid-read; every scratch dir is
+  * removed by a JVM shutdown hook.
+  *
+  * Cache lifecycle is PER-INVOCATION, release-on-completion: every frame a
+  * query pins ([[Graph.pin]] — the cached edge repartition, the out-degree
+  * table) belongs to its own [[Graph]], and [[Graph.finish]] eagerly
+  * materializes the final result (`localCheckpoint(true)` — the result is
+  * the O(nodes) table, in-model to hold; on a multi-executor deployment
+  * with preemption use a reliable checkpoint dir instead) and unpersists
+  * the pins in a finally. No global registry, so concurrent graph queries
+  * can never evict each other mid-iteration — each invocation's cached
+  * edge partitioning survives its whole loop (GraphConcurrencySpec races
+  * two forced-shuffled runs and asserts both kept every per-iteration
+  * InMemoryTableScan). */
 object GraphIterate {
 
   /** Node-table size past which per-iteration joins stop broadcasting the
@@ -51,8 +63,19 @@ object GraphIterate {
   val BroadcastMaxNodesKey = "spark.graft.graph.broadcastMaxNodes"
   val DefaultBroadcastMaxNodes = 5000000L
 
-  /** Prepared graph: lineage-cut edges plus the chosen join mode. */
-  final case class Graph(edges: DataFrame, broadcastMode: Boolean) {
+  /** Prepared graph: lineage-cut edges, the chosen join mode, and this
+    * invocation's pinned frames (released by [[finish]]). */
+  final case class Graph(edges: DataFrame, broadcastMode: Boolean, tag: String) {
+
+    private val pinned = ArrayBuffer.empty[DataFrame]
+
+    /** Cache a frame reused across iterations (the edge repartition, the
+      * out-degree table); owned by THIS invocation, released by finish. */
+    def pin(df: DataFrame): DataFrame = synchronized {
+      val p = df.persist()
+      pinned += p
+      p
+    }
 
     /** `edges ⋈ tbl` on `edges(srcCol) === tbl(idCol)` — broadcast the
       * node table in broadcast mode; in shuffled mode hint shuffle-hash
@@ -61,30 +84,60 @@ object GraphIterate {
     def joinTable(tbl: DataFrame, srcCol: String, idCol: String): DataFrame =
       if (broadcastMode) edges.join(broadcast(tbl), edges(srcCol) === tbl(idCol))
       else edges.join(tbl.hint("shuffle_hash"), edges(srcCol) === tbl(idCol))
+
+    /** Release-on-completion: run the whole iteration plan NOW
+      * (`localCheckpoint(true)` — the loop was lazy, so this is where the
+      * cached edges actually serve their 1-scan-N-iterations purpose),
+      * log the executed plan for the physical-shape gates (the returned
+      * frame's own plan is just the checkpoint scan), then unpersist every
+      * pinned frame. The caller gets a self-contained O(nodes) frame. */
+    def finish(result: DataFrame): DataFrame =
+      try {
+        val out = result.localCheckpoint(true)
+        logPlan(tag, result)
+        out
+      } finally synchronized {
+        pinned.foreach(_.unpersist(false))
+        pinned.clear()
+      }
   }
 
   private val invocation = new AtomicLong(0L)
-  private val persisted = new ConcurrentLinkedQueue[DataFrame]()
   private val scratchDirs = new ConcurrentLinkedQueue[String]()
+  // executed iteration plans per tag, for the plan-shape specs — the
+  // builders are eager now, so gates read the plan that actually ran
+  // instead of re-planning the returned (checkpoint-backed) frame.
+  // Bounded: long sessions (Bench warm-up + 3 runs) must not accumulate.
+  private val planLog = new ConcurrentLinkedQueue[(String, String)]()
+  private val PlanLogCap = 16
   // lazy so exactly one hook registers, on first use
   private lazy val cleanupHook: Unit =
     Runtime.getRuntime.addShutdownHook(new Thread(() =>
       scratchDirs.forEach(p =>
         org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p)))))
 
+  private def logPlan(tag: String, executed: DataFrame): Unit = {
+    val plan = executed.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan.toString
+      case p => p.toString
+    }
+    planLog.add(tag -> plan)
+    while (planLog.size > PlanLogCap) planLog.poll()
+  }
+
+  /** The executed iteration plans recorded for `tag`, oldest first (at
+    * most the last [[PlanLogCap]] across all tags). Spec surface. */
+  def recentPlans(tag: String): Seq[String] = {
+    val out = ArrayBuffer.empty[String]
+    planLog.forEach { case (t, p) => if (t == tag) out += p }
+    out.toSeq
+  }
+
   private def md5hex(s: String): String =
     java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       .map(b => f"$b%02x").mkString
-
-  /** Cache a small per-node frame reused across iterations (e.g. the
-    * out-degree table) through the same bounded registry. */
-  def persistBounded(df: DataFrame): DataFrame = {
-    val p = df.persist()
-    persisted.add(p)
-    while (persisted.size > 4) Option(persisted.poll()).foreach(_.unpersist(false))
-    p
-  }
 
   /** Materialize `edges` (must expose `src` as its first column and `dst`
     * second) to scratch parquet — a lineage cut, so iterations re-SCAN the
@@ -92,8 +145,12 @@ object GraphIterate {
     * the join mode from the measured node count vs the conf threshold. */
   def prepare(s: SparkSession, edges: DataFrame, tag: String, datasetDir: String): Graph = {
     cleanupHook
+    // PID component: the AtomicLong is only JVM-unique, so two concurrent
+    // JVMs sharing one working directory would otherwise both produce
+    // <tag>_<md5>_1 and clobber each other mid-read.
     val scratch =
-      s"target/graphscratch/${tag}_${md5hex(datasetDir).take(12)}_${invocation.incrementAndGet()}"
+      s"target/graphscratch/${tag}_${md5hex(datasetDir).take(12)}_" +
+        s"p${ProcessHandle.current().pid()}_${invocation.incrementAndGet()}"
     scratchDirs.add(scratch)
     edges.write.mode("overwrite").parquet(scratch)
     val raw = s.read.parquet(scratch)
@@ -103,7 +160,12 @@ object GraphIterate {
     val nNodes =
       if (maxNodes <= 0L) Long.MaxValue // forced shuffled path: skip the count
       else raw.agg(approx_count_distinct(col(srcCol))).head().getLong(0)
-    if (nNodes <= maxNodes) Graph(raw, broadcastMode = true)
-    else Graph(persistBounded(raw.repartition(col(srcCol))), broadcastMode = false)
+    if (nNodes <= maxNodes) Graph(raw, broadcastMode = true, tag)
+    else {
+      val part = raw.repartition(col(srcCol))
+      val g = Graph(part, broadcastMode = false, tag)
+      g.pin(part) // persist() returns the same Dataset, so g.edges IS the pin
+      g
+    }
   }
 }

@@ -151,28 +151,36 @@ object DedupQueries {
     // means the fixture was regenerated — both force a clean rebuild.
     val manifest = new java.io.File(storePath + "/_MANIFEST")
     val stamp = nearStoreStamp(d)
-    val valid = manifest.exists() && {
+    def currentlyValid(): Boolean = manifest.exists() && {
       val read = new String(
         java.nio.file.Files.readAllBytes(manifest.toPath),
         java.nio.charset.StandardCharsets.UTF_8).trim
       read == stamp
     }
-    if (!valid) {
-      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(storePath))
-      docs(s, d).filter(srcN < 15)
-        .select(col("doc_id").as("corpus_id"),
-          minhash_sig(toks, 3, NearStoreBands * NearStoreRows).as("sig"),
-          Fingerprints.tokenSetFp(toks).as("fp"))
-        .write.mode("overwrite").parquet(storePath + "/sigs")
-      s.read.parquet(storePath + "/sigs")
-        .select(col("corpus_id"), nearStoreBandKeys.as("bkey"))
-        .groupBy(col("bkey"))
-        .agg(sort_array(collect_list(col("corpus_id"))).as("ids"))
-        .withColumn("ids", slice(col("ids"), 1, cap))
-        .select(col("bkey"), explode(col("ids")).as("corpus_id"))
-        .write.mode("overwrite").parquet(storePath + "/bands")
-      java.nio.file.Files.write(manifest.toPath,
-        stamp.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    if (!currentlyValid()) {
+      // rebuild under the SAME lock as commit/compaction (the lock file is
+      // a sibling of the store dir, so deleteDirectory can't remove a lock
+      // a peer holds); re-check under the lock — a concurrent rebuilder may
+      // already have won, in which case this degenerates to recovery.
+      graft.operators.StoreLock.withLock(storePath) {
+        if (!currentlyValid()) {
+          org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(storePath))
+          docs(s, d).filter(srcN < 15)
+            .select(col("doc_id").as("corpus_id"),
+              minhash_sig(toks, 3, NearStoreBands * NearStoreRows).as("sig"),
+              Fingerprints.tokenSetFp(toks).as("fp"))
+            .write.mode("overwrite").parquet(storePath + "/sigs")
+          s.read.parquet(storePath + "/sigs")
+            .select(col("corpus_id"), nearStoreBandKeys.as("bkey"))
+            .groupBy(col("bkey"))
+            .agg(sort_array(collect_list(col("corpus_id"))).as("ids"))
+            .withColumn("ids", slice(col("ids"), 1, cap))
+            .select(col("bkey"), explode(col("ids")).as("corpus_id"))
+            .write.mode("overwrite").parquet(storePath + "/bands")
+          java.nio.file.Files.write(manifest.toPath,
+            stamp.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        } else nearStoreRecover(storePath)
+      }
     } else nearStoreRecover(storePath)
     (s.read.parquet(storePath + "/bands"), s.read.parquet(storePath + "/sigs"))
   }

@@ -1116,7 +1116,7 @@ object OperatorQueries {
         pairs.select(col("c").as("src"), col("sp").as("dst"))
           .unionByName(pairs.select(col("sp").as("src"), col("c").as("dst"))),
         "pagerank", d)
-      val odeg = GraphIterate.persistBounded(
+      val odeg = g.pin(
         g.edges.groupBy(col("src")).agg(count(lit(1)).as("od")))
       var rank = odeg.select(col("src").as("id"), lit(1000000L).as("r"))
       for (_ <- 1 to iters) {
@@ -1127,8 +1127,8 @@ object OperatorQueries {
           .select(col("dst").as("id"),
             (lit(150000L) + expr("(85 * inc) div 100")).as("r"))
       }
-      rank.select(col("id"), col("r").as("rank_ppm"))
-        .orderBy(col("rank_ppm").desc, col("id")).limit(20)
+      g.finish(rank.select(col("id"), col("r").as("rank_ppm"))
+        .orderBy(col("rank_ppm").desc, col("id")).limit(20))
     },
 
     // CO-OCCURRENCE TOP-K — item-item collaborative filtering, the
@@ -1303,7 +1303,8 @@ object OperatorQueries {
           .agg(min(struct((-col("c")).as("nc"), col("lbl").as("lbl"))).as("m"))
           .select(col("dst").as("id"), col("m.lbl").as("lbl"))
       }
-      labels.select(col("id"), col("lbl").as("community")).orderBy(col("id"))
+      g.finish(
+        labels.select(col("id"), col("lbl").as("community")).orderBy(col("id")))
     },
 
     // TIME TRAVEL / point-in-time census: rebuild the SCD2 state history

@@ -32,8 +32,12 @@ object HarnessFeed {
     * maxFeedRows` (default 2M — comfortably above the sf0.1 fixtures,
     * far below driver memory). */
   def collectOrdered(df: DataFrame, order: Column*): Array[Row] = {
+    // ScaleCheck sets the cap to DefaultMaxRows * k, which can exceed
+    // Int.MaxValue at large k — parse as Long and clamp (limit takes Int;
+    // a >2G-row driver collect would OOM long before the clamp matters).
     val cap = df.sparkSession.conf.getOption(MaxRowsKey)
-      .map(_.toInt).getOrElse(DefaultMaxRows)
+      .map(v => math.min(v.toLong, Int.MaxValue.toLong - 1).toInt)
+      .getOrElse(DefaultMaxRows)
     val ordered = if (order.isEmpty) df else df.orderBy(order: _*)
     val rows = ordered.limit(cap + 1).collect()
     require(rows.length <= cap,

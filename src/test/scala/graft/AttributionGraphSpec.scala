@@ -113,7 +113,8 @@ class AttributionGraphSpec extends AnyFunSuite {
   }
 
   test("pagerank iterations broadcast the rank table — edges never shuffle for the join") {
-    val p = finalPlan(SparkEntry.queries("op_pagerank")(spark, sfDir)).toString
+    SparkEntry.queries("op_pagerank")(spark, sfDir) // eager builder
+    val p = graft.operators.GraphIterate.recentPlans("pagerank").last
     assert(!p.contains("SortMergeJoin"),
       s"the O(nodes) rank table must broadcast into the edge scan:\n$p")
     assert(p.contains("BroadcastHashJoin"), p)

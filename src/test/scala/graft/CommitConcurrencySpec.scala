@@ -102,4 +102,34 @@ class CommitConcurrencySpec extends AnyFunSuite {
     assert(!new java.io.File(storePath + "/_staging_commit").exists(),
       "commit staging dir must be cleaned up")
   }
+
+  test("lock exclusivity is real: a second channel is refused while the lock is held") {
+    // the same probe StoreLock runs once per path at first acquisition —
+    // asserted here explicitly so a filesystem whose advisory locks are
+    // no-ops (the object-store seam BASELINE.md documents) fails loudly
+    val dir = java.nio.file.Files.createTempDirectory("graft_lockprobe").toFile
+    dir.deleteOnExit()
+    val store = dir.getAbsolutePath + "/store"
+    graft.operators.StoreLock.withLock(store) {
+      val lf = java.nio.file.Paths.get(store + ".lock")
+      assert(java.nio.file.Files.exists(lf), "lock file must be the store's SIBLING")
+      val ch2 = java.nio.channels.FileChannel.open(lf,
+        java.nio.file.StandardOpenOption.WRITE)
+      try {
+        val second =
+          try Option(ch2.tryLock())
+          catch { case _: java.nio.channels.OverlappingFileLockException => None }
+        second.foreach(_.release())
+        assert(second.isEmpty,
+          "a second channel acquired the exclusive lock while it was held")
+      } finally ch2.close()
+    }
+    // and the lock survives a store-directory rebuild (the round-12 hole:
+    // the in-dir lock file was deleted with the store)
+    graft.operators.StoreLock.withLock(store) {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(store))
+      assert(java.nio.file.Files.exists(java.nio.file.Paths.get(store + ".lock")),
+        "deleting the store directory must not delete the held lock file")
+    }
+  }
 }

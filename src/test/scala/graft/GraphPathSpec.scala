@@ -1,8 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.execution.SparkPlan
-import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.SparkSession
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Forced-path gates for the iterative-graph graduation
@@ -16,14 +14,6 @@ import org.scalatest.funsuite.AnyFunSuite
 class GraphPathSpec extends AnyFunSuite {
   private val sfDir = "/root/testdata/sf0.001"
   private lazy val spark: SparkSession = GraftSession.local(4)
-
-  private def finalPlan(df: DataFrame): SparkPlan = {
-    df.write.format("noop").mode("overwrite").save()
-    df.queryExecution.executedPlan match {
-      case a: AdaptiveSparkPlanExec => a.executedPlan
-      case p => p
-    }
-  }
 
   /** Run `body` with the shuffled graph path forced AND every broadcast
     * avenue closed (planner threshold + AQE runtime conversion), so the
@@ -46,7 +36,7 @@ class GraphPathSpec extends AnyFunSuite {
     }
   }
 
-  for (q <- Seq("op_pagerank", "op_label_prop")) {
+  for ((q, tag) <- Seq("op_pagerank" -> "pagerank", "op_label_prop" -> "labelprop")) {
     test(s"$q: forced shuffled-table path is bit-identical to the broadcast path") {
       val broadcastRows = SparkEntry.queries(q)(spark, sfDir).collect().toSeq
       val shuffledRows = forcedShuffled {
@@ -57,9 +47,12 @@ class GraphPathSpec extends AnyFunSuite {
     }
 
     test(s"$q: forced path never broadcasts — only the node table shuffles to cached edges") {
+      // the builders are eager (release-on-completion), so gate the
+      // captured iteration plan — the returned frame is checkpoint-backed
       val p = forcedShuffled {
-        finalPlan(SparkEntry.queries(q)(spark, sfDir))
-      }.toString
+        SparkEntry.queries(q)(spark, sfDir)
+        graft.operators.GraphIterate.recentPlans(tag).last
+      }
       assert(!p.contains("BroadcastHashJoin") && !p.contains("BroadcastNestedLoopJoin"),
         s"$q forced path must not broadcast any join side:\n$p")
       assert(p.contains("ShuffledHashJoin"),
@@ -72,7 +65,8 @@ class GraphPathSpec extends AnyFunSuite {
   test("op_pagerank: default (broadcast) path still broadcasts — the switch is real") {
     // complements AttributionGraphSpec's broadcast plan gate: same query,
     // same session, flipped only by the conf
-    val p = finalPlan(SparkEntry.queries("op_pagerank")(spark, sfDir)).toString
+    SparkEntry.queries("op_pagerank")(spark, sfDir)
+    val p = graft.operators.GraphIterate.recentPlans("pagerank").last
     assert(p.contains("BroadcastHashJoin"), p)
     assert(!p.contains("ShuffledHashJoin"), p)
   }

@@ -88,7 +88,8 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("label propagation: labels broadcast every round, edges never sort-merge") {
-    val p = planStr("op_label_prop")
+    SparkEntry.queries("op_label_prop")(spark, sfDir) // eager builder
+    val p = graft.operators.GraphIterate.recentPlans("labelprop").last
     assert("BroadcastHashJoin".r.findAllIn(p).size >= 3,
       s"each of the 3 rounds must broadcast the O(nodes) label table:\n$p")
     assert(!p.contains("SortMergeJoin"),
