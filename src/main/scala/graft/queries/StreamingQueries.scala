@@ -1556,6 +1556,15 @@ object StreamingQueries {
     // the batch report bit-for-bit (oracle = op_attribution's SQL,
     // shared val). This is the real-time-bidding shape: the dashboard
     // reads live credit rows, never a window pass over history.
+    //
+    // Two crediting modes (StatefulOps scaladoc states the contract):
+    // default credits AT ARRIVAL — exact iff the feed is per-user
+    // event-time-ordered across micro-batches (this harness feeds
+    // ordered); `spark.graft.attribution.latenessSec` > 0 switches to
+    // the watermark-BUFFERED graduation, exact under reordering within
+    // the lateness horizon at the cost of crediting latency
+    // (AttributionLateSpec pins both behaviors on a crafted
+    // purchase-before-touch feed).
     QueryDef("ss_attribution", Some(OperatorQueries.attributionSql)) { (s, d) =>
       import s.implicits._
       implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
@@ -1567,9 +1576,14 @@ object StreamingQueries {
         .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3), r.getLong(4)))
       val nSlices = s.conf.get("spark.graft.ssjoin.slices", "4").toInt
       val per = math.max(1, (rows.length + nSlices - 1) / nSlices)
+      val latenessSec = s.conf.get("spark.graft.attribution.latenessSec", "0").toLong
 
       val feed = MemoryStream[(Long, Long, Long, String, Long)]
-      val credits = graft.streaming.StatefulOps.attributionLive(feed.toDS())
+      val credits =
+        if (latenessSec > 0)
+          graft.streaming.StatefulOps.attributionBuffered(
+            feed.toDS(), s"$latenessSec seconds")
+        else graft.streaming.StatefulOps.attributionLive(feed.toDS())
       val sink = "ss_attribution_sink"
       s.catalog.dropTempView(sink)
       val savedParts = s.conf.get("spark.sql.shuffle.partitions")
@@ -1583,6 +1597,17 @@ object StreamingQueries {
         rows.grouped(per).foreach { slice =>
           feed.addData(slice.toSeq)
           q.processAllAvailable()
+        }
+        if (latenessSec > 0 && rows.nonEmpty) {
+          // drain: two sentinel "noop" batches push the watermark past
+          // every held purchase (the second triggers the timeouts the
+          // first batch's end-of-batch watermark update armed)
+          val maxUs = rows.map(_._2).max
+          val far = maxUs + (7L * 24 * 3600 + latenessSec + 2) * 1000000L
+          Seq(far, far + 1000000L).foreach { usv =>
+            feed.addData((0L, usv, Long.MaxValue, "noop", 0L))
+            q.processAllAvailable()
+          }
         }
       } finally q.stop()
       val drained = s.table(sink)

@@ -380,7 +380,17 @@ object StatefulOps extends Serializable {
     * op_attribution credit algebra, so the drained per-pair rows
     * aggregate to the batch report bit-for-bit and money conserves to
     * the cent at every micro-batch boundary. Input: (user, tsUs,
-    * eventId, eventType, cents). */
+    * eventId, eventType, cents).
+    *
+    * ORDERING CONTRACT: crediting at arrival is exact for feeds that are
+    * event-time-ordered PER USER across micro-batches (in-batch disorder
+    * is repaired by the per-batch sort). A purchase processed before a
+    * touch that event-time-precedes it credits without that touch — in
+    * the extreme, an out-of-order purchase lands on `(none)`
+    * (AttributionLateSpec pins the divergence). When the feed cannot
+    * guarantee per-user ordering, use [[attributionBuffered]] — the
+    * watermark-delayed graduation that trades crediting latency for
+    * exactness under bounded reordering. */
   def attributionLive(
       ds: Dataset[(Long, Long, Long, String, Long)]): Dataset[CreditRow] = {
     import ds.sparkSession.implicits._
@@ -414,6 +424,83 @@ object StatefulOps extends Serializable {
     ds.groupByKey(_._1)
       .flatMapGroupsWithState[TouchState, CreditRow](
         OutputMode.Append(), GroupStateTimeout.NoTimeout)(step)
+  }
+
+  /** Buffered-attribution state for one user: live touches (7-day
+    * lookback, watermark-evicted) plus purchases held until the watermark
+    * passes their event time — O(events per user per (7d + lateness)). */
+  case class AttrBufState(touches: List[(Long, Long, String)],
+      pending: List[(Long, Long, Long)])
+
+  /** Watermark-buffered attribution — [[attributionLive]]'s graduation
+    * for feeds WITHOUT a per-user event-time ordering guarantee: each
+    * purchase is held in GroupState until the event-time watermark
+    * (max seen ts − `lateness`) passes its timestamp, then credits from
+    * the full touch window — so any touch arriving within the lateness
+    * horizon lands BEFORE the purchases it event-time-precedes, and the
+    * result equals the batch op_attribution algebra under arbitrary
+    * bounded reordering (AttributionLateSpec feeds a purchase-before-
+    * touch slice order and proves it). The trade is crediting latency:
+    * every credit emits `lateness` after the purchase's event time
+    * reaches the stream frontier — the standard watermark contract, the
+    * same one the stream-stream join twin holds. Touches evict once the
+    * watermark proves no unflushed purchase can reach back to them
+    * (tts + 7d < watermark). Events later than the watermark itself may
+    * under-credit — by watermark definition, exactly the bound chosen.
+    *
+    * Input: (user, tsUs, eventId, eventType, cents); `lateness` is a
+    * Spark duration string (e.g. "1 hour"). Emission fires on the
+    * EventTimeTimeout no-data batch if no row for the key arrives. */
+  def attributionBuffered(
+      ds: Dataset[(Long, Long, Long, String, Long)],
+      lateness: String): Dataset[CreditRow] = {
+    import ds.sparkSession.implicits._
+    val withTs = ds.toDF("user", "us", "eid", "tpe", "cents")
+      .withColumn("evt", org.apache.spark.sql.functions.timestamp_micros(
+        org.apache.spark.sql.functions.col("us")))
+      .withWatermark("evt", lateness)
+      .as[(Long, Long, Long, String, Long, java.sql.Timestamp)]
+    def step(key: Long,
+        rows: Iterator[(Long, Long, Long, String, Long, java.sql.Timestamp)],
+        state: GroupState[AttrBufState]): Iterator[CreditRow] = {
+      var st = state.getOption.getOrElse(AttrBufState(Nil, Nil))
+      rows.foreach { case (_, us, eid, tpe, cents, _) =>
+        tpe match {
+          case "click" | "view" => st = st.copy(touches = (us, eid, tpe) :: st.touches)
+          case "purchase" => st = st.copy(pending = (cents, eid, us) :: st.pending)
+          case _ => () // sentinel/unknown types only advance the watermark
+        }
+      }
+      val wmUs = state.getCurrentWatermarkMs() * 1000L
+      val out = List.newBuilder[CreditRow]
+      val (ripe, hold) = st.pending.partition(_._3 <= wmUs)
+      ripe.sortBy(p => (p._3, p._2)).foreach { case (cents, eid, cts) =>
+        // strict tts < cts: a same-instant touch never credits (the batch rule)
+        val cand = st.touches.filter(t => t._1 < cts && t._1 >= cts - SevenDaysUs)
+        if (cand.isEmpty) out += CreditRow("(none)", eid, cents)
+        else {
+          val n = cand.size
+          val base = cents / n
+          val rem = cents - base * n
+          val latest = cand.maxBy(t => (t._1, t._2))
+          cand.foreach { t =>
+            out += CreditRow(t._3, eid, base + (if (t == latest) rem else 0L))
+          }
+        }
+      }
+      st = AttrBufState(st.touches.filter(_._1 + SevenDaysUs >= wmUs), hold)
+      state.update(st)
+      if (hold.nonEmpty) {
+        // fire when the watermark passes the earliest held purchase; the
+        // timestamp must exceed the current watermark (ceil + clamp)
+        val dueMs = (hold.map(_._3).min + 999L) / 1000L
+        state.setTimeoutTimestamp(math.max(dueMs, state.getCurrentWatermarkMs() + 1L))
+      }
+      out.result().iterator
+    }
+    withTs.groupByKey(_._1)
+      .flatMapGroupsWithState[AttrBufState, CreditRow](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(step)
   }
 
   /** Sequence-mining state for one user (see `ss_top_paths`): the last
