@@ -248,8 +248,12 @@ object ScaleCheck {
           // scan over its 7-day touch window is quadratic in the hot
           // share BY SEMANTICS, concentrated in one GroupState key —
           // the batch op's salted path is the documented escalation.)
-          "op_triangles", "ss_retention_maintain", "ss_gap_fill",
-          "ss_top_paths")
+          // ss_triangles_maintain: the IVM layer faces the hot basket
+          // with the ss_cooccur_maintain defense (distinct collapse in
+          // the batch dedupe + seen store), the closure reads the
+          // output-sized counts store
+          "op_triangles", "ss_triangles_maintain", "ss_retention_maintain",
+          "ss_gap_fill", "ss_top_paths")
       else
         Seq("b5_group_agg", "b1_filter_compound", "j_multiway_star",
           "b6_theta_distinct", "b8_freq_topk", "dd_minhash_lsh", "ann_lsh_topk",
@@ -293,8 +297,8 @@ object ScaleCheck {
           "mm_phash_clusters", "op_label_prop", "ss_skyline_maintain",
           "mm_tile_stats", "op_lag_cov", "ss_funnel", "ss_transitions",
           "tx_stem_vocab", "ss_scd2_maintain", "op_triangles",
-          "ss_retention_maintain", "ss_gap_fill", "ss_attribution",
-          "ss_top_paths")
+          "ss_triangles_maintain", "ss_retention_maintain", "ss_gap_fill",
+          "ss_attribution", "ss_top_paths")
     val selected = if (only.isEmpty) names else names.filter(only)
     // dd_semdedup is excluded the same way dd_embed_cosine is: replicated
     // embeddings are bit-identical across copies, so k-fold data has k²

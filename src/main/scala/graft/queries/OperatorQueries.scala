@@ -1513,38 +1513,7 @@ object OperatorQueries {
     // (unbounded-degree) graphs the refinement is degree-ordered
     // orientation, which bounds wedges by arboricity — unnecessary here
     // because the k-NN construction already bounds the degree.
-    QueryDef("op_triangles", Some(
-      """WITH pairs AS (
-        |  SELECT DISTINCT o_custkey AS c, l_suppkey AS s
-        |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
-        |co AS (
-        |  SELECT a.s AS sa, b.s AS sb, CAST(count(*) AS BIGINT) AS n_common
-        |  FROM pairs a JOIN pairs b ON a.c = b.c AND a.s < b.s
-        |  GROUP BY a.s, b.s),
-        |sym AS (SELECT sa AS s, sb AS nb, n_common FROM co
-        |        UNION ALL SELECT sb AS s, sa AS nb, n_common FROM co),
-        |knn AS (SELECT s, nb FROM (
-        |    SELECT s, nb, row_number() OVER (PARTITION BY s
-        |      ORDER BY n_common DESC, nb) AS rnk FROM sym) WHERE rnk <= 5),
-        |edges AS (
-        |  SELECT a.s AS u, a.nb AS v FROM knn a JOIN knn b
-        |    ON a.s = b.nb AND a.nb = b.s AND a.s < a.nb),
-        |deg AS (SELECT x AS supp, CAST(count(*) AS BIGINT) AS deg FROM (
-        |    SELECT u AS x FROM edges UNION ALL SELECT v FROM edges) GROUP BY x),
-        |tri AS (
-        |  SELECT e1.u AS a, e1.v AS b, e2.v AS c3
-        |  FROM edges e1 JOIN edges e2 ON e2.u = e1.v
-        |  JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v),
-        |tcnt AS (SELECT x AS supp, CAST(count(*) AS BIGINT) AS n_tri FROM (
-        |    SELECT a AS x FROM tri UNION ALL SELECT b FROM tri
-        |    UNION ALL SELECT c3 FROM tri) GROUP BY x)
-        |SELECT d.supp, d.deg, COALESCE(t.n_tri, 0) AS n_tri,
-        |  CASE WHEN d.deg >= 2
-        |    THEN (2000000 * COALESCE(t.n_tri, 0)) // (d.deg * (d.deg - 1))
-        |    ELSE 0 END AS coeff_ppm
-        |FROM deg d LEFT JOIN tcnt t ON t.supp = d.supp
-        |ORDER BY d.supp""".stripMargin)) { (s, d) =>
-      import graft.functions.topk_min
+    QueryDef("op_triangles", Some(trianglesSql)) { (s, d) =>
       val pairs = Tables.load(s, d, "orders")
         .select(col("o_orderkey"), col("o_custkey"))
         .join(Tables.load(s, d, "lineitem")
@@ -1556,43 +1525,88 @@ object OperatorQueries {
       val co = pairs.join(b, col("c") === col("c2") && col("s") < col("s2"))
         .groupBy(col("s").as("sa"), col("s2").as("sb"))
         .agg(count(lit(1)).as("n_common"))
-      val sym = co.select(col("sa").as("s"), col("sb").as("nb"), col("n_common"))
-        .unionByName(co.select(col("sb").as("s"), col("sa").as("nb"), col("n_common")))
-      val knn = sym.groupBy(col("s"))
-        .agg(topk_min(struct((-col("n_common")).as("ncnt"),
-          col("nb").as("nb")), 5).as("tk"))
-        .select(col("s"), explode(col("tk")).as("st"))
-        .select(col("s"), col("st.nb").as("nb"))
-      // mutual edges, canonical u < v; eager localCheckpoint cuts the
-      // co-occurrence lineage so the three triangle scans re-read k·|S|
-      // edge rows, not three recomputes of the counting pass
-      val edges = knn.alias("ka").join(knn.alias("kb"),
-          col("ka.s") === col("kb.nb") && col("ka.nb") === col("kb.s") &&
-            col("ka.s") < col("ka.nb"))
-        .select(col("ka.s").as("u"), col("ka.nb").as("v"))
-        .localCheckpoint(true)
-      val deg = edges.select(col("u").as("x"))
-        .unionByName(edges.select(col("v").as("x")))
-        .groupBy(col("x")).agg(count(lit(1)).as("deg"))
-      val tri = edges
-        .join(edges.select(col("u").as("b2"), col("v").as("c2x")),
-          col("v") === col("b2"))
-        .join(edges.select(col("u").as("a3"), col("v").as("c3x")),
-          col("u") === col("a3") && col("c2x") === col("c3x"))
-        .select(col("u").as("ta"), col("v").as("tb"), col("c2x").as("tc"))
-      val tcnt = tri.select(col("ta").as("x"))
-        .unionByName(tri.select(col("tb").as("x")))
-        .unionByName(tri.select(col("tc").as("x")))
-        .groupBy(col("x")).agg(count(lit(1)).as("n_tri"))
-      deg.join(tcnt.withColumnRenamed("x", "xx"), col("x") === col("xx"), "left")
-        .select(col("x").as("supp"), col("deg"),
-          coalesce(col("n_tri"), lit(0L)).as("n_tri"),
-          when(col("deg") >= 2,
-            expr("(2000000 * coalesce(n_tri, 0)) div (deg * (deg - 1))"))
-            .otherwise(lit(0L)).as("coeff_ppm"))
-        .orderBy(col("supp"))
+      triangleClosure(co)
     }
   )
+
+  /** kNN → mutual-edge → triangle closure over a `(sa, sb, n_common)`
+    * co-occurrence frame — shared by op_triangles (which aggregates the
+    * counts from scratch) and ss_triangles_maintain (which reads them
+    * from the IVM-maintained store). Input is output-sized (≤ |pairs|
+    * co-occurrence keys), the closure is bounded by k²·|nodes|/2. */
+  private[queries] def triangleClosure(co: DataFrame): DataFrame = {
+    import graft.functions.topk_min
+    val sym = co.select(col("sa").as("s"), col("sb").as("nb"), col("n_common"))
+      .unionByName(co.select(col("sb").as("s"), col("sa").as("nb"), col("n_common")))
+    val knn = sym.groupBy(col("s"))
+      .agg(topk_min(struct((-col("n_common")).as("ncnt"),
+        col("nb").as("nb")), 5).as("tk"))
+      .select(col("s"), explode(col("tk")).as("st"))
+      .select(col("s"), col("st.nb").as("nb"))
+    // mutual edges, canonical u < v; eager localCheckpoint cuts the
+    // co-occurrence lineage so the three triangle scans re-read k·|S|
+    // edge rows, not three recomputes of the counting pass
+    val edges = knn.alias("ka").join(knn.alias("kb"),
+        col("ka.s") === col("kb.nb") && col("ka.nb") === col("kb.s") &&
+          col("ka.s") < col("ka.nb"))
+      .select(col("ka.s").as("u"), col("ka.nb").as("v"))
+      .localCheckpoint(true)
+    val deg = edges.select(col("u").as("x"))
+      .unionByName(edges.select(col("v").as("x")))
+      .groupBy(col("x")).agg(count(lit(1)).as("deg"))
+    val tri = edges
+      .join(edges.select(col("u").as("b2"), col("v").as("c2x")),
+        col("v") === col("b2"))
+      .join(edges.select(col("u").as("a3"), col("v").as("c3x")),
+        col("u") === col("a3") && col("c2x") === col("c3x"))
+      .select(col("u").as("ta"), col("v").as("tb"), col("c2x").as("tc"))
+    val tcnt = tri.select(col("ta").as("x"))
+      .unionByName(tri.select(col("tb").as("x")))
+      .unionByName(tri.select(col("tc").as("x")))
+      .groupBy(col("x")).agg(count(lit(1)).as("n_tri"))
+    deg.join(tcnt.withColumnRenamed("x", "xx"), col("x") === col("xx"), "left")
+      .select(col("x").as("supp"), col("deg"),
+        coalesce(col("n_tri"), lit(0L)).as("n_tri"),
+        when(col("deg") >= 2,
+          expr("(2000000 * coalesce(n_tri, 0)) div (deg * (deg - 1))"))
+          .otherwise(lit(0L)).as("coeff_ppm"))
+      .orderBy(col("supp"))
+  }
+
+  /** ONE oracle for the mutual-kNN triangle report, shared by the batch
+    * op (op_triangles) and the IVM-maintained twin
+    * (ss_triangles_maintain). (Lazy: referenced from `defs`.) */
+  private[queries] lazy val trianglesSql: String =
+    """WITH pairs AS (
+      |  SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+      |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+      |co AS (
+      |  SELECT a.s AS sa, b.s AS sb, CAST(count(*) AS BIGINT) AS n_common
+      |  FROM pairs a JOIN pairs b ON a.c = b.c AND a.s < b.s
+      |  GROUP BY a.s, b.s),
+      |sym AS (SELECT sa AS s, sb AS nb, n_common FROM co
+      |        UNION ALL SELECT sb AS s, sa AS nb, n_common FROM co),
+      |knn AS (SELECT s, nb FROM (
+      |    SELECT s, nb, row_number() OVER (PARTITION BY s
+      |      ORDER BY n_common DESC, nb) AS rnk FROM sym) WHERE rnk <= 5),
+      |edges AS (
+      |  SELECT a.s AS u, a.nb AS v FROM knn a JOIN knn b
+      |    ON a.s = b.nb AND a.nb = b.s AND a.s < a.nb),
+      |deg AS (SELECT x AS supp, CAST(count(*) AS BIGINT) AS deg FROM (
+      |    SELECT u AS x FROM edges UNION ALL SELECT v FROM edges) GROUP BY x),
+      |tri AS (
+      |  SELECT e1.u AS a, e1.v AS b, e2.v AS c3
+      |  FROM edges e1 JOIN edges e2 ON e2.u = e1.v
+      |  JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v),
+      |tcnt AS (SELECT x AS supp, CAST(count(*) AS BIGINT) AS n_tri FROM (
+      |    SELECT a AS x FROM tri UNION ALL SELECT b FROM tri
+      |    UNION ALL SELECT c3 FROM tri) GROUP BY x)
+      |SELECT d.supp, d.deg, COALESCE(t.n_tri, 0) AS n_tri,
+      |  CASE WHEN d.deg >= 2
+      |    THEN (2000000 * COALESCE(t.n_tri, 0)) // (d.deg * (d.deg - 1))
+      |    ELSE 0 END AS coeff_ppm
+      |FROM deg d LEFT JOIN tcnt t ON t.supp = d.supp
+      |ORDER BY d.supp""".stripMargin
 
   /** ONE oracle for the multi-touch attribution report, shared by the
     * batch op (op_attribution) and its streaming twin (ss_attribution) —

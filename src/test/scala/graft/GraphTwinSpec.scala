@@ -254,6 +254,27 @@ class GraphTwinSpec extends AnyFunSuite {
     }
   }
 
+  test("maintained triangles: slice-invariant and equals the batch closure bit for bit") {
+    // the IVM layer maintains the co-occurrence counts (the only
+    // monotone-delta-maintainable layer — kNN edges are non-monotone
+    // under deltas); the bounded closure recomputes from the store, so
+    // however the interaction stream is sliced the report is the batch one
+    val batch = SparkEntry.queries("op_triangles")(spark, sfDir).collect().toSeq
+    val saved = spark.conf.getOption("spark.graft.ssjoin.slices")
+    try {
+      Seq("1", "6").foreach { n =>
+        spark.conf.set("spark.graft.ssjoin.slices", n)
+        val streamed = SparkEntry.queries("ss_triangles_maintain")(spark, sfDir).collect().toSeq
+        assert(streamed == batch, s"ss_triangles_maintain != op_triangles at $n slices")
+      }
+    } finally {
+      saved match {
+        case Some(v) => spark.conf.set("spark.graft.ssjoin.slices", v)
+        case None => spark.conf.unset("spark.graft.ssjoin.slices")
+      }
+    }
+  }
+
   test("retention fold: an earlier day arriving in a LATER batch re-bases the state") {
     import spark.implicits._
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
