@@ -75,8 +75,17 @@ object PlanDump {
     flagship.foreach { case (name, why) =>
       val df = SparkEntry.queries(name)(spark, sfDir)
       sb.append(s"\n## $name — $why\n\n```\n")
-      sb.append(df.queryExecution.explainString(
-        org.apache.spark.sql.execution.FormattedMode).take(8000))
+      // the GraphIterate queries run eagerly (release-on-completion) and
+      // return a checkpoint-backed frame — dump the captured iteration
+      // plan, which is the one the scaladoc's claims are about
+      val graphTag = Map("op_pagerank" -> "pagerank", "op_label_prop" -> "labelprop")
+      graphTag.get(name) match {
+        case Some(tag) =>
+          sb.append(operators.GraphIterate.recentPlans(tag).last.take(8000))
+        case None =>
+          sb.append(df.queryExecution.explainString(
+            org.apache.spark.sql.execution.FormattedMode).take(8000))
+      }
       sb.append("\n```\n")
     }
     // the armed optimizer-rule rewrites, unarmed vs armed on the SAME

@@ -74,7 +74,8 @@ object ScaleCheck {
 
   def main(args: Array[String]): Unit = {
     val skew = args.contains("skew")
-    val rest = args.filterNot(_ == "skew")
+    val keep = args.contains("keep")
+    val rest = args.filterNot(a => a == "skew" || a == "keep")
     val k = rest.find(_.forall(_.isDigit)).map(_.toInt).getOrElse(8)
     // conf:key=value args: session confs for the run (e.g. the guard's
     // own scale path, conf:spark.graft.dedup.pairSource=minhash)
@@ -90,7 +91,19 @@ object ScaleCheck {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = GraftSession.configure(SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus))
+      .config("spark.sql.shuffle.partitions", cpus)
+      // the kx ss_* replays deliberately collect k-fold feeds to the
+      // driver (HarnessFeed's scaled cap is the structural guard); the
+      // default 1g maxResultSize would abort the 64x collect mid-run.
+      // Harness-scoped: only this main lifts it. Run 64x with
+      // SPARK_DRIVER_MEM=96g (default 24g heap OOMs on the sinks).
+      .config("spark.driver.maxResultSize", "0")
+      // single-JVM 64x replays put the driver under full-heap GC pauses
+      // long enough to miss heartbeats (local mode: the heartbeat is a
+      // formality, the "executor" IS the driver) — don't let the
+      // formality kill the measurement
+      .config("spark.executor.heartbeatInterval", "60s")
+      .config("spark.network.timeout", "1200s"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     // the kx replicas are a DELIBERATELY larger differential replay, so
@@ -141,10 +154,22 @@ object ScaleCheck {
       r("documents", Seq("doc_id"), 100000000L)
       r("embeddings", Seq("vec_id"), 100000000L)
     }
-    buildAll(out, k)
+    // `keep`: reuse an existing replica set — for one-query-per-JVM runs
+    // at large k, where rebuilding the kx fixtures per query would
+    // dominate (the big multi-stream replays are measured in separate
+    // JVMs: session-lifetime state across MANY MemoryStream replays in
+    // one JVM is a harness failure mode, not an operator one). The
+    // caller owns staleness: delete /tmp/graft_scale_* after changing
+    // fixtures or the replication scheme.
+    def built(dir: String): Boolean =
+      new java.io.File(s"$dir/embeddings.parquet/_SUCCESS").exists()
+    if (!(keep && built(out))) buildAll(out, k)
     // skew mode compares skewed-1x to skewed-kx (apples to apples); uniform
     // mode reads 1x straight off the sf0.1 fixtures as before
-    val baseDir = if (skew) { buildAll(out1, 1); out1 } else base
+    val baseDir = if (skew) {
+      if (!(keep && built(out1))) buildAll(out1, 1)
+      out1
+    } else base
 
     val names =
       if (skew)

@@ -39,7 +39,7 @@ class IndexPersistenceSpec extends AnyFunSuite {
     val e = embeddings
     val sample = e.orderBy(xxhash64(col("vec_id"))).limit(2000)
       .collect().map(_.getSeq[Float](1).toArray)
-    val books = Pq.train(sample, sample.head.length / subDim, 16, 3)
+    val books = Pq.train(sample, sample.head.length / subDim, 32, 3) // = spark.graft.pq.codes default
 
     // persist both artifacts: codebooks and the encoded codes table
     IndexStore.savePq(spark, tmp("pq_books"), books)
