@@ -278,7 +278,14 @@ object ScaleCheck {
           // the batch dedupe + seen store), the closure reads the
           // output-sized counts store
           "op_triangles", "ss_triangles_maintain", "ss_retention_maintain",
-          "ss_gap_fill", "ss_top_paths")
+          "ss_gap_fill", "ss_top_paths",
+          // hot template: 10% of all bigrams collapse onto ~40 distinct
+          // bigram model keys — the tx_collocations hot-vocab shape; the
+          // two model joins face the hot keys as big COUNTS, not big
+          // groups. hot l_orderkey: the profile twin's bucket key hashes
+          // (orderkey, linenumber), so the hot order's rows spread over
+          // all buckets and the fold is linear-share per bucket
+          "tx_lm_surprisal", "ss_profile_maintain")
       else
         Seq("b5_group_agg", "b1_filter_compound", "j_multiway_star",
           "b6_theta_distinct", "b8_freq_topk", "dd_minhash_lsh", "ann_lsh_topk",
@@ -323,7 +330,8 @@ object ScaleCheck {
           "mm_tile_stats", "op_lag_cov", "ss_funnel", "ss_transitions",
           "tx_stem_vocab", "ss_scd2_maintain", "op_triangles",
           "ss_triangles_maintain", "ss_retention_maintain", "ss_gap_fill",
-          "ss_attribution", "ss_top_paths")
+          "ss_attribution", "ss_top_paths", "tx_lm_surprisal",
+          "ss_profile_maintain", "ss_corr_maintain")
     val selected = if (only.isEmpty) names else names.filter(only)
     // dd_semdedup is excluded the same way dd_embed_cosine is: replicated
     // embeddings are bit-identical across copies, so k-fold data has k²

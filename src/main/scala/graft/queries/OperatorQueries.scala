@@ -519,16 +519,7 @@ object OperatorQueries {
     // corpus-exact NDV stops being worth the expand. Every output is
     // integer (l_quantity is integer-valued; the CAST makes the
     // double→long exact), so the profile hash-matches DuckDB.
-    QueryDef("op_profile", Some(
-      """SELECT count(*) AS n_rows,
-        |  count(DISTINCT l_orderkey) AS ndv_orderkey,
-        |  count(DISTINCT l_partkey) AS ndv_partkey,
-        |  count(DISTINCT l_returnflag) AS ndv_returnflag,
-        |  count(*) - count(l_shipdate) AS nulls_shipdate,
-        |  CAST(min(l_quantity) AS BIGINT) AS min_qty,
-        |  CAST(max(l_quantity) AS BIGINT) AS max_qty,
-        |  CAST(sum(l_quantity) AS BIGINT) AS sum_qty
-        |FROM lineitem""".stripMargin)) { (s, d) =>
+    QueryDef("op_profile", Some(profileSql)) { (s, d) =>
       Tables.load(s, d, "lineitem").agg(
         count(lit(1)).as("n_rows"),
         countDistinct(col("l_orderkey")).as("ndv_orderkey"),
@@ -794,35 +785,7 @@ object OperatorQueries {
     // property), and the corr formula is a FIXED tree of double ops over
     // those exact sums — identical in both engines, floor-discretized to
     // micros. One partial+final aggregate, one scan, |pairs| output rows.
-    QueryDef("op_corr", Some(
-      """WITH s AS (SELECT count(*) AS n,
-        |    sum(CAST(l_quantity AS BIGINT)) AS sx,
-        |    sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS sy,
-        |    sum(CAST(floor(l_discount * 100 + 0.5) AS BIGINT)) AS sz,
-        |    sum(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS sxx,
-        |    sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
-        |      * CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS syy,
-        |    sum(CAST(floor(l_discount * 100 + 0.5) AS BIGINT)
-        |      * CAST(floor(l_discount * 100 + 0.5) AS BIGINT)) AS szz,
-        |    sum(CAST(l_quantity AS BIGINT)
-        |      * CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS sxy,
-        |    sum(CAST(l_quantity AS BIGINT)
-        |      * CAST(floor(l_discount * 100 + 0.5) AS BIGINT)) AS sxz,
-        |    sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
-        |      * CAST(floor(l_discount * 100 + 0.5) AS BIGINT)) AS syz
-        |  FROM lineitem)
-        |SELECT pair, CAST(floor(1000000 *
-        |    (CAST(n AS DOUBLE) * spq - sp * sq)
-        |    / sqrt((CAST(n AS DOUBLE) * spp - sp * sp)
-        |         * (CAST(n AS DOUBLE) * sqq - sq * sq))) AS BIGINT) AS corr_micro
-        |FROM (
-        |  SELECT 'qty_price' AS pair, CAST(sx AS DOUBLE) AS sp, CAST(sy AS DOUBLE) AS sq,
-        |    CAST(sxx AS DOUBLE) AS spp, CAST(syy AS DOUBLE) AS sqq, CAST(sxy AS DOUBLE) AS spq, n FROM s
-        |  UNION ALL SELECT 'qty_disc', CAST(sx AS DOUBLE), CAST(sz AS DOUBLE),
-        |    CAST(sxx AS DOUBLE), CAST(szz AS DOUBLE), CAST(sxz AS DOUBLE), n FROM s
-        |  UNION ALL SELECT 'price_disc', CAST(sy AS DOUBLE), CAST(sz AS DOUBLE),
-        |    CAST(syy AS DOUBLE), CAST(szz AS DOUBLE), CAST(syz AS DOUBLE), n FROM s)
-        |ORDER BY pair""".stripMargin)) { (s, d) =>
+    QueryDef("op_corr", Some(corrSql)) { (s, d) =>
       val dec = DecimalType(38, 0)
       val x = col("l_quantity").cast(LongType).cast(dec)
       val y = floor(col("l_extendedprice") * 100 + 0.5).cast(LongType).cast(dec)
@@ -832,24 +795,7 @@ object OperatorQueries {
         sum(x).as("sx"), sum(y).as("sy"), sum(z).as("sz"),
         sum(x * x).as("sxx"), sum(y * y).as("syy"), sum(z * z).as("szz"),
         sum(x * y).as("sxy"), sum(x * z).as("sxz"), sum(y * z).as("syz"))
-      def corrRow(pair: String, sp: String, sq: String, spp: String,
-          sqq: String, spq: String) =
-        struct(lit(pair).as("pair"),
-          floor(lit(1000000) *
-            (col("n").cast(DoubleType) * col(spq).cast(DoubleType)
-              - col(sp).cast(DoubleType) * col(sq).cast(DoubleType))
-            / sqrt((col("n").cast(DoubleType) * col(spp).cast(DoubleType)
-                - col(sp).cast(DoubleType) * col(sp).cast(DoubleType))
-              * (col("n").cast(DoubleType) * col(sqq).cast(DoubleType)
-                - col(sq).cast(DoubleType) * col(sq).cast(DoubleType))))
-            .cast(LongType).as("corr_micro"))
-      sums
-        .select(explode(array(
-          corrRow("qty_price", "sx", "sy", "sxx", "syy", "sxy"),
-          corrRow("qty_disc", "sx", "sz", "sxx", "szz", "sxz"),
-          corrRow("price_disc", "sy", "sz", "syy", "szz", "syz"))).as("r"))
-        .select(col("r.pair").as("pair"), col("r.corr_micro").as("corr_micro"))
-        .orderBy(col("pair"))
+      corrReport(sums)
     },
 
     // DQ QUARANTINE — the actionable half of op_dq_rules: materialize the
@@ -1571,6 +1517,83 @@ object OperatorQueries {
           expr("(2000000 * coalesce(n_tri, 0)) div (deg * (deg - 1))"))
           .otherwise(lit(0L)).as("coeff_ppm"))
       .orderBy(col("supp"))
+  }
+
+  /** ONE oracle for the single-pass table profile, shared by the batch op
+    * (op_profile) and its streaming maintenance twin
+    * (ss_profile_maintain) — the twin's per-bucket theta sketches stay in
+    * the exact regime at fixture NDVs, so both check against the
+    * identical exact-count SQL. (Lazy: referenced from `defs`.) */
+  private[queries] lazy val profileSql: String =
+    """SELECT count(*) AS n_rows,
+      |  count(DISTINCT l_orderkey) AS ndv_orderkey,
+      |  count(DISTINCT l_partkey) AS ndv_partkey,
+      |  count(DISTINCT l_returnflag) AS ndv_returnflag,
+      |  count(*) - count(l_shipdate) AS nulls_shipdate,
+      |  CAST(min(l_quantity) AS BIGINT) AS min_qty,
+      |  CAST(max(l_quantity) AS BIGINT) AS max_qty,
+      |  CAST(sum(l_quantity) AS BIGINT) AS sum_qty
+      |FROM lineitem""".stripMargin
+
+  /** ONE oracle for the correlation-matrix report, shared by the batch op
+    * (op_corr) and its streaming maintenance twin (ss_corr_maintain) —
+    * the twin folds the identical nine exact integer moment sums (as
+    * arbitrary-precision integers in GroupState), so both reach the same
+    * fixed double tree and check against the identical SQL. (Lazy:
+    * referenced from `defs`.) */
+  private[queries] lazy val corrSql: String =
+    """WITH s AS (SELECT count(*) AS n,
+      |    sum(CAST(l_quantity AS BIGINT)) AS sx,
+      |    sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS sy,
+      |    sum(CAST(floor(l_discount * 100 + 0.5) AS BIGINT)) AS sz,
+      |    sum(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS sxx,
+      |    sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+      |      * CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS syy,
+      |    sum(CAST(floor(l_discount * 100 + 0.5) AS BIGINT)
+      |      * CAST(floor(l_discount * 100 + 0.5) AS BIGINT)) AS szz,
+      |    sum(CAST(l_quantity AS BIGINT)
+      |      * CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS sxy,
+      |    sum(CAST(l_quantity AS BIGINT)
+      |      * CAST(floor(l_discount * 100 + 0.5) AS BIGINT)) AS sxz,
+      |    sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+      |      * CAST(floor(l_discount * 100 + 0.5) AS BIGINT)) AS syz
+      |  FROM lineitem)
+      |SELECT pair, CAST(floor(1000000 *
+      |    (CAST(n AS DOUBLE) * spq - sp * sq)
+      |    / sqrt((CAST(n AS DOUBLE) * spp - sp * sp)
+      |         * (CAST(n AS DOUBLE) * sqq - sq * sq))) AS BIGINT) AS corr_micro
+      |FROM (
+      |  SELECT 'qty_price' AS pair, CAST(sx AS DOUBLE) AS sp, CAST(sy AS DOUBLE) AS sq,
+      |    CAST(sxx AS DOUBLE) AS spp, CAST(syy AS DOUBLE) AS sqq, CAST(sxy AS DOUBLE) AS spq, n FROM s
+      |  UNION ALL SELECT 'qty_disc', CAST(sx AS DOUBLE), CAST(sz AS DOUBLE),
+      |    CAST(sxx AS DOUBLE), CAST(szz AS DOUBLE), CAST(sxz AS DOUBLE), n FROM s
+      |  UNION ALL SELECT 'price_disc', CAST(sy AS DOUBLE), CAST(sz AS DOUBLE),
+      |    CAST(syy AS DOUBLE), CAST(szz AS DOUBLE), CAST(syz AS DOUBLE), n FROM s)
+      |ORDER BY pair""".stripMargin
+
+  /** The corr final formula — ONE fixed tree of double ops from the exact
+    * moment sums frame (columns n, sx..syz) to the three corr_micro rows,
+    * shared by op_corr and ss_corr_maintain so the two cannot diverge in
+    * the one place float determinism is load-bearing. */
+  private[queries] def corrReport(sums: DataFrame): DataFrame = {
+    def corrRow(pair: String, sp: String, sq: String, spp: String,
+        sqq: String, spq: String) =
+      struct(lit(pair).as("pair"),
+        floor(lit(1000000) *
+          (col("n").cast(DoubleType) * col(spq).cast(DoubleType)
+            - col(sp).cast(DoubleType) * col(sq).cast(DoubleType))
+          / sqrt((col("n").cast(DoubleType) * col(spp).cast(DoubleType)
+              - col(sp).cast(DoubleType) * col(sp).cast(DoubleType))
+            * (col("n").cast(DoubleType) * col(sqq).cast(DoubleType)
+              - col(sq).cast(DoubleType) * col(sq).cast(DoubleType))))
+          .cast(LongType).as("corr_micro"))
+    sums
+      .select(explode(array(
+        corrRow("qty_price", "sx", "sy", "sxx", "syy", "sxy"),
+        corrRow("qty_disc", "sx", "sz", "sxx", "szz", "sxz"),
+        corrRow("price_disc", "sy", "sz", "syy", "szz", "syz"))).as("r"))
+      .select(col("r.pair").as("pair"), col("r.corr_micro").as("corr_micro"))
+      .orderBy(col("pair"))
   }
 
   /** ONE oracle for the mutual-kNN triangle report, shared by the batch

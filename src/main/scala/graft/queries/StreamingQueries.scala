@@ -1630,6 +1630,128 @@ object StreamingQueries {
       OperatorQueries.triangleClosure(
         ivmCooccurCounts(s, d, "tricooccur")
           .withColumnRenamed("n", "n_common"))
+    },
+
+    // Streaming twin of op_profile — ANALYZE maintained live: every
+    // micro-batch folds each hash bucket's count / null-count / min /
+    // max / sum plus one theta sketch per NDV column into GroupState
+    // (O(sketch) state, never O(rows)), so the profile a pipeline gates
+    // drops on is current at every batch boundary without ever
+    // rescanning the ingest. Everything in the fold is a commutative
+    // merge, so the drained max-seq snapshots roll up to the batch
+    // profile EXACTLY — whatever order or slicing the rows arrived in
+    // (ProfileCorrTwinSpec shuffles the feed to pin that invariance) —
+    // and the sketches stay in their exact regime at fixture NDVs,
+    // letting the twin share op_profile's exact-count oracle. The drain
+    // merges ≤ |buckets| sketch rows via theta_union_agg (the
+    // b6_theta_merge state-interchange path: GroupState emits
+    // DataSketches compact bytes, Spark's built-in union consumes them).
+    QueryDef("ss_profile_maintain", Some(OperatorQueries.profileSql)) { (s, d) =>
+      import s.implicits._
+      implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val nBuckets = s.conf.get("spark.graft.profile.buckets", "16").toInt
+      val rows = Tables.load(s, d, "lineitem")
+        .select(pmod(xxhash64(col("l_orderkey"), col("l_linenumber")),
+            lit(nBuckets)).cast("int").as("bucket"),
+          col("l_orderkey"), col("l_partkey"), col("l_returnflag"),
+          col("l_shipdate").isNull.as("shipnull"),
+          col("l_quantity").cast("long").as("qty"),
+          col("l_linenumber"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+        .harnessFeed()
+        .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getString(3),
+          r.getBoolean(4), r.getLong(5)))
+      val nSlices = s.conf.get("spark.graft.ssjoin.slices", "4").toInt
+      val per = math.max(1, (rows.length + nSlices - 1) / nSlices)
+
+      val feed = MemoryStream[(Int, Long, Long, String, Boolean, Long)]
+      val prof = graft.streaming.StatefulOps.profileMaintain(feed.toDS())
+      val sink = "ss_profile_sink"
+      s.catalog.dropTempView(sink)
+      val savedParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions",
+        s.conf.get("spark.graft.ssjoin.parts", "4"))
+      val q =
+        try prof.toDF().writeStream.format("memory").queryName(sink)
+          .outputMode("append").start()
+        finally s.conf.set("spark.sql.shuffle.partitions", savedParts)
+      try {
+        rows.grouped(per).foreach { slice =>
+          feed.addData(slice.toSeq)
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+      val drained = s.table(sink)
+      val last = drained.groupBy(col("bucket").as("bk")).agg(max(col("seq")).as("mseq"))
+      drained.join(broadcast(last),
+          col("bucket") === col("bk") && col("seq") === col("mseq"))
+        .agg(sum(col("n")).as("n_rows"),
+          expr("theta_sketch_estimate(theta_union_agg(sk_ok, 20))").as("ndv_orderkey"),
+          expr("theta_sketch_estimate(theta_union_agg(sk_pk, 20))").as("ndv_partkey"),
+          expr("theta_sketch_estimate(theta_union_agg(sk_rf, 20))").as("ndv_returnflag"),
+          sum(col("nulls")).as("nulls_shipdate"),
+          min(col("min_q")).as("min_qty"),
+          max(col("max_q")).as("max_qty"),
+          sum(col("sum_q")).as("sum_qty"))
+    },
+
+    // Streaming twin of op_corr — the correlation matrix maintained
+    // live: each hash bucket folds the nine exact integer moment sums
+    // in GroupState as BigInts (squared cents overflow a long within
+    // one fixture octave; floats would make the fold order-dependent),
+    // so the drained max-seq snapshots decimal-sum to the batch
+    // aggregate's EXACT sums and the shared fixed double tree
+    // (OperatorQueries.corrReport — one definition, both ops) yields
+    // bit-identical corr_micro rows. Order-insensitive like the profile
+    // twin: sums commute, so any feed order or slicing drains to the
+    // same matrix (oracle = op_corr's SQL, shared val). O(1) state per
+    // bucket; the drain is a ≤ |buckets|-row decimal rollup.
+    QueryDef("ss_corr_maintain", Some(OperatorQueries.corrSql)) { (s, d) =>
+      import s.implicits._
+      implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val nBuckets = s.conf.get("spark.graft.profile.buckets", "16").toInt
+      val rows = Tables.load(s, d, "lineitem")
+        .select(pmod(xxhash64(col("l_orderkey"), col("l_linenumber")),
+            lit(nBuckets)).cast("int").as("bucket"),
+          col("l_quantity").cast("long").as("x"),
+          floor(col("l_extendedprice") * 100 + 0.5).cast("long").as("y"),
+          floor(col("l_discount") * 100 + 0.5).cast("long").as("z"),
+          col("l_orderkey"), col("l_linenumber"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+        .harnessFeed()
+        .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      val nSlices = s.conf.get("spark.graft.ssjoin.slices", "4").toInt
+      val per = math.max(1, (rows.length + nSlices - 1) / nSlices)
+
+      val feed = MemoryStream[(Int, Long, Long, Long)]
+      val mom = graft.streaming.StatefulOps.corrMaintain(feed.toDS())
+      val sink = "ss_corr_sink"
+      s.catalog.dropTempView(sink)
+      val savedParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions",
+        s.conf.get("spark.graft.ssjoin.parts", "4"))
+      val q =
+        try mom.toDF().writeStream.format("memory").queryName(sink)
+          .outputMode("append").start()
+        finally s.conf.set("spark.sql.shuffle.partitions", savedParts)
+      try {
+        rows.grouped(per).foreach { slice =>
+          feed.addData(slice.toSeq)
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+      val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+      val drained = s.table(sink)
+      val last = drained.groupBy(col("bucket").as("bk")).agg(max(col("seq")).as("mseq"))
+      val sums = drained.join(broadcast(last),
+          col("bucket") === col("bk") && col("seq") === col("mseq"))
+        .agg(sum(col("n")).as("n"),
+          sum(col("sx").cast(dec)).as("sx"), sum(col("sy").cast(dec)).as("sy"),
+          sum(col("sz").cast(dec)).as("sz"), sum(col("sxx").cast(dec)).as("sxx"),
+          sum(col("syy").cast(dec)).as("syy"), sum(col("szz").cast(dec)).as("szz"),
+          sum(col("sxy").cast(dec)).as("sxy"), sum(col("sxz").cast(dec)).as("sxz"),
+          sum(col("syz").cast(dec)).as("syz"))
+      OperatorQueries.corrReport(sums)
     }
   )
 

@@ -383,6 +383,62 @@ object TextQueries {
         .orderBy(col("doc_id"))
     },
 
+    // Bigram-LM surprisal — the actual conditional-probability LM score
+    // behind CCNet/RefinedWeb perplexity filtering, made hash-exact: each
+    // bigram's add-one-smoothed probability p = (c(w1 w2)+1)/(c(w1)+V) is
+    // quantized in LOG2 via exact integer bit-lengths —
+    // bits = len(bin(c(w1)+V)) − len(bin(c(w1 w2)+1)) — so the per-doc
+    // score is a SUM OF INTEGERS (order-free, no cross-engine libm log
+    // ulps), and perplexity ≈ 2^(bits/n). tx_bigram_rarity gives raw
+    // corpus mass; this is the sequence-model-normalized quantity — a doc
+    // of plausible-but-never-adjacent tokens scores high here and
+    // ordinary there. Scale shape: the two model tables (unigram + bigram
+    // counts on 8-byte hashes) are map-side-combined aggregations, then
+    // TWO shuffle joins back (neither vocabulary broadcasts — a 100 TB
+    // corpus's bigram table is itself corpus-sized); the 1-row V frame
+    // rides in broadcast. milli_bits_per_bigram is exact integer
+    // division — the resolution a filter thresholds on.
+    QueryDef("tx_lm_surprisal", Some(
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS t FROM documents),
+        |u AS (SELECT t, count(*) AS cu FROM tok GROUP BY t),
+        |vv AS (SELECT count(*) AS v FROM u),
+        |g AS (SELECT doc_id, t, unnest(range(1, len(t))) AS i
+        |      FROM (SELECT doc_id, string_split(text,' ') AS t FROM documents)),
+        |bg AS (SELECT doc_id, t[i] AS w1, array_to_string(t[i:i+1],' ') AS b FROM g),
+        |bv AS (SELECT b, count(*) AS cb FROM bg GROUP BY b)
+        |SELECT bg.doc_id AS doc_id, count(*) AS n_bigrams,
+        |  CAST(sum(length(bin(cu + v)) - length(bin(cb + 1))) AS BIGINT) AS surprisal_bits,
+        |  CAST(max(length(bin(cu + v)) - length(bin(cb + 1))) AS BIGINT) AS max_bits,
+        |  (1000 * CAST(sum(length(bin(cu + v)) - length(bin(cb + 1))) AS BIGINT))
+        |    // count(*) AS milli_bits_per_bigram
+        |FROM bg JOIN bv USING (b) JOIN u ON bg.w1 = u.t CROSS JOIN vv
+        |GROUP BY bg.doc_id ORDER BY doc_id""".stripMargin)) { (s, d) =>
+      val t = toks
+      val pairs = filter(
+        zip_with(t, slice(t, lit(2), size(t)),
+          (a, b) => struct(a.as("w1"), concat(a, lit(" "), b).as("b"))),
+        x => x.getField("b").isNotNull)
+      val bg = docs(s, d)
+        .select(col("doc_id"), explode(pairs).as("p"))
+        .select(col("doc_id"), xxhash64(col("p.w1")).as("hw"),
+          xxhash64(col("p.b")).as("hb"))
+      val uni = docs(s, d).select(explode(toks).as("t"))
+        .select(xxhash64(col("t")).as("hw"))
+        .groupBy(col("hw")).agg(count(lit(1)).as("cu"))
+      val bi = bg.groupBy(col("hb")).agg(count(lit(1)).as("cb"))
+      val vocabSize = uni.agg(count(lit(1)).as("v"))
+      val bits = length(bin(col("cu") + col("v"))) - length(bin(col("cb") + 1))
+      bg.join(bi, Seq("hb")).join(uni, Seq("hw"))
+        .crossJoin(broadcast(vocabSize))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"),
+          sum(bits).cast(LongType).as("surprisal_bits"),
+          max(bits).cast(LongType).as("max_bits"))
+        .withColumn("milli_bits_per_bigram",
+          expr("(1000 * surprisal_bits) div n_bigrams"))
+        .orderBy(col("doc_id"))
+    },
+
     // DSIR-style importance scoring: rank general-corpus docs by how
     // target-domain-like they are (here target = source 'src0', the
     // in-domain seed set), via unigram corpus statistics — the

@@ -536,6 +536,119 @@ object StatefulOps extends Serializable {
         OutputMode.Append(), GroupStateTimeout.NoTimeout)(step)
   }
 
+  /** Live table-profile state for one hash bucket (see
+    * `ss_profile_maintain`): scalar moments plus one serialized theta
+    * sketch per NDV column — O(sketch) state however many rows stream
+    * through, the mergeable-summary shape that profiles an unbounded
+    * ingest without ever rescanning it. Sketches stay in the exact
+    * regime below ~1M distinct per bucket (lgk 20), which is what lets
+    * the twin share op_profile's exact-count oracle at fixture scale;
+    * at true corpus scale the identical plan degrades gracefully to
+    * estimates, like op_profile_sketch. */
+  case class ProfileState(seq: Long, n: Long, nulls: Long,
+      minQ: Long, maxQ: Long, sumQ: Long,
+      skOk: Array[Byte], skPk: Array[Byte], skRf: Array[Byte])
+
+  /** One per-bucket profile snapshot (emitted every micro-batch; the
+    * drain keeps each bucket's max-seq row and theta-unions the buckets). */
+  case class ProfileRow(bucket: Int, seq: Long, n: Long, nulls: Long,
+      min_q: Long, max_q: Long, sum_q: Long,
+      sk_ok: Array[Byte], sk_pk: Array[Byte], sk_rf: Array[Byte])
+
+  private val ProfileLgk = 20
+
+  private def thetaAdd(prev: Array[Byte],
+      add: org.apache.datasketches.theta.UpdateSketch): Array[Byte] = {
+    val u = org.apache.datasketches.theta.SetOperation.builder()
+      .setLogNominalEntries(ProfileLgk).buildUnion()
+    if (prev.nonEmpty) u.union(org.apache.datasketches.memory.Memory.wrap(prev))
+    u.union(add.compact())
+    u.getResult.toByteArray
+  }
+
+  /** Streaming single-pass table profile (ANALYZE maintained live): each
+    * hash bucket folds count / null-count / min / max / sum plus a theta
+    * sketch per NDV column, all order-insensitive commutative merges —
+    * so the drained per-bucket snapshots roll up to the batch profile
+    * exactly, whatever order or batching the rows arrived in. Input:
+    * (bucket, orderkey, partkey, returnflag, shipdateIsNull, qty). */
+  def profileMaintain(
+      ds: Dataset[(Int, Long, Long, String, Boolean, Long)]): Dataset[ProfileRow] = {
+    import ds.sparkSession.implicits._
+    def step(key: Int, rows: Iterator[(Int, Long, Long, String, Boolean, Long)],
+        state: GroupState[ProfileState]): Iterator[ProfileRow] = {
+      val cur = state.getOption.getOrElse(ProfileState(0L, 0L, 0L,
+        Long.MaxValue, Long.MinValue, 0L, Array.empty, Array.empty, Array.empty))
+      def newSk() = org.apache.datasketches.theta.UpdateSketch.builder()
+        .setLogNominalEntries(ProfileLgk).build()
+      val (ok, pk, rf) = (newSk(), newSk(), newSk())
+      var (n, nulls, minQ, maxQ, sumQ) =
+        (cur.n, cur.nulls, cur.minQ, cur.maxQ, cur.sumQ)
+      rows.foreach { case (_, okey, pkey, flag, shipNull, qty) =>
+        n += 1
+        if (shipNull) nulls += 1
+        if (qty < minQ) minQ = qty
+        if (qty > maxQ) maxQ = qty
+        sumQ += qty
+        ok.update(okey); pk.update(pkey); rf.update(flag)
+      }
+      val next = ProfileState(cur.seq + 1, n, nulls, minQ, maxQ, sumQ,
+        thetaAdd(cur.skOk, ok), thetaAdd(cur.skPk, pk), thetaAdd(cur.skRf, rf))
+      state.update(next)
+      Iterator.single(ProfileRow(key, next.seq, next.n, next.nulls,
+        next.minQ, next.maxQ, next.sumQ, next.skOk, next.skPk, next.skRf))
+    }
+    ds.groupByKey(_._1)
+      .flatMapGroupsWithState[ProfileState, ProfileRow](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout)(step)
+  }
+
+  /** Live correlation-moments state for one hash bucket (see
+    * `ss_corr_maintain`): row count plus the nine exact integer moment
+    * sums, kept as arbitrary-precision integers (decimal strings in the
+    * encoded state — squared cents overflow a long within one fixture
+    * octave, and floats would make the fold order-dependent). O(1) per
+    * bucket. */
+  case class CorrState(seq: Long, n: Long, sums: Array[String])
+
+  /** One per-bucket moments snapshot; the drain keeps each bucket's
+    * max-seq row, decimal-sums across buckets, and applies the SAME
+    * fixed corr double tree as the batch op. */
+  case class CorrMomentsRow(bucket: Int, seq: Long, n: Long,
+      sx: String, sy: String, sz: String, sxx: String, syy: String,
+      szz: String, sxy: String, sxz: String, syz: String)
+
+  /** Streaming correlation-matrix maintenance: each bucket folds the
+    * nine moment sums exactly (BigInt — no precision loss, no order
+    * sensitivity), so the drained snapshots aggregate to the identical
+    * sums the batch op's one-pass aggregate produces, and the shared
+    * fixed double tree then yields bit-identical corr_micro values.
+    * Input: (bucket, x, yCents, zCents). */
+  def corrMaintain(ds: Dataset[(Int, Long, Long, Long)]): Dataset[CorrMomentsRow] = {
+    import ds.sparkSession.implicits._
+    def step(key: Int, rows: Iterator[(Int, Long, Long, Long)],
+        state: GroupState[CorrState]): Iterator[CorrMomentsRow] = {
+      val cur = state.getOption.getOrElse(CorrState(0L, 0L, Array.fill(9)("0")))
+      var n = cur.n
+      val acc = cur.sums.map(BigInt(_))
+      rows.foreach { case (_, xl, yl, zl) =>
+        n += 1
+        val (x, y, z) = (BigInt(xl), BigInt(yl), BigInt(zl))
+        acc(0) += x; acc(1) += y; acc(2) += z
+        acc(3) += x * x; acc(4) += y * y; acc(5) += z * z
+        acc(6) += x * y; acc(7) += x * z; acc(8) += y * z
+      }
+      val next = CorrState(cur.seq + 1, n, acc.map(_.toString))
+      state.update(next)
+      val s = next.sums
+      Iterator.single(CorrMomentsRow(key, next.seq, next.n,
+        s(0), s(1), s(2), s(3), s(4), s(5), s(6), s(7), s(8)))
+    }
+    ds.groupByKey(_._1)
+      .flatMapGroupsWithState[CorrState, CorrMomentsRow](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout)(step)
+  }
+
   /** Streaming exact dedup — the live-ingest twin of the batch `dd_exact`
     * query: drop any record whose content hash was already seen inside
     * the watermark horizon. Built on Spark's

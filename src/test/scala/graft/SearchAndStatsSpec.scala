@@ -193,6 +193,44 @@ class SearchAndStatsSpec extends AnyFunSuite {
     assert(rows(1L) == ((2L, 1L, 4L)), s"doc 1: 2 bigrams, 'b c' hapax, mass 3+1: ${rows(1L)}")
   }
 
+  // ---- tx_lm_surprisal ---------------------------------------------------
+
+  test("lm surprisal: hand-computed bit-quantized conditional log-probs") {
+    // unigrams: a=3 b=3 c=1 x=1 (V=4); bigrams: 'a b'=3, 'b a'=1, 'b c'=1.
+    // bits(w1,w2) = len(bin(cu(w1)+V)) - len(bin(cb+1)):
+    //   'a b': len(bin(7))=3, len(bin(4))=3 -> 0
+    //   'b a': len(bin(7))=3, len(bin(2))=2 -> 1
+    //   'b c': len(bin(7))=3, len(bin(2))=2 -> 1
+    val dir = docsDir(Seq(
+      (0L, "a b a b", "en", "src1"),
+      (1L, "a b c", "en", "src1"),
+      (2L, "x", "en", "src1")))
+    val rows = SparkEntry.queries("tx_lm_surprisal")(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))).toMap
+    assert(rows.keySet == Set(0L, 1L), "single-token doc contributes no bigrams")
+    assert(rows(0L) == ((3L, 1L, 1L, 333L)),
+      s"doc 0: bigrams [ab,ba,ab] -> bits [0,1,0]: ${rows(0L)}")
+    assert(rows(1L) == ((2L, 1L, 1L, 500L)),
+      s"doc 1: bigrams [ab,bc] -> bits [0,1]: ${rows(1L)}")
+  }
+
+  test("lm surprisal: shuffled text scores above its natural original") {
+    // doc 1 reuses doc 0's vocabulary but in never-seen adjacencies; with
+    // three natural copies pinning the common bigrams, the garbled doc's
+    // per-bigram surprisal must exceed every natural doc's — the filter
+    // property the operator exists for.
+    val natural = "the fast query runs on the fast engine"
+    val garbled = "engine the on query fast runs the fast"
+    val dir = docsDir(Seq(
+      (0L, natural, "en", "src1"), (1L, natural, "en", "src1"),
+      (2L, natural, "en", "src1"), (3L, garbled, "en", "src1")))
+    val rows = SparkEntry.queries("tx_lm_surprisal")(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(4)).toMap
+    assert(rows(3L) > rows(0L),
+      s"garbled ${rows(3L)} milli-bits/bigram vs natural ${rows(0L)}")
+  }
+
   // ---- emb_label_stats -------------------------------------------------
 
   test("embedding audit: exact scaled squared-norm profile per label") {
