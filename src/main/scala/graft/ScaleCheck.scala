@@ -285,7 +285,13 @@ object ScaleCheck {
           // groups. hot l_orderkey: the profile twin's bucket key hashes
           // (orderkey, linenumber), so the hot order's rows spread over
           // all buckets and the fold is linear-share per bucket
-          "tx_lm_surprisal", "ss_profile_maintain")
+          "tx_lm_surprisal", "ss_profile_maintain",
+          // hot user: 10% of the event timeline in ONE GroupState key —
+          // the forget fold is a linear-share O(1)-state pass (the
+          // ss_funnel shape); hot template: the LM store fold faces 10%
+          // of all bigram deltas collapsing onto ~40 keys, which the
+          // map-side delta combine absorbs before the store join
+          "ss_forget_enforce", "ss_lm_maintain")
       else
         Seq("b5_group_agg", "b1_filter_compound", "j_multiway_star",
           "b6_theta_distinct", "b8_freq_topk", "dd_minhash_lsh", "ann_lsh_topk",
@@ -331,7 +337,8 @@ object ScaleCheck {
           "tx_stem_vocab", "ss_scd2_maintain", "op_triangles",
           "ss_triangles_maintain", "ss_retention_maintain", "ss_gap_fill",
           "ss_attribution", "ss_top_paths", "tx_lm_surprisal",
-          "ss_profile_maintain", "ss_corr_maintain")
+          "ss_profile_maintain", "ss_corr_maintain", "ss_forget_enforce",
+          "ss_lm_maintain")
     val selected = if (only.isEmpty) names else names.filter(only)
     // dd_semdedup is excluded the same way dd_embed_cosine is: replicated
     // embeddings are bit-identical across copies, so k-fold data has k²

@@ -1752,6 +1752,135 @@ object StreamingQueries {
           sum(col("sxy").cast(dec)).as("sxy"), sum(col("sxz").cast(dec)).as("sxz"),
           sum(col("syz").cast(dec)).as("syz"))
       OperatorQueries.corrReport(sums)
+    },
+
+    // Live right-to-be-forgotten enforcement — the in-flight sibling of
+    // op_forget_users: the batch op purges HISTORY; this stops new data
+    // at the door, suppressing every event of an opted-out user from
+    // their first deletion request onward (request included), so the
+    // periodic batch purge converges instead of chasing a moving target.
+    // Each user's first 'error' event stands in for the deletion-request
+    // signal (the op_forget_users every-97th-customer convention).
+    // Suppression is by the exact batch predicate (ts, event_id) <
+    // (first-request ts, id) — the fold sorts each micro-batch slice in
+    // that order, so intra-batch disorder cannot leak a post-request
+    // event; cross-batch ordering is the gap-fill append-only contract
+    // (StatefulOps scaladoc states it; ForgetLmSpec pins the crafted
+    // cross-batch case). O(1) state per opted-out user; rows flow
+    // through with one keyed state exchange, no other shuffle — the
+    // shape that enforces compliance on a 100 TB/day ingest.
+    QueryDef("ss_forget_enforce", Some(
+      """WITH f AS (
+        |  SELECT user_id, ts AS fts, event_id AS fid FROM (
+        |    SELECT user_id, ts, event_id,
+        |      row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |    FROM events WHERE event_type = 'error') WHERE rn = 1)
+        |SELECT e.event_id, e.user_id, e.event_type
+        |FROM events e LEFT JOIN f USING (user_id)
+        |WHERE f.fts IS NULL OR e.ts < f.fts
+        |   OR (e.ts = f.fts AND e.event_id < f.fid)
+        |ORDER BY e.event_id""".stripMargin)) { (s, d) =>
+      import s.implicits._
+      implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val rows = Tables.load(s, d, "events")
+        .select(col("user_id"), unix_micros(col("ts")).as("us"), col("event_id"),
+          col("event_type"), (col("event_type") === "error").as("req"))
+        .orderBy(col("us"), col("event_id"))
+        .harnessFeed()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3),
+          r.getBoolean(4)))
+      val nSlices = s.conf.get("spark.graft.ssjoin.slices", "4").toInt
+      val per = math.max(1, (rows.length + nSlices - 1) / nSlices)
+
+      val feed = MemoryStream[(Long, Long, Long, String, Boolean)]
+      val kept = graft.streaming.StatefulOps.forgetEnforce(feed.toDS())
+      val sink = "ss_forget_sink"
+      s.catalog.dropTempView(sink)
+      val savedParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions",
+        s.conf.get("spark.graft.ssjoin.parts", "4"))
+      val q =
+        try kept.toDF().writeStream.format("memory").queryName(sink)
+          .outputMode("append").start()
+        finally s.conf.set("spark.sql.shuffle.partitions", savedParts)
+      try {
+        rows.grouped(per).foreach { slice =>
+          feed.addData(slice.toSeq)
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+      s.table(sink)
+        .select(col("event_id"), col("user_id"), col("event_type"))
+        .orderBy(col("event_id"))
+    },
+
+    // The bigram-LM model maintained live — ss_triangles_maintain's
+    // decomposition applied to tx_lm_surprisal: the HISTORY-sized layer
+    // (unigram + bigram count stores) is exactly additive, so it folds
+    // incrementally per micro-batch — one full_outer join per store
+    // against the batch's map-side-combined delta counts, version-
+    // alternating parquet (read one, write the other) — and never
+    // rescans the corpus; the scoring pass then reads the maintained
+    // model (counts additive under ANY slicing → the stores equal the
+    // batch model exactly) and shares tx_lm_surprisal's scoring helper
+    // and oracle verbatim. This is the train-continuously/score-on-
+    // demand shape: a 100 TB/day ingest keeps the model current by
+    // folding deltas, and each scoring run joins docs against the
+    // O(vocabulary) stores instead of re-counting history.
+    QueryDef("ss_lm_maintain", Some(TextQueries.lmSurprisalSql)) { (s, d) =>
+      import s.implicits._
+      implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val base = s.conf.getOption("spark.graft.index.dir")
+        .getOrElse("/tmp/graft_index_store") + "/lmstore_" +
+        java.lang.Long.toHexString(
+          scala.util.hashing.MurmurHash3.stringHash(d).toLong & 0xffffffffL)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+      val rows = Tables.load(s, d, "documents")
+        .select(col("doc_id"), col("text"))
+        .orderBy(col("doc_id"))
+        .harnessFeed()
+        .map(r => (r.getLong(0), r.getString(1)))
+      val nSlices = s.conf.get("spark.graft.ssjoin.slices", "4").toInt
+      val per = math.max(1, (rows.length + nSlices - 1) / nSlices)
+
+      Seq.empty[(Long, Long)].toDF("hw", "cu")
+        .write.mode("overwrite").parquet(s"$base/uni_v0")
+      Seq.empty[(Long, Long)].toDF("hb", "cb")
+        .write.mode("overwrite").parquet(s"$base/bi_v0")
+      var version = 0
+
+      val feed = MemoryStream[(Long, String)]
+      val q = feed.toDF().toDF("doc_id", "text").writeStream
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          val uniPrev = s.read.parquet(s"$base/uni_v$version")
+          val biPrev = s.read.parquet(s"$base/bi_v$version")
+          val dUni = b.select(explode(split(col("text"), " ")).as("t"))
+            .select(xxhash64(col("t")).as("hw"))
+            .groupBy(col("hw")).agg(count(lit(1)).as("du"))
+          val dBi = TextQueries.lmBigramPairs(b)
+            .groupBy(col("hb")).agg(count(lit(1)).as("db"))
+          uniPrev.join(dUni, Seq("hw"), "full_outer")
+            .select(col("hw"),
+              (coalesce(col("cu"), lit(0L)) + coalesce(col("du"), lit(0L))).as("cu"))
+            .write.mode("overwrite").parquet(s"$base/uni_v${1 - version}")
+          biPrev.join(dBi, Seq("hb"), "full_outer")
+            .select(col("hb"),
+              (coalesce(col("cb"), lit(0L)) + coalesce(col("db"), lit(0L))).as("cb"))
+            .write.mode("overwrite").parquet(s"$base/bi_v${1 - version}")
+          version = 1 - version
+          ()
+        }
+        .start()
+      try {
+        rows.grouped(per).foreach { slice =>
+          feed.addData(slice.toSeq)
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+      TextQueries.lmScore(
+        TextQueries.lmBigramPairs(Tables.load(s, d, "documents")),
+        s.read.parquet(s"$base/uni_v$version"),
+        s.read.parquet(s"$base/bi_v$version"))
     }
   )
 

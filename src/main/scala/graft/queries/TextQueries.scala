@@ -398,45 +398,13 @@ object TextQueries {
     // corpus's bigram table is itself corpus-sized); the 1-row V frame
     // rides in broadcast. milli_bits_per_bigram is exact integer
     // division — the resolution a filter thresholds on.
-    QueryDef("tx_lm_surprisal", Some(
-      """WITH tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS t FROM documents),
-        |u AS (SELECT t, count(*) AS cu FROM tok GROUP BY t),
-        |vv AS (SELECT count(*) AS v FROM u),
-        |g AS (SELECT doc_id, t, unnest(range(1, len(t))) AS i
-        |      FROM (SELECT doc_id, string_split(text,' ') AS t FROM documents)),
-        |bg AS (SELECT doc_id, t[i] AS w1, array_to_string(t[i:i+1],' ') AS b FROM g),
-        |bv AS (SELECT b, count(*) AS cb FROM bg GROUP BY b)
-        |SELECT bg.doc_id AS doc_id, count(*) AS n_bigrams,
-        |  CAST(sum(length(bin(cu + v)) - length(bin(cb + 1))) AS BIGINT) AS surprisal_bits,
-        |  CAST(max(length(bin(cu + v)) - length(bin(cb + 1))) AS BIGINT) AS max_bits,
-        |  (1000 * CAST(sum(length(bin(cu + v)) - length(bin(cb + 1))) AS BIGINT))
-        |    // count(*) AS milli_bits_per_bigram
-        |FROM bg JOIN bv USING (b) JOIN u ON bg.w1 = u.t CROSS JOIN vv
-        |GROUP BY bg.doc_id ORDER BY doc_id""".stripMargin)) { (s, d) =>
-      val t = toks
-      val pairs = filter(
-        zip_with(t, slice(t, lit(2), size(t)),
-          (a, b) => struct(a.as("w1"), concat(a, lit(" "), b).as("b"))),
-        x => x.getField("b").isNotNull)
-      val bg = docs(s, d)
-        .select(col("doc_id"), explode(pairs).as("p"))
-        .select(col("doc_id"), xxhash64(col("p.w1")).as("hw"),
-          xxhash64(col("p.b")).as("hb"))
+    QueryDef("tx_lm_surprisal", Some(lmSurprisalSql)) { (s, d) =>
+      val bg = lmBigramPairs(docs(s, d))
       val uni = docs(s, d).select(explode(toks).as("t"))
         .select(xxhash64(col("t")).as("hw"))
         .groupBy(col("hw")).agg(count(lit(1)).as("cu"))
       val bi = bg.groupBy(col("hb")).agg(count(lit(1)).as("cb"))
-      val vocabSize = uni.agg(count(lit(1)).as("v"))
-      val bits = length(bin(col("cu") + col("v"))) - length(bin(col("cb") + 1))
-      bg.join(bi, Seq("hb")).join(uni, Seq("hw"))
-        .crossJoin(broadcast(vocabSize))
-        .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_bigrams"),
-          sum(bits).cast(LongType).as("surprisal_bits"),
-          max(bits).cast(LongType).as("max_bits"))
-        .withColumn("milli_bits_per_bigram",
-          expr("(1000 * surprisal_bits) div n_bigrams"))
-        .orderBy(col("doc_id"))
+      lmScore(bg, uni, bi)
     },
 
     // DSIR-style importance scoring: rank general-corpus docs by how
@@ -904,6 +872,62 @@ object TextQueries {
       | WHEN t LIKE '%ly' AND length(t) > 5 THEN left(t, length(t)-2)
       | WHEN t LIKE '%s' AND t NOT LIKE '%ss' AND length(t) > 4 THEN left(t, length(t)-1)
       | ELSE t END""".stripMargin.replace("\n", "")
+
+  /** ONE oracle for the bigram-LM surprisal report, shared by the batch
+    * score (tx_lm_surprisal) and the model-maintenance twin
+    * (ss_lm_maintain) — the maintained unigram/bigram count stores sum to
+    * the batch model exactly (counts are additive), so both reach the
+    * identical integer report. (Lazy: referenced from `defs`.) */
+  private[queries] lazy val lmSurprisalSql: String =
+    """WITH tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS t FROM documents),
+      |u AS (SELECT t, count(*) AS cu FROM tok GROUP BY t),
+      |vv AS (SELECT count(*) AS v FROM u),
+      |g AS (SELECT doc_id, t, unnest(range(1, len(t))) AS i
+      |      FROM (SELECT doc_id, string_split(text,' ') AS t FROM documents)),
+      |bg AS (SELECT doc_id, t[i] AS w1, array_to_string(t[i:i+1],' ') AS b FROM g),
+      |bv AS (SELECT b, count(*) AS cb FROM bg GROUP BY b)
+      |SELECT bg.doc_id AS doc_id, count(*) AS n_bigrams,
+      |  CAST(sum(length(bin(cu + v)) - length(bin(cb + 1))) AS BIGINT) AS surprisal_bits,
+      |  CAST(max(length(bin(cu + v)) - length(bin(cb + 1))) AS BIGINT) AS max_bits,
+      |  (1000 * CAST(sum(length(bin(cu + v)) - length(bin(cb + 1))) AS BIGINT))
+      |    // count(*) AS milli_bits_per_bigram
+      |FROM bg JOIN bv USING (b) JOIN u ON bg.w1 = u.t CROSS JOIN vv
+      |GROUP BY bg.doc_id ORDER BY doc_id""".stripMargin
+
+  /** Per-doc bigram instances keyed by the 8-byte hashes of the first
+    * token (`hw`, the conditioning unigram) and the bigram (`hb`) —
+    * shared by tx_lm_surprisal and ss_lm_maintain so the scoring pass
+    * and the model keys cannot drift. */
+  private[queries] def lmBigramPairs(docsDf: DataFrame): DataFrame = {
+    val t = toks
+    val pairs = filter(
+      zip_with(t, slice(t, lit(2), size(t)),
+        (a, b) => struct(a.as("w1"), concat(a, lit(" "), b).as("b"))),
+      x => x.getField("b").isNotNull)
+    docsDf
+      .select(col("doc_id"), explode(pairs).as("p"))
+      .select(col("doc_id"), xxhash64(col("p.w1")).as("hw"),
+        xxhash64(col("p.b")).as("hb"))
+  }
+
+  /** The surprisal scoring pass from the model tables: `uni` = (hw, cu)
+    * unigram counts, `bi` = (hb, cb) bigram counts, `bg` = per-doc
+    * bigram instances. ONE definition for both the batch-built and the
+    * stream-maintained model, so the quantized-bits formula cannot
+    * diverge between them. */
+  private[queries] def lmScore(bg: DataFrame, uni: DataFrame, bi: DataFrame): DataFrame = {
+    val vocabSize = uni.agg(count(lit(1)).as("v"))
+    val bits = length(bin(col("cu") + col("v"))) - length(bin(col("cb") + 1))
+    bg.join(bi, Seq("hb")).join(uni, Seq("hw"))
+      .crossJoin(broadcast(vocabSize))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(bits).cast(LongType).as("surprisal_bits"),
+        max(bits).cast(LongType).as("max_bits"))
+      .withColumn("milli_bits_per_bigram",
+        expr("(1000 * surprisal_bits) div n_bigrams"))
+      .orderBy(col("doc_id"))
+  }
 
   private[queries] def bucketedTokensSql: String =
     """SELECT doc_id, lang, source,

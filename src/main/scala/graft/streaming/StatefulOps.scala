@@ -649,6 +649,52 @@ object StatefulOps extends Serializable {
         OutputMode.Append(), GroupStateTimeout.NoTimeout)(step)
   }
 
+  /** Right-to-be-forgotten enforcement state for one user (see
+    * `ss_forget_enforce`): the (event-time, event-id) of the user's first
+    * deletion request — O(1), absent until the user opts out. */
+  case class ForgetState(fts: Long, fid: Long)
+
+  /** One retained (not suppressed) event. */
+  case class RetainedRow(event_id: Long, user_id: Long, event_type: String)
+
+  /** Live right-to-be-forgotten enforcement: from a user's first deletion
+    * request onward (the request row included), none of their events leave
+    * the pipeline — the in-flight half of the op_forget_users compliance
+    * cascade (which purges history; this stops NEW data at the door, so
+    * the next batch purge has nothing to find). "First" is by
+    * (event-time, event-id), matching the batch predicate
+    * `(ts, id) < (first-request ts, id)` exactly; rows are processed in
+    * that order within each micro-batch, so intra-batch disorder cannot
+    * leak a post-request event. Cross-batch the contract is the gap-fill
+    * one: emission is append-only, so a request arriving in a LATER batch
+    * than an event it should have suppressed cannot recall it — exact for
+    * per-user event-time-ordered feeds (what the harness replays), the
+    * tradeoff every watermarkless live enforcer makes. State is O(1) per
+    * opted-out user, hash-partitioned across executors.
+    * Input: (user, tsUs, eventId, eventType, isRequest). */
+  def forgetEnforce(
+      ds: Dataset[(Long, Long, Long, String, Boolean)]): Dataset[RetainedRow] = {
+    import ds.sparkSession.implicits._
+    def step(key: Long, rows: Iterator[(Long, Long, Long, String, Boolean)],
+        state: GroupState[ForgetState]): Iterator[RetainedRow] = {
+      var cur = state.getOption
+      val out = List.newBuilder[RetainedRow]
+      def before(us: Long, id: Long, f: ForgetState): Boolean =
+        us < f.fts || (us == f.fts && id < f.fid)
+      rows.toSeq.sortBy(r => (r._2, r._3)).foreach { case (_, us, id, tpe, isReq) =>
+        if (isReq && cur.forall(before(us, id, _)))
+          cur = Some(ForgetState(us, id))
+        if (cur.forall(before(us, id, _)))
+          out += RetainedRow(id, key, tpe)
+      }
+      cur.foreach(state.update)
+      out.result().iterator
+    }
+    ds.groupByKey(_._1)
+      .flatMapGroupsWithState[ForgetState, RetainedRow](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout)(step)
+  }
+
   /** Streaming exact dedup — the live-ingest twin of the batch `dd_exact`
     * query: drop any record whose content hash was already seen inside
     * the watermark horizon. Built on Spark's
