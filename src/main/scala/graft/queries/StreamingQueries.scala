@@ -1646,6 +1646,11 @@ object StreamingQueries {
     // merges ≤ |buckets| sketch rows via theta_union_agg (the
     // b6_theta_merge state-interchange path: GroupState emits
     // DataSketches compact bytes, Spark's built-in union consumes them).
+    // Sketches are CAPPED at lgk 16 (spark.graft.profile.lgk) — exact
+    // below ~65k distinct per bucket-sketch, which covers every oracle
+    // SF; past capacity the profile returns bounded-state estimates
+    // (the op_profile_sketch regime — see the StatefulOps scaladoc for
+    // why uncapped sketches made the 64x octave super-linear).
     QueryDef("ss_profile_maintain", Some(OperatorQueries.profileSql)) { (s, d) =>
       import s.implicits._
       implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
@@ -1665,7 +1670,9 @@ object StreamingQueries {
       val per = math.max(1, (rows.length + nSlices - 1) / nSlices)
 
       val feed = MemoryStream[(Int, Long, Long, String, Boolean, Long)]
-      val prof = graft.streaming.StatefulOps.profileMaintain(feed.toDS())
+      val prof = graft.streaming.StatefulOps.profileMaintain(feed.toDS(),
+        s.conf.get("spark.graft.profile.lgk",
+          graft.streaming.StatefulOps.DefaultProfileLgk.toString).toInt)
       val sink = "ss_profile_sink"
       s.catalog.dropTempView(sink)
       val savedParts = s.conf.get("spark.sql.shuffle.partitions")
@@ -1830,11 +1837,7 @@ object StreamingQueries {
     QueryDef("ss_lm_maintain", Some(TextQueries.lmSurprisalSql)) { (s, d) =>
       import s.implicits._
       implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
-      val base = s.conf.getOption("spark.graft.index.dir")
-        .getOrElse("/tmp/graft_index_store") + "/lmstore_" +
-        java.lang.Long.toHexString(
-          scala.util.hashing.MurmurHash3.stringHash(d).toLong & 0xffffffffL)
-      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+      val base = invocationStore(s, "lmstore", d)
       val rows = Tables.load(s, d, "documents")
         .select(col("doc_id"), col("text"))
         .orderBy(col("doc_id"))
@@ -1900,11 +1903,7 @@ object StreamingQueries {
     QueryDef("ss_bm25_maintain", Some(SearchQueries.bm25Sql)) { (s, d) =>
       import s.implicits._
       implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
-      val store = s.conf.getOption("spark.graft.index.dir")
-        .getOrElse("/tmp/graft_index_store") + "/bm25post_" +
-        java.lang.Long.toHexString(
-          scala.util.hashing.MurmurHash3.stringHash(d).toLong & 0xffffffffL)
-      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(store))
+      val store = invocationStore(s, "bm25post", d)
       val rows = Tables.load(s, d, "documents")
         .select(col("doc_id"), col("text"))
         .orderBy(col("doc_id"))
@@ -1933,6 +1932,35 @@ object StreamingQueries {
     }
   )
 
+  private val storeInvocation = new java.util.concurrent.atomic.AtomicLong
+  private val storeDirs =
+    java.util.Collections.newSetFromMap(
+      new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]())
+  private lazy val storeCleanupHook: Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      storeDirs.forEach(d =>
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(d)))))
+
+  /** Per-invocation scratch store root for the IVM maintenance harnesses
+    * (lm model, bm25 postings, co-occurrence counts): dataset-hash for
+    * identification, plus PID + a per-JVM counter so neither two
+    * concurrent JVMs nor two concurrent invocations in one JVM can
+    * clobber each other's store mid-read (the GraphIterate scratch
+    * discipline); registered for shutdown-hook cleanup so kx harness
+    * sweeps don't accumulate replicas in /tmp. */
+  private[queries] def invocationStore(
+      s: org.apache.spark.sql.SparkSession, tag: String, d: String): String = {
+    storeCleanupHook
+    val base = s.conf.getOption("spark.graft.index.dir")
+      .getOrElse("/tmp/graft_index_store") + s"/${tag}_" +
+      java.lang.Long.toHexString(
+        scala.util.hashing.MurmurHash3.stringHash(d).toLong & 0xffffffffL) +
+      s"_p${ProcessHandle.current().pid()}_${storeInvocation.incrementAndGet()}"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+    storeDirs.add(base)
+    base
+  }
+
   /** Incremental view maintenance of the (supplier, supplier)
     * co-occurrence counts from a stream of (customer, supplier)
     * interactions — the shared engine of ss_cooccur_maintain and
@@ -1953,11 +1981,7 @@ object StreamingQueries {
       : org.apache.spark.sql.DataFrame = {
     import s.implicits._
     implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
-    val base = s.conf.getOption("spark.graft.index.dir")
-      .getOrElse("/tmp/graft_index_store") + s"/${tag}_" +
-      java.lang.Long.toHexString(
-        scala.util.hashing.MurmurHash3.stringHash(d).toLong & 0xffffffffL)
-    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+    val base = invocationStore(s, tag, d)
     // interaction stream in orderkey arrival order (raw rows, with the
     // duplicate (c, s) re-interactions real feeds carry)
     val rows = Tables.load(s, d, "orders")

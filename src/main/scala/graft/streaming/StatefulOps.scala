@@ -540,11 +540,18 @@ object StatefulOps extends Serializable {
     * `ss_profile_maintain`): scalar moments plus one serialized theta
     * sketch per NDV column — O(sketch) state however many rows stream
     * through, the mergeable-summary shape that profiles an unbounded
-    * ingest without ever rescanning it. Sketches stay in the exact
-    * regime below ~1M distinct per bucket (lgk 20), which is what lets
-    * the twin share op_profile's exact-count oracle at fixture scale;
-    * at true corpus scale the identical plan degrades gracefully to
-    * estimates, like op_profile_sketch. */
+    * ingest without ever rescanning it. Sketch size is CAPPED (lgk 16
+    * default → ≤ ~520 KB serialized), because the state AND every
+    * per-batch snapshot carry the sketch bytes: an uncapped sketch grows
+    * linearly with per-bucket NDV until its nominal capacity, and the
+    * first cut (lgk 20) went super-linear at the 64x octave (97.6 vs
+    * linear 64) purely from serializing multi-MB still-growing sketches
+    * every micro-batch. Below ~65k distinct per bucket-sketch the lgk-16
+    * sketch is exact — which covers the driver fixtures at every oracle
+    * SF, so the twin still shares op_profile's exact-count oracle; past
+    * capacity it returns estimates with bounded state, exactly the
+    * op_profile_sketch regime story. `spark.graft.profile.lgk` raises
+    * the cap when a deployment wants a wider exact window. */
   case class ProfileState(seq: Long, n: Long, nulls: Long,
       minQ: Long, maxQ: Long, sumQ: Long,
       skOk: Array[Byte], skPk: Array[Byte], skRf: Array[Byte])
@@ -555,12 +562,12 @@ object StatefulOps extends Serializable {
       min_q: Long, max_q: Long, sum_q: Long,
       sk_ok: Array[Byte], sk_pk: Array[Byte], sk_rf: Array[Byte])
 
-  private val ProfileLgk = 20
+  private[graft] val DefaultProfileLgk = 16
 
   private def thetaAdd(prev: Array[Byte],
-      add: org.apache.datasketches.theta.UpdateSketch): Array[Byte] = {
+      add: org.apache.datasketches.theta.UpdateSketch, lgk: Int): Array[Byte] = {
     val u = org.apache.datasketches.theta.SetOperation.builder()
-      .setLogNominalEntries(ProfileLgk).buildUnion()
+      .setLogNominalEntries(lgk).buildUnion()
     if (prev.nonEmpty) u.union(org.apache.datasketches.memory.Memory.wrap(prev))
     u.union(add.compact())
     u.getResult.toByteArray
@@ -573,14 +580,15 @@ object StatefulOps extends Serializable {
     * exactly, whatever order or batching the rows arrived in. Input:
     * (bucket, orderkey, partkey, returnflag, shipdateIsNull, qty). */
   def profileMaintain(
-      ds: Dataset[(Int, Long, Long, String, Boolean, Long)]): Dataset[ProfileRow] = {
+      ds: Dataset[(Int, Long, Long, String, Boolean, Long)],
+      lgk: Int = DefaultProfileLgk): Dataset[ProfileRow] = {
     import ds.sparkSession.implicits._
     def step(key: Int, rows: Iterator[(Int, Long, Long, String, Boolean, Long)],
         state: GroupState[ProfileState]): Iterator[ProfileRow] = {
       val cur = state.getOption.getOrElse(ProfileState(0L, 0L, 0L,
         Long.MaxValue, Long.MinValue, 0L, Array.empty, Array.empty, Array.empty))
       def newSk() = org.apache.datasketches.theta.UpdateSketch.builder()
-        .setLogNominalEntries(ProfileLgk).build()
+        .setLogNominalEntries(lgk).build()
       val (ok, pk, rf) = (newSk(), newSk(), newSk())
       var (n, nulls, minQ, maxQ, sumQ) =
         (cur.n, cur.nulls, cur.minQ, cur.maxQ, cur.sumQ)
@@ -593,7 +601,8 @@ object StatefulOps extends Serializable {
         ok.update(okey); pk.update(pkey); rf.update(flag)
       }
       val next = ProfileState(cur.seq + 1, n, nulls, minQ, maxQ, sumQ,
-        thetaAdd(cur.skOk, ok), thetaAdd(cur.skPk, pk), thetaAdd(cur.skRf, rf))
+        thetaAdd(cur.skOk, ok, lgk), thetaAdd(cur.skPk, pk, lgk),
+        thetaAdd(cur.skRf, rf, lgk))
       state.update(next)
       Iterator.single(ProfileRow(key, next.seq, next.n, next.nulls,
         next.minQ, next.maxQ, next.sumQ, next.skOk, next.skPk, next.skRf))
