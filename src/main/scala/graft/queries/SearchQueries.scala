@@ -27,7 +27,11 @@ object SearchQueries {
 
   private def docs(s: SparkSession, d: String): DataFrame = Tables.load(s, d, "documents")
 
-  private val toks: Column = split(col("text"), " ")
+  // text coalesced to '' so a null-text doc still tokenizes to [''] —
+  // it then counts in n_docs/dl/avgdl identically in the corpus-scan
+  // build, the maintained postings store (which would otherwise never
+  // see the doc and reconstruct a smaller N), and the DuckDB oracles.
+  private val toks: Column = split(coalesce(col("text"), lit("")), " ")
 
   /** Fixed query terms (fixture vocabulary). A served system would bind
     * these per request; the engine-side plan is identical. */
@@ -88,7 +92,7 @@ object SearchQueries {
       val vals = Phrases.flatMap { case (pid, ts) =>
         ts.zipWithIndex.map { case (t, i) => s"($pid,$i,'$t')" }
       }.mkString(",")
-      s"""WITH g AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
+      s"""WITH g AS (SELECT doc_id, string_split(coalesce(text,''),' ') AS t FROM documents),
          |p AS (SELECT doc_id, unnest(range(len(t))) AS i, t FROM g),
          |tok AS (SELECT doc_id, CAST(i AS BIGINT) AS pos, t[i+1] AS term FROM p),
          |ph(phrase_id, idx, term) AS (VALUES $vals),
@@ -147,8 +151,8 @@ object SearchQueries {
         s"""ln(1 + (n_docs - df_$t + 0.5)/(df_$t + 0.5))
            |    * tf_$t * ${K1 + 1} / (tf_$t + $K1 * (1 - $B + $B * dl / avgdl))""".stripMargin)
         .mkString(" + ")
-      s"""WITH d AS (SELECT doc_id, string_split(text,' ') AS t,
-         |    len(string_split(text,' ')) AS dl FROM documents),
+      s"""WITH d AS (SELECT doc_id, string_split(coalesce(text,''),' ') AS t,
+         |    len(string_split(coalesce(text,''),' ')) AS dl FROM documents),
          |st AS (SELECT count(*) AS n_docs,
          |  CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl,
          |  $dfs
@@ -229,8 +233,8 @@ object SearchQueries {
         s"""ln(1 + (n_docs - df_$t + 0.5)/(df_$t + 0.5))
            |    * tf_$t * ${K1 + 1} / (tf_$t + $K1 * (1 - $B + $B * dl / avgdl))""".stripMargin)
         .mkString(" + ")
-      s"""WITH d AS (SELECT doc_id, string_split(text,' ') AS t,
-         |    len(string_split(text,' ')) AS dl FROM documents),
+      s"""WITH d AS (SELECT doc_id, string_split(coalesce(text,''),' ') AS t,
+         |    len(string_split(coalesce(text,''),' ')) AS dl FROM documents),
          |st AS (SELECT count(*) AS n_docs,
          |  CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl,
          |  $dfs
@@ -322,8 +326,8 @@ object SearchQueries {
         s"""ln(1 + (n_docs - df_$t + 0.5)/(df_$t + 0.5))
            |    * tf_$t * ${K1 + 1} / (tf_$t + $K1 * (1 - $B + $B * dl / avgdl))""".stripMargin)
         .mkString(" + ")
-      s"""WITH d AS (SELECT doc_id, string_split(text,' ') AS t,
-         |    len(string_split(text,' ')) AS dl FROM documents),
+      s"""WITH d AS (SELECT doc_id, string_split(coalesce(text,''),' ') AS t,
+         |    len(string_split(coalesce(text,''),' ')) AS dl FROM documents),
          |st AS (SELECT count(*) AS n_docs,
          |  CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl,
          |  $dfs
@@ -383,8 +387,8 @@ object SearchQueries {
       s"""ln(1 + (n_docs - df_$t + 0.5)/(df_$t + 0.5))
          |    * tf_$t * ${K1 + 1} / (tf_$t + $K1 * (1 - $B + $B * dl / avgdl))""".stripMargin)
       .mkString(" + ")
-    s"""WITH d AS (SELECT doc_id, string_split(text,' ') AS t,
-       |    len(string_split(text,' ')) AS dl FROM documents),
+    s"""WITH d AS (SELECT doc_id, string_split(coalesce(text,''),' ') AS t,
+       |    len(string_split(coalesce(text,''),' ')) AS dl FROM documents),
        |st AS (SELECT count(*) AS n_docs,
        |  CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl,
        |  $dfs

@@ -71,8 +71,7 @@ object StreamingQueries {
           col("vts") <= col("cts"))
         .select(col("cid"), col("vid"), col("cuser"))
 
-      val sink = "ss_join_stream_sink"
-      s.catalog.dropTempView(sink) // stale copy from a prior run this session
+      val sink = uniqueSink(s, "ss_join_stream_sink")
       // State partition count is fixed per streaming query at start; the
       // session-wide 32 is sized for the batch suite, but here it prices
       // 32 x 2 sides of state-store commits into every micro-batch. 8 is
@@ -153,8 +152,7 @@ object StreamingQueries {
         "left_outer")
         .select(col("cid"), col("vid"), col("cuser"))
 
-      val sink = "ss_join_outer_sink"
-      s.catalog.dropTempView(sink)
+      val sink = uniqueSink(s, "ss_join_outer_sink")
       val savedParts = s.conf.get("spark.sql.shuffle.partitions")
       val savedNoData =
         s.conf.get("spark.sql.streaming.noDataMicroBatches.enabled", "true")
@@ -237,8 +235,7 @@ object StreamingQueries {
           unix_micros(col("session_window.start")).as("session_start_us"),
           col("n_events"))
 
-      val sink = "ss_sessionize_sink"
-      s.catalog.dropTempView(sink)
+      val sink = uniqueSink(s, "ss_sessionize_sink")
       val savedParts = s.conf.get("spark.sql.shuffle.partitions")
       s.conf.set("spark.sql.shuffle.partitions",
         s.conf.get("spark.graft.ssjoin.parts", "4"))
@@ -302,8 +299,7 @@ object StreamingQueries {
         .select(col("user_id"), col("event_type"),
           date_format(col("day_ts"), "yyyy-MM-dd").as("day"))
 
-      val sink = "ss_dedup_sink"
-      s.catalog.dropTempView(sink)
+      val sink = uniqueSink(s, "ss_dedup_sink")
       val savedParts = s.conf.get("spark.sql.shuffle.partitions")
       val savedNoData =
         s.conf.get("spark.sql.streaming.noDataMicroBatches.enabled", "true")
@@ -367,8 +363,7 @@ object StreamingQueries {
         .select(unix_micros(col("window.start")).as("win_start_us"),
           col("event_type"), col("n"), col("uid_sum"))
 
-      val sink = "ss_window_agg_sink"
-      s.catalog.dropTempView(sink)
+      val sink = uniqueSink(s, "ss_window_agg_sink")
       val savedParts = s.conf.get("spark.sql.shuffle.partitions")
       s.conf.set("spark.sql.shuffle.partitions",
         s.conf.get("spark.graft.ssjoin.parts", "4"))
@@ -439,8 +434,7 @@ object StreamingQueries {
           col("last.value").as("last_value"),
           unix_micros(col("last.ts")).as("last_ts_us"))
 
-      val sink = "ss_cdc_sink"
-      s.catalog.dropTempView(sink)
+      val sink = uniqueSink(s, "ss_cdc_sink")
       val savedParts = s.conf.get("spark.sql.shuffle.partitions")
       s.conf.set("spark.sql.shuffle.partitions",
         s.conf.get("spark.graft.ssjoin.parts", "4"))
@@ -492,8 +486,7 @@ object StreamingQueries {
         .join(dim, col("user_id") === col("c_custkey"), "left")
         .select(col("event_id"), col("user_id"), col("c_name"), col("c_mktsegment"))
 
-      val sink = "ss_enrich_sink"
-      s.catalog.dropTempView(sink)
+      val sink = uniqueSink(s, "ss_enrich_sink")
       val savedParts = s.conf.get("spark.sql.shuffle.partitions")
       s.conf.set("spark.sql.shuffle.partitions",
         s.conf.get("spark.graft.ssjoin.parts", "4"))
@@ -549,8 +542,7 @@ object StreamingQueries {
       val assignedStream = feed.toDF().toDF("vec_id", "embedding")
         .select(col("vec_id"), Ivf.assign(col("embedding"), cents).as("cl"))
 
-      val sink = "ss_ann_assign_sink"
-      s.catalog.dropTempView(sink)
+      val sink = uniqueSink(s, "ss_ann_assign_sink")
       val savedParts = s.conf.get("spark.sql.shuffle.partitions")
       s.conf.set("spark.sql.shuffle.partitions",
         s.conf.get("spark.graft.ssjoin.parts", "4"))
@@ -607,8 +599,7 @@ object StreamingQueries {
         .select(col("source"), (col("pos") + 1).as("rnk"),
           col("st.doc_id").as("doc_id"), col("st.n_chars").as("n_chars"))
 
-      val sink = "ss_topk_sink"
-      s.catalog.dropTempView(sink)
+      val sink = uniqueSink(s, "ss_topk_sink")
       val savedParts = s.conf.get("spark.sql.shuffle.partitions")
       s.conf.set("spark.sql.shuffle.partitions",
         s.conf.get("spark.graft.ssjoin.parts", "4"))
@@ -664,8 +655,7 @@ object StreamingQueries {
           element_at(col("qs"), 1).cast(org.apache.spark.sql.types.LongType).as("med"),
           col("n_docs"))
 
-      val sink = "ss_quantile_sink"
-      s.catalog.dropTempView(sink)
+      val sink = uniqueSink(s, "ss_quantile_sink")
       val savedParts = s.conf.get("spark.sql.shuffle.partitions")
       s.conf.set("spark.sql.shuffle.partitions",
         s.conf.get("spark.graft.ssjoin.parts", "4"))
@@ -722,8 +712,7 @@ object StreamingQueries {
       val feed = MemoryStream[(Long, Long)]
       val screened = feed.toDF().toDF("doc_id", "fph")
         .select(col("doc_id"), flagged.as("flagged"))
-      val sink = "ss_bloom_screen_sink"
-      s.catalog.dropTempView(sink)
+      val sink = uniqueSink(s, "ss_bloom_screen_sink")
       val q = screened.writeStream.format("memory").queryName(sink)
         .outputMode("append").start()
       try {
@@ -784,8 +773,7 @@ object StreamingQueries {
         .filter(size(filter(zip_with(col("sig"), col("sig_c"), (x, y) => x === y), b => b))
           .cast("double") / nSig >= 0.5)
         .select(col("doc_id"), col("corpus_id"))
-      val sink = "ss_near_screen_sink"
-      s.catalog.dropTempView(sink)
+      val sink = uniqueSink(s, "ss_near_screen_sink")
       val q = screened.writeStream.format("memory").queryName(sink)
         .outputMode("append").start()
       try {
@@ -844,8 +832,7 @@ object StreamingQueries {
         .toDF("l_quantity", "l_extendedprice", "l_discount", "l_returnflag")
         .agg(count(lit(1)).as("n_rows"),
           rules.map { case (n, p) => count(when(p, 1)).as(s"v_$n") }: _*)
-      val sink = "ss_dq_alerts_sink"
-      s.catalog.dropTempView(sink)
+      val sink = uniqueSink(s, "ss_dq_alerts_sink")
       val q = wide.writeStream.format("memory").queryName(sink)
         .outputMode("complete").start()
       try {
@@ -921,8 +908,7 @@ object StreamingQueries {
       val scored = feed.toDF().toDF("doc_id", "lang", "text")
         .select(col("doc_id"), col("lang"), score.as("score"))
         .withColumn("pred_en", when(col("score") > 0, 1).otherwise(0))
-      val sink = "ss_classify_sink"
-      s.catalog.dropTempView(sink)
+      val sink = uniqueSink(s, "ss_classify_sink")
       val q = scored.writeStream.format("memory").queryName(sink)
         .outputMode("append").start()
       try {
@@ -971,8 +957,7 @@ object StreamingQueries {
           aggregate(col("emb"), lit(0L), (acc, x) => acc + x.cast("long")).as("l1"),
           element_at(col("emb"), 1).cast("long").as("s0"),
           element_at(col("emb"), 8).cast("long").as("s7"))
-      val sink = "ss_infer_sink"
-      s.catalog.dropTempView(sink)
+      val sink = uniqueSink(s, "ss_infer_sink")
       val q = embedded.writeStream.format("memory").queryName(sink)
         .outputMode("append").start()
       try {
@@ -1166,8 +1151,7 @@ object StreamingQueries {
 
       val feed = MemoryStream[(String, String, Long)]
       val monitored = graft.streaming.StatefulOps.ewmaMonitor(feed.toDS())
-      val sink = "ss_anomaly_ewma_sink"
-      s.catalog.dropTempView(sink)
+      val sink = uniqueSink(s, "ss_anomaly_ewma_sink")
       val savedParts = s.conf.get("spark.sql.shuffle.partitions")
       s.conf.set("spark.sql.shuffle.partitions",
         s.conf.get("spark.graft.ssjoin.parts", "4"))
@@ -1212,8 +1196,7 @@ object StreamingQueries {
 
       val feed = MemoryStream[(String, Long, Long, Long)]
       val maintained = graft.streaming.StatefulOps.skylineMaintain(feed.toDS())
-      val sink = "ss_skyline_sink"
-      s.catalog.dropTempView(sink)
+      val sink = uniqueSink(s, "ss_skyline_sink")
       val savedParts = s.conf.get("spark.sql.shuffle.partitions")
       s.conf.set("spark.sql.shuffle.partitions",
         s.conf.get("spark.graft.ssjoin.parts", "4"))
@@ -1260,8 +1243,7 @@ object StreamingQueries {
 
       val feed = MemoryStream[(Long, String, Long)]
       val funnel = graft.streaming.StatefulOps.funnelFirstPath(feed.toDS())
-      val sink = "ss_funnel_sink"
-      s.catalog.dropTempView(sink)
+      val sink = uniqueSink(s, "ss_funnel_sink")
       val savedParts = s.conf.get("spark.sql.shuffle.partitions")
       s.conf.set("spark.sql.shuffle.partitions",
         s.conf.get("spark.graft.ssjoin.parts", "4"))
@@ -1306,8 +1288,7 @@ object StreamingQueries {
       val feed = MemoryStream[(Long, Long, Long, String)]
       val pairs = graft.streaming.StatefulOps.transitionPairs(feed.toDS())
         .toDF("src", "dst")
-      val sink = "ss_transitions_sink"
-      s.catalog.dropTempView(sink)
+      val sink = uniqueSink(s, "ss_transitions_sink")
       val savedParts = s.conf.get("spark.sql.shuffle.partitions")
       s.conf.set("spark.sql.shuffle.partitions",
         s.conf.get("spark.graft.ssjoin.parts", "4"))
@@ -1351,8 +1332,7 @@ object StreamingQueries {
 
       val feed = MemoryStream[(Long, Long, Long, String)]
       val hist = graft.streaming.StatefulOps.scd2Maintain(feed.toDS())
-      val sink = "ss_scd2_sink"
-      s.catalog.dropTempView(sink)
+      val sink = uniqueSink(s, "ss_scd2_sink")
       val savedParts = s.conf.get("spark.sql.shuffle.partitions")
       s.conf.set("spark.sql.shuffle.partitions",
         s.conf.get("spark.graft.ssjoin.parts", "4"))
@@ -1404,8 +1384,7 @@ object StreamingQueries {
 
       val feed = MemoryStream[(Long, Int)]
       val ret = graft.streaming.StatefulOps.retentionMaintain(feed.toDS())
-      val sink = "ss_retention_sink"
-      s.catalog.dropTempView(sink)
+      val sink = uniqueSink(s, "ss_retention_sink")
       val savedParts = s.conf.get("spark.sql.shuffle.partitions")
       s.conf.set("spark.sql.shuffle.partitions",
         s.conf.get("spark.graft.ssjoin.parts", "4"))
@@ -1463,8 +1442,7 @@ object StreamingQueries {
 
       val feed = MemoryStream[(Long, Long, Long, Option[Double])]
       val filled = graft.streaming.StatefulOps.gapFill(feed.toDS())
-      val sink = "ss_gap_fill_sink"
-      s.catalog.dropTempView(sink)
+      val sink = uniqueSink(s, "ss_gap_fill_sink")
       val savedParts = s.conf.get("spark.sql.shuffle.partitions")
       s.conf.set("spark.sql.shuffle.partitions",
         s.conf.get("spark.graft.ssjoin.parts", "4"))
@@ -1523,8 +1501,7 @@ object StreamingQueries {
           graft.streaming.StatefulOps.attributionBuffered(
             feed.toDS(), s"$latenessSec seconds")
         else graft.streaming.StatefulOps.attributionLive(feed.toDS())
-      val sink = "ss_attribution_sink"
-      s.catalog.dropTempView(sink)
+      val sink = uniqueSink(s, "ss_attribution_sink")
       val savedParts = s.conf.get("spark.sql.shuffle.partitions")
       s.conf.set("spark.sql.shuffle.partitions",
         s.conf.get("spark.graft.ssjoin.parts", "4"))
@@ -1588,8 +1565,7 @@ object StreamingQueries {
       val feed = MemoryStream[(Long, Long, Long, String)]
       val triples = graft.streaming.StatefulOps.pathTriples(feed.toDS())
         .toDF("e1", "e2", "e3")
-      val sink = "ss_top_paths_sink"
-      s.catalog.dropTempView(sink)
+      val sink = uniqueSink(s, "ss_top_paths_sink")
       val savedParts = s.conf.get("spark.sql.shuffle.partitions")
       s.conf.set("spark.sql.shuffle.partitions",
         s.conf.get("spark.graft.ssjoin.parts", "4"))
@@ -1673,8 +1649,7 @@ object StreamingQueries {
       val prof = graft.streaming.StatefulOps.profileMaintain(feed.toDS(),
         s.conf.get("spark.graft.profile.lgk",
           graft.streaming.StatefulOps.DefaultProfileLgk.toString).toInt)
-      val sink = "ss_profile_sink"
-      s.catalog.dropTempView(sink)
+      val sink = uniqueSink(s, "ss_profile_sink")
       val savedParts = s.conf.get("spark.sql.shuffle.partitions")
       s.conf.set("spark.sql.shuffle.partitions",
         s.conf.get("spark.graft.ssjoin.parts", "4"))
@@ -1732,8 +1707,7 @@ object StreamingQueries {
 
       val feed = MemoryStream[(Int, Long, Long, Long)]
       val mom = graft.streaming.StatefulOps.corrMaintain(feed.toDS())
-      val sink = "ss_corr_sink"
-      s.catalog.dropTempView(sink)
+      val sink = uniqueSink(s, "ss_corr_sink")
       val savedParts = s.conf.get("spark.sql.shuffle.partitions")
       s.conf.set("spark.sql.shuffle.partitions",
         s.conf.get("spark.graft.ssjoin.parts", "4"))
@@ -1801,8 +1775,7 @@ object StreamingQueries {
 
       val feed = MemoryStream[(Long, Long, Long, String, Boolean)]
       val kept = graft.streaming.StatefulOps.forgetEnforce(feed.toDS())
-      val sink = "ss_forget_sink"
-      s.catalog.dropTempView(sink)
+      val sink = uniqueSink(s, "ss_forget_sink")
       val savedParts = s.conf.get("spark.sql.shuffle.partitions")
       s.conf.set("spark.sql.shuffle.partitions",
         s.conf.get("spark.graft.ssjoin.parts", "4"))
@@ -1833,7 +1806,13 @@ object StreamingQueries {
     // and oracle verbatim. This is the train-continuously/score-on-
     // demand shape: a 100 TB/day ingest keeps the model current by
     // folding deltas, and each scoring run joins docs against the
-    // O(vocabulary) stores instead of re-counting history.
+    // O(vocabulary) stores instead of re-counting history. Null-text
+    // docs: BOTH model paths tokenize with the identical
+    // split(text, ' ') expression (the delta counts below,
+    // TextQueries.toks in the batch build), under which a null text
+    // yields no tokens — such a doc is absent from the counts and the
+    // report in both paths alike; unlike the BM25 twin there is no
+    // corpus-level N statistic to diverge on.
     QueryDef("ss_lm_maintain", Some(TextQueries.lmSurprisalSql)) { (s, d) =>
       import s.implicits._
       implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
@@ -1880,6 +1859,7 @@ object StreamingQueries {
           q.processAllAvailable()
         }
       } finally q.stop()
+      pruneStore(base, Set(s"uni_v$version", s"bi_v$version"))
       TextQueries.lmScore(
         TextQueries.lmBigramPairs(Tables.load(s, d, "documents")),
         s.read.parquet(s"$base/uni_v$version"),
@@ -1913,12 +1893,21 @@ object StreamingQueries {
       val per = math.max(1, (rows.length + nSlices - 1) / nSlices)
 
       val feed = MemoryStream[(Long, String)]
+      // segments are KEYED BY BATCH ID (overwrite of a batch-id-named
+      // partition dir, not a blind append): a micro-batch re-execution —
+      // failure/retry or restart, the production shape this scaladoc
+      // advertises — rewrites its own segment instead of silently
+      // duplicating tf counts, so the maintained index is exactly-once
+      // under replays. Text is coalesced to '' (the srch_bm25 tokenizer's
+      // rule) so a null-text doc still enters the store with dl = 1 and
+      // n_docs/avgdl reconstruct identically in both paths.
       val q = feed.toDF().toDF("doc_id", "text").writeStream
-        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
-          b.select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, batchId: Long) =>
+          b.select(col("doc_id"),
+              explode(split(coalesce(col("text"), lit("")), " ")).as("t"))
             .groupBy(xxhash64(col("t")).as("h"), col("doc_id"))
             .agg(count(lit(1)).as("tf"))
-            .write.mode("append").parquet(store)
+            .write.mode("overwrite").parquet(s"$store/batch=$batchId")
           ()
         }
         .start()
@@ -1928,7 +1917,8 @@ object StreamingQueries {
           q.processAllAvailable()
         }
       } finally q.stop()
-      SearchQueries.bm25PostingsScore(s.read.parquet(store))
+      SearchQueries.bm25PostingsScore(
+        s.read.parquet(store).select(col("h"), col("doc_id"), col("tf")))
     }
   )
 
@@ -1940,25 +1930,77 @@ object StreamingQueries {
     Runtime.getRuntime.addShutdownHook(new Thread(() =>
       storeDirs.forEach(d =>
         org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(d)))))
+  // per-(tag, dataset) history of scratch roots, newest last; capped so a
+  // long bench/ScaleCheck sweep holds at most KeepStoresPerKey replicas
+  private val storeHistory =
+    new java.util.concurrent.ConcurrentHashMap[String, List[String]]()
+  private val KeepStoresPerKey = 2
 
   /** Per-invocation scratch store root for the IVM maintenance harnesses
     * (lm model, bm25 postings, co-occurrence counts): dataset-hash for
     * identification, plus PID + a per-JVM counter so neither two
     * concurrent JVMs nor two concurrent invocations in one JVM can
     * clobber each other's store mid-read (the GraphIterate scratch
-    * discipline); registered for shutdown-hook cleanup so kx harness
-    * sweeps don't accumulate replicas in /tmp. */
+    * discipline). Lifetime: the query body prunes its heavy intermediates
+    * via [[pruneStore]] as soon as the final version is known, and each
+    * (tag, dataset) key keeps only the newest [[KeepStoresPerKey]] roots —
+    * older ones are deleted on the next invocation (by then their returned
+    * frames are consumed: Verify/Bench/ScaleCheck fully materialize each
+    * query before re-invoking; keeping two covers one in-flight overlap),
+    * so kx harness sweeps can no longer accumulate a replica per
+    * invocation in /tmp. The shutdown hook removes whatever is left. */
   private[queries] def invocationStore(
       s: org.apache.spark.sql.SparkSession, tag: String, d: String): String = {
     storeCleanupHook
+    val key = s"${tag}_" + java.lang.Long.toHexString(
+      scala.util.hashing.MurmurHash3.stringHash(d).toLong & 0xffffffffL)
     val base = s.conf.getOption("spark.graft.index.dir")
-      .getOrElse("/tmp/graft_index_store") + s"/${tag}_" +
-      java.lang.Long.toHexString(
-        scala.util.hashing.MurmurHash3.stringHash(d).toLong & 0xffffffffL) +
+      .getOrElse("/tmp/graft_index_store") + s"/${key}" +
       s"_p${ProcessHandle.current().pid()}_${storeInvocation.incrementAndGet()}"
+    val evicted = new java.util.concurrent.atomic.AtomicReference[List[String]](Nil)
+    storeHistory.compute(key, (_, prev) => {
+      val hist = (if (prev == null) Nil else prev) :+ base
+      val (old, keep) = hist.splitAt(math.max(0, hist.size - KeepStoresPerKey))
+      evicted.set(old)
+      keep
+    })
+    evicted.get.foreach { dir =>
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+      storeDirs.remove(dir)
+    }
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
     storeDirs.add(base)
     base
+  }
+
+  /** Reclaim a store root's heavy intermediates the moment the final
+    * version is known: every child of `base` NOT in `keep` is deleted
+    * (the version-alternating folds leave a stale full copy of each
+    * store plus feeder scratch; only the final version backs the
+    * returned lazy frame). */
+  private[queries] def pruneStore(base: String, keep: Set[String]): Unit = {
+    val children = Option(new java.io.File(base).listFiles()).getOrElse(Array.empty)
+    children.filterNot(f => keep(f.getName)).foreach(
+      org.apache.commons.io.FileUtils.deleteQuietly)
+  }
+
+  private val sinkInvocation = new java.util.concurrent.atomic.AtomicLong
+  private val lastSink =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Unique per-invocation memory-sink name (PID + per-JVM counter, the
+    * invocationStore discipline): concurrent same-JVM invocations can no
+    * longer collide on an ACTIVE streaming-query name or drop a live
+    * sink's temp view. The previous invocation's view for the same base
+    * is dropped here (same consumption contract as before: the caller
+    * materializes a query's result before re-invoking it), so drained
+    * rows don't accumulate across bench loops. */
+  private def uniqueSink(s: org.apache.spark.sql.SparkSession, base: String): String = {
+    val name = s"${base}_p${ProcessHandle.current().pid()}_${sinkInvocation.incrementAndGet()}"
+    val prev = lastSink.put(base, name)
+    if (prev != null)
+      try s.catalog.dropTempView(prev) catch { case _: Throwable => () }
+    name
   }
 
   /** Incremental view maintenance of the (supplier, supplier)
@@ -2036,6 +2078,7 @@ object StreamingQueries {
         q.processAllAvailable()
       }
     } finally q.stop()
+    pruneStore(base, Set(s"counts_v$version"))
     s.read.parquet(s"$base/counts_v$version")
   }
 }
