@@ -445,8 +445,17 @@ object StatefulOps extends Serializable {
     * reaches the stream frontier — the standard watermark contract, the
     * same one the stream-stream join twin holds. Touches evict once the
     * watermark proves no unflushed purchase can reach back to them
-    * (tts + 7d < watermark). Events later than the watermark itself may
-    * under-credit — by watermark definition, exactly the bound chosen.
+    * (tts + 7d < watermark). Events later than the watermark itself are
+    * DROPPED — by watermark definition, exactly the bound chosen — and,
+    * so the bound is observable rather than silent, each dropped event
+    * emits an explicit `("(late_dropped)", event_id, cents)` row next to
+    * the credit rows (the ss_dq_alerts pattern): a dropped touch carries
+    * credit 0 (touches move no money), a dropped purchase its full cents,
+    * so money still conserves over the emitted frame — credited +
+    * late-dropped = total purchase cents. Count the `(late_dropped)` rows
+    * to see how much the lateness bound bit in a given run
+    * (AttributionLateSpec feeds one too-late touch and asserts the
+    * counter).
     *
     * Input: (user, tsUs, eventId, eventType, cents); `lateness` is a
     * Spark duration string (e.g. "1 hour"). Emission fires on the
@@ -455,24 +464,48 @@ object StatefulOps extends Serializable {
       ds: Dataset[(Long, Long, Long, String, Long)],
       lateness: String): Dataset[CreditRow] = {
     import ds.sparkSession.implicits._
+    import org.apache.spark.sql.functions.{col, lit, timestamp_micros}
+    // Late rows must REACH the fold to be counted: Spark's stateful
+    // operator silently discards input older than the watermark when the
+    // child output carries the watermarked attribute (and analysis
+    // REQUIRES one for EventTimeTimeout). So after declaring the real
+    // watermark — whose EventTimeWatermark node upstream keeps advancing
+    // the global watermark from the true event times — the watermarked
+    // column is swapped for a FAR-FUTURE decoy carrying the same
+    // watermark METADATA: the analyzer sees a watermarked column, the
+    // operator's late-row predicate (decoy < watermark) never fires, and
+    // lateness classification moves into the fold where it can emit the
+    // observable "(late_dropped)" row instead of bumping an operator
+    // metric nobody reads.
+    val decoyMeta = new org.apache.spark.sql.types.MetadataBuilder()
+      .putLong(org.apache.spark.sql.catalyst.plans.logical
+        .EventTimeWatermark.delayKey, 0L).build()
+    val FarFutureUs = 253402300799000000L // 9999-12-31, decoy only
     val withTs = ds.toDF("user", "us", "eid", "tpe", "cents")
-      .withColumn("evt", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.col("us")))
+      .withColumn("evt", timestamp_micros(col("us")))
       .withWatermark("evt", lateness)
+      .select(col("user"), col("us"), col("eid"), col("tpe"), col("cents"),
+        timestamp_micros(lit(FarFutureUs)).as("evt", decoyMeta))
       .as[(Long, Long, Long, String, Long, java.sql.Timestamp)]
     def step(key: Long,
         rows: Iterator[(Long, Long, Long, String, Long, java.sql.Timestamp)],
         state: GroupState[AttrBufState]): Iterator[CreditRow] = {
       var st = state.getOption.getOrElse(AttrBufState(Nil, Nil))
+      val wmUs = state.getCurrentWatermarkMs() * 1000L
+      val out = List.newBuilder[CreditRow]
       rows.foreach { case (_, us, eid, tpe, cents, _) =>
         tpe match {
+          // later than the watermark: flushes that should have seen this
+          // event may already have fired — dropping is the bound's
+          // definition; the marker row makes the drop observable
+          case "click" | "view" | "purchase" if us < wmUs =>
+            out += CreditRow("(late_dropped)", eid,
+              if (tpe == "purchase") cents else 0L)
           case "click" | "view" => st = st.copy(touches = (us, eid, tpe) :: st.touches)
           case "purchase" => st = st.copy(pending = (cents, eid, us) :: st.pending)
           case _ => () // sentinel/unknown types only advance the watermark
         }
       }
-      val wmUs = state.getCurrentWatermarkMs() * 1000L
-      val out = List.newBuilder[CreditRow]
       val (ripe, hold) = st.pending.partition(_._3 <= wmUs)
       ripe.sortBy(p => (p._3, p._2)).foreach { case (cents, eid, cts) =>
         // strict tts < cts: a same-instant touch never credits (the batch rule)

@@ -91,6 +91,29 @@ class AttributionLateSpec extends AnyFunSuite {
     assert(drain(disordered, Some("3 hours")).map(_._3).sum == 1500L)
   }
 
+  test("a too-late touch emits the (late_dropped) counter row; money still conserves") {
+    // batch 1 carries a frontier event at t0+30h, so after it the
+    // watermark sits at t0+27h (3h lateness). batch 2 then feeds a touch
+    // at t0 — 27h older than the watermark: crediting it exactly is no
+    // longer possible (user 1's purchase flushes at the same watermark),
+    // so it must surface as the explicit counter row, not vanish. A
+    // too-late PURCHASE (eid 9) must carry its full cents on the marker
+    // so credited + late_dropped still sums to total purchase cents.
+    val lateFeed = Seq(
+      Seq((1L, t0 + 2 * Hour, 3L, "purchase", 1000L),
+        (9L, t0 + 30 * Hour, 8L, "noop", 0L)),
+      Seq((1L, t0, 1L, "click", 0L),
+        (2L, t0 + Hour, 9L, "purchase", 700L)))
+    val got = drain(lateFeed, Some("3 hours"))
+    val lateRows = got.filter(_._1 == "(late_dropped)")
+    assert(lateRows.toSet == Set(("(late_dropped)", 1L, 0L), ("(late_dropped)", 9L, 700L)),
+      s"both watermark-late events must be counted, got $got")
+    // the purchase that flushed before the late touch arrived lands on
+    // (none) — the documented bound — and every purchase cent is visible
+    assert(got.contains(("(none)", 3L, 1000L)))
+    assert(got.map(_._3).sum == 1700L, "credited + late_dropped = total cents")
+  }
+
   test("buffered ss_attribution still matches the batch report on the ordered fixture") {
     val base = SparkEntry.queries("ss_attribution")(spark, sfDir).collect().toSeq
     val saved = spark.conf.getOption("spark.graft.attribution.latenessSec")
