@@ -1825,45 +1825,80 @@ object StreamingQueries {
       val nSlices = s.conf.get("spark.graft.ssjoin.slices", "4").toInt
       val per = math.max(1, (rows.length + nSlices - 1) / nSlices)
 
-      Seq.empty[(Long, Long)].toDF("hw", "cu")
-        .write.mode("overwrite").parquet(s"$base/uni_v0")
-      Seq.empty[(Long, Long)].toDF("hb", "cb")
-        .write.mode("overwrite").parquet(s"$base/bi_v0")
-      var version = 0
+      def dUniOf(b: org.apache.spark.sql.DataFrame) =
+        b.select(explode(split(col("text"), " ")).as("t"))
+          .select(xxhash64(col("t")).as("hw"))
+          .groupBy(col("hw")).agg(count(lit(1)).as("du"))
+      def dBiOf(b: org.apache.spark.sql.DataFrame) =
+        TextQueries.lmBigramPairs(b)
+          .groupBy(col("hb")).agg(count(lit(1)).as("db"))
 
-      val feed = MemoryStream[(Long, String)]
-      val q = feed.toDF().toDF("doc_id", "text").writeStream
-        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
-          val uniPrev = s.read.parquet(s"$base/uni_v$version")
-          val biPrev = s.read.parquet(s"$base/bi_v$version")
-          val dUni = b.select(explode(split(col("text"), " ")).as("t"))
-            .select(xxhash64(col("t")).as("hw"))
-            .groupBy(col("hw")).agg(count(lit(1)).as("du"))
-          val dBi = TextQueries.lmBigramPairs(b)
-            .groupBy(col("hb")).agg(count(lit(1)).as("db"))
-          uniPrev.join(dUni, Seq("hw"), "full_outer")
-            .select(col("hw"),
-              (coalesce(col("cu"), lit(0L)) + coalesce(col("du"), lit(0L))).as("cu"))
-            .write.mode("overwrite").parquet(s"$base/uni_v${1 - version}")
-          biPrev.join(dBi, Seq("hb"), "full_outer")
-            .select(col("hb"),
-              (coalesce(col("cb"), lit(0L)) + coalesce(col("db"), lit(0L))).as("cb"))
-            .write.mode("overwrite").parquet(s"$base/bi_v${1 - version}")
-          version = 1 - version
-          ()
-        }
-        .start()
-      try {
-        rows.grouped(per).foreach { slice =>
-          feed.addData(slice.toSeq)
-          q.processAllAvailable()
-        }
-      } finally q.stop()
-      pruneStore(base, Set(s"uni_v$version", s"bi_v$version"))
-      TextQueries.lmScore(
-        TextQueries.lmBigramPairs(Tables.load(s, d, "documents")),
-        s.read.parquet(s"$base/uni_v$version"),
-        s.read.parquet(s"$base/bi_v$version"))
+      // spark.graft.ivm.bucketed (default true): the count stores live
+      // hash-partitioned in a BucketedStore, and each micro-batch folds
+      // only the buckets its delta's token hashes land in — per-batch
+      // cost tracks the delta's bucket footprint instead of rewriting
+      // the whole O(vocabulary) store (the legacy v0/v1 full fold below,
+      // kept as the bit-identity reference IvmBucketedSpec gates).
+      if (s.conf.get("spark.graft.ivm.bucketed", "true").toBoolean) {
+        val nB = s.conf.get("spark.graft.ivm.buckets", "16").toInt
+        val uniStore = new graft.operators.BucketedStore(s"$base/uni",
+          Seq.empty[(Long, Long)].toDF("hw", "cu"), Seq("hw"), Seq("hw"), nB)
+        val biStore = new graft.operators.BucketedStore(s"$base/bi",
+          Seq.empty[(Long, Long)].toDF("hb", "cb"), Seq("hb"), Seq("hb"), nB)
+        val feed = MemoryStream[(Long, String)]
+        val q = feed.toDF().toDF("doc_id", "text").writeStream
+          .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+            uniStore.foldCounts(dUniOf(b), "du", "cu")
+            biStore.foldCounts(dBiOf(b), "db", "cb")
+            ()
+          }
+          .start()
+        try {
+          rows.grouped(per).foreach { slice =>
+            feed.addData(slice.toSeq)
+            q.processAllAvailable()
+          }
+        } finally q.stop()
+        TextQueries.lmScore(
+          TextQueries.lmBigramPairs(Tables.load(s, d, "documents")),
+          uniStore.readAll().drop("__bkt"),
+          biStore.readAll().drop("__bkt"))
+      } else {
+        Seq.empty[(Long, Long)].toDF("hw", "cu")
+          .write.mode("overwrite").parquet(s"$base/uni_v0")
+        Seq.empty[(Long, Long)].toDF("hb", "cb")
+          .write.mode("overwrite").parquet(s"$base/bi_v0")
+        var version = 0
+
+        val feed = MemoryStream[(Long, String)]
+        val q = feed.toDF().toDF("doc_id", "text").writeStream
+          .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+            val uniPrev = s.read.parquet(s"$base/uni_v$version")
+            val biPrev = s.read.parquet(s"$base/bi_v$version")
+            uniPrev.join(dUniOf(b), Seq("hw"), "full_outer")
+              .select(col("hw"),
+                (coalesce(col("cu"), lit(0L)) + coalesce(col("du"), lit(0L))).as("cu"))
+              .write.mode("overwrite").parquet(s"$base/uni_v${1 - version}")
+            biPrev.join(dBiOf(b), Seq("hb"), "full_outer")
+              .select(col("hb"),
+                (coalesce(col("cb"), lit(0L)) + coalesce(col("db"), lit(0L))).as("cb"))
+              .write.mode("overwrite").parquet(s"$base/bi_v${1 - version}")
+            version = 1 - version
+            ()
+          }
+          .start()
+        try {
+          rows.grouped(per).foreach { slice =>
+            feed.addData(slice.toSeq)
+            q.processAllAvailable()
+          }
+        } finally q.stop()
+        pruneStore(base, Set(s"uni_v$version", s"bi_v$version"))
+        TextQueries.lmScore(
+          TextQueries.lmBigramPairs(Tables.load(s, d, "documents")),
+          s.read.parquet(s"$base/uni_v$version"),
+          s.read.parquet(s"$base/bi_v$version"))
+      }
     },
 
     // The search index maintained live — incremental indexing, the other
@@ -2015,9 +2050,21 @@ object StreamingQueries {
     * streams map-side), one within-batch self-join, and a fold of the
     * summed deltas into the counts store. Arrival order cannot matter
     * (the deltas sum to the same C(n,2) per customer however the pairs
-    * are sliced). Store versions alternate v0/v1 (read one, write the
-    * other — no read-your-own-overwrite). Returns the final
-    * (sa, sb, n) counts frame read from the maintained store. */
+    * are sliced). Returns the final (sa, sb, n) counts frame read from
+    * the maintained store.
+    *
+    * Two store shapes, `spark.graft.ivm.bucketed` (default true):
+    *  - BUCKETED ([[graft.operators.BucketedStore]]): stores partitioned
+    *    by key hash; a fold reads+rewrites only the buckets the batch's
+    *    delta touches, and the seen-store reads (anti-join dedupe, the
+    *    per-customer postings join) prune to the BATCH CUSTOMERS' buckets
+    *    — per-batch cost tracks the delta's bucket footprint, not
+    *    |store|. This retires the maintenance family's one remaining
+    *    O(store)-per-batch term.
+    *  - legacy full fold (conf false): version-alternating v0/v1 parquet
+    *    (read one, write the other), the whole store rewritten per batch.
+    *    Kept as the bit-identity reference — IvmBucketedSpec gates that
+    *    both paths drain to identical counts under any slicing. */
   private[queries] def ivmCooccurCounts(
       s: org.apache.spark.sql.SparkSession, d: String, tag: String)
       : org.apache.spark.sql.DataFrame = {
@@ -2037,6 +2084,49 @@ object StreamingQueries {
       .harnessFeed().map(r => (r.getLong(1), r.getLong(2)))
     val nSlices = s.conf.get("spark.graft.ssjoin.slices", "4").toInt
     val per = math.max(1, (rows.length + nSlices - 1) / nSlices)
+
+    if (s.conf.get("spark.graft.ivm.bucketed", "true").toBoolean) {
+      val nB = s.conf.get("spark.graft.ivm.buckets", "16").toInt
+      // seen postings keyed (c, s) but BUCKETED BY c: every read the
+      // maintenance does is "rows for these customers", so the batch's
+      // customer set prunes both reads to its own buckets
+      val seenStore = new graft.operators.BucketedStore(s"$base/seen",
+        Seq.empty[(Long, Long)].toDF("c", "s"), Seq("c", "s"), Seq("c"), nB)
+      val countsStore = new graft.operators.BucketedStore(s"$base/counts",
+        Seq.empty[(Long, Long, Long)].toDF("sa", "sb", "n"),
+        Seq("sa", "sb"), Seq("sa", "sb"), nB)
+      val feed = MemoryStream[(Long, Long)]
+      val q = feed.toDF().toDF("c", "s").writeStream
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          val bc = b.dropDuplicates("c", "s").persist()
+          val seen = seenStore.readBuckets(seenStore.bucketsOf(
+            bc.select(col("c")))).drop("__bkt")
+          val newPairs = bc.join(seen, Seq("c", "s"), "left_anti").persist()
+          val incCross = broadcast(newPairs)
+            .join(seen.withColumnRenamed("s", "s_old"), Seq("c"))
+            .select(least(col("s"), col("s_old")).as("sa"),
+              greatest(col("s"), col("s_old")).as("sb"))
+          val incNew = newPairs
+            .join(newPairs.select(col("c"), col("s").as("s2")), Seq("c"))
+            .filter(col("s") < col("s2"))
+            .select(col("s").as("sa"), col("s2").as("sb"))
+          val inc = incCross.unionByName(incNew)
+            .groupBy(col("sa"), col("sb")).agg(count(lit(1)).as("dn"))
+          countsStore.foldCounts(inc, "dn", "n")
+          seenStore.foldSet(newPairs.select(col("c"), col("s")))
+          newPairs.unpersist(false)
+          bc.unpersist(false)
+          ()
+        }
+        .start()
+      try {
+        rows.grouped(per).foreach { slice =>
+          feed.addData(slice.toSeq)
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+      return countsStore.readAll().drop("__bkt")
+    }
 
     Seq.empty[(Long, Long)].toDF("c", "s")
       .write.mode("overwrite").parquet(s"$base/seen_v0")
