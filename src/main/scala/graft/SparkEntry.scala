@@ -18,7 +18,7 @@ object SparkEntry {
       DedupQueries.defs ++ SimilarityQueries.defs ++ BqlQueries.defs ++
       MultimodalQueries.defs ++ OperatorQueries.defs ++ FunctionQueries.defs ++
       SamplingQueries.defs ++ SearchQueries.defs ++ StreamingQueries.defs ++
-      SourceQueries.defs ++ PipelineQueries.defs
+      SourceQueries.defs ++ PipelineQueries.defs ++ ForgetStoreQueries.defs
 
   private val (queryMap, oracleMap) = QueryDef.toMaps(allDefs)
 

@@ -898,7 +898,7 @@ object TextQueries {
     * token (`hw`, the conditioning unigram) and the bigram (`hb`) —
     * shared by tx_lm_surprisal and ss_lm_maintain so the scoring pass
     * and the model keys cannot drift. */
-  private[queries] def lmBigramPairs(docsDf: DataFrame): DataFrame = {
+  private[graft] def lmBigramPairs(docsDf: DataFrame): DataFrame = {
     val t = toks
     val pairs = filter(
       zip_with(t, slice(t, lit(2), size(t)),
