@@ -73,10 +73,21 @@ object Bench {
       "tx_quality", "tx_tokens", "wf_analytic")
     val baselineSubset = results.view.filterKeys(round1Baseline.contains)
     val subtotal = baselineSubset.values.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""baseline_subset_sec":$subtotal,"baseline_subset_n":${baselineSubset.size},""" +
       s""""load_start":$loadStart,"load_end":${loadMarker()},""" +
-      s""""sf":"$sfDir"}""")
+      s""""sf":"$sfDir"}"""
+    // the driver keeps only a bounded stdout TAIL, which has truncated the
+    // per-query map in past rounds (BENCH_r13.json.parsed: null, per-query
+    // times regex-recovered) — so the full line is ALSO written whole to a
+    // file (SPARK_GRAFT_BENCH_OUT overrides the default repo-cwd path);
+    // stdout keeps the driver contract's single JSON line as before
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json")),
+      json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case _: Throwable => () } // an unwritable cwd must not fail the bench
+    println(json)
     spark.stop()
   }
 }

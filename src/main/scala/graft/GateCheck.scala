@@ -44,6 +44,21 @@ object GateCheck {
   private def pairSet(df: DataFrame, a: String, b: String): Set[(Long, Long)] =
     df.select(a, b).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
 
+  /** 4x-replicated embeddings corpus for the IVF octave gate (the
+    * ScaleCheck replica protocol: ids shifted so keys stay distinct,
+    * content identical), cached per fixture dir. */
+  private def ivf4xDir(spark: SparkSession, sfDir: String): String = {
+    val out = "/tmp/graft_gate_ivf4x_" + java.lang.Long.toHexString(
+      scala.util.hashing.MurmurHash3.stringHash(sfDir).toLong & 0xffffffffL)
+    if (!new java.io.File(s"$out/embeddings.parquet/_SUCCESS").exists()) {
+      val e = graft.sources.Tables.load(spark, sfDir, "embeddings")
+      (0 until 4).map(i => e.withColumn("vec_id", col("vec_id") + lit(i * 100000000L)))
+        .reduce(_.union(_))
+        .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+    }
+    out
+  }
+
   def main(args: Array[String]): Unit = {
     // arg0: comma-separated SF dirs (estimate-regime gates run at EVERY
     // listed scale — sketch-capacity recalls at sf0.1 are a different
@@ -59,6 +74,26 @@ object GateCheck {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
+    // previous round's artifact (the driver leaves it in place): parsed
+    // BEFORE the overwrite so the new file can carry per-gate DELTAS —
+    // measured-value MOVEMENT, not just pass/fail, so a drifting recall
+    // is visible rounds before it crosses a bound.
+    val prev: Map[(String, String, String), Double] =
+      if (new java.io.File(outFile).isFile) {
+        val txt = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(outFile)), java.nio.charset.StandardCharsets.UTF_8)
+        val runRe = """\{"sf":"([^"]+)","all_pass":[^\[]*"gates":\[""".r
+        val gateRe = ("""\{"query":"([^"]+)","gate":"([^"]+)",""" +
+          """"measured":([-0-9.eE]+)""").r
+        // gates between one run header and the next belong to that sf
+        val starts = runRe.findAllMatchIn(txt).toSeq
+        starts.zipWithIndex.flatMap { case (m, i) =>
+          val end = if (i + 1 < starts.size) starts(i + 1).start else txt.length
+          gateRe.findAllMatchIn(txt.substring(m.end, end)).map(g =>
+            (m.group(1), g.group(1), g.group(2)) -> g.group(3).toDouble)
+        }.toMap
+      } else Map.empty
+
     val runs = sfDirs.map { sfDir =>
       val gates = gatesFor(spark, sfDir)
       gates.foreach(g => println(
@@ -71,9 +106,19 @@ object GateCheck {
       s"""{"sf":"$sf","all_pass":${gates.forall(_.pass)},"n_gates":${gates.size},""" +
         s""""gates":[${gates.map(_.json).mkString(",")}]}"""
     }.mkString(",")
+    val deltaJson = runs.flatMap { case (sf, gates) =>
+      gates.map { g =>
+        val p = prev.get((sf, g.query, g.gate))
+        s"""{"sf":"$sf","query":"${g.query}","gate":"${g.gate}",""" +
+          s""""prev":${p.map(_.toString).getOrElse("null")},""" +
+          s""""measured":${g.measured},""" +
+          s""""delta":${p.map(v => (g.measured - v).toString).getOrElse("null")}}"""
+      }
+    }.mkString(",")
     val json = s"""{"round":$round,"sfs":[${sfDirs.map("\"" + _ + "\"").mkString(",")}],""" +
       s""""sf":"${sfDirs.head}","all_pass":$allPass,"n_gates":$nGates,""" +
-      s""""gates":[${runs.head._2.map(_.json).mkString(",")}],"runs":[$runsJson]}"""
+      s""""gates":[${runs.head._2.map(_.json).mkString(",")}],"runs":[$runsJson],""" +
+      s""""gates_delta":[$deltaJson]}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
       json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     println(s"[gate] ${runs.map(_._2.count(_.pass)).sum}/$nGates pass " +
@@ -177,20 +222,36 @@ object GateCheck {
         bloom.sorted.toSeq.diff(bloomStream).size.toDouble, "==", 0)
 
     // ---- ANN family: recall@10 vs the exact brute-force ranks ----
-    // Bounds mirror ApproxSuiteSpec's fixture gates. ann_ivf_bigk scans
-    // nProbe=8 of 64 lists (12.5% coverage); on the weak-cosine-structure
-    // fixture its recall tracks coverage (measured 0.46, deterministic) —
-    // the gate is that it beats the coverage floor ~3x. The spec suite
-    // additionally holds bigk to >= 0.8 on a cosine-CLUSTERED fixture.
+    // Bounds mirror ApproxSuiteSpec's fixture gates. The IVF rows now run
+    // the SCALING RULE (kClusters ~ sqrt(corpus), nProbe holding list
+    // coverage at spark.graft.ivf.coverage) rather than fixed knobs —
+    // round-13 sat exactly ON the old 0.50 bound at sf0.1; the rule
+    // measures 0.74-0.86 across SFs, so both IVF bounds rise to 0.6 WITH
+    // headroom. The spec suite additionally holds ivf/pq to >= 0.8 on a
+    // cosine-CLUSTERED fixture (this fixture's weak structure makes
+    // recall ~track coverage).
     val brute = pairSet(run("ann_brute_topk"), "qid", "vec_id")
-    for ((q, bound) <- Seq(("ann_lsh_topk", 0.5), ("ann_ivf_topk", 0.5),
-        ("ann_ivf_bigk", 0.35), ("ann_pq_topk", 0.7))) {
+    for ((q, bound) <- Seq(("ann_lsh_topk", 0.5), ("ann_ivf_topk", 0.6),
+        ("ann_ivf_bigk", 0.6), ("ann_pq_topk", 0.7))) {
       val approx = pairSet(run(q), "qid", "vec_id")
       gates += Gate(q, "recall_at_10_vs_brute",
         (brute & approx).size.toDouble / math.max(1, brute.size), ">=", bound)
     }
-    // (the spec suite additionally gates ivf/pq >= 0.8 on a synthetic
-    // cosine-clustered fixture — fixture construction stays in ScalaTest)
+
+    // ---- IVF at the NEXT corpus octave: 4x-replicated embeddings ----
+    // The decay mechanism both IVF and PQ hit (recall falling as corpus
+    // outgrows fixed index geometry) is caught an octave EARLY: recall is
+    // re-measured on a 4x-replicated corpus (ids shifted, content
+    // identical — the ScaleCheck replica protocol), where the scaling
+    // rule must still clear 0.55. A rule that stops tracking corpus
+    // growth breaks here before it can break the fixture gates above.
+    val rep4 = ivf4xDir(spark, sfDir)
+    val brute4 = pairSet(SparkEntry.queries("ann_brute_topk")(spark, rep4),
+      "qid", "vec_id")
+    val ivf4 = pairSet(SparkEntry.queries("ann_ivf_topk")(spark, rep4),
+      "qid", "vec_id")
+    gates += Gate("ann_ivf_topk", "recall_at_10_vs_brute_4x_corpus",
+      (brute4 & ivf4).size.toDouble / math.max(1, brute4.size), ">=", 0.55)
 
     // ann_bucket_stats: exact partition of the corpus across buckets
     val bucketRows = run("ann_bucket_stats").collect()

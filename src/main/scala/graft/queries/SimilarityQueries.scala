@@ -325,6 +325,25 @@ object SimilarityQueries {
           sqrt(col("qn") * dot_product(col("embedding"), col("embedding")))).as("cos")), K)
   }
 
+  /** The IVF scaling rule: an explicit conf pins (kClusters, nProbe)
+    * verbatim (spec fixtures, deployments that know their data);
+    * otherwise kClusters = kOfN(corpus count — parquet metadata, no scan)
+    * and nProbe holds scanned-list coverage at
+    * `spark.graft.ivf.coverage`. Centroid count growing with sqrt(corpus)
+    * + fixed coverage is what keeps recall FLAT as the corpus grows —
+    * fixed knobs decay (0.64 → 0.50 across one 4x step, round-13 gates)
+    * because each list's candidate pool grows while the probed fraction
+    * shrinks relative to structure. */
+  private def ivfGeometry(s: SparkSession, d: String,
+      kConfKey: String, npConfKey: String, kOfN: Long => Int): (Int, Int) = {
+    val coverage = s.conf.get("spark.graft.ivf.coverage", "0.375").toDouble
+    val k = s.conf.getOption(kConfKey).map(_.toInt)
+      .getOrElse(kOfN(emb(s, d).count()))
+    val np = s.conf.getOption(npConfKey).map(_.toInt)
+      .getOrElse(math.max(3, math.ceil(coverage * k).toInt))
+    (k, math.min(k, np))
+  }
+
   /** Shared IVF search body: train (bounded driver Lloyd), assign the
     * corpus (literal or join-shaped per the k threshold — Ivf.assigned),
     * probe the nProbe nearest lists with exact cosine. */
@@ -496,26 +515,39 @@ object SimilarityQueries {
     // the corpus pays ONE linear codegen'd assignment pass (k dot
     // products per row against broadcast-literal centroids); the search
     // join shuffles only probed-list candidates. Approximate → rows-only
-    // driver check; recall vs brute force in ApproxSuiteSpec.
+    // driver check; recall vs brute force in ApproxSuiteSpec + GATES
+    // (both SFs AND a 4x-replica corpus step, so recall decay with corpus
+    // growth is caught an octave before it crosses a bound).
     QueryDef("ann_ivf_topk", None) { (s, d) =>
-      // Index-build knobs, pinnable per workload: kClusters should track
-      // sqrt(corpus) at scale (10 suits the small fixtures), nProbe trades
-      // recall for scanned fraction. Defaults preserve the driver fixture.
-      ivfSearch(s, d,
-        kClusters = Ivf.intConf(s, "spark.graft.ivf.kClusters", 10),
-        nProbe = Ivf.intConf(s, "spark.graft.ivf.nProbe", 3))
+      // SCALE-HONEST index geometry (round-13 verdict: fixed knobs sat
+      // recall exactly ON the sf0.1 bound, the same decay-with-corpus
+      // mechanism the PQ gate caught an octave earlier). Unless pinned by
+      // conf, kClusters tracks sqrt(corpus) — the standard IVF rule, one
+      // metadata-only count() — and nProbe keeps scanned-list coverage at
+      // spark.graft.ivf.coverage (default 0.375: the driver fixture's
+      // embeddings have WEAK cosine structure, so recall ~tracks coverage
+      // and 0.375 measures ~0.65-0.82 across SFs with headroom over the
+      // 0.6 gate; clustered corpora — the ApproxSuiteSpec cone fixture,
+      // real embeddings — hit >= 0.8 recall at a tenth the coverage, and
+      // a deployment lowers the conf accordingly).
+      val (k, np) = ivfGeometry(s, d, "spark.graft.ivf.kClusters",
+        "spark.graft.ivf.nProbe", kOfN = n => math.max(10,
+          math.round(math.sqrt(n.toDouble)).toInt))
+      ivfSearch(s, d, kClusters = k, nProbe = np)
     },
 
-    // The same IVF pipeline at index-scale k (kClusters ~ sqrt(corpus)):
+    // The same IVF pipeline at index-scale k (kClusters ~ 2·sqrt(corpus)):
     // past spark.graft.ivf.joinAssignThreshold the corpus assignment runs
     // join-shaped (broadcast centroids DataFrame + max(struct) argmax)
     // instead of a k-term literal expression that would defeat codegen.
     // Forced-path row-parity vs the literal path is spec-gated
-    // (ApproxSuiteSpec); rows-only driver check like ann_ivf_topk.
+    // (ApproxSuiteSpec); same auto-scaled geometry/coverage rule as
+    // ann_ivf_topk, at double the cluster count.
     QueryDef("ann_ivf_bigk", None) { (s, d) =>
-      ivfSearch(s, d,
-        kClusters = Ivf.intConf(s, "spark.graft.ivf.bigk.kClusters", 64),
-        nProbe = Ivf.intConf(s, "spark.graft.ivf.bigk.nProbe", 8))
+      val (k, np) = ivfGeometry(s, d, "spark.graft.ivf.bigk.kClusters",
+        "spark.graft.ivf.bigk.nProbe", kOfN = n => math.max(64,
+          2 * math.round(math.sqrt(n.toDouble)).toInt))
+      ivfSearch(s, d, kClusters = k, nProbe = np)
     },
 
     // Product-quantized ANN — the memory-compression leg of the ANN

@@ -341,12 +341,13 @@ class ApproxSuiteSpec extends AnyFunSuite {
     info(s"recall@10 = $recall")
     // The fixture's embeddings have weak cosine-cluster structure (true
     // top-10 neighbors scatter across labels — measured), so IVF recall
-    // here tracks scanned-corpus coverage. nProbe=3 of 10 lists scans
-    // ~30%; the quantizer must still beat that coverage floor by a wide
-    // margin (measured 0.62), which is what proves the lists are real.
-    // The clustered-fixture test below shows the same pipeline at 1.0
-    // recall on data that HAS cosine structure — 0.64 here is the data.
-    assert(recall >= 0.5, s"IVF ANN recall@10 $recall below 0.5")
+    // here tracks scanned-corpus coverage. The SCALING RULE (kClusters ~
+    // sqrt(corpus), nProbe holding coverage at spark.graft.ivf.coverage
+    // = 0.375) measures 0.82 on this fixture — the quantizer must still
+    // beat the coverage floor by a wide margin, which is what proves the
+    // lists are real. The clustered-fixture test below shows the same
+    // pipeline at 1.0 recall on data that HAS cosine structure.
+    assert(recall >= 0.6, s"IVF ANN recall@10 $recall below 0.6")
   }
 
   /** Cosine-clustered embeddings fixture: 20 tight Gaussian cones,
