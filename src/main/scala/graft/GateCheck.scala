@@ -20,10 +20,14 @@ import org.apache.spark.sql.functions._
   *
   * Output: `{"round": N, "sfs": [...], "all_pass": bool, "runs": [{"sf",
   * "all_pass", "gates": [{"query", "gate", "measured", "op", "bound",
-  * "pass"}, ...]}, ...]}` (top-level `sf`/`gates` mirror the first run
-  * for round-over-round diffs against the pre-13 single-SF format) —
+  * "pass"}, ...]}, ...], "gates_delta": [{"sf", "query", "gate", "prev",
+  * "measured", "delta"}, ...]}` (top-level `sf`/`gates` mirror the first
+  * run for round-over-round diffs against the pre-13 single-SF format) —
   * every no_oracle query contributes at least one row PER SCALE; a
-  * recall regression at either SF flips `pass` false.
+  * recall regression at either SF flips `pass` false, and `gates_delta`
+  * (computed against the previous round's file, read before the
+  * overwrite) surfaces measured-value drift rounds before it crosses a
+  * bound.
   * Everything here is deterministic (seeded hashes, fixed fixtures), so
   * a pass/fail flip is a real regression, never flake. */
 object GateCheck {

@@ -296,7 +296,12 @@ object ScaleCheck {
           // keys — the append is a map-side-combined per-batch count
           // (hot keys are big COUNTS, not big groups) and the serving
           // pass reconstructs dl per doc from doc-keyed sums
-          "ss_bm25_maintain")
+          "ss_bm25_maintain",
+          // hot template: the forgotten docs' delta counts collapse onto
+          // the same ~40 hot term keys — the subtract/compaction joins
+          // face them as big counts behind map-side combines, and the
+          // tombstone broadcast is unaffected by skew
+          "fg_lm_subtract", "fg_bm25_compact")
       else
         Seq("b5_group_agg", "b1_filter_compound", "j_multiway_star",
           "b6_theta_distinct", "b8_freq_topk", "dd_minhash_lsh", "ann_lsh_topk",
@@ -343,7 +348,11 @@ object ScaleCheck {
           "ss_triangles_maintain", "ss_retention_maintain", "ss_gap_fill",
           "ss_attribution", "ss_top_paths", "tx_lm_surprisal",
           "ss_profile_maintain", "ss_corr_maintain", "ss_forget_enforce",
-          "ss_lm_maintain", "ss_bm25_maintain")
+          "ss_lm_maintain", "ss_bm25_maintain",
+          // deletion propagation: store build + broadcast-delta edit;
+          // the tombstone set stays request-bounded at every k
+          "fg_lm_subtract", "fg_bm25_compact", "fg_cooccur_subtract",
+          "fg_sketch_rewindow")
     val selected = if (only.isEmpty) names else names.filter(only)
     // dd_semdedup is excluded the same way dd_embed_cosine is: replicated
     // embeddings are bit-identical across copies, so k-fold data has k²
