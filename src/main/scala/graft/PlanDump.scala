@@ -57,7 +57,9 @@ object PlanDump {
     "op_label_prop" -> "label propagation: edges never shuffle, label broadcast, argmax as min(struct(-c,lbl))",
     "op_lag_cov" -> "lead-lag covariance: one corpus aggregate, dense-frame lag join with 7-row broadcast",
     "op_triangles" -> "mutual-kNN triangles: bounded-heap kNN (pre-checkpoint), equi-join closure over a<b<c edges",
-    "tx_lm_surprisal" -> "bigram-LM surprisal: two map-combined model tables, two shuffle joins back, integer bit-length quantization")
+    "tx_lm_surprisal" -> "bigram-LM surprisal: two map-combined model tables, two shuffle joins back, integer bit-length quantization",
+    "fg_bm25_compact" -> "postings purge: segment-pruned compaction scan, broadcast tombstone anti-join, store-only serving pass",
+    "fg_cooccur_subtract" -> "reverse-IVM subtract: store scan + broadcast forgotten-basket delta, zero-count drop")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
