@@ -99,38 +99,58 @@ final class BucketedStore(
   /** Additive count fold: `delta` carries `keyCols` + `deltaCol`; every
     * key's stored `countCol` becomes old + delta (missing side = 0) —
     * the exact full_outer algebra of the version-alternating fold,
-    * restricted to the touched buckets. Written as
-    * left_outer ∪ (delta ∖ store): key-set-identical to the full_outer,
-    * but both joins BROADCAST a small delta (full_outer never can), so a
-    * trickle fold is one pass over the touched buckets with no shuffle
-    * of the store slice. */
+    * restricted to the touched buckets. Two join shapes, chosen PER FOLD
+    * by the delta's bucket footprint (`spark.graft.ivm.wideFrac`,
+    * default 0.5 — fraction of nBuckets touched at which a fold counts
+    * as wide):
+    *  - TRICKLE (few buckets touched): left_outer ∪ (delta ∖ store) —
+    *    key-set-identical to the full_outer, but both joins BROADCAST
+    *    the small delta, so the fold is one pass over the touched
+    *    buckets with no shuffle of the store slice.
+    *  - WIDE (most buckets touched — a bulk-load batch, the fixture's
+    *    4-slice feeds): here the delta is store-sized, so broadcasting
+    *    it twice is the wrong plan; the fold runs the single full_outer
+    *    the legacy path used (one sort-merge join instead of two
+    *    hash-map builds over a corpus-sized delta).
+    * The two shapes compute the identical key algebra — IvmBucketedSpec
+    * forces each and gates bit-identity. */
   def foldCounts(delta: DataFrame, deltaCol: String, countCol: String): Unit =
-    fold(delta) { (cur, d) =>
-      cur.join(d, keyCols, "left_outer")
-        .select(keyCols.map(col) :+
-          (col(countCol) + coalesce(col(deltaCol), lit(0L))).as(countCol): _*)
-        .unionByName(d.join(cur, keyCols, "left_anti")
-          .select(keyCols.map(col) :+ col(deltaCol).as(countCol): _*))
+    fold(delta) { (cur, d, wide) =>
+      if (wide)
+        cur.join(d, keyCols, "full_outer")
+          .select(keyCols.map(col) :+
+            (coalesce(col(countCol), lit(0L)) +
+              coalesce(col(deltaCol), lit(0L))).as(countCol): _*)
+      else
+        cur.join(d, keyCols, "left_outer")
+          .select(keyCols.map(col) :+
+            (col(countCol) + coalesce(col(deltaCol), lit(0L))).as(countCol): _*)
+          .unionByName(d.join(cur, keyCols, "left_anti")
+            .select(keyCols.map(col) :+ col(deltaCol).as(countCol): _*))
     }
 
   /** Set insert: `delta` carries `keyCols` only and must be disjoint from
     * the store (the caller's anti-join guarantees it — same contract the
-    * unbucketed union fold had). */
+    * unbucketed union fold had). Insertion is a union either way, so the
+    * wide/trickle split does not apply. */
   def foldSet(delta: DataFrame): Unit =
-    fold(delta) { (cur, d) => cur.select(keyCols.map(col): _*).unionByName(d) }
+    fold(delta) { (cur, d, _) => cur.select(keyCols.map(col): _*).unionByName(d) }
 
   private def fold(delta: DataFrame)(
-      combine: (DataFrame, DataFrame) => DataFrame): Unit = {
+      combine: (DataFrame, DataFrame, Boolean) => DataFrame): Unit = {
     val d = delta.persist()
     try {
       val touched = bucketsOf(d)
+      val wideFrac =
+        spark.conf.get("spark.graft.ivm.wideFrac", "0.5").toDouble
+      val wide = touched.size >= wideFrac * nBuckets
       if (touched.nonEmpty) {
         val cur = readBuckets(touched).drop("__bkt")
         // repartition by bucket before the partitioned write: without it
         // every task writes a file per bucket it happens to hold
         // (tasks × buckets small files); with it each bucket's rows land
         // in one task → one file per bucket per fold
-        val out = combine(cur, d).withColumn("__bkt", bucketExpr)
+        val out = combine(cur, d, wide).withColumn("__bkt", bucketExpr)
           .repartition(col("__bkt"))
         val dir = s"$root/fold_$gen"
         gen += 1

@@ -63,7 +63,42 @@ class IvmBucketedSpec extends AnyFunSuite {
         "spark.graft.ivm.buckets" -> "8",
         "spark.graft.ssjoin.slices" -> "1")(rowsOf(name))
       assert(oneSlice == full, s"$name: bucketed fold must be slice-invariant")
+      // both fold JOIN SHAPES forced (wideFrac 0 → every fold full_outer;
+      // wideFrac 2 → every fold broadcast left_outer ∪ anti) must agree
+      // with the reference — the adaptive switch can never change content
+      val allWide = withConf("spark.graft.ivm.bucketed" -> "true",
+        "spark.graft.ivm.buckets" -> "8",
+        "spark.graft.ivm.wideFrac" -> "0")(rowsOf(name))
+      assert(allWide == full, s"$name: forced-wide fold must equal the full fold")
+      val allTrickle = withConf("spark.graft.ivm.bucketed" -> "true",
+        "spark.graft.ivm.buckets" -> "8",
+        "spark.graft.ivm.wideFrac" -> "2")(rowsOf(name))
+      assert(allTrickle == full, s"$name: forced-trickle fold must equal the full fold")
     }
+  }
+
+  test("wide and trickle fold shapes produce identical store content") {
+    val s = spark
+    import s.implicits._
+    val deltas = Seq(
+      (1L to 40L).map(k => (k, 2L)),  // spread: wide under default 0.5
+      Seq((7L, 5L), (100L, 1L)),      // trickle: 1-2 buckets
+      (20L to 60L).map(k => (k, k))   // overlap of old and new keys
+    ).map(_.toDF("k", "dn"))
+    def drain(wideFrac: String): Map[Long, Long] = withConf(
+      "spark.graft.ivm.wideFrac" -> wideFrac) {
+      val store = new BucketedStore(scratch() + "/w",
+        Seq.empty[(Long, Long)].toDF("k", "n"), Seq("k"), Seq("k"), 8)
+      deltas.foreach(d => store.foldCounts(d, "dn", "n"))
+      store.readAll().drop("__bkt").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
+    val wide = drain("0")
+    val trickle = drain("2")
+    val adaptive = drain("0.5")
+    assert(wide == trickle, "forced-wide and forced-trickle folds must agree")
+    assert(adaptive == wide, "the adaptive switch must not change content")
+    assert(wide(7L) == 2L + 5L && wide(30L) == 2L + 30L && wide(55L) == 55L)
   }
 
   test("a 1-key fold touches exactly its bucket; every other bucket's generation is untouched") {
