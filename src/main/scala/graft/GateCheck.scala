@@ -298,6 +298,74 @@ object GateCheck {
       (batchAssign.count { case (id, c) => !drained.get(id).contains(c) } +
         (drained.keySet -- batchAssign.keySet).size).toDouble, "==", 0)
 
+    // ---- maintained IVF index + deletion propagation: EXACT equality ----
+    // Both serve through the shared SimilarityQueries.ivfProbeSearch from
+    // a postings store; assignment under FIXED centroids is per-row
+    // deterministic, so these contracts are exact zero-mismatch
+    // equalities, not recall bounds. The gate rebuilds the batch
+    // counterpart with the same deterministic training (hash-ordered
+    // sample, fixed iters — bit-identical centroids).
+    def triples(df: DataFrame): Set[(Long, Long, Long)] =
+      df.select(col("qid"), col("rank").cast("long"), col("vec_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val eAll = embeddings.select(col("vec_id"), col("embedding"))
+    val ivfK = graft.queries.Ivf.intConf(spark, "spark.graft.ivf.k", 16)
+    val fixedCents = graft.queries.Ivf.train(eAll, ivfK, iters = 3, trainSample = 2000)
+    val nProbe = math.max(3, math.ceil(
+      spark.conf.get("spark.graft.ivf.coverage", "0.375").toDouble * ivfK).toInt)
+
+    val maintained = triples(run("ss_ivf_maintain"))
+    val batchIndex = triples(graft.queries.SimilarityQueries.ivfProbeSearch(
+      graft.queries.Ivf.assigned(eAll, fixedCents),
+      eAll.filter(col("vec_id") < graft.queries.SimilarityQueries.NQueries),
+      fixedCents, nProbe))
+    gates += Gate("ss_ivf_maintain", "search_mismatches_vs_batch_index",
+      ((maintained -- batchIndex).size + (batchIndex -- maintained).size).toDouble,
+      "==", 0)
+
+    val purgedServed = triples(run("fg_ivf_delete"))
+    val tombIds = eAll.filter(col("vec_id") % 97 === 0)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    gates += Gate("fg_ivf_delete", "tombstoned_ids_in_results",
+      purgedServed.count(t => tombIds(t._3)).toDouble, "==", 0)
+    val purgedRebuild = triples(graft.queries.SimilarityQueries.ivfProbeSearch(
+      graft.queries.Ivf.assigned(eAll.filter(col("vec_id") % 97 =!= 0), fixedCents),
+      eAll.filter(col("vec_id") >= 1 &&
+        col("vec_id") <= graft.queries.SimilarityQueries.NQueries),
+      fixedCents, nProbe))
+    gates += Gate("fg_ivf_delete", "search_mismatches_vs_purged_rebuild",
+      ((purgedServed -- purgedRebuild).size +
+        (purgedRebuild -- purgedServed).size).toDouble, "==", 0)
+
+    // ---- BPE tokenizer: round-trip identity, bounds, rule uniqueness ----
+    // Tokenization must be LOSSLESS: reconstructing each document from
+    // its token stream (drop separators, map the </w> sentinel back to a
+    // space) must reproduce the text exactly, for every doc. Token
+    // counts are bounded by construction (>= words, <= chars + 1), and
+    // the merge table must be duplicate-free; compression < 1 proves the
+    // merges are non-vacuous on this corpus.
+    val bpeM = graft.queries.TextQueries.bpeMerges(spark, sfDir)
+    val bpeT = graft.queries.TextQueries.bpeTokenized(spark, sfDir, bpeM)
+      .join(docsDf.select(col("doc_id"),
+        coalesce(col("text"), lit("")).as("text")), Seq("doc_id"))
+      .select(col("doc_id"), col("n_words"), col("n_tokens"),
+        length(col("text")).as("n_chars"),
+        (expr("rtrim(replace(replace(tok_stream, ' ', ''), '</w>', ' '))")
+          === col("text")).as("rt_ok"))
+      .collect()
+    gates += Gate("tx_bpe_apply", "round_trip_mismatch_docs",
+      bpeT.count(!_.getBoolean(4)).toDouble, "==", 0)
+    gates += Gate("tx_bpe_apply", "token_count_bound_violations",
+      bpeT.count(r => r.getLong(2) < r.getLong(1) ||
+        r.getLong(2) > r.getInt(3) + 1).toDouble, "==", 0)
+    gates += Gate("tx_bpe_apply", "compression_tokens_per_char_split",
+      bpeT.map(_.getLong(2)).sum.toDouble /
+        math.max(1L, bpeT.map(_.getInt(3).toLong + 1).sum), "<=", 0.9)
+    val bpeRules = run("tx_bpe_train").collect()
+      .map(r => (r.getString(1), r.getString(2)))
+    gates += Gate("tx_bpe_train", "duplicate_merge_rules",
+      (bpeRules.length - bpeRules.distinct.length).toDouble, "==", 0)
+
     // ---- generic multimodal kernel: distributed ≡ driver-side decode ----
     val mmRows = run("mm_features").collect()
     val localFeats = docsDf.select("doc_id", "text").collect()

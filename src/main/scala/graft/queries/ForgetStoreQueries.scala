@@ -177,6 +177,59 @@ object ForgetStoreQueries {
       .unionByName(rebuilt)
   }
 
+  // ---- ANN index store: tombstoned vectors deleted from their lists ----
+
+  /** The persisted IVF postings store `(vec_id, embedding, cl)`,
+    * list-partitioned (`cl=<c>` directories — the inverted-file layout),
+    * with the tombstoned vectors deleted. The quantizer is a FROZEN
+    * artifact (trained on the pre-purge snapshot, IndexStore-persisted in
+    * a deployment): deletion edits the postings, never the centroids —
+    * assignment is per-row deterministic under fixed centroids, so the
+    * edited store is bit-identical to re-assigning the purged corpus with
+    * the same artifact (ForgetStoresSpec gates it; centroid RETRAIN is a
+    * compaction-time decision, exactly like the sketch warehouse's
+    * non-subtractable days). Touched lists come from re-assigning the
+    * request-bounded tombstone set (O(|tombstones|), never a store scan);
+    * only those `cl=` directories are rewritten — untouched lists' files
+    * are byte-identical (spec-gated by file identity).
+    * Returns (list root, compaction root, served postings, centroids). */
+  private[graft] def ivfPurgedPostings(s: SparkSession, d: String)
+      : (String, String, DataFrame, Seq[Array[Float]]) = {
+    val base = StreamingQueries.invocationStore(s, "fgivf", d)
+    val listRoot = s"$base/lists"
+    val compactRoot = s"$base/compacted"
+    val e = Tables.load(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+    val k = Ivf.intConf(s, "spark.graft.ivf.k", 16)
+    val cents = Ivf.train(e, k, iters = 3,
+      trainSample = Ivf.intConf(s, "spark.graft.ivf.trainSample", 2000))
+    Ivf.assigned(e, cents)
+      .repartition(col("cl"))
+      .write.partitionBy("cl").mode("overwrite").parquet(listRoot)
+    val tomb = e.filter(col("vec_id") % 97 === 0)
+    // touched lists: re-assign the TOMBSTONES (broadcast-tiny), never
+    // scan the store for them
+    val touched = Ivf.assigned(tomb, cents)
+      .select(col("cl").cast(IntegerType)).distinct()
+      .collect().map(_.getInt(0)).toSeq.sorted
+    val tombIds = tomb.select(col("vec_id"))
+    val touchedPaths = touched.map(c => s"$listRoot/cl=$c")
+      .filter(p => new java.io.File(p).exists())
+    if (touchedPaths.nonEmpty)
+      s.read.option("basePath", listRoot).parquet(touchedPaths: _*)
+        .join(broadcast(tombIds), Seq("vec_id"), "left_anti")
+        .select(col("vec_id"), col("embedding"), col("cl"))
+        .repartition(col("cl"))
+        .write.partitionBy("cl").mode("overwrite").parquet(compactRoot)
+    val untouched = s.read.parquet(listRoot)
+      .filter(!col("cl").isin(touched.map(Integer.valueOf): _*))
+      .select(col("vec_id"), col("embedding"), col("cl"))
+    val served =
+      if (touchedPaths.isEmpty) untouched
+      else untouched.unionByName(s.read.parquet(compactRoot)
+        .select(col("vec_id"), col("embedding"), col("cl")))
+    (listRoot, compactRoot, served, cents)
+  }
+
   // ---- near-dup store: key delete --------------------------------------
 
   /** The dedup near store purged by KEY DELETE — fingerprint/signature
@@ -276,6 +329,27 @@ object ForgetStoreQueries {
           expr("element_at(kll_sketch_get_quantile_double(kll_merge_agg_double(ksk), array(0.5D)), 1)")
             .as("p50"))
         .orderBy(col("wk"))
+    },
+
+    // Key delete in the ANN index: tombstoned vectors removed from their
+    // inverted lists (only those lists rewritten), then the shared IVF
+    // serving tree (SimilarityQueries.ivfProbeSearch — one definition,
+    // every IVF surface) answers probes from the edited store. No SQL
+    // oracle (k-means is not SQL); GateCheck holds (a) zero tombstoned
+    // ids in any result and (b) zero row mismatches vs re-assigning the
+    // purged corpus under the same frozen centroids; ForgetStoresSpec
+    // additionally gates untouched-list file identity. Probes are the
+    // surviving vectors 1..NQueries (vec 0 is itself tombstoned by the
+    // every-97th convention).
+    QueryDef("fg_ivf_delete", None) { (s, d) =>
+      val (_, _, served, cents) = ivfPurgedPostings(s, d)
+      val k = cents.size
+      val nProbe = math.max(3, math.ceil(
+        s.conf.get("spark.graft.ivf.coverage", "0.375").toDouble * k).toInt)
+      val probeBase = Tables.load(s, d, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+        .filter(col("vec_id") >= 1 && col("vec_id") <= SimilarityQueries.NQueries)
+      SimilarityQueries.ivfProbeSearch(served, probeBase, cents, nProbe)
     }
   )
 }

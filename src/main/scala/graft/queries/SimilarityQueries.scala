@@ -264,8 +264,8 @@ object SimilarityQueries {
 
   private def emb(s: SparkSession, d: String): DataFrame = Tables.load(s, d, "embeddings")
 
-  private val K = 10
-  private val NQueries = 5
+  private[graft] val K = 10
+  private[graft] val NQueries = 5
   /** Probe-set size for kNN classification — larger than NQueries so the
     * vote table is a meaningful accuracy sample, still broadcast-tiny. */
   private val NClassify = 50
@@ -344,6 +344,29 @@ object SimilarityQueries {
     (k, math.min(k, np))
   }
 
+  /** The SERVING half of every IVF surface — the self-contained queries
+    * here, the maintained-index twin (`ss_ivf_maintain`) and the
+    * deletion path (`fg_ivf_delete`) all rank through this one tree, so
+    * a store-served search cannot silently diverge from the
+    * freshly-assigned one. `corpus` is an IVF postings frame
+    * `(vec_id, embedding, cl)` — freshly assigned or read back from a
+    * persisted/maintained store. Probe-list selection is the same
+    * nearest-clusters problem as semdedup's multi-assignment — shared
+    * Ivf.multiAssigned, so index-scale k takes the join path on the
+    * probe side too (a k-term literal expression is a compile-time
+    * problem regardless of the row count it runs over); candidates are
+    * the probes' nProbe lists only, scored with exact cosine into the
+    * bounded-heap rankTopK. */
+  private[graft] def ivfProbeSearch(corpus: DataFrame, probeBase: DataFrame,
+      cents: Seq[Array[Float]], nProbe: Int): DataFrame = {
+    val probes = Ivf.multiAssigned(probeBase, cents, nProbe)
+      .withColumnRenamed("vec_id", "qid")
+      .join(probeBase.select(col("vec_id").as("qid"), col("embedding").as("qe")), Seq("qid"))
+    rankTopK(corpus.join(broadcast(probes),
+        Seq("cl")).filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"), cosine_sim(col("qe"), col("embedding")).as("cos")), K)
+  }
+
   /** Shared IVF search body: train (bounded driver Lloyd), assign the
     * corpus (literal or join-shaped per the k threshold — Ivf.assigned),
     * probe the nProbe nearest lists with exact cosine. */
@@ -352,20 +375,8 @@ object SimilarityQueries {
     val trainSample = Ivf.intConf(s, "spark.graft.ivf.trainSample", 2000)
     val e = emb(s, d).select(col("vec_id"), col("embedding"))
     val cents = Ivf.train(e, kClusters, iters, trainSample)
-
-    val corpus = Ivf.assigned(e, cents)
-    // probe-list selection is the same nearest-clusters problem as
-    // semdedup's multi-assignment — share Ivf.multiAssigned so index-
-    // scale k takes the join path on the probe side too (a k-term
-    // literal expression is a compile-time problem regardless of the
-    // row count it runs over)
-    val probeBase = e.filter(col("vec_id") < NQueries)
-    val probes = Ivf.multiAssigned(probeBase, cents, nProbe)
-      .withColumnRenamed("vec_id", "qid")
-      .join(probeBase.select(col("vec_id").as("qid"), col("embedding").as("qe")), Seq("qid"))
-    rankTopK(corpus.join(broadcast(probes),
-        Seq("cl")).filter(col("vec_id") =!= col("qid"))
-      .select(col("qid"), col("vec_id"), cosine_sim(col("qe"), col("embedding")).as("cos")), K)
+    ivfProbeSearch(Ivf.assigned(e, cents), e.filter(col("vec_id") < NQueries),
+      cents, nProbe)
   }
 
   val defs: Seq[QueryDef] = Seq(

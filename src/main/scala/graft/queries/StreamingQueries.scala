@@ -1954,6 +1954,59 @@ object StreamingQueries {
       } finally q.stop()
       SearchQueries.bm25PostingsScore(
         s.read.parquet(store).select(col("h"), col("doc_id"), col("tf")))
+    },
+
+    // The ANN index maintained live — ss_bm25_maintain's segment-append
+    // shape applied to the IVF postings store, and the serving half of
+    // the ss_ann_assign seam: the coarse quantizer is a FROZEN artifact
+    // (trained once per corpus snapshot — here on the fixture's bounded
+    // deterministic sample — persisted/loaded through IndexStore in a
+    // deployment), each ingest micro-batch assigns its NEW vectors
+    // against it (stateless codegen pass, no state store) and APPENDS
+    // the postings segment keyed by batch id (overwrite of the
+    // batch-id-named dir → exactly-once under micro-batch re-execution,
+    // the bm25 twin's rule). Searches are answered from the maintained
+    // store through the shared serving tree
+    // (SimilarityQueries.ivfProbeSearch — one definition, every IVF
+    // surface): because assignment is per-row deterministic under fixed
+    // centroids, the maintained index is BIT-IDENTICAL to a batch-built
+    // index over the same corpus + artifact, under any slicing —
+    // GateCheck holds search-result equality to zero mismatches. At
+    // 100 TB/day the per-batch cost is one linear assignment pass +
+    // a segment write; a deployment periodically compacts segments into
+    // the cl-partitioned layout fg_ivf_delete edits.
+    QueryDef("ss_ivf_maintain", None) { (s, d) =>
+      import s.implicits._
+      implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val store = invocationStore(s, "ivfseg", d)
+      val e = Tables.load(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+      val kClusters = Ivf.intConf(s, "spark.graft.ivf.k", 16)
+      val cents = Ivf.train(e, kClusters, iters = 3,
+        trainSample = Ivf.intConf(s, "spark.graft.ivf.trainSample", 2000))
+      val rows = e.orderBy(col("vec_id")).harnessFeed()
+        .map(r => (r.getLong(0), r.getSeq[Float](1)))
+      val nSlices = s.conf.get("spark.graft.ssjoin.slices", "4").toInt
+      val per = math.max(1, (rows.length + nSlices - 1) / nSlices)
+
+      val feed = MemoryStream[(Long, Seq[Float])]
+      val q = feed.toDF().toDF("vec_id", "embedding").writeStream
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, batchId: Long) =>
+          Ivf.assigned(b, cents)
+            .write.mode("overwrite").parquet(s"$store/batch=$batchId")
+          ()
+        }
+        .start()
+      try {
+        rows.grouped(per).foreach { slice =>
+          feed.addData(slice.toSeq)
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+      val nProbe = math.max(3, math.ceil(
+        s.conf.get("spark.graft.ivf.coverage", "0.375").toDouble * kClusters).toInt)
+      SimilarityQueries.ivfProbeSearch(
+        s.read.parquet(store).select(col("vec_id"), col("embedding"), col("cl")),
+        e.filter(col("vec_id") < SimilarityQueries.NQueries), cents, nProbe)
     }
   )
 

@@ -108,6 +108,36 @@ class ForgetStoresSpec extends AnyFunSuite {
     assert(dayStats(spliced) == dayStats(rebuilt))
   }
 
+  test("IVF postings after key delete equal a purged re-assignment; untouched lists not rewritten") {
+    val (listRoot, compactRoot, served, cents) =
+      ForgetStoreQueries.ivfPurgedPostings(spark, sfDir)
+    val e = Tables.load(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    // the edited store must equal re-assigning the purged corpus under
+    // the SAME frozen centroids (assignment is per-row deterministic)
+    val rebuild = graft.queries.Ivf.assigned(
+      e.filter(col("vec_id") % 97 =!= 0), cents)
+    def postings(df: DataFrame): Set[(Long, Int)] =
+      df.select(col("vec_id"), col("cl").cast("int")).collect()
+        .map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(postings(served) == postings(rebuild),
+      "purged postings must equal re-assignment of the purged corpus")
+    assert(postings(served) != postings(graft.queries.Ivf.assigned(e, cents)),
+      "the delete must be non-vacuous (tombstones existed)")
+
+    // compaction rewrote exactly the tombstones' lists; untouched lists'
+    // directories under listRoot were never written into
+    def listsOf(root: String): Set[Int] =
+      Option(new java.io.File(root).listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.startsWith("cl=")).map(_.getName.drop(3).toInt).toSet
+    val touched = postings(graft.queries.Ivf.assigned(
+      e.filter(col("vec_id") % 97 === 0), cents)).map(_._2)
+    assert(listsOf(compactRoot) == touched,
+      "compaction must rewrite exactly the lists containing tombstoned vectors")
+    assert((listsOf(listRoot) -- touched).nonEmpty,
+      "fixture must leave untouched lists for the claim to be non-vacuous")
+  }
+
   test("near-dup store key delete equals a purged rebuild (uncapped fixture)") {
     val srcN = expr("try_cast(substring(source, 4, 10) AS INT)")
     // precondition: no band bucket at the HotBuckets cap — a truncated

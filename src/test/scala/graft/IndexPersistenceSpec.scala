@@ -80,6 +80,39 @@ class IndexPersistenceSpec extends AnyFunSuite {
       "per-micro-batch assignment from the persisted quantizer must equal the batch pass")
   }
 
+  test("maintained IVF index (ss_ivf_maintain) serves searches identical to a batch-built index, under any slicing") {
+    def withConf[A](kv: (String, String)*)(body: => A): A = {
+      val saved = kv.map { case (k, _) => k -> spark.conf.getOption(k) }
+      kv.foreach { case (k, v) => spark.conf.set(k, v) }
+      try body
+      finally saved.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
+      }
+    }
+    def rows(slices: String): Seq[(Long, Long, Long)] =
+      withConf("spark.graft.ssjoin.slices" -> slices) {
+        SparkEntry.queries("ss_ivf_maintain")(spark, sfDir)
+          .select(col("qid"), col("rank").cast("long"), col("vec_id")).collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      }
+    val maintained = rows("4")
+    // batch counterpart: identical deterministic training, one-shot
+    // assignment, the same shared serving tree
+    val k = spark.conf.getOption("spark.graft.ivf.k").map(_.toInt).getOrElse(16)
+    val cents = Ivf.train(embeddings, k, iters = 3, trainSample = 2000)
+    val nProbe = math.max(3, math.ceil(
+      spark.conf.get("spark.graft.ivf.coverage", "0.375").toDouble * k).toInt)
+    val batch = SimilarityQueries.ivfProbeSearch(
+      Ivf.assigned(embeddings, cents),
+      embeddings.filter(col("vec_id") < SimilarityQueries.NQueries), cents, nProbe)
+      .select(col("qid"), col("rank").cast("long"), col("vec_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(maintained == batch,
+      "the maintained index must serve the batch-built index's exact results")
+    assert(rows("1") == maintained, "segment layout cannot depend on slicing")
+  }
+
   test("PCA basis round-trips bit-exactly") {
     import graft.operators.Pca
     val sample = embeddings.orderBy(xxhash64(col("vec_id"))).limit(500)
