@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Machine-readable quality gates for the NON-oracle (approximate /
-  * seed-dependent) queries — the 17 `no_oracle` rows in the driver's
+  * seed-dependent) queries — the 21 `no_oracle` rows in the driver's
   * CORRECTNESS artifact. Each row re-measures the query's primary
   * quantitative gate (recall vs its exact counterpart, differential
   * parity with its batch twin, structural completeness, error bound)

@@ -301,7 +301,18 @@ object ScaleCheck {
           // the same ~40 hot term keys — the subtract/compaction joins
           // face them as big counts behind map-side combines, and the
           // tombstone broadcast is unaffected by skew
-          "fg_lm_subtract", "fg_bm25_compact")
+          "fg_lm_subtract", "fg_bm25_compact",
+          // hot embedding: 10% of vectors are ONE vector — they all
+          // assign to one inverted list, so the hot list holds a linear
+          // share and the serving join faces it as ONE big candidate
+          // cell (semantics: identical vectors ARE neighbors); the
+          // per-batch assignment pass is stateless and skew-blind
+          "ss_ivf_maintain",
+          // hot template: 10% of word POSITIONS collapse onto ~40 hot
+          // words — the tokenize join on w faces them as big groups
+          // (AQE skew-join territory), while the word table and the
+          // driver trainer see just 40 more distinct words
+          "tx_bpe_apply")
       else
         Seq("b5_group_agg", "b1_filter_compound", "j_multiway_star",
           "b6_theta_distinct", "b8_freq_topk", "dd_minhash_lsh", "ann_lsh_topk",
@@ -352,7 +363,15 @@ object ScaleCheck {
           // deletion propagation: store build + broadcast-delta edit;
           // the tombstone set stays request-bounded at every k
           "fg_lm_subtract", "fg_bm25_compact", "fg_cooccur_subtract",
-          "fg_sketch_rewindow")
+          "fg_sketch_rewindow",
+          // the IVF store verbs: segment-append maintenance + key delete
+          // (broadcast tombstones, touched lists only)
+          "ss_ivf_maintain", "fg_ivf_delete",
+          // BPE: distributed word count + capped driver loop (train),
+          // per-distinct-word kernel + relational tokenize join (apply).
+          // Token salting grows the word table ~k-fold until the
+          // maxWords cap bites — the cap is the documented scale lever
+          "tx_bpe_train", "tx_bpe_apply")
     val selected = if (only.isEmpty) names else names.filter(only)
     // dd_semdedup is excluded the same way dd_embed_cosine is: replicated
     // embeddings are bit-identical across copies, so k-fold data has k²

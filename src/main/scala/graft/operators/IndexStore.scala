@@ -75,6 +75,20 @@ object IndexStore {
   def loadBloom(s: SparkSession, path: String): Array[Byte] =
     s.read.parquet(path).collect().head.getAs[Array[Byte]]("bf")
 
+  /** Learned BPE merge table (the `tx_bpe_train` artifact) as rows
+    * (rank, left, right) — strings round-trip exactly, so tokenization
+    * from the loaded artifact is bit-identical to the training run's. */
+  def saveMerges(s: SparkSession, path: String, merges: Seq[(String, String)]): Unit = {
+    import s.implicits._
+    merges.zipWithIndex.map { case ((a, b), r) => (r, a, b) }
+      .toDF("rank", "left", "right")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  def loadMerges(s: SparkSession, path: String): Seq[(String, String)] =
+    s.read.parquet(path).orderBy(col("rank")).collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+
   /** Trained linear-model weights (the `tx_train_classifier` artifact) as
     * rows (bucket, w) — integer micro-units, so the round-trip is exact
     * and a scoring pass against the loaded model is bit-identical to the

@@ -1021,10 +1021,19 @@ object StreamingQueries {
           expr("kll_sketch_agg_double(value, 65535)").as("ksk"))
         .select(date_format(col("w.start"), "yyyy-MM-dd").as("day"),
           col("n_events"), col("tsk"), col("ksk"))
-      // append mode + file sink: one immutable store row per closed day
-      val q = partials.writeStream.format("parquet")
-        .option("path", storeDays).option("checkpointLocation", ckpt)
-        .outputMode("append").start()
+      // append mode + file sink: one immutable store row per closed day.
+      // Stream-side shuffle partitions drop to ssjoin.parts (the shared
+      // replay-harness idiom): the day-window agg keys on ~30 days, so
+      // 32 state-store partitions paid 32 commits + 32 sink files per
+      // batch for single-digit live keys
+      val savedParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions",
+        s.conf.get("spark.graft.ssjoin.parts", "4"))
+      val q =
+        try partials.writeStream.format("parquet")
+          .option("path", storeDays).option("checkpointLocation", ckpt)
+          .outputMode("append").start()
+        finally s.conf.set("spark.sql.shuffle.partitions", savedParts)
       try {
         val nSlices = s.conf.get("spark.graft.ssjoin.slices", "4").toInt
         val per = math.max(1, (rows.length + nSlices - 1) / nSlices)

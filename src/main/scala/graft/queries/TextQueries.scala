@@ -849,8 +849,98 @@ object TextQueries {
           lift.as("lift"))
         .orderBy(col("lift").desc, col("x"), col("y"))
         .limit(100)
+    },
+
+    // Learned-subword tokenizer TRAINING (byte-pair encoding) — the
+    // vocabulary a pretraining pipeline learns once per corpus. The
+    // Ivf.train decomposition: the corpus is touched only by the
+    // distributed word count; the iterative merge loop runs on the
+    // driver over the bounded word-frequency table (top maxWords by
+    // count desc, word asc — TakeOrderedAndProject, per-partition
+    // heaps), exactly how production BPE trainers consume a pre-counted
+    // word table. The merge artifact round-trips through IndexStore
+    // (train → persist → load → emit), so the emitted table IS the
+    // production artifact. No SQL oracle (iterative merging is not
+    // SQL); GateCheck holds rule uniqueness + the apply-side round-trip
+    // and compression gates; BpeSpec pins the hand-computable classic
+    // fixture (low/lower/newest/widest → es, est, est</w>, lo).
+    QueryDef("tx_bpe_train", None) { (s, d) =>
+      import s.implicits._
+      val merges = bpeMerges(s, d)
+      val path = s.conf.getOption("spark.graft.index.dir")
+        .getOrElse("/tmp/graft_index_store") + "/bpe_" +
+        java.lang.Long.toHexString(
+          scala.util.hashing.MurmurHash3.stringHash(d).toLong & 0xffffffffL)
+      graft.operators.IndexStore.saveMerges(s, path, merges)
+      graft.operators.IndexStore.loadMerges(s, path)
+        .zipWithIndex.map { case ((a, b), r) => (r.toLong, a, b) }
+        .toDF("rank", "left", "right").orderBy(col("rank"))
+    },
+
+    // Tokenizer INFERENCE over the corpus: the imperative BPE kernel
+    // (operators.Bpe.encode, lowest-rank-pair-first — the standard
+    // algorithm) runs once per DISTINCT word (bounded mapPartitions over
+    // the word table, broadcast ranks); per-document tokenization is
+    // pure relational work — posexplode, join on word, position-ordered
+    // reassembly — so at 100 TB the per-doc cost is a join against the
+    // zipf-bounded word→tokens table, never a per-occurrence kernel
+    // call. Output is integer counts + an order-exact stream
+    // fingerprint; GateCheck reconstructs every document from its token
+    // stream and holds the round-trip to zero mismatches at both SFs.
+    QueryDef("tx_bpe_apply", None) { (s, d) =>
+      val merges = bpeMerges(s, d)
+      bpeTokenized(s, d, merges)
+        .select(col("doc_id"), col("n_words"), col("n_tokens"),
+          md5(col("tok_stream")).as("tok_fp"))
+        .orderBy(col("doc_id"))
     }
   )
+
+  // ---- BPE tokenizer (operators.Bpe): train on the word table, apply by join
+
+  /** Distributed word count → bounded driver merge loop ([[graft.operators.Bpe.train]]).
+    * The collect is capped by `spark.graft.bpe.maxWords` with a total
+    * deterministic order (count desc, word asc); `spark.graft.bpe.merges`
+    * bounds the learned rule count. */
+  private[graft] def bpeMerges(s: SparkSession, d: String): Seq[(String, String)] = {
+    val nMerges = s.conf.get("spark.graft.bpe.merges", "200").toInt
+    val maxWords = s.conf.get("spark.graft.bpe.maxWords", "50000").toInt
+    val wt = docs(s, d)
+      .select(explode(split(coalesce(col("text"), lit("")), " ")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("w")).limit(maxWords)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    graft.operators.Bpe.train(wt, nMerges)
+  }
+
+  /** Tokenized corpus under a learned merge table — one row per doc:
+    * (doc_id, n_words, n_tokens, tok_stream), tok_stream the
+    * space-joined token sequence in document order (each word's last
+    * token carries the `</w>` sentinel, so stripping separators and
+    * mapping the sentinel back to a space reproduces the text exactly —
+    * the round-trip identity GateCheck and BpeSpec hold). */
+  private[graft] def bpeTokenized(s: SparkSession, d: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    import s.implicits._
+    val ranksB = s.sparkContext.broadcast(merges.zipWithIndex.toMap)
+    val words = docs(s, d)
+      .select(explode(split(coalesce(col("text"), lit("")), " ")).as("w"))
+      .distinct()
+    val wordToks = words.as[String].mapPartitions { it =>
+      val r = ranksB.value
+      it.map(w => (w, graft.operators.Bpe.encode(w, r).toSeq))
+    }.toDF("w", "toks")
+    docs(s, d)
+      .select(col("doc_id"),
+        posexplode(split(coalesce(col("text"), lit("")), " ")).as(Seq("pos", "w")))
+      .join(wordToks, Seq("w"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(size(col("toks"))).as("n_tokens"),
+        concat_ws(" ", flatten(transform(
+          array_sort(collect_list(struct(col("pos"), col("toks")))),
+          st => st.getField("toks")))).as("tok_stream"))
+  }
 
   /** fn_feature_hash's bucket function: first 4 md5 hex chars mod 64 —
     * cross-engine exact (see FunctionQueries.fn_feature_hash). */
