@@ -366,7 +366,7 @@ object ScaleCheck {
           "fg_sketch_rewindow",
           // the IVF store verbs: segment-append maintenance + key delete
           // (broadcast tombstones, touched lists only)
-          "ss_ivf_maintain", "fg_ivf_delete",
+          "ss_ivf_maintain", "fg_ivf_delete", "fg_fp_subtract",
           // BPE: distributed word count + capped driver loop (train),
           // per-distinct-word kernel + relational tokenize join (apply).
           // Token salting grows the word table ~k-fold until the

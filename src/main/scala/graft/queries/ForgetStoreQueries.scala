@@ -177,6 +177,40 @@ object ForgetStoreQueries {
       .unionByName(rebuilt)
   }
 
+  // ---- exact-dedup fingerprint store: refcounted key subtract ----------
+
+  /** The dd_incremental corpus fingerprint store, REFCOUNTED and purged:
+    * the persisted store carries (fp, n) — how many corpus docs share
+    * each token-set fingerprint — so deletion is the LM delta-subtract
+    * run on fingerprints: forgotten docs' fp counts subtract, keys
+    * reaching 0 drop, and an fp shared by a forgotten and a surviving
+    * doc SURVIVES with its count reduced (a plain distinct-fp store
+    * cannot answer that without a corpus recount — the refcount IS what
+    * makes the delete O(delta)). The sf0.1 fixture exercises the shared
+    * case (3 fps held by both sides); ForgetStoresSpec pins it on a
+    * crafted frame. Store slice = dd_incremental's corpus split
+    * (source < 15). */
+  /** The pure edit: subtract the forgotten docs' fp counts from a
+    * refcounted (fp, n) store frame; keys reaching 0 drop. `fps` is the
+    * FORGOTTEN docs' (fp) rows — request-bounded, hence broadcast. */
+  private[graft] def fpRefcountSubtract(store: DataFrame, goneFps: DataFrame): DataFrame =
+    store.join(broadcast(goneFps.groupBy(col("fp")).agg(count(lit(1)).as("dn"))),
+        Seq("fp"), "left_outer")
+      .select(col("fp"), (col("n") - coalesce(col("dn"), lit(0L))).as("n"))
+      .filter(col("n") > 0)
+
+  private[graft] def fpPurgedStore(s: SparkSession, d: String): DataFrame = {
+    val base = StreamingQueries.invocationStore(s, "fgfp", d)
+    val srcN = expr("try_cast(substring(source, 4, 10) AS INT)")
+    val fps = docs(s, d).filter(srcN < 15)
+      .select(col("doc_id"),
+        Fingerprints.tokenSetFp(split(col("text"), " ")).as("fp"))
+    fps.groupBy(col("fp")).agg(count(lit(1)).as("n"))
+      .write.mode("overwrite").parquet(s"$base/fp")
+    fpRefcountSubtract(s.read.parquet(s"$base/fp"),
+      fps.filter(ForgottenDoc).select(col("fp")))
+  }
+
   // ---- ANN index store: tombstoned vectors deleted from their lists ----
 
   /** The persisted IVF postings store `(vec_id, embedding, cl)`,
@@ -329,6 +363,22 @@ object ForgetStoreQueries {
           expr("element_at(kll_sketch_get_quantile_double(kll_merge_agg_double(ksk), array(0.5D)), 1)")
             .as("p50"))
         .orderBy(col("wk"))
+    },
+
+    // Refcounted subtract on the exact-dedup fingerprint store: the
+    // persisted (fp, n) store minus the forgotten docs' fp counts equals
+    // the purged-corpus fingerprint census exactly — including the
+    // shared case (an fp held by both a forgotten and a surviving doc
+    // keeps its key with n reduced; sf0.1 has 3 such fps). The oracle
+    // recomputes the census from the purged corpus, so a pass proves
+    // the O(delta) edit reproduced what a full recount would.
+    QueryDef("fg_fp_subtract", Some(
+      s"""SELECT ${Fingerprints.sql} AS fp, CAST(count(*) AS BIGINT) AS n
+         |FROM documents
+         |WHERE TRY_CAST(substr(source, 4) AS INTEGER) < 15
+         |  AND doc_id % 97 <> 0
+         |GROUP BY 1 ORDER BY fp""".stripMargin)) { (s, d) =>
+      fpPurgedStore(s, d).orderBy(col("fp"))
     },
 
     // Key delete in the ANN index: tombstoned vectors removed from their

@@ -24,7 +24,7 @@ final case class QueryDef(
   * shuffled copies byte-hashing misses). ONE definition, expressed for
   * both engines, so the two queries cannot silently diverge from each
   * other or from their oracles. */
-private[queries] object Fingerprints {
+private[graft] object Fingerprints {
   import org.apache.spark.sql.Column
   import org.apache.spark.sql.functions._
 

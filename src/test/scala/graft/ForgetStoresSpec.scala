@@ -108,6 +108,30 @@ class ForgetStoresSpec extends AnyFunSuite {
     assert(dayStats(spliced) == dayStats(rebuilt))
   }
 
+  test("fingerprint refcount subtract: shared fps survive with n reduced, exclusive fps drop") {
+    val s = spark
+    import s.implicits._
+    // crafted: fpA held by forgotten doc 0 AND survivor 1 (must survive,
+    // n 2→1); fpB held only by forgotten doc 97 (must drop); fpC only by
+    // survivors (untouched)
+    val fps = Seq((0L, "fpA"), (1L, "fpA"), (97L, "fpB"),
+      (2L, "fpC"), (3L, "fpC")).toDF("doc_id", "fp")
+    val store = fps.groupBy(col("fp")).agg(count(lit(1)).as("n"))
+    val purged = graft.queries.ForgetStoreQueries.fpRefcountSubtract(
+      store, fps.filter(col("doc_id") % 97 === 0).select(col("fp")))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(purged == Map("fpA" -> 1L, "fpC" -> 2L))
+
+    // and the corpus-level store equals a purged-census rebuild
+    val srcN = expr("try_cast(substring(source, 4, 10) AS INT)")
+    val stored = ForgetStoreQueries.fpPurgedStore(spark, sfDir)
+    val rebuild = purgedDocs.filter(srcN < 15)
+      .groupBy(graft.queries.Fingerprints
+        .tokenSetFp(split(col("text"), " ")).as("fp"))
+      .agg(count(lit(1)).as("n"))
+    assert(rows(stored) == rows(rebuild))
+  }
+
   test("IVF postings after key delete equal a purged re-assignment; untouched lists not rewritten") {
     val (listRoot, compactRoot, served, cents) =
       ForgetStoreQueries.ivfPurgedPostings(spark, sfDir)
