@@ -312,7 +312,11 @@ object ScaleCheck {
           // words — the tokenize join on w faces them as big groups
           // (AQE skew-join territory), while the word table and the
           // driver trainer see just 40 more distinct words
-          "tx_bpe_apply")
+          "tx_bpe_apply",
+          // hot template: 10% of docs collapse onto ONE fingerprint —
+          // the refcount fold faces it as one big COUNT (map-side
+          // combine), never one big group
+          "ss_fp_maintain")
       else
         Seq("b5_group_agg", "b1_filter_compound", "j_multiway_star",
           "b6_theta_distinct", "b8_freq_topk", "dd_minhash_lsh", "ann_lsh_topk",
@@ -367,6 +371,7 @@ object ScaleCheck {
           // the IVF store verbs: segment-append maintenance + key delete
           // (broadcast tombstones, touched lists only)
           "ss_ivf_maintain", "fg_ivf_delete", "fg_fp_subtract",
+          "ss_fp_maintain",
           // BPE: distributed word count + capped driver loop (train),
           // per-distinct-word kernel + relational tokenize join (apply).
           // Token salting grows the word table ~k-fold until the

@@ -2016,6 +2016,57 @@ object StreamingQueries {
       SimilarityQueries.ivfProbeSearch(
         s.read.parquet(store).select(col("vec_id"), col("embedding"), col("cl")),
         e.filter(col("vec_id") < SimilarityQueries.NQueries), cents, nProbe)
+    },
+
+    // The exact-dedup fingerprint REFCOUNT store maintained live — the
+    // ingest side of the lifecycle whose purge verb is fg_fp_subtract
+    // and whose consumer is dd_incremental: each micro-batch of newly
+    // ingested corpus docs folds its fingerprint counts into the
+    // hash-bucketed store (BucketedStore.foldCounts — the third
+    // consumer of the IVM fold engine after the co-occurrence and LM
+    // stores), so "how many corpus docs carry this fp" is answerable
+    // at any moment from the O(|distinct fps|) store without a corpus
+    // recount, and deletion stays the O(delta) refcount subtract.
+    // Counts are exactly additive under any slicing, so the drained
+    // store equals the batch census — the oracle recomputes it from
+    // the raw corpus slice. Fold cost tracks the batch's bucket
+    // footprint (IvmBucketedSpec's engine gates).
+    QueryDef("ss_fp_maintain", Some(
+      s"""SELECT ${Fingerprints.sql} AS fp, CAST(count(*) AS BIGINT) AS n
+         |FROM documents
+         |WHERE TRY_CAST(substr(source, 4) AS INTEGER) < 15
+         |GROUP BY 1 ORDER BY fp""".stripMargin)) { (s, d) =>
+      import s.implicits._
+      implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val base = invocationStore(s, "fpmaint", d)
+      val srcN = expr("try_cast(substring(source, 4, 10) AS INT)")
+      val rows = Tables.load(s, d, "documents").filter(srcN < 15)
+        .select(col("doc_id"), col("text"))
+        .orderBy(col("doc_id")).harnessFeed()
+        .map(r => (r.getLong(0), r.getString(1)))
+      val nSlices = s.conf.get("spark.graft.ssjoin.slices", "4").toInt
+      val per = math.max(1, (rows.length + nSlices - 1) / nSlices)
+      val nB = s.conf.get("spark.graft.ivm.buckets", "16").toInt
+      val store = new graft.operators.BucketedStore(s"$base/fp",
+        Seq.empty[(String, Long)].toDF("fp", "n"), Seq("fp"), Seq("fp"), nB)
+
+      val feed = MemoryStream[(Long, String)]
+      val q = feed.toDF().toDF("doc_id", "text").writeStream
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          store.foldCounts(
+            b.select(Fingerprints.tokenSetFp(split(col("text"), " ")).as("fp"))
+              .groupBy(col("fp")).agg(count(lit(1)).as("dn")),
+            "dn", "n")
+          ()
+        }
+        .start()
+      try {
+        rows.grouped(per).foreach { slice =>
+          feed.addData(slice.toSeq)
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+      store.readAll().drop("__bkt").orderBy(col("fp"))
     }
   )
 
