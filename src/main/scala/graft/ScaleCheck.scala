@@ -372,6 +372,9 @@ object ScaleCheck {
           // (broadcast tombstones, touched lists only)
           "ss_ivf_maintain", "fg_ivf_delete", "fg_fp_subtract",
           "ss_fp_maintain",
+          // sequence packing: bucketed prefix sums + broadcast offsets,
+          // per-doc span explode — the op_global_rank shape over tokens
+          "tx_pack_sequences",
           // BPE: distributed word count + capped driver loop (train),
           // per-distinct-word kernel + relational tokenize join (apply).
           // Token salting grows the word table ~k-fold until the

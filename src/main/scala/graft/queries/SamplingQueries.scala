@@ -147,6 +147,62 @@ object SamplingQueries {
         .orderBy(col("doc_id"))
     },
 
+    // GPT-style SEQUENCE PACKING — the pretraining batch layout:
+    // documents concatenate in a fixed deterministic order (doc_id) and
+    // the token stream chunks into fixed-length sequences
+    // (`spark.graft.pack.seqLen`, default 512); a document SPLITS across
+    // a boundary (unlike tx_pack_shards' doc-granular shard budgeting),
+    // so every sequence except the last is exactly full. The global
+    // token prefix-sum is the op_global_rank shape — never a one-task
+    // window: doc_id-contiguous buckets, per-bucket token sums collected
+    // (|buckets| longs), exclusive offsets broadcast back as a map
+    // literal, the within-bucket cumsum a per-bucket window. Each doc
+    // then explodes over only the sequences it overlaps (ntok/L + 1
+    // rows) and the per-sequence report is one map-side-combinable
+    // aggregate. Integer-exact end to end.
+    QueryDef("tx_pack_sequences", Some(
+      """WITH t AS (SELECT doc_id, len(string_split(text,' ')) AS ntok FROM documents),
+        |c AS (SELECT doc_id, ntok,
+        |        COALESCE(sum(ntok) OVER (ORDER BY doc_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS st
+        |      FROM t),
+        |x AS (SELECT doc_id, st, ntok,
+        |        unnest(range(CAST(st // 512 AS BIGINT),
+        |                     CAST((st + ntok - 1) // 512 + 1 AS BIGINT))) AS seq_id
+        |      FROM c)
+        |SELECT seq_id, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(least(st + ntok, (seq_id + 1) * 512)
+        |         - greatest(st, seq_id * 512)) AS BIGINT) AS n_tokens
+        |FROM x GROUP BY seq_id ORDER BY seq_id""".stripMargin)) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.types.LongType
+      val L = s.conf.get("spark.graft.pack.seqLen", "512").toLong
+      val nb = s.conf.get("spark.graft.rank.buckets", "32").toInt
+      val t = Tables.load(s, d, "documents")
+        .select(col("doc_id"), size(split(col("text"), " ")).cast(LongType).as("ntok"))
+      // doc_id-contiguous buckets so per-bucket sums compose into a
+      // global exclusive prefix (id density is irrelevant — only the
+      // ORDER partitioning matters)
+      val maxId = t.agg(max(col("doc_id"))).head.getLong(0)
+      val width = maxId / nb + 1
+      val tb = t.withColumn("b", (col("doc_id") / width).cast("int"))
+      val sums = tb.groupBy(col("b")).agg(sum(col("ntok")).as("s"))
+        .collect().map(r => (r.getInt(0), r.getLong(1))).toMap
+      val offsets = (0 until nb).scanLeft(0L)((acc, i) => acc + sums.getOrElse(i, 0L))
+      val offMap = map((0 until nb).flatMap(i => Seq(lit(i), lit(offsets(i)))): _*)
+      val w = Window.partitionBy(col("b")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      tb.withColumn("st",
+          element_at(offMap, col("b")) + sum(col("ntok")).over(w) - col("ntok"))
+        .withColumn("seq_id", explode(sequence(
+          expr(s"st div $L"), expr(s"(st + ntok - 1) div $L"))))
+        .groupBy(col("seq_id"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(least(col("st") + col("ntok"), (col("seq_id") + 1) * L)
+            - greatest(col("st"), col("seq_id") * L)).as("n_tokens"))
+        .orderBy(col("seq_id"))
+    },
+
     // Per-group cap — "keep the best N documents per source", the
     // domain-balancing step that stops one crawl/domain from dominating
     // the training mixture (every mixture recipe caps domains before

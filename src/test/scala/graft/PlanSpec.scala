@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.execution.SparkPlan
-import org.apache.spark.sql.functions.{col, count, lit, to_date}
+import org.apache.spark.sql.functions.{col, count, explode, expr, greatest, least, lit, sequence, size, split, sum, to_date}
 import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
 import org.apache.spark.sql.execution.debug
 import org.scalatest.funsuite.AnyFunSuite
@@ -657,6 +657,34 @@ class PlanSpec extends AnyFunSuite {
     assert(exchanges.size == 1,
       s"scd2 must reuse one user_id exchange:\n${exchanges.mkString("\n")}\n$p")
     assert(exchanges.head.contains("user_id"), exchanges.head)
+  }
+
+  test("sequence packing's prefix-sum window is bucket-partitioned, never global") {
+    val p = planStr("tx_pack_sequences")
+    // the cumsum window must carry the bucket partition key — an empty
+    // partitionBy would funnel the whole corpus into ONE window task
+    val windows = p.linesIterator.filter(_.contains("Window")).toSeq
+    assert(windows.nonEmpty, s"expected the bucketed cumsum window:\n$p")
+    assert(windows.forall(_.contains("windowspecdefinition(b#")),
+      s"the window must partition by the doc_id bucket:\n${windows.mkString("\n")}")
+    // and the result equals the one-task reference on the fixture
+    val got = SparkEntry.queries("tx_pack_sequences")(spark, sfDir)
+      .collect().map(_.toString).toSeq
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ref = graft.sources.Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("ntok"))
+      .withColumn("st", sum(col("ntok")).over(w) - col("ntok"))
+      .withColumn("seq_id", explode(sequence(
+        expr("st div 512"), expr("(st + ntok - 1) div 512"))))
+      .groupBy(col("seq_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(least(col("st") + col("ntok"), (col("seq_id") + 1) * 512)
+          - greatest(col("st"), col("seq_id") * 512)).as("n_tokens"))
+      .orderBy(col("seq_id"))
+      .collect().map(_.toString).toSeq
+    assert(got == ref, "bucketed prefix sum must equal the global-window reference")
   }
 
   test("transition matrix second aggregate carries type-pair keys, not events") {
