@@ -59,7 +59,10 @@ object PlanDump {
     "op_triangles" -> "mutual-kNN triangles: bounded-heap kNN (pre-checkpoint), equi-join closure over a<b<c edges",
     "tx_lm_surprisal" -> "bigram-LM surprisal: two map-combined model tables, two shuffle joins back, integer bit-length quantization",
     "fg_bm25_compact" -> "postings purge: segment-pruned compaction scan, broadcast tombstone anti-join, store-only serving pass",
-    "fg_cooccur_subtract" -> "reverse-IVM subtract: store scan + broadcast forgotten-basket delta, zero-count drop")
+    "fg_cooccur_subtract" -> "reverse-IVM subtract: store scan + broadcast forgotten-basket delta, zero-count drop",
+    "fg_ivf_delete" -> "ANN index purge: list-pruned compaction scan, broadcast tombstones, shared IVF serving tree",
+    "tx_pack_sequences" -> "sequence packing: bucketed prefix sums + broadcast offsets, per-doc span explode, no global window",
+    "fg_fp_subtract" -> "fingerprint refcount purge: store scan + broadcast forgotten-fp delta, zero-count drop")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
