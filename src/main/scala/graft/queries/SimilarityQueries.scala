@@ -110,6 +110,22 @@ private[graft] object Ivf {
     }
   }
 
+  /** Compact a segment-append postings store (`ss_ivf_maintain`'s
+    * `batch=<id>` layout) into the cl-partitioned inverted-list layout
+    * `fg_ivf_delete` edits — the seam between live ingest and the
+    * serving/deletion store: one scan of the segments, one repartition
+    * by list, one partitioned write; after the swap, ingest truncates
+    * the compacted segments. The postings SET is unchanged (and
+    * [[graft.queries.SimilarityQueries.ivfProbeSearch]] reads either
+    * layout), so serving is bit-identical before and after —
+    * IndexPersistenceSpec gates it. Centroid RETRAIN, if due, happens
+    * here too: this is the one moment the corpus is rewritten anyway. */
+  def compactSegments(s: SparkSession, segRoot: String, listRoot: String): Unit =
+    s.read.parquet(segRoot)
+      .select(col("vec_id"), col("embedding"), col("cl"))
+      .repartition(col("cl"))
+      .write.partitionBy("cl").mode("overwrite").parquet(listRoot)
+
   /** Train centroids: deterministic farthest-point init over a hash-min
     * candidate pool, then `iters` Lloyd passes — ON THE DRIVER, over the
     * bounded sample collected once. The sample is ≤ `trainSample` vectors

@@ -1982,8 +1982,9 @@ object StreamingQueries {
     // index over the same corpus + artifact, under any slicing —
     // GateCheck holds search-result equality to zero mismatches. At
     // 100 TB/day the per-batch cost is one linear assignment pass +
-    // a segment write; a deployment periodically compacts segments into
-    // the cl-partitioned layout fg_ivf_delete edits.
+    // a segment write; Ivf.compactSegments periodically folds segments
+    // into the cl-partitioned layout fg_ivf_delete edits (serving
+    // bit-identical across layouts, IndexPersistenceSpec).
     QueryDef("ss_ivf_maintain", None) { (s, d) =>
       import s.implicits._
       implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext

@@ -113,6 +113,41 @@ class IndexPersistenceSpec extends AnyFunSuite {
     assert(rows("1") == maintained, "segment layout cannot depend on slicing")
   }
 
+  test("segment-to-list compaction preserves the postings set and serves identically") {
+    val k = 10
+    val cents = Ivf.train(embeddings, k, iters = 3, trainSample = 2000)
+    val assigned = Ivf.assigned(embeddings, cents)
+    // two ingest segments (the ss_ivf_maintain batch layout)
+    val segRoot = tmp("ivf_segs")
+    val listRoot = tmp("ivf_lists")
+    assigned.filter(col("vec_id") % 2 === 0)
+      .write.mode("overwrite").parquet(s"$segRoot/batch=0")
+    assigned.filter(col("vec_id") % 2 === 1)
+      .write.mode("overwrite").parquet(s"$segRoot/batch=1")
+    Ivf.compactSegments(spark, segRoot, listRoot)
+
+    def postings(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("vec_id"), col("cl").cast("int")).collect()
+        .map(r => (r.getLong(0), r.getInt(1))).toSet
+    val lists = spark.read.parquet(listRoot)
+    assert(postings(lists) == postings(assigned),
+      "compaction must preserve the postings set exactly")
+    // the compacted layout is the fg_ivf_delete shape: cl= directories
+    val dirs = Option(new java.io.File(listRoot).listFiles()).getOrElse(Array.empty)
+      .map(_.getName).filter(_.startsWith("cl=")).toSet
+    assert(dirs.nonEmpty, "compaction must write cl-partitioned lists")
+    // and the shared serving tree answers identically from either layout
+    val nProbe = 4
+    val probes = embeddings.filter(col("vec_id") < SimilarityQueries.NQueries)
+    def serve(corpus: org.apache.spark.sql.DataFrame) =
+      SimilarityQueries.ivfProbeSearch(corpus, probes, cents, nProbe)
+        .collect().map(_.toString).toSeq
+    assert(serve(spark.read.parquet(segRoot)
+        .select(col("vec_id"), col("embedding"), col("cl"))) ==
+      serve(lists.select(col("vec_id"), col("embedding"), col("cl"))),
+      "serving must be bit-identical across layouts")
+  }
+
   test("PCA basis round-trips bit-exactly") {
     import graft.operators.Pca
     val sample = embeddings.orderBy(xxhash64(col("vec_id"))).limit(500)
