@@ -310,9 +310,15 @@ object GateCheck {
         .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     val eAll = embeddings.select(col("vec_id"), col("embedding"))
     val ivfK = graft.queries.Ivf.intConf(spark, "spark.graft.ivf.k", 16)
-    val fixedCents = graft.queries.Ivf.train(eAll, ivfK, iters = 3, trainSample = 2000)
+    val ivfIters = graft.queries.Ivf.intConf(spark, "spark.graft.ivf.iters", 3)
+    val ivfSample = graft.queries.Ivf.intConf(spark, "spark.graft.ivf.trainSample", 2000)
+    val fixedCents = graft.queries.Ivf.train(eAll, ivfK, ivfIters, ivfSample)
+    // nProbe from cents.size, NOT the conf k: Ivf.train may return fewer
+    // centroids than requested on small corpora, and the queries under
+    // test (fg_ivf_delete) derive nProbe from the actual centroid count.
     val nProbe = math.max(3, math.ceil(
-      spark.conf.get("spark.graft.ivf.coverage", "0.375").toDouble * ivfK).toInt)
+      spark.conf.get("spark.graft.ivf.coverage", "0.375").toDouble
+        * fixedCents.size).toInt)
 
     val maintained = triples(run("ss_ivf_maintain"))
     val batchIndex = triples(graft.queries.SimilarityQueries.ivfProbeSearch(

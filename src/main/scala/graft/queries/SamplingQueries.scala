@@ -161,7 +161,7 @@ object SamplingQueries {
     // rows) and the per-sequence report is one map-side-combinable
     // aggregate. Integer-exact end to end.
     QueryDef("tx_pack_sequences", Some(
-      """WITH t AS (SELECT doc_id, len(string_split(text,' ')) AS ntok FROM documents),
+      """WITH t AS (SELECT doc_id, len(string_split(coalesce(text,''),' ')) AS ntok FROM documents),
         |c AS (SELECT doc_id, ntok,
         |        COALESCE(sum(ntok) OVER (ORDER BY doc_id
         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS st
@@ -179,11 +179,13 @@ object SamplingQueries {
       val L = s.conf.get("spark.graft.pack.seqLen", "512").toLong
       val nb = s.conf.get("spark.graft.rank.buckets", "32").toInt
       val t = Tables.load(s, d, "documents")
-        .select(col("doc_id"), size(split(col("text"), " ")).cast(LongType).as("ntok"))
+        .select(col("doc_id"),
+          size(split(coalesce(col("text"), lit("")), " ")).cast(LongType).as("ntok"))
       // doc_id-contiguous buckets so per-bucket sums compose into a
       // global exclusive prefix (id density is irrelevant — only the
       // ORDER partitioning matters)
-      val maxId = t.agg(max(col("doc_id"))).head.getLong(0)
+      val maxId = Option(t.agg(max(col("doc_id"))).head.get(0))
+        .map(_.asInstanceOf[Long]).getOrElse(0L)
       val width = maxId / nb + 1
       val tb = t.withColumn("b", (col("doc_id") / width).cast("int"))
       val sums = tb.groupBy(col("b")).agg(sum(col("ntok")).as("s"))

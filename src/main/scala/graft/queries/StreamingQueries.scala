@@ -2012,8 +2012,11 @@ object StreamingQueries {
           q.processAllAvailable()
         }
       } finally q.stop()
+      // nProbe from cents.size (not the conf k): Ivf.train can return
+      // fewer centroids than requested — every IVF surface must derive
+      // probe width from the same quantity or serving equality breaks.
       val nProbe = math.max(3, math.ceil(
-        s.conf.get("spark.graft.ivf.coverage", "0.375").toDouble * kClusters).toInt)
+        s.conf.get("spark.graft.ivf.coverage", "0.375").toDouble * cents.size).toInt)
       SimilarityQueries.ivfProbeSearch(
         s.read.parquet(store).select(col("vec_id"), col("embedding"), col("cl")),
         e.filter(col("vec_id") < SimilarityQueries.NQueries), cents, nProbe)

@@ -867,10 +867,11 @@ object TextQueries {
     QueryDef("tx_bpe_train", None) { (s, d) =>
       import s.implicits._
       val merges = bpeMerges(s, d)
-      val path = s.conf.getOption("spark.graft.index.dir")
-        .getOrElse("/tmp/graft_index_store") + "/bpe_" +
-        java.lang.Long.toHexString(
-          scala.util.hashing.MurmurHash3.stringHash(d).toLong & 0xffffffffL)
+      // Per-invocation root (pid + counter, keep-2 eviction) — a path
+      // content-addressed by dataset alone races concurrent same-JVM
+      // runs (one overwrites while the other loads) and ignores the
+      // bpe confs (merges/maxWords) that shape the artifact.
+      val path = StreamingQueries.invocationStore(s, "bpe", d)
       graft.operators.IndexStore.saveMerges(s, path, merges)
       graft.operators.IndexStore.loadMerges(s, path)
         .zipWithIndex.map { case ((a, b), r) => (r.toLong, a, b) }
