@@ -48,17 +48,26 @@ object GateCheck {
   private def pairSet(df: DataFrame, a: String, b: String): Set[(Long, Long)] =
     df.select(a, b).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
 
-  /** 4x-replicated embeddings corpus for the IVF octave gate (the
-    * ScaleCheck replica protocol: ids shifted so keys stay distinct,
-    * content identical), cached per fixture dir. */
-  private def ivf4xDir(spark: SparkSession, sfDir: String): String = {
-    val out = "/tmp/graft_gate_ivf4x_" + java.lang.Long.toHexString(
+  /** Id shift separating replica copies in the 4x corpus — pairs with
+    * both ids below it are the ORIGINAL pair structure. */
+  private val Rep4Shift = 100000000L
+
+  /** 4x-replicated embeddings + documents corpus for the octave gates
+    * (the ScaleCheck replica protocol: ids shifted so keys stay
+    * distinct, content identical), cached per fixture dir. */
+  private def rep4Dir(spark: SparkSession, sfDir: String): String = {
+    val out = "/tmp/graft_gate_rep4_" + java.lang.Long.toHexString(
       scala.util.hashing.MurmurHash3.stringHash(sfDir).toLong & 0xffffffffL)
-    if (!new java.io.File(s"$out/embeddings.parquet/_SUCCESS").exists()) {
+    if (!new java.io.File(s"$out/embeddings.parquet/_SUCCESS").exists() ||
+        !new java.io.File(s"$out/documents.parquet/_SUCCESS").exists()) {
       val e = graft.sources.Tables.load(spark, sfDir, "embeddings")
-      (0 until 4).map(i => e.withColumn("vec_id", col("vec_id") + lit(i * 100000000L)))
+      (0 until 4).map(i => e.withColumn("vec_id", col("vec_id") + lit(i * Rep4Shift)))
         .reduce(_.union(_))
         .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+      val docs = graft.sources.Tables.load(spark, sfDir, "documents")
+      (0 until 4).map(i => docs.withColumn("doc_id", col("doc_id") + lit(i * Rep4Shift)))
+        .reduce(_.union(_))
+        .write.mode("overwrite").parquet(s"$out/documents.parquet")
     }
     out
   }
@@ -171,6 +180,44 @@ object GateCheck {
       (exactContaminated & crossNear).size.toDouble /
         math.max(1, exactContaminated.size), ">=", 0.7)
 
+    // ---- the approximate dedup family at the NEXT corpus octave ----
+    // The IVF octave gate caught PQ decay a round early; the same 4x
+    // protocol now covers banding/threshold decay in the dedup family.
+    // Recall is measured ONLY over the ORIGINAL pair structure (both ids
+    // below the replica shift): replication floods the corpus with exact
+    // self-pairs any banding finds trivially, so counting them would
+    // inflate recall exactly when crowding (hot-bucket caps, fuller LSH
+    // bands, bigger IVF lists) starts dropping the real pairs — the
+    // decay these gates exist to catch. Bounds sit an octave under the
+    // fixture bounds (lsh 0.8→0.7, simhash 0.5→0.4, semdedup 0.8→0.6,
+    // cross 0.7→0.6), the IVF headroom rule.
+    {
+      val rep4 = rep4Dir(spark, sfDir)
+      def origPairs(df: DataFrame, a: String, b: String): Set[(Long, Long)] =
+        pairSet(df, a, b).filter(p => p._1 < Rep4Shift && p._2 < Rep4Shift)
+      val lsh4 = origPairs(
+        SparkEntry.queries("dd_minhash_lsh")(spark, rep4), "doc_a", "doc_b")
+      gates += Gate("dd_minhash_lsh", "orig_pair_recall_vs_exact_4x_corpus",
+        (exactPairs & lsh4).size.toDouble / math.max(1, exactPairs.size),
+        ">=", 0.7)
+      val sim4 = origPairs(
+        SparkEntry.queries("dd_simhash")(spark, rep4), "doc_a", "doc_b")
+      gates += Gate("dd_simhash", "orig_pair_recall_vs_exact_4x_corpus",
+        (exactPairs & sim4).size.toDouble / math.max(1, exactPairs.size),
+        ">=", 0.4)
+      val sem4 = origPairs(
+        SparkEntry.queries("dd_semdedup")(spark, rep4), "vec_a", "vec_b")
+      gates += Gate("dd_semdedup", "orig_pair_recall_vs_exact_cosine_4x_corpus",
+        (exactCos & sem4).size.toDouble / math.max(1, exactCos.size),
+        ">=", 0.6)
+      val crossNear4 = SparkEntry.queries("dd_cross_near")(spark, rep4)
+        .select("doc_id").collect().map(_.getLong(0))
+        .filter(_ < Rep4Shift).toSet
+      gates += Gate("dd_cross_near", "orig_doc_recall_vs_exact_4x_corpus",
+        (exactContaminated & crossNear4).size.toDouble /
+          math.max(1, exactContaminated.size), ">=", 0.6)
+    }
+
     def srcNum(src: String): Int =
       scala.util.Try(src.drop(3).toInt).getOrElse(Int.MinValue)
     val exactCrossBatch = exactPairs.flatMap { case (a, b) =>
@@ -249,7 +296,7 @@ object GateCheck {
     // identical — the ScaleCheck replica protocol), where the scaling
     // rule must still clear 0.55. A rule that stops tracking corpus
     // growth breaks here before it can break the fixture gates above.
-    val rep4 = ivf4xDir(spark, sfDir)
+    val rep4 = rep4Dir(spark, sfDir)
     val brute4 = pairSet(SparkEntry.queries("ann_brute_topk")(spark, rep4),
       "qid", "vec_id")
     val ivf4 = pairSet(SparkEntry.queries("ann_ivf_topk")(spark, rep4),
@@ -327,6 +374,20 @@ object GateCheck {
       fixedCents, nProbe))
     gates += Gate("ss_ivf_maintain", "search_mismatches_vs_batch_index",
       ((maintained -- batchIndex).size + (batchIndex -- maintained).size).toDouble,
+      "==", 0)
+
+    // ---- automatic segment compaction mid-stream: serving unchanged ----
+    // Force the Ivf.compactIfDue threshold below the fixture's slice
+    // count so the lists_upto_<B> swap fires DURING the drain, then
+    // hold serving to the same zero-mismatch equality — the policy can
+    // reorganize the store but never change an answer.
+    val compacted = {
+      spark.conf.set("spark.graft.ivf.segCompactAfter", "2")
+      try triples(run("ss_ivf_maintain"))
+      finally spark.conf.unset("spark.graft.ivf.segCompactAfter")
+    }
+    gates += Gate("ss_ivf_maintain", "search_mismatches_across_auto_compaction",
+      ((compacted -- batchIndex).size + (batchIndex -- compacted).size).toDouble,
       "==", 0)
 
     val purgedServed = triples(run("fg_ivf_delete"))

@@ -68,6 +68,22 @@ object StreamBench {
       (s"m$i", bql)
     }
 
+    // equality-ROUTED workload (the reference QueryManager.categorize
+    // scenario): n heterogeneous queries, every one `user_id == <some id>`
+    // — the many-tenant pattern. Three aggregate shapes → three routing
+    // families → 3 family groupBy jobs per batch, whatever n is; without
+    // the index each query contributes its own when(pred) column to the
+    // fused scan (still 1 job, but O(n) columns per record).
+    def eqQueriesFor(n: Int): Seq[(String, String)] = (0 until n).map { i =>
+      val uid = (i * 37) % 1000
+      val bql = i % 3 match {
+        case 0 => s"SELECT COUNT(*) AS cnt, SUM(value) AS sv FROM STREAM WHERE user_id == $uid"
+        case 1 => s"SELECT COUNT(DISTINCT event_type) AS ne FROM STREAM WHERE user_id == $uid"
+        case 2 => s"SELECT QUANTILE(value, 0.5) AS q FROM STREAM WHERE user_id == $uid"
+      }
+      (s"e$i", bql)
+    }
+
     /** Spark actions completed while `body` runs (QueryExecutions, not
       * jobs — AQE splits one action into several jobs). */
     def countActions(body: => Unit): Int = {
@@ -152,9 +168,10 @@ object StreamBench {
     // args: plain counts ("1 10 100") use the mixed query set; "rawN"
     // uses N concurrent RAW queries; "globN" N pure global aggregates;
     // "mixN" N mixed Theta/KLL/group/topk sketch queries (also reports
-    // actions per batch — the O(shapes) fusion evidence); "latN" measures
-    // admission/emit latency with N queries; "socketN" drives N messages
-    // through the socket transport broker
+    // actions per batch — the O(shapes) fusion evidence); "eqN" N
+    // equality-routed queries (the categorize index drive); "latN"
+    // measures admission/emit latency with N queries; "socketN" drives
+    // N messages through the socket transport broker
     val counts = if (args.nonEmpty) args.toSeq else Seq("1", "10", "100")
     counts.filter(_.startsWith("socket")).foreach(s => socketDrive(s.drop(6).toInt))
     counts.filter(_.startsWith("lat")).foreach(s => latDrive(s.drop(3).toInt))
@@ -164,6 +181,7 @@ object StreamBench {
         if (spec.startsWith("raw")) rawQueriesFor(spec.drop(3).toInt)
         else if (spec.startsWith("glob")) globQueriesFor(spec.drop(4).toInt)
         else if (spec.startsWith("mix")) mixQueriesFor(spec.drop(3).toInt)
+        else if (spec.startsWith("eq")) eqQueriesFor(spec.drop(2).toInt)
         else queriesFor(spec.toInt)
       qs.foreach { case (id, bql) => engine.submit(id, bql) }
       // modulo slicing: equivalent to range slicing on the dense sf

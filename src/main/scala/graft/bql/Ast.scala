@@ -55,6 +55,15 @@ object Ast {
     * the DATA min and max, resolved at result time. */
   final case class PmfAgg(field: String, points: Seq[Double], cdf: Boolean, name: String,
       linearN: Option[Int] = None) extends Agg
+  /** `SELECT DEDUPE(<content expr>, <id field>)` — exact content-hash
+    * dedup (the LLM-pipeline `dd_exact` verb as query text): groups by
+    * md5 of the content expression, emits (h, keep_id = min id,
+    * n_copies) — the keep-lowest-id dedup manifest. */
+  final case class DedupeAgg(content: Expr, idField: String) extends Agg
+  /** `SELECT SEARCH('<terms>', k)` — Okapi BM25 top-k over (doc_id,
+    * text) rows (the `srch_bm25` verb as query text): emits
+    * (doc_id, rank, score_micro). */
+  final case class SearchAgg(terms: Seq[String], k: Int) extends Agg
 
   final case class AggOp(fn: String, arg: Option[Expr], name: String) // COUNT SUM MIN MAX AVG
 

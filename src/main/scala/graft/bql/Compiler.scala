@@ -41,6 +41,23 @@ object Compiler {
   }
 
   def column(e: Expr): Column = e match {
+    // SAMPLE(frac, content): deterministic content-keyed sampling — keep
+    // a row iff the first md5 byte of the content falls in the lowest
+    // round(frac·256) values. Hash-keyed → stable under repartitioning
+    // and re-runs (samp_hash_sample's discipline); frac must be a
+    // literal because the cut point is baked into the plan.
+    case Binary("SAMPLE", content, fracExpr) =>
+      val f = fracExpr match {
+        case Lit(d: Double) => d
+        case Lit(l: Long) => l.toDouble
+        case other =>
+          throw new BqlParseException(s"SAMPLE fraction must be a literal, got $other")
+      }
+      if (f <= 0 || f > 1)
+        throw new BqlParseException(s"SAMPLE fraction must be in (0, 1], got $f")
+      val cut = math.round(f * 256).toInt
+      if (cut >= 256) lit(true)
+      else substring(md5(column(content)), 1, 2) < lit(f"$cut%02x")
     // dotted paths resolve type-aware (struct field OR map key — Bullet's
     // `a.b` reads map subfields; UnresolvedExtractValue handles both)
     case FieldRef(p) if p.contains('.') =>
@@ -227,6 +244,17 @@ object Compiler {
           .agg(count(lit(1)).as(countName))
           .orderBy(col(countName).desc +: fields.map(col): _*)
           .limit(k)
+      case DedupeAgg(content, idField) =>
+        // exact content-hash dedup manifest (dd_exact as query text):
+        // one hash-groupBy — partial aggregation map-side, the exchange
+        // carries (16-byte hash, min-id, count) rows only
+        df.groupBy(md5(column(content)).as("h"))
+          .agg(min(col(idField)).as("keep_id"), count(lit(1)).as("n_copies"))
+      case SearchAgg(terms, k) =>
+        // Okapi BM25 top-k (srch_bm25 as query text) through the shared
+        // ranking tree — one corpus scan for stats, one for tf, a
+        // broadcast of the 1-row stats frame, bounded top-k
+        graft.queries.SearchQueries.bm25Search(df, terms, k)
       case QuantileAgg(field, probs, name) =>
         val ps = if (probs.nonEmpty) probs else Seq(0.25, 0.5, 0.75)
         df.agg(expr(s"kll_sketch_get_quantile_double(kll_sketch_agg_double($field, $kllK)," +

@@ -66,10 +66,11 @@ object Parser {
 
     private val clauseKeywords = Set("WHERE", "GROUP", "BY", "HAVING", "ORDER",
       "WINDOWING", "LIMIT", "DURATION", "CULL", "AS", "FROM", "STREAM", "LATERAL")
-    private val aggFns = Set("COUNT", "SUM", "MIN", "MAX", "AVG", "TOP", "QUANTILE", "PMF", "CDF")
+    private val aggFns = Set("COUNT", "SUM", "MIN", "MAX", "AVG", "TOP", "QUANTILE", "PMF", "CDF",
+      "DEDUPE", "SEARCH")
     private val scalarFns = Set("ABS", "LOWER", "UPPER", "TRIM", "SIZEOF", "LENGTH",
       "ISNULL", "ISNOTNULL", "IF", "CAST", "CONTAINSKEY", "CONTAINSVALUE", "SIZEIS",
-      "JSON", "FILTER")
+      "JSON", "FILTER", "SAMPLE")
 
     /** Leading `SET <key> = <value> [;]` statements — the text surface's
       * session/sketch lever (SURVEY §2.B armed modes). Keys are checked
@@ -175,6 +176,12 @@ object Parser {
           case Seq((SelectItem(_, alias), AggCall("TOP", Some(k), _, fields, _, _, _)))
               if groupKeys.isEmpty =>
             TopKAgg(k, fields, alias.getOrElse("count"))
+          case Seq((SelectItem(_, _), AggCall("DEDUPE", _, _, Seq(idField), _, Some(content), _)))
+              if groupKeys.isEmpty =>
+            DedupeAgg(content, idField)
+          case Seq((SelectItem(_, _), AggCall("SEARCH", Some(k), _, _, _, Some(Lit(terms: String)), _)))
+              if groupKeys.isEmpty =>
+            SearchAgg(terms.split("\\s+").toSeq.filter(_.nonEmpty), k)
           case Seq((SelectItem(_, alias), AggCall("QUANTILE", _, _, fields, probs, _, _)))
               if groupKeys.isEmpty =>
             QuantileAgg(fields.head, probs, alias.getOrElse("quantile"))
@@ -183,7 +190,8 @@ object Parser {
             PmfAgg(fields.head, points, k == "CDF", alias.getOrElse(k.toLowerCase), linearN)
           case _ =>
             val ops = aggItems.zipWithIndex.map { case ((SelectItem(_, alias), a), i) =>
-              if (a.distinct || a.fn == "TOP" || a.fn == "QUANTILE" || a.fn == "PMF" || a.fn == "CDF")
+              if (a.distinct || a.fn == "TOP" || a.fn == "QUANTILE" || a.fn == "PMF" ||
+                  a.fn == "CDF" || a.fn == "DEDUPE" || a.fn == "SEARCH")
                 throw new BqlParseException(
                   s"${a.fn}${if (a.distinct) " DISTINCT" else ""} cannot mix with GROUP BY / other aggregates")
               AggOp(a.fn, a.arg, alias.getOrElse(s"${a.fn.toLowerCase}_$i"))
@@ -377,6 +385,24 @@ object Parser {
             val e = expr(); expect(")")
             AggCall("COUNT", None, distinct = false, Nil, Nil, Some(e))
           }
+        case "DEDUPE" =>
+          // DEDUPE(<content expr>, <id field>) — exact content-hash dedup
+          val content = expr()
+          expect(",")
+          val idField = next()
+          expect(")")
+          AggCall("DEDUPE", None, distinct = false, Seq(idField), Nil, Some(content))
+        case "SEARCH" =>
+          // SEARCH('<space-separated terms>', k) — BM25 top-k
+          val q = next()
+          if (!q.startsWith("'"))
+            throw new BqlParseException(s"SEARCH needs a quoted term string, got '$q'")
+          val terms = q.substring(1, q.length - 1).replace("\\'", "'")
+          expect(",")
+          val k = next().toInt
+          if (k < 1) throw new BqlParseException(s"SEARCH k must be >= 1, got $k")
+          expect(")")
+          AggCall("SEARCH", Some(k), distinct = false, Nil, Nil, Some(Lit(terms)))
         case "TOP" =>
           val k = next().toInt
           expect(",")
@@ -442,6 +468,14 @@ object Parser {
         case "CAST" =>
           val e = expr(); expect(","); val ty = next(); expect(")")
           Cast(e, ty.toUpperCase)
+        case "SAMPLE" =>
+          // SAMPLE(<fraction>, <content expr>) — deterministic
+          // content-keyed sampling predicate (the samp_hash_sample verb)
+          val f = expr()
+          expect(",")
+          val e = expr()
+          expect(")")
+          Binary("SAMPLE", e, f)
         case "CONTAINSKEY" | "CONTAINSVALUE" | "SIZEIS" | "JSON" | "FILTER" =>
           val e = expr(); expect(","); val a = expr(); expect(")")
           Binary(fn, e, a)

@@ -106,7 +106,15 @@ object ConnectedComponents {
       .union(both.select(col("src"), col("src").as("dst")).distinct())
       .persist()
     try {
-      var labels = edges.select(col("src").as("id"), col("src").as("lbl")).distinct()
+      // localCheckpoint per round (as alternatingStars does): each
+      // round's convergence-witness action re-analyzes `labels`' plan,
+      // and a persist-only loop would grow that logical plan linearly —
+      // deep graphs at maxRounds hit the analyzer long before the data
+      // is a problem. Eager localCheckpoint materializes AND truncates
+      // lineage; a fault-tolerant deployment points
+      // spark.checkpoint.dir at durable storage and swaps checkpoint().
+      var labels = edges.select(col("src").as("id"), col("src").as("lbl"))
+        .distinct().localCheckpoint(true)
       var prevSum = BigDecimal(-1)
       var converged = false
       var round = 0
@@ -115,12 +123,11 @@ object ConnectedComponents {
           .groupBy(col("src"))
           .agg(min(col("lbl")).as("lbl"))
           .select(col("src").as("id"), col("lbl"))
-          .persist()
+          .localCheckpoint(true)
         // empty pair graph ⇒ sum(lbl) is SQL NULL; treat as 0 so the
         // loop converges to an empty result instead of NPE-ing
         val sumRow = next.agg(sum(col("lbl"))).head()
         val s = if (sumRow.isNullAt(0)) BigDecimal(0) else BigDecimal(sumRow.getLong(0))
-        labels.unpersist()
         labels = next
         converged = s == prevSum
         prevSum = s

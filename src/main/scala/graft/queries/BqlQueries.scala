@@ -273,6 +273,36 @@ object BqlQueries {
           "FROM STREAM WHERE SIZEIS(embedding, 64) " +
           "AND 0.35 <= ANY embedding AND -0.35 < ALL embedding " +
           "ORDER BY vec_id")
+    },
+
+    // ---- the LLM-pipeline verbs as query text (round-15 demand #7):
+    // the three a data engineer reaches for first, each traversing the
+    // full text → AST → Catalyst path and sharing its Scala twin's
+    // oracle semantics verbatim ----
+
+    // dd_exact as BQL: DEDUPE(content, id) → one content-hash groupBy
+    QueryDef("bql_dedupe", Some(
+      """SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS n_copies
+        |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin)) { (s, d) =>
+      bql(s, d, "documents",
+        "SELECT DEDUPE(text, doc_id) FROM STREAM ORDER BY keep_id")
+    },
+
+    // srch_bm25 as BQL: SEARCH('terms', k) → the shared BM25 ranking
+    // tree (same terms/k as the Scala twin → same oracle, shared val)
+    QueryDef("bql_search", Some(SearchQueries.bm25Sql)) { (s, d) =>
+      bql(s, d, "documents",
+        "SELECT SEARCH('spark merge window', 25) FROM STREAM")
+    },
+
+    // samp_hash_sample as BQL: SAMPLE(frac, content) as a WHERE
+    // predicate — round(0.1·256) = 26 = 0x1a, the Scala twin's cut,
+    // so the oracle is shared verbatim
+    QueryDef("bql_sample", Some(
+      """SELECT doc_id, lang FROM documents
+        |WHERE substr(md5(text), 1, 2) < '1a' ORDER BY doc_id""".stripMargin)) { (s, d) =>
+      bql(s, d, "documents",
+        "SELECT doc_id, lang FROM STREAM WHERE SAMPLE(0.1, text) ORDER BY doc_id")
     }
   )
 }

@@ -59,17 +59,7 @@ object SearchQueries {
     // with identical (tf*, dl) profiles produce bit-identical raws in
     // both engines, so the tiebreak is deterministic.
     QueryDef("srch_bm25", Some(bm25Sql)) { (s, d) =>
-      val base = docs(s, d).select(col("doc_id"), toks.as("t"),
-        size(toks).cast(LongType).as("dl"))
-      val statCols =
-        (sum(col("dl")).cast(DoubleType) / count(lit(1))).as("avgdl") +:
-          Terms.map(t => sum(when(array_contains(col("t"), t), 1L).otherwise(0L)).as(s"df_$t"))
-      val stats = base.agg(count(lit(1)).as("n_docs"), statCols: _*)
-      val tf = Terms.map(t =>
-        size(filter(col("t"), x => x === t)).cast(DoubleType).as(s"tf_$t"))
-      bm25Rank(base
-        .select(col("doc_id") +: col("dl") +: tf: _*)
-        .crossJoin(broadcast(stats)))
+      bm25Search(docs(s, d), Terms, TopK)
     },
 
     // Positional phrase search over a batch of phrases — exact "these
@@ -409,20 +399,43 @@ object SearchQueries {
     * K-row single-partition window, not a corpus-wide one). Shared by
     * srch_bm25 and ss_bm25_maintain so the two paths cannot diverge in
     * the one place float determinism is load-bearing. */
-  private[queries] def bm25Rank(scored: DataFrame): DataFrame = {
-    val raw = Terms.map { t =>
+  private[queries] def bm25Rank(scored: DataFrame,
+      terms: Seq[String] = Terms, k: Int = TopK): DataFrame = {
+    val raw = terms.map { t =>
       val idf = log(lit(1) + (col("n_docs") - col(s"df_$t") + 0.5) / (col(s"df_$t") + 0.5))
       idf * col(s"tf_$t") * (K1 + 1) /
         (col(s"tf_$t") + lit(K1) * (lit(1) - B + lit(B) * col("dl") / col("avgdl")))
     }.reduce(_ + _)
     val top = scored.select(col("doc_id"), raw.as("raw"))
       .orderBy(col("raw").desc, col("doc_id"))
-      .limit(TopK)
+      .limit(k)
     top.withColumn("rank",
         row_number().over(Window.orderBy(col("raw").desc, col("doc_id"))))
       .select(col("doc_id"), col("rank"),
         floor(col("raw") * 1000000).cast(LongType).as("score_micro"))
       .orderBy(col("rank"))
+  }
+
+  /** Okapi BM25 top-k over a (doc_id, text) frame for caller-supplied
+    * terms — the parameterized engine behind both srch_bm25 (fixture
+    * terms) and the BQL `SEARCH('terms', k)` verb: one corpus-stats
+    * aggregate (n_docs, avgdl, per-term df) broadcast onto a per-doc tf
+    * projection, then the shared [[bm25Rank]] tail. Duplicate query
+    * terms collapse (BM25 scores a term once per its tf). */
+  private[graft] def bm25Search(docsDf: DataFrame, terms0: Seq[String], k: Int): DataFrame = {
+    val terms = terms0.distinct
+    require(terms.nonEmpty, "SEARCH needs at least one term")
+    val base = docsDf.select(col("doc_id"), toks.as("t"),
+      size(toks).cast(LongType).as("dl"))
+    val statCols =
+      (sum(col("dl")).cast(DoubleType) / count(lit(1))).as("avgdl") +:
+        terms.map(t => sum(when(array_contains(col("t"), t), 1L).otherwise(0L)).as(s"df_$t"))
+    val stats = base.agg(count(lit(1)).as("n_docs"), statCols: _*)
+    val tf = terms.map(t =>
+      size(filter(col("t"), x => x === t)).cast(DoubleType).as(s"tf_$t"))
+    bm25Rank(base
+      .select(col("doc_id") +: col("dl") +: tf: _*)
+      .crossJoin(broadcast(stats)), terms, k)
   }
 
   /** BM25 scoring straight off a maintained postings store (h = 8-byte

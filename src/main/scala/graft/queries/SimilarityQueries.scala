@@ -126,6 +126,75 @@ private[graft] object Ivf {
       .repartition(col("cl"))
       .write.partitionBy("cl").mode("overwrite").parquet(listRoot)
 
+  /** The maintenance POLICY around [[compactSegments]] — what a live
+    * `ss_ivf_maintain` store runs after each segment append so segments
+    * can never accumulate unboundedly. Layout under `storeRoot`:
+    * `seg/batch=<id>` live segments, `lists_upto_<B>/cl=<c>` the one
+    * compacted inverted-list store covering every batch id ≤ B. When
+    * live segments exceed `threshold`, all of them + the previous
+    * compacted store fold into a NEW `lists_upto_<maxId>` (write to a
+    * fresh dir, then swap — readers never see a partial store), and the
+    * superseded dirs are deleted. The watermark B lives in the dir NAME,
+    * so a failed micro-batch that re-executes an already-compacted
+    * segment append (at-least-once foreachBatch) is harmless:
+    * [[servingSegments]] ignores `batch=<id>` dirs with id ≤ B instead
+    * of double-counting them. Amortized cost: each vector is rewritten
+    * once per compaction — O(|store| / threshold) per batch, the
+    * BucketedStore bound. */
+  def compactIfDue(s: SparkSession, storeRoot: String, threshold: Int): Unit = {
+    val segs = liveSegDirs(storeRoot)
+    if (segs.size > threshold) {
+      val upto = segs.map(_._1).max
+      val prev = listsDir(storeRoot)
+      val segFrames = s.read
+        .schema("vec_id LONG, embedding ARRAY<FLOAT>, cl INT")
+        .parquet(segs.map(_._2): _*)
+      val input = prev match {
+        case Some((_, dir)) => segFrames.unionByName(
+          s.read.option("basePath", dir).parquet(dir)
+            .select(col("vec_id"), col("embedding"),
+              col("cl").cast("int").as("cl")))
+        case None => segFrames
+      }
+      val target = s"$storeRoot/lists_upto_$upto"
+      input.repartition(col("cl"))
+        .write.partitionBy("cl").mode("overwrite").parquet(target)
+      (segs.map(_._2) ++ prev.map(_._2)).foreach(d =>
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(d)))
+    }
+  }
+
+  /** The live serving view of a seg+lists store: the compacted lists
+    * (one scan, `cl` recovered as the partition column) unioned with the
+    * live segments past the compaction watermark. */
+  def servingFrame(s: SparkSession, storeRoot: String): DataFrame = {
+    val watermark = listsDir(storeRoot).map(_._1).getOrElse(Long.MinValue)
+    val segPaths = liveSegDirs(storeRoot)
+      .collect { case (id, dir) if id > watermark => dir }
+    val parts = listsDir(storeRoot).toSeq.map { case (_, dir) =>
+      s.read.option("basePath", dir).parquet(dir)
+        .select(col("vec_id"), col("embedding"), col("cl").cast("int").as("cl"))
+    } ++ (if (segPaths.nonEmpty) Seq(s.read
+      .schema("vec_id LONG, embedding ARRAY<FLOAT>, cl INT")
+      .parquet(segPaths: _*)) else Nil)
+    require(parts.nonEmpty, s"empty IVF store at $storeRoot")
+    parts.reduce(_.unionByName(_))
+  }
+
+  private def liveSegDirs(storeRoot: String): Seq[(Long, String)] =
+    Option(new java.io.File(s"$storeRoot/seg").listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .filter(f => f.isDirectory && f.getName.startsWith("batch="))
+      .map(f => (f.getName.stripPrefix("batch=").toLong, f.getPath)).toSeq
+
+  private def listsDir(storeRoot: String): Option[(Long, String)] =
+    Option(new java.io.File(storeRoot).listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .filter(f => f.isDirectory && f.getName.startsWith("lists_upto_"))
+      .map(f => (f.getName.stripPrefix("lists_upto_").toLong, f.getPath))
+      .sortBy(_._1).lastOption
+
+
   /** Train centroids: deterministic farthest-point init over a hash-min
     * candidate pool, then `iters` Lloyd passes — ON THE DRIVER, over the
     * bounded sample collected once. The sample is ≤ `trainSample` vectors

@@ -1843,31 +1843,41 @@ object StreamingQueries {
           .groupBy(col("hb")).agg(count(lit(1)).as("db"))
 
       // spark.graft.ivm.bucketed (default true): the count stores live
-      // hash-partitioned in a BucketedStore, and each micro-batch folds
-      // only the buckets its delta's token hashes land in — per-batch
-      // cost tracks the delta's bucket footprint instead of rewriting
-      // the whole O(vocabulary) store (the legacy v0/v1 full fold below,
-      // kept as the bit-identity reference IvmBucketedSpec gates).
+      // hash-partitioned in a BucketedStore, and each micro-batch
+      // APPENDS its delta counts as an LSM segment (one write job — no
+      // store read, counts are additive so the old+delta combine defers
+      // to merge-on-read, compaction bounds fan-in) — per-batch cost
+      // tracks the delta instead of rewriting the whole O(vocabulary)
+      // store (the legacy v0/v1 full fold below, kept as the
+      // bit-identity reference IvmBucketedSpec gates).
       if (s.conf.get("spark.graft.ivm.bucketed", "true").toBoolean) {
         val nB = s.conf.get("spark.graft.ivm.buckets", "16").toInt
+        val cAfter = s.conf.get("spark.graft.ivm.compactAfter", "8").toInt
         val uniStore = new graft.operators.BucketedStore(s"$base/uni",
-          Seq.empty[(Long, Long)].toDF("hw", "cu"), Seq("hw"), Seq("hw"), nB)
+          Seq.empty[(Long, Long)].toDF("hw", "cu"), Seq("hw"), Seq("hw"), nB,
+          compactAfter = cAfter, valueCol = Some("cu"))
         val biStore = new graft.operators.BucketedStore(s"$base/bi",
-          Seq.empty[(Long, Long)].toDF("hb", "cb"), Seq("hb"), Seq("hb"), nB)
+          Seq.empty[(Long, Long)].toDF("hb", "cb"), Seq("hb"), Seq("hb"), nB,
+          compactAfter = cAfter, valueCol = Some("cb"))
         val feed = MemoryStream[(Long, String)]
         val q = feed.toDF().toDF("doc_id", "text").writeStream
           .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
-            uniStore.foldCounts(dUniOf(b), "du", "cu")
-            biStore.foldCounts(dBiOf(b), "db", "cb")
+            // independent stores → the two append-segment jobs run
+            // concurrently; each re-scans the cheap in-memory batch
+            foldPar(
+              () => uniStore.foldCounts(dUniOf(b), "du", "cu"),
+              () => biStore.foldCounts(dBiOf(b), "db", "cb"))
             ()
           }
           .start()
-        try {
-          rows.grouped(per).foreach { slice =>
-            feed.addData(slice.toSeq)
-            q.processAllAvailable()
-          }
-        } finally q.stop()
+        withFoldParts(s) {
+          try {
+            rows.grouped(per).foreach { slice =>
+              feed.addData(slice.toSeq)
+              q.processAllAvailable()
+            }
+          } finally q.stop()
+        }
         TextQueries.lmScore(
           TextQueries.lmBigramPairs(Tables.load(s, d, "documents")),
           uniStore.readAll().drop("__bkt"),
@@ -1982,9 +1992,15 @@ object StreamingQueries {
     // index over the same corpus + artifact, under any slicing —
     // GateCheck holds search-result equality to zero mismatches. At
     // 100 TB/day the per-batch cost is one linear assignment pass +
-    // a segment write; Ivf.compactSegments periodically folds segments
-    // into the cl-partitioned layout fg_ivf_delete edits (serving
-    // bit-identical across layouts, IndexPersistenceSpec).
+    // a segment write, and segments can never accumulate unboundedly:
+    // past spark.graft.ivf.segCompactAfter live segments (default 8)
+    // the Ivf.compactIfDue policy folds them + the previous compacted
+    // store into a fresh cl-partitioned lists_upto_<B> (the layout
+    // fg_ivf_delete edits), write-then-swap, with the watermark B in
+    // the dir name so an at-least-once re-append of a compacted batch
+    // is ignored rather than double-counted. Serving equality across
+    // an automatic compaction is gate-held (GateCheck forces the
+    // threshold mid-stream); layout bit-identity in IndexPersistenceSpec.
     QueryDef("ss_ivf_maintain", None) { (s, d) =>
       import s.implicits._
       implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
@@ -1998,11 +2014,13 @@ object StreamingQueries {
       val nSlices = s.conf.get("spark.graft.ssjoin.slices", "4").toInt
       val per = math.max(1, (rows.length + nSlices - 1) / nSlices)
 
+      val segCompactAfter = Ivf.intConf(s, "spark.graft.ivf.segCompactAfter", 8)
       val feed = MemoryStream[(Long, Seq[Float])]
       val q = feed.toDF().toDF("vec_id", "embedding").writeStream
         .foreachBatch { (b: org.apache.spark.sql.DataFrame, batchId: Long) =>
           Ivf.assigned(b, cents)
-            .write.mode("overwrite").parquet(s"$store/batch=$batchId")
+            .write.mode("overwrite").parquet(s"$store/seg/batch=$batchId")
+          Ivf.compactIfDue(s, store, segCompactAfter)
           ()
         }
         .start()
@@ -2018,7 +2036,7 @@ object StreamingQueries {
       val nProbe = math.max(3, math.ceil(
         s.conf.get("spark.graft.ivf.coverage", "0.375").toDouble * cents.size).toInt)
       SimilarityQueries.ivfProbeSearch(
-        s.read.parquet(store).select(col("vec_id"), col("embedding"), col("cl")),
+        Ivf.servingFrame(s, store),
         e.filter(col("vec_id") < SimilarityQueries.NQueries), cents, nProbe)
     },
 
@@ -2052,7 +2070,9 @@ object StreamingQueries {
       val per = math.max(1, (rows.length + nSlices - 1) / nSlices)
       val nB = s.conf.get("spark.graft.ivm.buckets", "16").toInt
       val store = new graft.operators.BucketedStore(s"$base/fp",
-        Seq.empty[(String, Long)].toDF("fp", "n"), Seq("fp"), Seq("fp"), nB)
+        Seq.empty[(String, Long)].toDF("fp", "n"), Seq("fp"), Seq("fp"), nB,
+        compactAfter = s.conf.get("spark.graft.ivm.compactAfter", "8").toInt,
+        valueCol = Some("n"))
 
       val feed = MemoryStream[(Long, String)]
       val q = feed.toDF().toDF("doc_id", "text").writeStream
@@ -2064,12 +2084,14 @@ object StreamingQueries {
           ()
         }
         .start()
-      try {
-        rows.grouped(per).foreach { slice =>
-          feed.addData(slice.toSeq)
-          q.processAllAvailable()
-        }
-      } finally q.stop()
+      withFoldParts(s) {
+        try {
+          rows.grouped(per).foreach { slice =>
+            feed.addData(slice.toSeq)
+            q.processAllAvailable()
+          }
+        } finally q.stop()
+      }
       store.readAll().drop("__bkt").orderBy(col("fp"))
     }
   )
@@ -2101,6 +2123,36 @@ object StreamingQueries {
     * query before re-invoking; keeping two covers one in-flight overlap),
     * so kx harness sweeps can no longer accumulate a replica per
     * invocation in /tmp. The shutdown hook removes whatever is left. */
+  /** Run independent store folds' write jobs concurrently (one thread
+    * per fold, awaited before the micro-batch commits — exactly-once
+    * semantics unchanged). Shared cached inputs are safe: the block
+    * manager serializes the first materialization of a persisted
+    * partition across threads. */
+  private[queries] def foldPar(folds: (() => Unit)*): Unit = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val par = org.apache.spark.sql.SparkSession.active.conf
+      .get("spark.graft.ivm.parfolds", "true").toBoolean
+    if (par)
+      Await.result(Future.sequence(folds.map(f => Future(f()))), Duration.Inf)
+    else folds.foreach(_())
+  }
+
+  /** Drain a maintenance stream with fold-sized shuffles: per-batch
+    * deltas are a fraction of a corpus scan, so the session-wide 32
+    * shuffle partitions buy only scheduling overhead inside the fold
+    * jobs (`spark.graft.ivm.parts`, default 8). Restored before the
+    * serving read, which runs at the session width. */
+  private[queries] def withFoldParts[A](
+      s: org.apache.spark.sql.SparkSession)(body: => A): A = {
+    val saved = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions",
+      s.conf.get("spark.graft.ivm.parts", "4"))
+    try body
+    finally s.conf.set("spark.sql.shuffle.partitions", saved)
+  }
+
   private[queries] def invocationStore(
       s: org.apache.spark.sql.SparkSession, tag: String, d: String): String = {
     storeCleanupHook
@@ -2171,11 +2223,12 @@ object StreamingQueries {
     * the maintained store.
     *
     * Two store shapes, `spark.graft.ivm.bucketed` (default true):
-    *  - BUCKETED ([[graft.operators.BucketedStore]]): stores partitioned
-    *    by key hash; a fold reads+rewrites only the buckets the batch's
-    *    delta touches, and the seen-store reads (anti-join dedupe, the
-    *    per-customer postings join) prune to the BATCH CUSTOMERS' buckets
-    *    — per-batch cost tracks the delta's bucket footprint, not
+    *  - BUCKETED ([[graft.operators.BucketedStore]]): LSM segment
+    *    append — each fold WRITES only the batch's delta (one job, no
+    *    store read), merge-on-read sums/unions across segments with
+    *    compaction bounding fan-in; the seen-store reads (anti-join
+    *    dedupe, the per-customer postings join) prune to the BATCH
+    *    CUSTOMERS' buckets — per-batch cost tracks the delta, not
     *    |store|. This retires the maintenance family's one remaining
     *    O(store)-per-batch term.
     *  - legacy full fold (conf false): version-alternating v0/v1 parquet
@@ -2204,20 +2257,26 @@ object StreamingQueries {
 
     if (s.conf.get("spark.graft.ivm.bucketed", "true").toBoolean) {
       val nB = s.conf.get("spark.graft.ivm.buckets", "16").toInt
+      val cAfter = s.conf.get("spark.graft.ivm.compactAfter", "8").toInt
       // seen postings keyed (c, s) but BUCKETED BY c: every read the
       // maintenance does is "rows for these customers", so the batch's
       // customer set prunes both reads to its own buckets
       val seenStore = new graft.operators.BucketedStore(s"$base/seen",
-        Seq.empty[(Long, Long)].toDF("c", "s"), Seq("c", "s"), Seq("c"), nB)
+        Seq.empty[(Long, Long)].toDF("c", "s"), Seq("c", "s"), Seq("c"), nB,
+        compactAfter = cAfter)
       val countsStore = new graft.operators.BucketedStore(s"$base/counts",
         Seq.empty[(Long, Long, Long)].toDF("sa", "sb", "n"),
-        Seq("sa", "sb"), Seq("sa", "sb"), nB)
+        Seq("sa", "sb"), Seq("sa", "sb"), nB, compactAfter = cAfter,
+        valueCol = Some("n"))
       val feed = MemoryStream[(Long, Long)]
       val q = feed.toDF().toDF("c", "s").writeStream
         .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
           val bc = b.dropDuplicates("c", "s").persist()
+          // the batch's seen slice is scanned twice (anti-join dedupe +
+          // the postings join) — cache it so the segment union + merge
+          // is paid once per batch
           val seen = seenStore.readBuckets(seenStore.bucketsOf(
-            bc.select(col("c")))).drop("__bkt")
+            bc.select(col("c")))).drop("__bkt").persist()
           val newPairs = bc.join(seen, Seq("c", "s"), "left_anti").persist()
           val incCross = broadcast(newPairs)
             .join(seen.withColumnRenamed("s", "s_old"), Seq("c"))
@@ -2229,19 +2288,26 @@ object StreamingQueries {
             .select(col("s").as("sa"), col("s2").as("sb"))
           val inc = incCross.unionByName(incNew)
             .groupBy(col("sa"), col("sb")).agg(count(lit(1)).as("dn"))
-          countsStore.foldCounts(inc, "dn", "n")
-          seenStore.foldSet(newPairs.select(col("c"), col("s")))
+          // the two stores are independent — their append-segment write
+          // jobs run CONCURRENTLY (newPairs is persisted; the block
+          // manager serializes the one cache fill)
+          foldPar(
+            () => countsStore.foldCounts(inc, "dn", "n"),
+            () => seenStore.foldSet(newPairs.select(col("c"), col("s"))))
           newPairs.unpersist(false)
+          seen.unpersist(false)
           bc.unpersist(false)
           ()
         }
         .start()
-      try {
-        rows.grouped(per).foreach { slice =>
-          feed.addData(slice.toSeq)
-          q.processAllAvailable()
-        }
-      } finally q.stop()
+      withFoldParts(s) {
+        try {
+          rows.grouped(per).foreach { slice =>
+            feed.addData(slice.toSeq)
+            q.processAllAvailable()
+          }
+        } finally q.stop()
+      }
       return countsStore.readAll().drop("__bkt")
     }
 

@@ -60,9 +60,42 @@ final class MultiQueryEngine(
     var emitsInInterval: Int = 0
     var intervalStart: Long = submittedAt
     var batchesSeen: Long = 0L
+    /** Equality-routing key (the reference `QueryManager.categorize`
+      * capability, fused-engine form): a WHERE of exactly
+      * `<expr> == <literal>` routes this query into a per-(expr,
+      * agg-shape) FAMILY answered by one groupBy job — see
+      * [[fuseEqualityFamily]]. The literal is stringified for row
+      * matching (Long 5 and the column's Int 5 must meet), so doubles
+      * stay out (their string forms diverge across widths). */
+    val eqRoute: Option[(Ast.Expr, Any)] = {
+      def routable(v: Any): Boolean = v match {
+        case _: String | _: Long | _: Int | _: Boolean => true
+        case _ => false
+      }
+      if (pre.isDefined) None
+      else query.where match {
+        case Some(Ast.Binary("==", e, Ast.Lit(v))) if routable(v) =>
+          Some((e, v))
+        case Some(Ast.Binary("==", Ast.Lit(v), e)) if routable(v) =>
+          Some((e, v))
+        case _ => None
+      }
+    }
+    /** Aggregate-shape signature for family matching: two queries fuse
+      * into one routed job only if their partial aggregate columns are
+      * textually identical (computed once — Column rendering is not
+      * free at 100 queries × batches). */
+    lazy val aggSignature: String = state match {
+      case g: GlobalCombinable => g.partialAggCols(None).mkString(";")
+      case _ => ""
+    }
   }
 
   private val live = TrieMap.empty[String, Live]
+
+  /** Empty-input aggregate rows per agg signature (see
+    * [[fuseEqualityFamily]]) — tiny (one row per distinct fused shape). */
+  private val emptyAggRows = TrieMap.empty[String, org.apache.spark.sql.Row]
 
   /** One pool for the engine's lifetime (A5 parallel solo mode), created
     * lazily on first use — per-batch pool churn would pay thread
@@ -208,8 +241,22 @@ final class MultiQueryEngine(
       val bySig = keyedGroups.groupBy(_.state.asInstanceOf[KeyedCombinable].keySignature)
       val (fusedKeyed, soloKeyed) = bySig.values.toSeq.partition(_.size >= 2)
 
-      if (globalFusable.size >= 2) fuseGlobal(globalFusable, cached)
-      else globalFusable.foreach(l => guarded(l)(processOne(l, cached)))
+      // equality ROUTING INDEX (reference QueryManager.categorize,
+      // FilterStreaming.scala:105-121, re-expressed for a fused engine):
+      // global-combinable queries whose WHERE is `<expr> == <literal>`
+      // and whose aggregate shape is identical form per-(expr, shape)
+      // families; each family is answered by ONE isin-filtered
+      // groupBy(expr) job — per-record cost is one hash probe + one
+      // group update, O(1) in family size, where the generic fused path
+      // pays a `when(pred)` column per query. Everything else falls
+      // through to the generic fused tier unchanged.
+      val (routed, unrouted) = globalFusable.partition(_.eqRoute.isDefined)
+      val families = routed.groupBy(l => (l.eqRoute.get._1, l.aggSignature))
+      val (bigFams, soloFams) = families.values.toSeq.partition(_.size >= 2)
+      bigFams.sortBy(_.head.id).foreach(f => fuseEqualityFamily(f, cached))
+      val globalRemainder = unrouted ++ soloFams.flatten
+      if (globalRemainder.size >= 2) fuseGlobal(globalRemainder, cached)
+      else globalRemainder.foreach(l => guarded(l)(processOne(l, cached)))
       fusedKeyed.foreach(group => fuseKeyed(group, cached))
       val (raws, plainSolo) =
         (soloKeyed.flatten ++ solo).partition(_.state.isInstanceOf[RawState])
@@ -231,6 +278,64 @@ final class MultiQueryEngine(
       cached.unpersist()
     }
   }
+
+  /** One groupBy job for an equality-routed family: queries identical
+    * up to the routed literal (same key expression, same aggregate
+    * shape — the many-tenant pattern, "MY value's count"). The batch is
+    * filtered to the family's literal set (one codegen'd hash-set probe
+    * per record) and grouped by the key expression, so each record
+    * updates exactly its own query's partials; every query then merges
+    * its literal's row (offset 1 — column 0 is the route key), and a
+    * literal with no group advances lifecycle with zero records, exactly
+    * the solo path on an empty match. Result rows are bounded by the
+    * family's distinct literals — driver-safe at any batch size. */
+  private def fuseEqualityFamily(ls: Seq[Live], cached: DataFrame): Unit =
+    try {
+      val keyExpr = Compiler.column(ls.head.eqRoute.get._1)
+      val cols = ls.head.state.asInstanceOf[GlobalCombinable].partialAggCols(None)
+      val lits = ls.map(_.eqRoute.get._2).distinct
+      // isin literals are coerced by Catalyst against the key expression
+      // (a long literal matches a double column exactly as `==` would);
+      // the same numeric tolerance is mirrored in the driver-side row
+      // routing below
+      val rows = cached
+        .filter(keyExpr.isin(lits: _*))
+        .groupBy(keyExpr.as("__graft_route"))
+        .agg(cols.head, cols.tail: _*)
+        .collect()
+      def sameVal(rowVal: Any, lit: Any): Boolean = (rowVal, lit) match {
+        case (null, _) => false
+        case (x: Number, y: Number) =>
+          x.doubleValue == y.doubleValue && x.longValue == y.longValue
+        case (x, y) => x == y
+      }
+      // a literal with no group must see EXACTLY what the generic fused
+      // tier shows a zero-match query: the aggregate over empty input
+      // (count 0 / null sums / empty sketches) — NOT a skipped merge,
+      // which would leave a GROUP ALL state record-less. The empty-agg
+      // row depends only on the aggregate shape, so it is computed once
+      // per signature per engine (a one-row action over an empty scan).
+      lazy val emptyRow = emptyAggRows.getOrElseUpdate(ls.head.aggSignature, {
+        import org.apache.spark.sql.functions.{lit => lt}
+        val agg = cached.filter(lt(false)).agg(cols.head, cols.tail: _*)
+        // re-shape to the grouped row layout (route key at 0), keeping a
+        // schema-ful Row — merge paths read row.schema for field names
+        agg.select(lt(null).cast("string").as("__graft_route") +:
+          agg.columns.map(agg.col): _*).head()
+      })
+      ls.foreach { l =>
+        guarded(l) {
+          val row = rows.find(r => sameVal(r.get(0), l.eqRoute.get._2))
+            .getOrElse(emptyRow)
+          lifecycle(l,
+            l.state.asInstanceOf[GlobalCombinable].mergeCombined(row, 1))
+        }
+      }
+    } catch {
+      // family job failed as a whole: per-query fallback, same rule as
+      // the generic fused tiers
+      case _: Exception => ls.foreach(l => guarded(l)(processOne(l, cached)))
+    }
 
   /** One aggregate job for all global-combinable queries. */
   private def fuseGlobal(ls: Seq[Live], cached: DataFrame): Unit =

@@ -32,6 +32,20 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     assert(labels == (0L to 49L).map(_ -> 0L).toMap)
   }
 
+  test("min-label runs a deep chain to maxRounds without an analyzer cliff and labels it") {
+    // 60 propagation rounds on a 60-hop chain: per-round convergence
+    // actions re-analyze the labels plan, so this is the regression
+    // fixture for lineage growth (localCheckpoint per round keeps each
+    // round's plan flat — a persist-only loop stalls analysis long
+    // before round 60). The chain needs exactly diameter rounds + 1
+    // witness round, so converging inside the budget also pins that the
+    // checkpoint swap did not change the algebra.
+    val chain = pairsDf((0L until 60L).map(i => (i, i + 1)))
+    val ml = ConnectedComponents.minLabel(chain, maxRounds = 70)
+    assert(ml.converged, "min-label must close a 60-hop chain within 70 rounds")
+    assert(labelMap(ml) == (0L to 60L).map(_ -> 0L).toMap)
+  }
+
   test("min-label and alternating stars agree on a seeded random graph") {
     val rnd = new scala.util.Random(11)
     // ~3 components: edges within disjoint id ranges + noise singleton pairs

@@ -6,23 +6,24 @@ import org.scalatest.funsuite.AnyFunSuite
 
 import graft.operators.BucketedStore
 
-/** Gates for the bucketed IVM store fold ([[BucketedStore]]) — the
-  * graduation of the maintenance family's last O(store)-per-batch term
-  * (the version-alternating full rewrite in `ivmCooccurCounts` and
-  * `ss_lm_maintain`):
+/** Gates for the bucketed IVM store ([[BucketedStore]]) — the LSM
+  * segment-append graduation of the maintenance family's last
+  * O(store)-per-batch term (the version-alternating full rewrite in
+  * `ivmCooccurCounts` and `ss_lm_maintain`):
   *
   *  1. BIT-IDENTITY with the legacy full fold — both conf paths of
   *     ss_lm_maintain / ss_cooccur_maintain drain to identical frames
   *     (the GraphIterate forced-path playbook: the scale path must prove
-  *     itself against the reference path before it is the default).
-  *  2. UNTOUCHED BUCKETS ARE NOT REWRITTEN — a 1-key fold creates a
-  *     generation containing only the touched bucket; every other
-  *     bucket's owning directory (write-once) is unchanged. This is the
-  *     plan-level gate that per-batch cost tracks the delta's bucket
-  *     footprint, not |store|.
-  *  3. Fold algebra (counts add, sets insert), compaction equivalence +
-  *     superseded-generation cleanup, and the trickle-cost bound (a
-  *     1-key fold writes a small fraction of the store's bytes).
+  *     itself against the reference path before it is the default), at
+  *     every compaction cadence (compactAfter 1 = eager merge after each
+  *     fold, default 8, and never) and under any slicing.
+  *  2. A FOLD WRITES ONLY ITS DELTA — a 1-key fold appends a segment
+  *     containing only the touched bucket's rows; every other bucket's
+  *     segment list (write-once dirs) is unchanged. This is the
+  *     plan-level gate that per-batch cost tracks the delta, not |store|.
+  *  3. Merge-on-read algebra (counts sum, sets union) equals the eager
+  *     fold at any compaction cadence; compaction preserves content,
+  *     deletes superseded segments, and caps per-bucket fan-in.
   */
 class IvmBucketedSpec extends AnyFunSuite {
   private val sfDir = "/root/testdata/sf0.001"
@@ -63,82 +64,87 @@ class IvmBucketedSpec extends AnyFunSuite {
         "spark.graft.ivm.buckets" -> "8",
         "spark.graft.ssjoin.slices" -> "1")(rowsOf(name))
       assert(oneSlice == full, s"$name: bucketed fold must be slice-invariant")
-      // both fold JOIN SHAPES forced (wideFrac 0 → every fold full_outer;
-      // wideFrac 2 → every fold broadcast left_outer ∪ anti) must agree
-      // with the reference — the adaptive switch can never change content
-      val allWide = withConf("spark.graft.ivm.bucketed" -> "true",
+      // compaction cadence can never change content: compactAfter 1
+      // compacts after every fold (eager merge — the closest shape to
+      // the legacy fold), 100 never compacts (pure merge-on-read)
+      val eager = withConf("spark.graft.ivm.bucketed" -> "true",
         "spark.graft.ivm.buckets" -> "8",
-        "spark.graft.ivm.wideFrac" -> "0")(rowsOf(name))
-      assert(allWide == full, s"$name: forced-wide fold must equal the full fold")
-      val allTrickle = withConf("spark.graft.ivm.bucketed" -> "true",
+        "spark.graft.ivm.compactAfter" -> "1")(rowsOf(name))
+      assert(eager == full, s"$name: eager-compaction fold must equal the full fold")
+      val lazyMerge = withConf("spark.graft.ivm.bucketed" -> "true",
         "spark.graft.ivm.buckets" -> "8",
-        "spark.graft.ivm.wideFrac" -> "2")(rowsOf(name))
-      assert(allTrickle == full, s"$name: forced-trickle fold must equal the full fold")
+        "spark.graft.ivm.compactAfter" -> "100")(rowsOf(name))
+      assert(lazyMerge == full, s"$name: never-compacted fold must equal the full fold")
     }
   }
 
-  test("wide and trickle fold shapes produce identical store content") {
+  test("merge-on-read equals the eager fold at every compaction cadence") {
     val s = spark
     import s.implicits._
     val deltas = Seq(
-      (1L to 40L).map(k => (k, 2L)),  // spread: wide under default 0.5
+      (1L to 40L).map(k => (k, 2L)),  // spread over every bucket
       Seq((7L, 5L), (100L, 1L)),      // trickle: 1-2 buckets
       (20L to 60L).map(k => (k, k))   // overlap of old and new keys
     ).map(_.toDF("k", "dn"))
-    def drain(wideFrac: String): Map[Long, Long] = withConf(
-      "spark.graft.ivm.wideFrac" -> wideFrac) {
+    def drain(compactAfter: Int): Map[Long, Long] = {
       val store = new BucketedStore(scratch() + "/w",
-        Seq.empty[(Long, Long)].toDF("k", "n"), Seq("k"), Seq("k"), 8)
+        Seq.empty[(Long, Long)].toDF("k", "n"), Seq("k"), Seq("k"), 8,
+        compactAfter = compactAfter, valueCol = Some("n"))
       deltas.foreach(d => store.foldCounts(d, "dn", "n"))
       store.readAll().drop("__bkt").collect()
         .map(r => r.getLong(0) -> r.getLong(1)).toMap
     }
-    val wide = drain("0")
-    val trickle = drain("2")
-    val adaptive = drain("0.5")
-    assert(wide == trickle, "forced-wide and forced-trickle folds must agree")
-    assert(adaptive == wide, "the adaptive switch must not change content")
-    assert(wide(7L) == 2L + 5L && wide(30L) == 2L + 30L && wide(55L) == 55L)
+    val eager = drain(1)    // compacts after every fold
+    val lsm = drain(100)    // never compacts: pure merge-on-read
+    val dflt = drain(8)
+    assert(eager == lsm, "eager compaction and pure merge-on-read must agree")
+    assert(dflt == eager, "the default cadence must not change content")
+    assert(eager(7L) == 2L + 5L && eager(30L) == 2L + 30L && eager(55L) == 55L)
   }
 
-  test("a 1-key fold touches exactly its bucket; every other bucket's generation is untouched") {
+  test("a 1-key fold writes exactly its bucket; every other bucket's segments are untouched") {
     val s = spark
     import s.implicits._
     val store = new BucketedStore(scratch() + "/counts",
-      Seq.empty[(Long, Long)].toDF("k", "n"), Seq("k"), Seq("k"), 8)
+      Seq.empty[(Long, Long)].toDF("k", "n"), Seq("k"), Seq("k"), 8,
+      valueCol = Some("n"))
     // seed: 64 keys spread over all 8 buckets
     store.foldCounts(
       (1L to 64L).map(k => (k, 1L)).toDF("k", "dn"), "dn", "n")
     val before = store.liveDirs
     assert(before.size == 8, "the spread seed must populate every bucket")
 
-    // trickle: one key, one bucket
+    // trickle: one key, one bucket — the fold appends ONE segment there
     store.foldCounts(Seq((7L, 5L)).toDF("k", "dn"), "dn", "n")
     val after = store.liveDirs
-    val touched = after.filter { case (b, dir) => before(b) != dir }.keys.toSeq
+    val touched = after.filter { case (b, segs) => before(b) != segs }.keys.toSeq
     assert(touched.size == 1, s"one key must touch one bucket, got $touched")
-    val newGen = after(touched.head)
+    val b = touched.head
+    assert(after(b).size == before(b).size + 1 && after(b).startsWith(before(b)),
+      "the touched bucket must gain exactly one appended segment")
+    val newGen = after(b).last
     val parts = Option(new java.io.File(newGen).listFiles()).getOrElse(Array.empty)
       .filter(_.getName.startsWith("__bkt=")).map(_.getName).toSeq
-    assert(parts == Seq(s"__bkt=${touched.head}"),
-      s"the new generation must contain ONLY the touched bucket, got $parts")
-    (before.keySet - touched.head).foreach { b =>
-      assert(after(b) == before(b) && new java.io.File(before(b)).exists(),
-        s"untouched bucket $b must keep its write-once generation")
+    assert(parts == Seq(s"__bkt=$b"),
+      s"the new segment must contain ONLY the touched bucket, got $parts")
+    (before.keySet - b).foreach { ub =>
+      assert(after(ub) == before(ub) &&
+        before(ub).forall(d => new java.io.File(d).exists()),
+        s"untouched bucket $ub must keep its write-once segments")
     }
-    // the trickle generation is a small fraction of the store's bytes —
-    // the I/O claim itself (1 of 8 buckets + parquet footer overhead)
+    // the trickle segment is a small fraction of the store's bytes —
+    // the I/O claim itself (1 key's rows + parquet footer overhead)
     val trickleBytes = dirSize(newGen)
-    val storeBytes = after.values.toSet.map(dirSize).sum
+    val storeBytes = after.values.flatten.toSet.toSeq.map(dirSize).sum
     assert(trickleBytes * 2 < storeBytes,
       s"1-key fold wrote $trickleBytes of $storeBytes store bytes")
-    // and the values folded correctly
+    // and the merge-on-read values are the folded integers
     val got = store.readAll().drop("__bkt").collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got(7L) == 6L && got(8L) == 1L && got.size == 64)
   }
 
-  test("set folds insert; compaction preserves content and deletes superseded generations") {
+  test("set folds insert; compaction preserves content, caps fan-in, deletes superseded segments") {
     val s = spark
     import s.implicits._
     val store = new BucketedStore(scratch() + "/seen",
@@ -146,19 +152,22 @@ class IvmBucketedSpec extends AnyFunSuite {
       compactAfter = 2)
     store.foldSet(Seq((1L, 10L), (2L, 20L)).toDF("c", "v"))
     store.foldSet(Seq((1L, 11L), (3L, 30L)).toDF("c", "v"))
-    val preCompactDirs = store.liveDirs.values.toSet
-    store.foldSet(Seq((4L, 40L)).toDF("c", "v")) // fan-in > 2 → compacts
-    val postDirs = store.liveDirs.values.toSet
-    assert(postDirs.size == 1, s"compaction must leave one generation, got $postDirs")
+    val preCompactDirs = store.liveDirs.values.flatten.toSet
+    // third segment in customer 1's bucket → fan-in > 2 → compacts
+    store.foldSet(Seq((1L, 12L)).toDF("c", "v"))
+    val postDirs = store.liveDirs.values.flatten.toSet
+    assert(postDirs.size == 1, s"compaction must leave one segment, got $postDirs")
+    assert(store.liveDirs.values.forall(_.size == 1),
+      "compaction must cap every bucket's fan-in at 1")
     preCompactDirs.foreach(d =>
-      assert(!new java.io.File(d).exists(), s"superseded generation $d must be deleted"))
+      assert(!new java.io.File(d).exists(), s"superseded segment $d must be deleted"))
     val got = store.readAll().select("c", "v").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
-    assert(got == Set((1L, 10L), (2L, 20L), (1L, 11L), (3L, 30L), (4L, 40L)))
-    // bucket-pruned read: customer 1's bucket holds both of its rows
+    assert(got == Set((1L, 10L), (2L, 20L), (1L, 11L), (3L, 30L), (1L, 12L)))
+    // bucket-pruned read: customer 1's bucket holds all of its rows
     val b1 = store.bucketsOf(Seq(Tuple1(1L)).toDF("c"))
     val pruned = store.readBuckets(b1).select("c", "v").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
-    assert(Set((1L, 10L), (1L, 11L)).subsetOf(pruned))
+    assert(Set((1L, 10L), (1L, 11L), (1L, 12L)).subsetOf(pruned))
   }
 }

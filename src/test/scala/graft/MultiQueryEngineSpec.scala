@@ -397,6 +397,65 @@ class MultiQueryEngineSpec extends AnyFunSuite {
     assert(rs("m4").head("n").asInstanceOf[Long] == below50)
   }
 
+  test("equality-routed families answer many queries with one groupBy job per shape") {
+    // the categorize scenario: 12 queries, every WHERE `user_id == <v>`,
+    // two aggregate shapes → 2 routing-family actions per batch, O(1) in
+    // query count (the generic fused tier would carry 12 when() columns)
+    val e = newEngine()
+    val uids = (0 until 6).map(i => i * 7L)
+    uids.zipWithIndex.foreach { case (u, i) =>
+      e.submit(s"c$i", s"SELECT COUNT(*) AS cnt, SUM(value) AS sv FROM STREAM " +
+        s"WHERE user_id == $u DURATION 1000")
+      e.submit(s"d$i", s"SELECT COUNT(DISTINCT event_type) AS ne FROM STREAM " +
+        s"WHERE user_id == $u DURATION 1000")
+    }
+    // 2 family actions per batch + 2 one-off empty-agg rows (user ids
+    // 21/28/35 match nothing; the empty row is cached per shape)
+    val acts = countActions { batches(4).foreach(e.processBatch) }
+    assert(acts == 10, s"expected 2 routed-family actions per batch " +
+      s"(+2 cached empty-agg rows), saw $acts over 4 batches")
+    now += 2000
+    e.tick()
+    val rs = e.drainResults().map(m => m.queryId -> m.clip.records).toMap
+    // every routed query must be EXACT vs the solo batch plan — including
+    // user ids matching zero rows (lifecycle on an empty family slot)
+    uids.zipWithIndex.foreach { case (u, i) =>
+      val exact = events.filter(col("user_id") === u)
+        .agg(count(lit(1)), sum(col("value")), countDistinct(col("event_type"))).head()
+      assert(rs(s"c$i").head("cnt").asInstanceOf[Long] == exact.getLong(0),
+        s"routed count for user $u")
+      val sv = rs(s"c$i").head("sv")
+      if (exact.getLong(0) == 0L) assert(sv == null || sv == 0.0)
+      else assert(math.abs(sv.asInstanceOf[Double] - exact.getDouble(1)) < 1e-6)
+      assert(rs(s"d$i").head("ne").asInstanceOf[Long] == exact.getLong(2),
+        s"routed distinct for user $u")
+    }
+  }
+
+  test("detaching a query mid-stream leaves its routing family exact") {
+    val e = newEngine()
+    (0 until 4).foreach(i => e.submit(s"k$i",
+      s"SELECT COUNT(*) AS cnt FROM STREAM WHERE user_id == ${i * 11} DURATION 1000"))
+    val bs = batches(4)
+    bs.take(2).foreach(e.processBatch)
+    e.kill("k1") // detach mid-stream; family shrinks under the index
+    bs.drop(2).foreach(e.processBatch)
+    // a late attach joins the family for the remaining batches only
+    e.submit("k9", "SELECT COUNT(*) AS cnt FROM STREAM WHERE user_id == 0 DURATION 1000")
+    e.processBatch(bs.head)
+    now += 2000
+    e.tick()
+    val rs = e.drainResults().map(m => m.queryId -> m.clip.records).toMap
+    val exact0 = events.filter(col("user_id") === 0).count()
+    assert(rs("k0").head("cnt").asInstanceOf[Long] ==
+      exact0 + events.filter(col("user_id") === 0 && col("event_id") < 250).count(),
+      "k0 saw all 4 batches + the replayed first")
+    assert(!rs.contains("k1") || rs("k1").isEmpty, "killed query publishes no final count")
+    assert(rs("k9").head("cnt").asInstanceOf[Long] ==
+      events.filter(col("user_id") === 0 && col("event_id") < 250).count(),
+      "late-attached query counts only its own batches")
+  }
+
   test("COMPUTATION post-agg flows through streaming present (B10)") {
     val e = newEngine()
     e.submit("cp1", "SELECT event_type, COUNT(*) AS cnt, cnt * 2 AS double_cnt FROM STREAM " +

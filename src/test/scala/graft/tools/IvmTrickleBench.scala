@@ -44,7 +44,8 @@ object IvmTrickleBench {
 
     // bucketed store: seed, then time trickle folds
     val store = new BucketedStore(s"$root/bucketed",
-      Seq.empty[(Long, Long)].toDF("k", "n"), Seq("k"), Seq("k"), nB)
+      Seq.empty[(Long, Long)].toDF("k", "n"), Seq("k"), Seq("k"), nB,
+      valueCol = Some("n"))
     store.foldCounts(seed, "dn", "n")
     val bucketedSec = (1 to 3).map(i => time(store.foldCounts(trickle(i), "dn", "n"))._2)
 
