@@ -446,6 +446,20 @@ object GateCheck {
     gates += Gate("mm_features", "kernel_parity_mismatches",
       mmMismatch.toDouble, "==", 0)
 
+    // ---- MJPEG video round trip (mm_video_mjpeg, no SQL oracle —
+    // DCT quantization): container structure EXACT (frame count + dims
+    // reproduce the fixture's closed form), and each constant-gray
+    // frame's decoded mean within JPEG DC-quantization of the source.
+    val vj = run("mm_video_mjpeg").collect()
+    gates += Gate("mm_video_mjpeg", "frame_count_or_dim_mismatches",
+      vj.count { r =>
+        r.getLong(1) != r.getLong(2) ||
+          r.getLong(3) != 8 + r.getLong(0) % 5 ||
+          r.getLong(4) != 8 + r.getLong(0) % 4
+      }.toDouble, "==", 0)
+    gates += Gate("mm_video_mjpeg", "max_mean_gray_deviation",
+      vj.map(_.getLong(5)).max.toDouble, "<=", 2)
+
     gates.toSeq
   }
 }

@@ -62,7 +62,11 @@ object PlanDump {
     "fg_cooccur_subtract" -> "reverse-IVM subtract: store scan + broadcast forgotten-basket delta, zero-count drop",
     "fg_ivf_delete" -> "ANN index purge: list-pruned compaction scan, broadcast tombstones, shared IVF serving tree",
     "tx_pack_sequences" -> "sequence packing: bucketed prefix sums + broadcast offsets, per-doc span explode, no global window",
-    "fg_fp_subtract" -> "fingerprint refcount purge: store scan + broadcast forgotten-fp delta, zero-count drop")
+    "fg_fp_subtract" -> "fingerprint refcount purge: store scan + broadcast forgotten-fp delta, zero-count drop",
+    "bql_dedupe" -> "BQL DEDUPE verb: text->AST->Catalyst to ONE content-hash groupBy (map-side partials)",
+    "bql_search" -> "BQL SEARCH verb: corpus-stats aggregate broadcast onto tf projection, shared BM25 rank tail",
+    "bql_sample" -> "BQL SAMPLE verb: md5-prefix predicate pushed into the scan stage, no shuffle",
+    "mm_video_frames" -> "AVI video decode: per-partition RIFF walk + DIB frame stats, payloads never shuffle")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"

@@ -20,6 +20,13 @@ object StreamBench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
+    // ad-hoc conf overrides for A/B runs: conf:key=value args
+    // (ScaleCheck's convention; sbt-client env does not reach the fork)
+    args.filter(_.startsWith("conf:")).foreach { a =>
+      val Array(k, v) = a.stripPrefix("conf:").split("=", 2)
+      spark.conf.set(k, v)
+    }
+
     val events = Tables.load(spark, sfDir, "events").cache()
     val total = events.count()
     val nBatches = 10
@@ -172,7 +179,8 @@ object StreamBench {
     // equality-routed queries (the categorize index drive); "latN"
     // measures admission/emit latency with N queries; "socketN" drives
     // N messages through the socket transport broker
-    val counts = if (args.nonEmpty) args.toSeq else Seq("1", "10", "100")
+    val plain = args.filterNot(_.startsWith("conf:"))
+    val counts = if (plain.nonEmpty) plain.toSeq else Seq("1", "10", "100")
     counts.filter(_.startsWith("socket")).foreach(s => socketDrive(s.drop(6).toInt))
     counts.filter(_.startsWith("lat")).foreach(s => latDrive(s.drop(3).toInt))
     val results = counts.filterNot(s => s.startsWith("socket") || s.startsWith("lat")).map { spec =>

@@ -477,6 +477,118 @@ object MultimodalQueries {
       }(enc).orderBy(col("doc_id"), col("frame_idx"))
     },
 
+    // REAL VIDEO — the round-14 inventory's one documented stub closed
+    // for the container format a JVM can honestly own: synthesized gray
+    // frames round-trip through a REAL AVI (RIFF avih/strh/strf headers,
+    // movi '00db' uncompressed bottom-up BGR24 DIB chunks, idx1 — any
+    // player opens the bytes) and are decoded back by the pure-JVM RIFF
+    // walk. Raw DIB is byte-deterministic, so frame count, dims and
+    // per-frame channel sums are ORACLE-exact against the fixture's
+    // closed form — the mm_frames_gif certificate applied to VIDEO.
+    // Inter-frame codecs (H.264/VP9/webp) still need native libraries
+    // and remain the documented out-of-scope. Scale shape: per-partition
+    // decode map, payloads never shuffle; ORDER BY is oracle determinism.
+    QueryDef("mm_video_frames", Some(
+      """WITH m AS (SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h,
+        |    2 + doc_id % 3 AS nf
+        |  FROM documents),
+        |f AS (SELECT doc_id, w, h, nf, unnest(range(0, nf)) AS fi FROM m)
+        |SELECT doc_id, CAST(fi AS BIGINT) AS frame_idx,
+        |  CAST(nf AS BIGINT) AS n_frames,
+        |  CAST(w AS BIGINT) AS w, CAST(h AS BIGINT) AS h,
+        |  CAST(w * h * ((doc_id * 5 + fi * 11) % 256) AS BIGINT) AS sum_gray
+        |FROM f ORDER BY doc_id, frame_idx""".stripMargin)) { (s, d) =>
+      val docsDf = Tables.load(s, d, "documents").select(col("doc_id"))
+      val enc = org.apache.spark.sql.Encoders.row(StructType(Seq(
+        StructField("doc_id", LongType), StructField("frame_idx", LongType),
+        StructField("n_frames", LongType), StructField("w", LongType),
+        StructField("h", LongType), StructField("sum_gray", LongType))))
+      docsDf.mapPartitions { rows =>
+        rows.flatMap { r =>
+          val id = r.getLong(0)
+          val w = (4 + id % 5).toInt; val h = (3 + id % 4).toInt
+          val nf = (2 + id % 3).toInt
+          val frames = (0 until nf).map { fi =>
+            Array.fill[Byte](w * h)(((id * 5 + fi * 11) % 256).toByte)
+          }
+          val avi = Multimodal.encodeAviGray(w, h, frames)
+          val decoded = Multimodal.decodeAviFrames(avi)
+          decoded.map { f =>
+            // gray frames: r = g = b, so sum_gray is any one channel
+            org.apache.spark.sql.Row(id, f(0), decoded.size.toLong, f(1), f(2), f(3))
+          }
+        }
+      }(enc).orderBy(col("doc_id"), col("frame_idx"))
+    },
+
+    // Video frame SAMPLING on the real container: decode every 2nd frame
+    // of the AVI, SKIPPING the others without decoding them (DIB/MJPEG
+    // frames are independently decodable; the RIFF chunk walk is
+    // O(bytes), the decode is the cost — sampling 1-in-k pays 1/k of
+    // the decode, the claim a video preprocessing pipeline relies on).
+    // Oracle: the same closed form restricted to even frame indices.
+    QueryDef("mm_video_sample", Some(
+      """WITH m AS (SELECT doc_id, 4 + doc_id % 3 AS w, 3 + doc_id % 3 AS h,
+        |    4 + doc_id % 5 AS nf
+        |  FROM documents),
+        |f AS (SELECT doc_id, w, h, nf, unnest(range(0, nf)) AS fi FROM m)
+        |SELECT doc_id, CAST(fi AS BIGINT) AS frame_idx,
+        |  CAST(w * h * ((doc_id * 7 + fi * 13) % 256) AS BIGINT) AS sum_gray
+        |FROM f WHERE fi % 2 = 0 ORDER BY doc_id, frame_idx""".stripMargin)) { (s, d) =>
+      val docsDf = Tables.load(s, d, "documents").select(col("doc_id"))
+      val enc = org.apache.spark.sql.Encoders.row(StructType(Seq(
+        StructField("doc_id", LongType), StructField("frame_idx", LongType),
+        StructField("sum_gray", LongType))))
+      docsDf.mapPartitions { rows =>
+        rows.flatMap { r =>
+          val id = r.getLong(0)
+          val w = (4 + id % 3).toInt; val h = (3 + id % 3).toInt
+          val nf = (4 + id % 5).toInt
+          val frames = (0 until nf).map { fi =>
+            Array.fill[Byte](w * h)(((id * 7 + fi * 13) % 256).toByte)
+          }
+          val avi = Multimodal.encodeAviGray(w, h, frames)
+          Multimodal.decodeAviFrames(avi, stride = 2).map { f =>
+            org.apache.spark.sql.Row(id, f(0), f(3))
+          }
+        }
+      }(enc).orderBy(col("doc_id"), col("frame_idx"))
+    },
+
+    // MJPEG — the real LOSSY video path: one JDK-encoded JPEG per movi
+    // chunk ('00dc', fourcc MJPG), decoded back through the same RIFF
+    // walk + JPEG codec. DCT quantization makes pixel sums non-oracle;
+    // the machine gates hold instead: frame count and dims EXACT, and
+    // each constant-gray frame's mean within JPEG DC-quantization of
+    // the source (GateCheck: max |mean - source| <= 2 gray levels).
+    QueryDef("mm_video_mjpeg", None) { (s, d) =>
+      val docsDf = Tables.load(s, d, "documents").select(col("doc_id"))
+      val enc = org.apache.spark.sql.Encoders.row(StructType(Seq(
+        StructField("doc_id", LongType), StructField("n_frames", LongType),
+        StructField("nf_expected", LongType), StructField("w", LongType),
+        StructField("h", LongType), StructField("max_mean_dev", LongType))))
+      docsDf.mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val w = (8 + id % 5).toInt; val h = (8 + id % 4).toInt
+          val nf = (2 + id % 3).toInt
+          def gray(fi: Int): Int = ((id * 5 + fi * 11) % 256).toInt
+          val frames = (0 until nf).map(fi =>
+            Array.fill[Byte](w * h)(gray(fi).toByte))
+          val avi = Multimodal.encodeAviGray(w, h, frames, mjpeg = true)
+          val decoded = Multimodal.decodeAviFrames(avi)
+          val dev = decoded.map { f =>
+            val mean = (f(3) + f(4) + f(5)) / (3L * f(1) * f(2))
+            math.abs(mean - gray(f(0).toInt))
+          }
+          org.apache.spark.sql.Row(id, decoded.size.toLong, nf.toLong,
+            decoded.headOption.map(_(1)).getOrElse(0L),
+            decoded.headOption.map(_(2)).getOrElse(0L),
+            if (dev.isEmpty) Long.MaxValue else dev.max)
+        }
+      }(enc).orderBy(col("doc_id"))
+    },
+
     // Frame-sampling shape over binary payloads (video stand-in):
     // per-doc frame counts, oracle-checked via the equivalent arithmetic.
     QueryDef("mm_frame_count", Some(

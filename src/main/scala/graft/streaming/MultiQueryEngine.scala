@@ -250,9 +250,17 @@ final class MultiQueryEngine(
       // group update, O(1) in family size, where the generic fused path
       // pays a `when(pred)` column per query. Everything else falls
       // through to the generic fused tier unchanged.
-      val (routed, unrouted) = globalFusable.partition(_.eqRoute.isDefined)
+      // each family is one more batch scan, so tiny families are not
+      // worth splitting off the generic one-scan fused job; route only
+      // past spark.graft.eqRouting.minFamily queries (0 disables)
+      val minFamily = spark.conf
+        .get("spark.graft.eqRouting.minFamily", "4").toInt
+      val (routed, unrouted) =
+        if (minFamily <= 0) (Seq.empty[Live], globalFusable)
+        else globalFusable.partition(_.eqRoute.isDefined)
       val families = routed.groupBy(l => (l.eqRoute.get._1, l.aggSignature))
-      val (bigFams, soloFams) = families.values.toSeq.partition(_.size >= 2)
+      val (bigFams, soloFams) =
+        families.values.toSeq.partition(_.size >= math.max(2, minFamily))
       bigFams.sortBy(_.head.id).foreach(f => fuseEqualityFamily(f, cached))
       val globalRemainder = unrouted ++ soloFams.flatten
       if (globalRemainder.size >= 2) fuseGlobal(globalRemainder, cached)
@@ -303,12 +311,18 @@ final class MultiQueryEngine(
         .groupBy(keyExpr.as("__graft_route"))
         .agg(cols.head, cols.tail: _*)
         .collect()
-      def sameVal(rowVal: Any, lit: Any): Boolean = (rowVal, lit) match {
-        case (null, _) => false
-        case (x: Number, y: Number) =>
-          x.doubleValue == y.doubleValue && x.longValue == y.longValue
-        case (x, y) => x == y
+      // normalized routing key: a Number's identity is the pair
+      // (doubleValue, longValue) — Long 5 and the column's Int 5 meet,
+      // exactly the `==` coercion isin applied upstream. Map lookup
+      // keeps the driver-side distribution O(family) instead of
+      // O(family × result rows) at 1k+ routed queries per family.
+      def normKey(v: Any): Any = v match {
+        case x: Number => (x.doubleValue, x.longValue)
+        case x => x
       }
+      val byKey = rows.iterator
+        .filter(_.get(0) != null)
+        .map(r => normKey(r.get(0)) -> r).toMap
       // a literal with no group must see EXACTLY what the generic fused
       // tier shows a zero-match query: the aggregate over empty input
       // (count 0 / null sums / empty sketches) — NOT a skipped merge,
@@ -325,8 +339,7 @@ final class MultiQueryEngine(
       })
       ls.foreach { l =>
         guarded(l) {
-          val row = rows.find(r => sameVal(r.get(0), l.eqRoute.get._2))
-            .getOrElse(emptyRow)
+          val row = byKey.getOrElse(normKey(l.eqRoute.get._2), emptyRow)
           lifecycle(l,
             l.state.asInstanceOf[GlobalCombinable].mergeCombined(row, 1))
         }

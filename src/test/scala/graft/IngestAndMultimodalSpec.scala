@@ -208,6 +208,48 @@ class IngestAndMultimodalSpec extends AnyFunSuite {
     assert(Multimodal.decodeGifFrames(gif.take(20)).isEmpty)
   }
 
+  test("AVI video: raw-DIB encode→decode roundtrip, stride sampling, malformed safety") {
+    // 4 frames of 5x3 with distinct grays: a REAL RIFF/AVI container
+    // (headers + movi + idx1) whose uncompressed frames round-trip exactly
+    val grays = Seq(17, 200, 0, 99)
+    val frames = grays.map(g => Array.fill[Byte](15)(g.toByte))
+    val avi = Multimodal.encodeAviGray(5, 3, frames)
+    assert(new String(avi.take(4), "US-ASCII") == "RIFF" &&
+      new String(avi.slice(8, 12), "US-ASCII") == "AVI ", "real AVI magic")
+    val decoded = Multimodal.decodeAviFrames(avi)
+    assert(decoded.size == 4)
+    decoded.zip(grays).zipWithIndex.foreach { case ((f, g), i) =>
+      assert(f.toSeq == Seq(i.toLong, 5L, 3L, 15L * g, 15L * g, 15L * g),
+        s"frame $i decoded ${f.toSeq}")
+    }
+    // non-uniform frame: per-pixel fidelity through the padded DIB rows
+    val px = Array.tabulate[Byte](15)(i => (i * 17).toByte)
+    val one = Multimodal.decodeAviFrames(Multimodal.encodeAviGray(5, 3, Seq(px)))
+    assert(one.head(3) == px.map(_ & 0xff).sum.toLong)
+    // stride sampling decodes exactly frames 0 and 2
+    val sampled = Multimodal.decodeAviFrames(avi, stride = 2)
+    assert(sampled.map(_(0)).toSeq == Seq(0L, 2L))
+    assert(sampled.map(f => f(3) / 15).toSeq == Seq(17L, 0L))
+    // malformed payloads decode to no frames, never throw
+    assert(Multimodal.decodeAviFrames("not an avi".getBytes).isEmpty)
+    assert(Multimodal.decodeAviFrames(Array.empty).isEmpty)
+    assert(Multimodal.decodeAviFrames(avi.take(40)).isEmpty)
+  }
+
+  test("AVI MJPEG: real lossy codec round trip preserves structure; constant frames within DC quantization") {
+    val grays = Seq(30, 180, 250)
+    val frames = grays.map(g => Array.fill[Byte](12 * 8)(g.toByte))
+    val avi = Multimodal.encodeAviGray(12, 8, frames, mjpeg = true)
+    val decoded = Multimodal.decodeAviFrames(avi)
+    assert(decoded.size == 3, "frame count exact through the JPEG path")
+    decoded.zip(grays).foreach { case (f, g) =>
+      assert(f(1) == 12L && f(2) == 8L, "dims exact")
+      val mean = (f(3) + f(4) + f(5)) / (3L * 12 * 8)
+      assert(math.abs(mean - g) <= 2,
+        s"constant-gray mean $mean within DC quantization of $g")
+    }
+  }
+
   test("PPM P6 decoder: encode→decode roundtrip, comments, malformed safety") {
     // 2x2 image, known channel sums
     val px = Array[Byte](10, 20, 30, 40, 50, 60, 70, 80, 90, 100, 110, 120)
