@@ -31,7 +31,11 @@ object Bench {
     // would let Catalyst prune the projections we mean to measure).
     def exec(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
-    val names = SparkEntry.queries.keys.toSeq.sorted
+    // optional args: query names — restrict the sweep for local A/B
+    // iteration (the driver always runs the no-arg full form)
+    val only = args.toSet
+    val names = (if (only.isEmpty) SparkEntry.queries.keys
+      else SparkEntry.queries.keys.filter(only)).toSeq.sorted
     // warm-up: JIT + parquet footer caches, so numbers measure the plan.
     names.foreach { n =>
       try exec(SparkEntry.queries(n)(spark, sfDir)) catch { case _: Throwable => () }

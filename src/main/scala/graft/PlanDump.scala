@@ -66,7 +66,8 @@ object PlanDump {
     "bql_dedupe" -> "BQL DEDUPE verb: text->AST->Catalyst to ONE content-hash groupBy (map-side partials)",
     "bql_search" -> "BQL SEARCH verb: corpus-stats aggregate broadcast onto tf projection, shared BM25 rank tail",
     "bql_sample" -> "BQL SAMPLE verb: md5-prefix predicate pushed into the scan stage, no shuffle",
-    "mm_video_frames" -> "AVI video decode: per-partition RIFF walk + DIB frame stats, payloads never shuffle")
+    "mm_video_frames" -> "AVI video decode: per-partition RIFF walk + DIB frame stats, payloads never shuffle",
+    "mm_webp_roundtrip" -> "VP8L webp decode: per-partition lossless bitstream codec, payloads never shuffle")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"

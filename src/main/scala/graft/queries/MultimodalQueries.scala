@@ -589,6 +589,113 @@ object MultimodalQueries {
       }(enc).orderBy(col("doc_id"))
     },
 
+    // REAL WEBP (VP8L lossless) — the webp half of the round-14 stub
+    // closed for the LOSSLESS coding: per-doc synthetic ARGB images
+    // (>256 distinct colors → the SUBTRACT_GREEN + canonical-prefix-code
+    // path, constant head rows → distance-1 run LZ77) round-trip through
+    // a real RIFF/WEBP/VP8L container (graft.multimodal.Vp8l) and are
+    // decoded back by the pure-JVM bitstream walk. Losslessness makes
+    // the per-channel sums ORACLE-exact against the closed form. Lossy
+    // webp (VP8) stays with H.264/VP9 in the native-codec out-of-scope.
+    // Scale shape: per-partition codec map, payloads never shuffle.
+    QueryDef("mm_webp_roundtrip", Some(
+      """WITH m AS (SELECT doc_id, 24 + doc_id % 5 AS w, 14 + doc_id % 3 AS h
+        |  FROM documents),
+        |fx AS (SELECT doc_id, w, h, unnest(range(0, w)) AS x FROM m),
+        |px AS (SELECT doc_id, w, h, x, unnest(range(0, h)) AS y FROM fx),
+        |v AS (SELECT doc_id, w, h,
+        |    CASE WHEN y < 2 THEN doc_id % 200
+        |         ELSE (y * w + x + doc_id) % 256 END AS r,
+        |    CASE WHEN y < 2 THEN doc_id % 200
+        |         ELSE (((y * w + x) // 256) * 97 + doc_id) % 256 END AS g,
+        |    CASE WHEN y < 2 THEN doc_id % 200
+        |         ELSE ((y * w + x) * 13 + doc_id) % 256 END AS b
+        |  FROM px)
+        |SELECT doc_id, CAST(w AS BIGINT) AS w, CAST(h AS BIGINT) AS h,
+        |  CAST(SUM(r) AS BIGINT) AS sum_r, CAST(SUM(g) AS BIGINT) AS sum_g,
+        |  CAST(SUM(b) AS BIGINT) AS sum_b,
+        |  CAST(255 * w * h AS BIGINT) AS sum_a
+        |FROM v GROUP BY doc_id, w, h ORDER BY doc_id""".stripMargin)) { (s, d) =>
+      val docsDf = Tables.load(s, d, "documents").select(col("doc_id"))
+      val enc = org.apache.spark.sql.Encoders.row(StructType(Seq(
+        StructField("doc_id", LongType), StructField("w", LongType),
+        StructField("h", LongType), StructField("sum_r", LongType),
+        StructField("sum_g", LongType), StructField("sum_b", LongType),
+        StructField("sum_a", LongType))))
+      docsDf.mapPartitions { rows =>
+        rows.map { row =>
+          val id = row.getLong(0)
+          val w = (24 + id % 5).toInt; val h = (14 + id % 3).toInt
+          val argb = Array.tabulate(w * h) { i =>
+            val y = i / w
+            if (y < 2) {
+              val c = (id % 200).toInt
+              0xff000000 | (c << 16) | (c << 8) | c
+            } else {
+              val r = ((i + id) % 256).toInt
+              val g = (((i / 256) * 97 + id) % 256).toInt
+              val b = ((i * 13 + id) % 256).toInt
+              0xff000000 | (r << 16) | (g << 8) | b
+            }
+          }
+          val decoded = graft.multimodal.Vp8l
+            .decode(graft.multimodal.Vp8l.encode(w, h, argb))
+            .map(_._3).getOrElse(Array.empty[Int])
+          var sr = 0L; var sg = 0L; var sb = 0L; var sa = 0L
+          decoded.foreach { p =>
+            sr += (p >>> 16) & 0xff; sg += (p >>> 8) & 0xff
+            sb += p & 0xff; sa += (p >>> 24) & 0xff
+          }
+          org.apache.spark.sql.Row(id, w.toLong, h.toLong, sr, sg, sb, sa)
+        }
+      }(enc).orderBy(col("doc_id"))
+    },
+
+    // WEBP palette path: 4-color images run the COLOR_INDEXING transform
+    // with 2-bit pixel bundling (4 indices per byte, odd widths exercise
+    // the trailing partial bundle). Oracle-exact per-channel sums.
+    QueryDef("mm_webp_palette", Some(
+      """WITH m AS (SELECT doc_id, 9 + doc_id % 4 AS w, 6 + doc_id % 3 AS h
+        |  FROM documents),
+        |fx AS (SELECT doc_id, w, h, unnest(range(0, w)) AS x FROM m),
+        |px AS (SELECT doc_id, w, h, x, unnest(range(0, h)) AS y FROM fx),
+        |v AS (SELECT doc_id, w, h, (x + y + doc_id) % 4 AS k FROM px)
+        |SELECT doc_id, CAST(w AS BIGINT) AS w, CAST(h AS BIGINT) AS h,
+        |  CAST(SUM(CASE k WHEN 0 THEN 16 WHEN 1 THEN 200 WHEN 2 THEN 5
+        |    ELSE 99 END) AS BIGINT) AS sum_r,
+        |  CAST(SUM(CASE k WHEN 0 THEN 32 WHEN 1 THEN 100 WHEN 2 THEN 250
+        |    ELSE 66 END) AS BIGINT) AS sum_g,
+        |  CAST(SUM(CASE k WHEN 0 THEN 48 WHEN 1 THEN 50 WHEN 2 THEN 125
+        |    ELSE 33 END) AS BIGINT) AS sum_b,
+        |  CAST(SUM(CASE k WHEN 3 THEN 128 ELSE 255 END) AS BIGINT) AS sum_a
+        |FROM v GROUP BY doc_id, w, h ORDER BY doc_id""".stripMargin)) { (s, d) =>
+      val docsDf = Tables.load(s, d, "documents").select(col("doc_id"))
+      val enc = org.apache.spark.sql.Encoders.row(StructType(Seq(
+        StructField("doc_id", LongType), StructField("w", LongType),
+        StructField("h", LongType), StructField("sum_r", LongType),
+        StructField("sum_g", LongType), StructField("sum_b", LongType),
+        StructField("sum_a", LongType))))
+      val pal = Array(0xff102030, 0xffc86432, 0xff05fa7d, 0x80634221)
+      docsDf.mapPartitions { rows =>
+        rows.map { row =>
+          val id = row.getLong(0)
+          val w = (9 + id % 4).toInt; val h = (6 + id % 3).toInt
+          val argb = Array.tabulate(w * h) { i =>
+            pal(((i % w + i / w + id) % 4).toInt)
+          }
+          val decoded = graft.multimodal.Vp8l
+            .decode(graft.multimodal.Vp8l.encode(w, h, argb))
+            .map(_._3).getOrElse(Array.empty[Int])
+          var sr = 0L; var sg = 0L; var sb = 0L; var sa = 0L
+          decoded.foreach { p =>
+            sr += (p >>> 16) & 0xff; sg += (p >>> 8) & 0xff
+            sb += p & 0xff; sa += (p >>> 24) & 0xff
+          }
+          org.apache.spark.sql.Row(id, w.toLong, h.toLong, sr, sg, sb, sa)
+        }
+      }(enc).orderBy(col("doc_id"))
+    },
+
     // Frame-sampling shape over binary payloads (video stand-in):
     // per-doc frame counts, oracle-checked via the equivalent arithmetic.
     QueryDef("mm_frame_count", Some(

@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.multimodal.Multimodal
+import graft.multimodal.{Multimodal, Vp8l}
 import graft.sources.{AvroProducer, BytesDslProducer, DataProducer, Deserializer, Ingest, Tables}
 
 /** A test deserializer loadable by classname (the DSL middle stage). */
@@ -248,6 +248,189 @@ class IngestAndMultimodalSpec extends AnyFunSuite {
       assert(math.abs(mean - g) <= 2,
         s"constant-gray mean $mean within DC quantization of $g")
     }
+  }
+
+  test("VP8L webp: subtract-green gradient roundtrip is bit-exact; container is real RIFF/WEBP") {
+    // >256 distinct colors forces the SUBTRACT_GREEN path; two constant
+    // rows exercise the distance-1 run LZ77
+    val w = 24; val h = 14
+    val argb = Array.tabulate(w * h) { i =>
+      val y = i / w
+      if (y < 2) 0xff000000 | (77 << 16) | (77 << 8) | 77
+      else {
+        val r = (i + 3) % 256
+        val g = ((i / 256) * 97 + 3) % 256
+        val b = (i * 13 + 3) % 256
+        0xff000000 | (r << 16) | (g << 8) | b
+      }
+    }
+    val webp = Vp8l.encode(w, h, argb)
+    assert(new String(webp.take(4), "US-ASCII") == "RIFF" &&
+      new String(webp.slice(8, 12), "US-ASCII") == "WEBP", "real container magic")
+    val Some((dw, dh, out)) = Vp8l.decode(webp)
+    assert(dw == w && dh == h)
+    assert(out.toSeq == argb.toSeq, "lossless: every ARGB pixel bit-exact")
+  }
+
+  test("VP8L webp: palette paths at all four bundling widths are bit-exact") {
+    // palette sizes 2/4/16/17 → 8/4/2/1 pixels per byte; odd widths
+    // exercise the partial trailing bundle
+    for ((nColors, w, h) <- Seq((2, 11, 5), (4, 9, 6), (16, 13, 4), (17, 7, 9))) {
+      val pal = Array.tabulate(nColors)(k =>
+        ((if (k % 3 == 0) 0xff else 0x80) << 24) | ((k * 37 % 256) << 16) |
+          ((k * 91 % 256) << 8) | (k * 53 % 256))
+      val argb = Array.tabulate(w * h)(i => pal((i * 7 + i / w) % nColors))
+      val Some((dw, dh, out)) = Vp8l.decode(Vp8l.encode(w, h, argb))
+      assert(dw == w && dh == h, s"dims at $nColors colors")
+      assert(out.toSeq == argb.toSeq, s"palette size $nColors bit-exact")
+    }
+    // 1x1 and translucent alpha
+    val one = Array(0x7f123456)
+    assert(Vp8l.decode(Vp8l.encode(1, 1, one)).get._3.toSeq == one.toSeq)
+  }
+
+  test("VP8L webp: long runs hit the LZ77 length cap and stay exact; malformed payloads are safe") {
+    val w = 128; val h = 40 // 5120 identical pixels → runs beyond the 4095 cap
+    val argb = Array.fill(w * h)(0xff336699)
+    val webp = Vp8l.encode(w, h, argb)
+    assert(webp.length < 200, s"runs must compress (got ${webp.length} bytes)")
+    assert(Vp8l.decode(webp).get._3.toSeq == argb.toSeq)
+    assert(Vp8l.decode(Array.empty).isEmpty)
+    assert(Vp8l.decode("not a webp at all".getBytes).isEmpty)
+    assert(Vp8l.decode(webp.take(20)).isEmpty)
+    assert(Vp8l.decode(webp.take(40)).isEmpty)
+    val corrupt = webp.clone(); corrupt(25) = (corrupt(25) ^ 0x55).toByte
+    Vp8l.decode(corrupt) // any result, but never a crash
+  }
+
+  test("VP8L webp: crafted color-cache stream decodes through the cache path") {
+    val px = 0xff0a6414 // a=255 r=10 g=100 b=20
+    val idx = (0x1e35a7bd * px) >>> 28 // 4-bit cache hash
+    val bw = new Vp8l.BitWriter
+    bw.bits(0x2f, 8); bw.bits(3, 14); bw.bits(0, 14); bw.bits(0, 1); bw.bits(0, 3)
+    bw.bits(0, 1) // no transforms
+    bw.bits(1, 1); bw.bits(4, 4) // color cache, 4 bits
+    bw.bits(0, 1) // no meta-prefix
+    val gLens = new Array[Int](256 + 24 + 16)
+    gLens(100) = 1; gLens(256 + 24 + idx) = 1
+    Vp8l.writeCode(bw, gLens, gLens.length)
+    def single(sym: Int, alphabet: Int): Unit = {
+      val l = new Array[Int](alphabet); l(sym) = 1
+      Vp8l.writeCode(bw, l, alphabet)
+    }
+    single(10, 256); single(20, 256); single(255, 256); single(0, 40)
+    val gC = Vp8l.canonicalCodes(gLens)
+    bw.code(gC(100), 1) // literal (r/b/a are degenerate 0-bit codes)
+    bw.code(gC(256 + 24 + idx), 1) // three cache hits
+    bw.code(gC(256 + 24 + idx), 1)
+    bw.code(gC(256 + 24 + idx), 1)
+    val Some((w, h, out)) = Vp8l.decode(Vp8l.wrapRiff(bw.toBytes))
+    assert(w == 4 && h == 1)
+    assert(out.toSeq == Seq(px, px, px, px))
+  }
+
+  test("VP8L webp: crafted LZ77 with a neighborhood-map distance code") {
+    // 2x2: two literals then a len-2 copy at map code (0,1) → dist = width
+    val p0 = 0xff102030; val p1 = 0xff405060
+    val bw = new Vp8l.BitWriter
+    bw.bits(0x2f, 8); bw.bits(1, 14); bw.bits(1, 14); bw.bits(0, 1); bw.bits(0, 3)
+    bw.bits(0, 1); bw.bits(0, 1); bw.bits(0, 1) // no transforms/cache/meta
+    val gLens = new Array[Int](256 + 24)
+    gLens(0x20) = 1; gLens(0x50) = 2; gLens(257) = 2 // len-2 symbol
+    Vp8l.writeCode(bw, gLens, gLens.length)
+    def pair(a: Int, b: Int): Array[Int] = {
+      val l = new Array[Int](256); l(a) = 1; l(b) = 1; l
+    }
+    val rLens = pair(0x10, 0x40); Vp8l.writeCode(bw, rLens, 256)
+    val bLens = pair(0x30, 0x60); Vp8l.writeCode(bw, bLens, 256)
+    val aLens = new Array[Int](256); aLens(255) = 1; Vp8l.writeCode(bw, aLens, 256)
+    val dLens = new Array[Int](40); dLens(0) = 1; Vp8l.writeCode(bw, dLens, 40)
+    val gC = Vp8l.canonicalCodes(gLens)
+    val rC = Vp8l.canonicalCodes(rLens)
+    val bC = Vp8l.canonicalCodes(bLens)
+    bw.code(gC(0x20), 1); bw.code(rC(0x10), 1); bw.code(bC(0x30), 1)
+    bw.code(gC(0x50), 2); bw.code(rC(0x40), 1); bw.code(bC(0x60), 1)
+    bw.code(gC(257), 2) // length 2, distance symbol is 0-bit degenerate
+    val Some((w, h, out)) = Vp8l.decode(Vp8l.wrapRiff(bw.toBytes))
+    assert(w == 2 && h == 2)
+    assert(out.toSeq == Seq(p0, p1, p0, p1))
+  }
+
+  test("VP8L webp: crafted predictor transform applies mode/edge rules") {
+    val bw = new Vp8l.BitWriter
+    bw.bits(0x2f, 8); bw.bits(1, 14); bw.bits(1, 14); bw.bits(0, 1); bw.bits(0, 3)
+    bw.bits(1, 1); bw.bits(0, 2); bw.bits(0, 3) // PREDICTOR, sizeBits=2 → one 4x4 tile
+    def singleImage(px: Int): Unit = {
+      bw.bits(0, 1) // no cache (sub-image: no meta bit)
+      def single(sym: Int, alphabet: Int): Unit = {
+        val l = new Array[Int](alphabet); l(sym) = 1
+        Vp8l.writeCode(bw, l, alphabet)
+      }
+      single((px >>> 8) & 0xff, 256 + 24); single((px >>> 16) & 0xff, 256)
+      single(px & 0xff, 256); single((px >>> 24) & 0xff, 256); single(0, 40)
+      // all five codes are degenerate → the tile pixel costs zero data bits
+    }
+    singleImage(0x00000100) // tile mode = green = 1 (predict from LEFT)
+    bw.bits(0, 1) // end of transforms
+    // residual 2x2 image: distinct per-channel values, emitted as literals
+    val res = Seq(0x00010203, 0x00010101, 0x00050505, 0x00010001)
+    bw.bits(0, 1); bw.bits(0, 1) // no cache, no meta
+    def lensOf(vals: Seq[Int], alphabet: Int): Array[Int] = {
+      val l = new Array[Int](alphabet)
+      val d = vals.distinct.sorted
+      d.length match {
+        case 1 => l(d.head) = 1
+        case 2 => l(d(0)) = 1; l(d(1)) = 1
+        case 3 => l(d(0)) = 1; l(d(1)) = 2; l(d(2)) = 2
+        case _ => d.take(4).foreach(s => l(s) = 2) // complete at exactly 4
+      }
+      l
+    }
+    val gs = res.map(p => (p >>> 8) & 0xff)
+    val rs = res.map(p => (p >>> 16) & 0xff)
+    val bs = res.map(p => p & 0xff)
+    val gLens = lensOf(gs, 256 + 24); Vp8l.writeCode(bw, gLens, 256 + 24)
+    val rLens = lensOf(rs, 256); Vp8l.writeCode(bw, rLens, 256)
+    val bLens = lensOf(bs, 256); Vp8l.writeCode(bw, bLens, 256)
+    val aLens = new Array[Int](256); aLens(0) = 1; Vp8l.writeCode(bw, aLens, 256)
+    val dLens = new Array[Int](40); dLens(0) = 1; Vp8l.writeCode(bw, dLens, 40)
+    val gC = Vp8l.canonicalCodes(gLens)
+    val rC = Vp8l.canonicalCodes(rLens)
+    val bC = Vp8l.canonicalCodes(bLens)
+    res.foreach { p =>
+      bw.code(gC((p >>> 8) & 0xff), gLens((p >>> 8) & 0xff))
+      bw.code(rC((p >>> 16) & 0xff), rLens((p >>> 16) & 0xff))
+      bw.code(bC(p & 0xff), bLens(p & 0xff))
+    }
+    val Some((w, h, out)) = Vp8l.decode(Vp8l.wrapRiff(bw.toBytes))
+    assert(w == 2 && h == 2)
+    // (0,0): + black; (1,0): row 0 → LEFT; (0,1): col 0 → TOP; (1,1): mode 1 → LEFT
+    assert(out(0) == 0xff010203, f"px0 ${out(0)}%08x")
+    assert(out(1) == 0xff020304, f"px1 ${out(1)}%08x")
+    assert(out(2) == 0xff060708, f"px2 ${out(2)}%08x")
+    assert(out(3) == 0xff070709, f"px3 ${out(3)}%08x")
+  }
+
+  test("VP8L webp: crafted color transform inverts the cross-channel deltas") {
+    val bw = new Vp8l.BitWriter
+    bw.bits(0x2f, 8); bw.bits(1, 14); bw.bits(1, 14); bw.bits(0, 1); bw.bits(0, 3)
+    bw.bits(1, 1); bw.bits(1, 2); bw.bits(0, 3) // COLOR, sizeBits=2 → one tile
+    def single(sym: Int, alphabet: Int): Unit = {
+      val l = new Array[Int](alphabet); l(sym) = 1
+      Vp8l.writeCode(bw, l, alphabet)
+    }
+    // cte: g2r=2 (blue-lane byte), g2b=3 (green lane), r2b=4 (red lane)
+    bw.bits(0, 1) // tile sub-image: no cache
+    single(3, 256 + 24); single(4, 256); single(2, 256); single(0, 256); single(0, 40)
+    bw.bits(0, 1) // end of transforms
+    // main 2x2, all pixels 0xff0a4014 (r'=10 g=64 b'=20), all-degenerate codes
+    bw.bits(0, 1); bw.bits(0, 1)
+    single(0x40, 256 + 24); single(0x0a, 256); single(0x14, 256)
+    single(0xff, 256); single(0, 40)
+    val Some((w, h, out)) = Vp8l.decode(Vp8l.wrapRiff(bw.toBytes))
+    assert(w == 2 && h == 2)
+    // r = 10 + (2*64>>5) = 14; b = 20 + (3*64>>5) + (4*14>>5) = 27
+    assert(out.forall(_ == 0xff0e401b), f"${out(0)}%08x")
   }
 
   test("PPM P6 decoder: encode→decode roundtrip, comments, malformed safety") {
