@@ -86,11 +86,13 @@ object Bench {
     // times regex-recovered) — so the full line is ALSO written whole to a
     // file (SPARK_GRAFT_BENCH_OUT overrides the default repo-cwd path);
     // stdout keeps the driver contract's single JSON line as before
-    try java.nio.file.Files.write(
-      java.nio.file.Paths.get(
-        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json")),
-      json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    catch { case _: Throwable => () } // an unwritable cwd must not fail the bench
+    // a name-filtered A/B run must NOT clobber the full-sweep artifact
+    if (only.isEmpty)
+      try java.nio.file.Files.write(
+        java.nio.file.Paths.get(
+          sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json")),
+        json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      catch { case _: Throwable => () } // an unwritable cwd must not fail the bench
     println(json)
     spark.stop()
   }

@@ -379,7 +379,12 @@ object ScaleCheck {
           // per-distinct-word kernel + relational tokenize join (apply).
           // Token salting grows the word table ~k-fold until the
           // maxWords cap bites — the cap is the documented scale lever
-          "tx_bpe_train", "tx_bpe_apply")
+          "tx_bpe_train", "tx_bpe_apply",
+          // media codecs: per-partition encode→decode maps over doc_id
+          // (AVI/RIFF video, VP8L webp) — payloads never shuffle, so
+          // kx docs must cost exactly kx decode work
+          "mm_video_frames", "mm_video_mjpeg",
+          "mm_webp_roundtrip", "mm_webp_palette")
     val selected = if (only.isEmpty) names else names.filter(only)
     // dd_semdedup is excluded the same way dd_embed_cosine is: replicated
     // embeddings are bit-identical across copies, so k-fold data has k²

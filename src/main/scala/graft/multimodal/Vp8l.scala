@@ -151,26 +151,48 @@ object Vp8l {
     if (active.isEmpty) return out
     if (active.length == 1) { out(active.head) = 1; return out }
     var f = freqs.clone()
-    var done = false
-    while (!done) {
-      // node = (freq, tiebreak, symbols)
-      implicit val ord: Ordering[(Long, Int, List[Int])] =
-        Ordering.by(n => (-n._1, -n._2))
-      val pq = mutable.PriorityQueue.empty[(Long, Int, List[Int])]
-      active.foreach(s => pq.enqueue((f(s), s, List(s))))
-      val depth = mutable.Map.empty[Int, Int].withDefaultValue(0)
-      var tick = freqs.length
+    while (true) {
+      // parent-pointer Huffman: leaves 0..n-1 (symbol active(i)),
+      // internal nodes appended; leaf depth = hops to the root.
+      // Deterministic tie-break: equal frequencies dequeue the
+      // lowest-numbered node first.
+      val n = active.length
+      val nodeFreq = new Array[Long](2 * n - 1)
+      val parent = new Array[Int](2 * n - 1)
+      java.util.Arrays.fill(parent, -1)
+      var i = 0
+      while (i < n) { nodeFreq(i) = f(active(i)); i += 1 }
+      val pq = mutable.PriorityQueue.empty[(Long, Int)](
+        Ordering.by(t => (-t._1, -t._2)))
+      i = 0
+      while (i < n) { pq.enqueue((nodeFreq(i), i)); i += 1 }
+      var next = n
       while (pq.size > 1) {
-        val a = pq.dequeue(); val b = pq.dequeue()
-        (a._3 ++ b._3).foreach(s => depth(s) += 1)
-        pq.enqueue((a._1 + b._1, tick, a._3 ++ b._3))
-        tick += 1
+        val (fa, a) = pq.dequeue()
+        val (fb, b) = pq.dequeue()
+        nodeFreq(next) = fa + fb
+        parent(a) = next
+        parent(b) = next
+        pq.enqueue((nodeFreq(next), next))
+        next += 1
       }
-      if (depth.values.max <= maxLen) {
-        java.util.Arrays.fill(out, 0)
-        depth.foreach { case (s, d) => out(s) = d }
-        done = true
-      } else f = f.map(v => if (v > 0) (v + 1) / 2 else 0)
+      var maxD = 0
+      val depths = new Array[Int](n)
+      i = 0
+      while (i < n) {
+        var d = 0
+        var p = parent(i)
+        while (p != -1) { d += 1; p = parent(p) }
+        depths(i) = d
+        if (d > maxD) maxD = d
+        i += 1
+      }
+      if (maxD <= maxLen) {
+        i = 0
+        while (i < n) { out(active(i)) = depths(i); i += 1 }
+        return out
+      }
+      f = f.map(v => if (v > 0) (v + 1) / 2 else 0)
     }
     out
   }
