@@ -116,6 +116,11 @@ object Compiler {
         case "LENGTH" => length(c) // Bullet's SIZEOF also covers strings; Spark splits them
         case "ISNULL" => c.isNull
         case "ISNOTNULL" => c.isNotNull
+        // the LLM-pipeline scalar verbs — shared kernels with the Scala
+        // query surface (graft.functions.TextFns), null-safe
+        case "LANGID" => graft.functions.TextFns.langId(c)
+        case "QUALITY" => graft.functions.TextFns.quality(c)
+        case "TOKENS" => graft.functions.TextFns.tokenCount(c)
         case other => throw new BqlParseException(s"bad unary op $other")
       }
     case Binary(op, l, r) =>

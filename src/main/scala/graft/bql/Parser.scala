@@ -70,7 +70,10 @@ object Parser {
       "DEDUPE", "SEARCH")
     private val scalarFns = Set("ABS", "LOWER", "UPPER", "TRIM", "SIZEOF", "LENGTH",
       "ISNULL", "ISNOTNULL", "IF", "CAST", "CONTAINSKEY", "CONTAINSVALUE", "SIZEIS",
-      "JSON", "FILTER", "SAMPLE")
+      "JSON", "FILTER", "SAMPLE",
+      // LLM-pipeline scalar verbs (graft.functions.TextFns kernels) —
+      // scalars so they compose inside WHERE and projections alike
+      "LANGID", "QUALITY", "TOKENS")
 
     /** Leading `SET <key> = <value> [;]` statements — the text surface's
       * session/sketch lever (SURVEY §2.B armed modes). Keys are checked

@@ -303,6 +303,43 @@ object BqlQueries {
         |WHERE substr(md5(text), 1, 2) < '1a' ORDER BY doc_id""".stripMargin)) { (s, d) =>
       bql(s, d, "documents",
         "SELECT doc_id, lang FROM STREAM WHERE SAMPLE(0.1, text) ORDER BY doc_id")
+    },
+
+    // ---- round-15 continuation: the pipeline CLASSIFIERS as scalar
+    // verbs (graft.functions.TextFns kernels — the SAME vals the Scala
+    // surface and these oracles are generated from, so they cannot
+    // drift). Scalars, not aggregates: they compose inside WHERE and
+    // projections, which is how a curation pipeline actually uses them
+    // ("keep docs where QUALITY(text) >= 2 and LANGID(text) == 'en'").
+
+    // tx_langid as a BQL scalar: LANGID(text) → lexicon-hit argmax
+    QueryDef("bql_langid", Some(
+      graft.functions.TextFns.sqlLangId + " ORDER BY doc_id")) { (s, d) =>
+      bql(s, d, "documents",
+        "SELECT doc_id, LANGID(text) AS lang_pred FROM STREAM ORDER BY doc_id")
+    },
+
+    // QUALITY as a verb USED IN THE FILTER — the curation gate shape
+    QueryDef("bql_quality_gate", Some(
+      s"""SELECT doc_id, ${graft.functions.TextFns.sqlQuality} AS q
+         |FROM documents
+         |WHERE ${graft.functions.TextFns.sqlQuality} >= 2
+         |ORDER BY doc_id""".stripMargin)) { (s, d) =>
+      bql(s, d, "documents",
+        "SELECT doc_id, QUALITY(text) AS q FROM STREAM " +
+          "WHERE QUALITY(text) >= 2 ORDER BY doc_id")
+    },
+
+    // TOKENS as both projection and budget predicate — the context-
+    // window screen ("docs that fit")
+    QueryDef("bql_token_budget", Some(
+      s"""SELECT doc_id, ${graft.functions.TextFns.sqlTokenCount} AS n_tok
+         |FROM documents
+         |WHERE ${graft.functions.TextFns.sqlTokenCount} BETWEEN 40 AND 90
+         |ORDER BY doc_id""".stripMargin)) { (s, d) =>
+      bql(s, d, "documents",
+        "SELECT doc_id, TOKENS(text) AS n_tok FROM STREAM " +
+          "WHERE TOKENS(text) >= 40 AND TOKENS(text) <= 90 ORDER BY doc_id")
     }
   )
 }

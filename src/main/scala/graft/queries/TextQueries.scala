@@ -28,12 +28,9 @@ object TextQueries {
 
   /** Tiny per-language lexicons over the fixture vocabulary; scoring =
     * lexicon-hit count, argmax with fixed tie order (en,es,de,fr,zh). */
-  private val lex = Seq(
-    "en" -> Seq("the", "a", "fast", "slow"),
-    "es" -> Seq("data", "value", "row"),
-    "de" -> Seq("merge", "join", "group"),
-    "fr" -> Seq("table", "column", "line"),
-    "zh" -> Seq("spark", "query", "stream"))
+  // the lexicon is SHARED with the BQL LANGID verb (graft.functions
+  // .TextFns) — one val, so the verb and this query cannot drift
+  private val lex = graft.functions.TextFns.lex
 
   private def hitCount(lexicon: Seq[String]): Column =
     size(filter(toks, t => t.isInCollection(lexicon)))

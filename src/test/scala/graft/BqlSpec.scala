@@ -423,6 +423,41 @@ class BqlSpec extends AnyFunSuite {
     assert(got == 3L, s"got $got")
   }
 
+  test("pipeline scalar verbs: LANGID/QUALITY/TOKENS compose in WHERE and projections") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "the fast merge join group the the a"),
+      (2L, "data value row data table column"),
+      (3L, null.asInstanceOf[String]),
+      (4L, "")).toDF("doc_id", "text")
+    // LANGID: argmax with first-wins ties; null/empty score like empty → 'en'
+    val langs = Compiler.compile(
+      "SELECT doc_id, LANGID(text) AS l FROM STREAM ORDER BY doc_id")._2(df)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(langs == Seq((1L, "en"), (2L, "es"), (3L, "en"), (4L, "en")), s"$langs")
+    // the kernels are the SHARED vals — the Scala surface agrees by construction
+    val direct = df.select(col("doc_id"),
+      graft.functions.TextFns.langId(col("text")).as("l"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(direct.sortBy(_._1) == langs)
+    // QUALITY in a WHERE: doc 1 has stopwords + enough uniqueness → >= 2 needs
+    // the length band too (all fixtures are short) — so quality is 2 at most
+    val q = Compiler.compile(
+      "SELECT doc_id, QUALITY(text) AS q FROM STREAM WHERE QUALITY(text) >= 2 " +
+        "ORDER BY doc_id")._2(df)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
+    assert(q.forall(_._2 >= 2) && q.nonEmpty, s"$q")
+    // TOKENS as a budget predicate; null text counts like empty (1 token)
+    val t = Compiler.compile(
+      "SELECT doc_id, TOKENS(text) AS n FROM STREAM WHERE TOKENS(text) <= 6 " +
+        "ORDER BY doc_id")._2(df)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(t == Seq((2L, 6L), (3L, 1L), (4L, 1L)), s"$t")
+    // bad arity is a parse error on the error channel, not a crash
+    intercept[BqlParseException](Compiler.compile(
+      "SELECT LANGID(text, lang) FROM STREAM"))
+  }
+
   // property: random boolean combinations of two predicates agree
   test("property: AND/OR/XOR/NOT combinations agree with Spark") {
     val cached = events.select("event_id", "value", "user_id").cache()
