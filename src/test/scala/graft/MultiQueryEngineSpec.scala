@@ -60,6 +60,37 @@ class MultiQueryEngineSpec extends AnyFunSuite {
     assert(e.activeQueryIds.isEmpty)
   }
 
+  test("pipeline scalar verbs route through the streaming engine (LANGID/QUALITY/TOKENS)") {
+    import spark.implicits._
+    val e = newEngine()
+    // a documents-shaped micro-batch: the engine is schema-agnostic, so
+    // the curation-gate query runs over any stream carrying `text`
+    val docs = Seq(
+      (1L, "the fast merge join group the the a"),
+      (2L, "data value row data table column"),
+      (3L, null.asInstanceOf[String]),
+      (4L, "spark query stream spark")).toDF("doc_id", "text")
+    assert(e.submit("vq1",
+      "SELECT COUNT(*) AS n FROM STREAM WHERE TOKENS(text) >= 4 DURATION 50").isRight)
+    assert(e.submit("vq2",
+      "SELECT doc_id, LANGID(text) AS l FROM STREAM WHERE QUALITY(text) >= 1 " +
+        "LIMIT 10 DURATION 50").isRight)
+    e.processBatch(docs)
+    now += 100 // past DURATION → terminal emits
+    e.processBatch(docs.limit(0))
+    val rs = e.drainResults()
+    val byId = rs.groupBy(_.queryId)
+    // TOKENS >= 4: docs 1 (8), 2 (6), 4 (4) — null text counts 1 like empty
+    val n = byId("vq1").last.clip.records.head("n").asInstanceOf[Long]
+    assert(n == 3L, s"got $n")
+    // QUALITY >= 1 keeps all (uniqueness or stopwords hold everywhere
+    // except... null/empty scores 1 via uniqueness) — and LANGID argmax
+    // routes doc 2 to 'es', doc 4 to 'zh'
+    val recs = byId("vq2").last.clip.records
+    val langs = recs.map(r => r("doc_id").asInstanceOf[Long] -> r("l")).toMap
+    assert(langs(2L) == "es" && langs(4L) == "zh", s"got $langs")
+  }
+
   test("cumulative GROUP ALL count across batches (B5 + ALL window)") {
     val e = newEngine()
     e.submit("q2", "SELECT COUNT(*) AS cnt FROM STREAM WINDOWING EVERY(1, RECORD, ALL)")
