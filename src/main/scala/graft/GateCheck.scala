@@ -460,6 +460,26 @@ object GateCheck {
     gates += Gate("mm_video_mjpeg", "max_mean_gray_deviation",
       vj.map(_.getLong(5)).max.toDouble, "<=", 2)
 
+    // ---- deflate compressibility filter (tx_compress_ratio, no SQL
+    // oracle — DuckDB has no deflate). Three certificates: output
+    // bounds (a raw deflate stream of n bytes costs at most n + small
+    // framing), redundancy exploitation (doubling the text must NOT
+    // double the cost — the property the boilerplate filter relies
+    // on), and determinism across re-runs (same JVM, same settings).
+    val cr = run("tx_compress_ratio").collect()
+    gates += Gate("tx_compress_ratio", "bounds_violations",
+      cr.count { r =>
+        val n = r.getLong(1); val d = r.getLong(2)
+        d <= 0 || d > n + 64
+      }.toDouble, "==", 0)
+    gates += Gate("tx_compress_ratio", "doubling_not_exploited",
+      cr.count { r =>
+        r.getLong(1) >= 64 && r.getLong(3) >= 2 * r.getLong(2)
+      }.toDouble, "==", 0)
+    val cr2 = run("tx_compress_ratio").collect()
+    gates += Gate("tx_compress_ratio", "rerun_mismatches",
+      cr.zip(cr2).count { case (a, b) => a != b }.toDouble, "==", 0)
+
     gates.toSeq
   }
 }

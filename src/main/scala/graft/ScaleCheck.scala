@@ -384,7 +384,9 @@ object ScaleCheck {
           // (AVI/RIFF video, VP8L webp) — payloads never shuffle, so
           // kx docs must cost exactly kx decode work
           "mm_video_frames", "mm_video_mjpeg",
-          "mm_webp_roundtrip", "mm_webp_palette")
+          "mm_webp_roundtrip", "mm_webp_palette",
+          // deflate compressibility: per-partition map, reused Deflater
+          "tx_compress_ratio")
     val selected = if (only.isEmpty) names else names.filter(only)
     // dd_semdedup is excluded the same way dd_embed_cosine is: replicated
     // embeddings are bit-identical across copies, so k-fold data has k²

@@ -178,6 +178,40 @@ object TextQueries {
     // relational shape — explode → count → per-doc rank-1 → join back —
     // shuffles the corpus twice; this never shuffles at all, the final
     // ORDER BY being oracle determinism only).
+    // Compressibility quality filter — the Gopher/FineWeb-style signal
+    // tx_repetition's n-gram ratios cannot see: ACTUAL Lempel-Ziv
+    // redundancy via per-doc deflate length (java.util.zip, level 6,
+    // raw stream). Emits deflate(text) and deflate(text||text): the
+    // doubled-text length certifies the compressor exploits cross-copy
+    // redundancy (deflate2 < 2·deflate), which is exactly the property
+    // the "too-compressible → boilerplate" filter relies on. No SQL
+    // oracle (DuckDB has no deflate) → GateCheck rows: bounds,
+    // doubling-redundancy, determinism across re-runs. Scale shape:
+    // per-partition map with a REUSED Deflater, no shuffle, one pass.
+    QueryDef("tx_compress_ratio", None) { (s, d) =>
+      val enc = org.apache.spark.sql.Encoders.row(StructType(Seq(
+        StructField("doc_id", LongType), StructField("n_chars", LongType),
+        StructField("deflate_len", LongType), StructField("deflate2_len", LongType))))
+      docs(s, d).select(col("doc_id"), col("text")).mapPartitions { rows =>
+        val defl = new java.util.zip.Deflater(6, true)
+        val buf = new Array[Byte](1 << 16)
+        def dlen(str: String): Long = {
+          defl.reset()
+          defl.setInput(str.getBytes("UTF-8"))
+          defl.finish()
+          var total = 0L
+          while (!defl.finished()) total += defl.deflate(buf)
+          total
+        }
+        rows.map { r =>
+          val id = r.getLong(0)
+          val text = if (r.isNullAt(1)) "" else r.getString(1)
+          org.apache.spark.sql.Row(
+            id, text.length.toLong, dlen(text), dlen(text + text))
+        }
+      }(enc).orderBy(col("doc_id"))
+    },
+
     QueryDef("tx_repetition", Some(
       """WITH g AS (
         |  SELECT doc_id, length(text) AS text_len,

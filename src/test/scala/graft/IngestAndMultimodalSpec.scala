@@ -433,6 +433,37 @@ class IngestAndMultimodalSpec extends AnyFunSuite {
     assert(out.forall(_ == 0xff0e401b), f"${out(0)}%08x")
   }
 
+  test("codec mutation fuzz: corrupted AVI/WEBP/GIF/WAV/PPM payloads never crash a decoder") {
+    // deterministic LCG over byte positions/values: every decoder must
+    // treat arbitrary corruption as data, not control flow — at 100 TB
+    // a task retry storm from one bad blob is an outage
+    var seed = 0x9e3779b97f4a7c15L
+    def nxt(n: Int): Int = {
+      seed = seed * 6364136223846793005L + 1442695040888963407L
+      (((seed >>> 33) % n).toInt + n) % n
+    }
+    val gray = Array.fill[Byte](48)(77)
+    val avi = Multimodal.encodeAviGray(8, 6, Seq(gray, gray))
+    val webp = Vp8l.encode(8, 6, Array.tabulate(48)(i => 0xff000000 | (i * 5429)))
+    val gif = Multimodal.encodeGifFrames(8, 6, Seq(gray))
+    val wav = Multimodal.encodeWavPcm16(8000, Array.tabulate[Short](64)(i => (i * 321).toShort))
+    val ppm = Multimodal.encodePpmP6(8, 6, Array.fill[Byte](144)(50))
+    (1 to 200).foreach { _ =>
+      def mutate(payload: Array[Byte]): Array[Byte] = {
+        val m = payload.clone()
+        (0 until 1 + nxt(3)).foreach { _ =>
+          m(nxt(m.length)) = nxt(256).toByte
+        }
+        if (nxt(4) == 0) m.take(nxt(m.length)) else m
+      }
+      Multimodal.decodeAviFrames(mutate(avi))
+      Vp8l.decode(mutate(webp))
+      Multimodal.decodeGifFrames(mutate(gif))
+      Multimodal.decodeWavPcm16(mutate(wav))
+      Multimodal.decodePpmP6(mutate(ppm))
+    }
+  }
+
   test("PPM P6 decoder: encode→decode roundtrip, comments, malformed safety") {
     // 2x2 image, known channel sums
     val px = Array[Byte](10, 20, 30, 40, 50, 60, 70, 80, 90, 100, 110, 120)
