@@ -1,0 +1,35 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.SparkSession
+
+/** Optimization-round evidence dumper: writes
+  * `plans/r15/<query>_<suffix>.txt` with the `.explain("formatted")` output
+  * for each named query (the judge checks plan claims against these files).
+  *
+  * Usage: sbt "runMain graft.R15Plans <suffix> <query> [<query>…]"
+  * Env: SPARK_GRAFT_SF_DIR (default sf0.001 — plan SHAPE is SF-independent).
+  */
+object R15Plans {
+  def main(args: Array[String]): Unit = {
+    val suffix = args.head
+    val names = args.tail
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    val spark = GraftSession.configure(SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4"))
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    Files.createDirectories(Paths.get("plans/r15"))
+    names.foreach { name =>
+      val df = SparkEntry.queries(name)(spark, sfDir)
+      val txt = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+      Files.write(Paths.get(s"plans/r15/${name}_$suffix.txt"),
+        txt.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      println(s"wrote plans/r15/${name}_$suffix.txt")
+    }
+    spark.stop()
+  }
+}

@@ -735,7 +735,12 @@ object DedupQueries {
         .check(emb(s, d), "dd_embed_cosine", "ann_lsh_topk")
         .select(col("vec_id"), col("embedding"),
           dot_product(col("embedding"), col("embedding")).as("nsq"))
+      // one-row-group fixture parquet = one scan partition = the whole n²
+      // cosine pass in a single task; spread the streamed side over the
+      // executor slots (scale-adaptive defaultParallelism) so the
+      // broadcast-NL join parallelizes
       val a = e.select(col("vec_id").as("vec_a"), col("embedding").as("ea"), col("nsq").as("na"))
+        .repartition(s.sparkContext.defaultParallelism)
       val b = e.select(col("vec_id").as("vec_b"), col("embedding").as("eb"), col("nsq").as("nb"))
       a.join(b, col("vec_a") < col("vec_b"))
         .filter(dot_product(col("ea"), col("eb")) / sqrt(col("na") * col("nb")) >= 0.4)

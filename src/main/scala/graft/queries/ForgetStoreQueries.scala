@@ -99,7 +99,11 @@ object ForgetStoreQueries {
         explode(split(coalesce(col("text"), lit("")), " ")).as("t"))
       .groupBy(xxhash64(col("t")).as("h"), col("doc_id"), col("seg"))
       .agg(count(lit(1)).as("tf"))
-      .repartition(col("seg"))
+      // explicit width: a bare repartition(col("seg")) AQE-coalesced to a
+      // SINGLE task that wrote all ~|docs|/segDocs segment dirs serially
+      // (profiled at 7 s single-threaded); hashing segs over the executor
+      // slots writes them in parallel — still one file per segment
+      .repartition(s.sparkContext.defaultParallelism, col("seg"))
       .write.partitionBy("seg").mode("overwrite").parquet(segRoot)
     val tomb = docs(s, d).filter(ForgottenDoc).select(col("doc_id"))
     // touched segments: request-bounded driver list
@@ -112,7 +116,7 @@ object ForgetStoreQueries {
       s.read.option("basePath", segRoot).parquet(touchedPaths: _*)
         .join(broadcast(tomb), Seq("doc_id"), "left_anti")
         .select(col("h"), col("doc_id"), col("tf"), col("seg"))
-        .repartition(col("seg"))
+        .repartition(s.sparkContext.defaultParallelism, col("seg"))
         .write.partitionBy("seg").mode("overwrite").parquet(compactRoot)
     val untouched = s.read.parquet(segRoot)
       .filter(!col("seg").isin(touched.map(java.lang.Long.valueOf): _*))
@@ -237,7 +241,7 @@ object ForgetStoreQueries {
     val cents = Ivf.train(e, k, iters = 3,
       trainSample = Ivf.intConf(s, "spark.graft.ivf.trainSample", 2000))
     Ivf.assigned(e, cents)
-      .repartition(col("cl"))
+      .repartition(s.sparkContext.defaultParallelism, col("cl"))
       .write.partitionBy("cl").mode("overwrite").parquet(listRoot)
     val tomb = e.filter(col("vec_id") % 97 === 0)
     // touched lists: re-assign the TOMBSTONES (broadcast-tiny), never
@@ -252,7 +256,7 @@ object ForgetStoreQueries {
       s.read.option("basePath", listRoot).parquet(touchedPaths: _*)
         .join(broadcast(tombIds), Seq("vec_id"), "left_anti")
         .select(col("vec_id"), col("embedding"), col("cl"))
-        .repartition(col("cl"))
+        .repartition(s.sparkContext.defaultParallelism, col("cl"))
         .write.partitionBy("cl").mode("overwrite").parquet(compactRoot)
     val untouched = s.read.parquet(listRoot)
       .filter(!col("cl").isin(touched.map(Integer.valueOf): _*))

@@ -14,13 +14,30 @@ import graft.sources.Tables
   */
 object MultimodalQueries {
 
+  /** doc_id scan spread across the executor slots: the fixture parquet is
+    * a single row group → ONE scan partition, which ran every
+    * per-partition codec pass (PPM/PNG/GIF/AVI/VP8L encode+decode) as a
+    * single task — profiling showed these queries serial on one core.
+    * The repartition carries 8-byte ids only and is scale-adaptive
+    * (defaultParallelism), so on a real cluster with many input splits it
+    * stays a cheap rebalance, never a constant tuned to local[32]. */
+  private def docIds(s: org.apache.spark.sql.SparkSession, d: String,
+      spread: Boolean = true) = {
+    val ids = Tables.load(s, d, "documents").select(col("doc_id"))
+    // A/B-measured per consumer: the heavy codecs (VP8L, MJPEG, GIF, PNG,
+    // pHash) win 1.5-9x from the spread; the sub-second paths (PPM, WAV,
+    // raw AVI frame walks) lose to the extra stage + per-task overhead,
+    // so they keep the single-partition scan.
+    if (spread) ids.repartition(s.sparkContext.defaultParallelism) else ids
+  }
+
   /** Deterministic two-tone PPM (P6) fixture shared by the decode and
     * resize queries: per doc, a (4+id%5) × (3+id%4) image whose first
     * half of pixels is color A(id) and second half B(id) — every channel
     * value is a closed form of doc_id, so SQL oracles can reproduce the
     * decoded arithmetic exactly. */
   private def ppmPayloads(s: org.apache.spark.sql.SparkSession, d: String) = {
-    val docs = Tables.load(s, d, "documents").select(col("doc_id"))
+    val docs = docIds(s, d, spread = false)
     val enc = org.apache.spark.sql.Encoders.row(StructType(Seq(
       StructField("doc_id", LongType), StructField("payload", BinaryType))))
     docs.mapPartitions { rows =>
@@ -48,7 +65,7 @@ object MultimodalQueries {
     * round-trip (zlib deflate → inflate → pixel access), not string
     * plumbing. */
   private def pngPayloads(s: org.apache.spark.sql.SparkSession, d: String) = {
-    val docs = Tables.load(s, d, "documents").select(col("doc_id"))
+    val docs = docIds(s, d)
     val enc = org.apache.spark.sql.Encoders.row(StructType(Seq(
       StructField("doc_id", LongType), StructField("payload", BinaryType))))
     docs.mapPartitions { rows =>
@@ -79,7 +96,7 @@ object MultimodalQueries {
     * recover, and every byte is a closed form of doc_id the SQL oracle
     * reproduces. */
   private def phashPayloads(s: org.apache.spark.sql.SparkSession, d: String) = {
-    val docs = Tables.load(s, d, "documents").select(col("doc_id"))
+    val docs = docIds(s, d)
     val enc = org.apache.spark.sql.Encoders.row(StructType(Seq(
       StructField("doc_id", LongType), StructField("payload", BinaryType))))
     docs.mapPartitions { rows =>
@@ -110,7 +127,7 @@ object MultimodalQueries {
     * closed form of (doc_id, i), so the oracle reproduces the decoded
     * feature arithmetic exactly. */
   private def wavPayloads(s: org.apache.spark.sql.SparkSession, d: String) = {
-    val docs = Tables.load(s, d, "documents").select(col("doc_id"))
+    val docs = docIds(s, d, spread = false)
     val enc = org.apache.spark.sql.Encoders.row(StructType(Seq(
       StructField("doc_id", LongType), StructField("payload", BinaryType))))
     docs.mapPartitions { rows =>
@@ -454,7 +471,7 @@ object MultimodalQueries {
         |  CAST(w AS BIGINT) AS w, CAST(h AS BIGINT) AS h,
         |  CAST(w * h * ((doc_id * 3 + fi * 7) % 256) AS BIGINT) AS sum_gray
         |FROM f ORDER BY doc_id, frame_idx""".stripMargin)) { (s, d) =>
-      val docsDf = Tables.load(s, d, "documents").select(col("doc_id"))
+      val docsDf = docIds(s, d)
       val enc = org.apache.spark.sql.Encoders.row(StructType(Seq(
         StructField("doc_id", LongType), StructField("frame_idx", LongType),
         StructField("n_frames", LongType), StructField("w", LongType),
@@ -498,7 +515,7 @@ object MultimodalQueries {
         |  CAST(w AS BIGINT) AS w, CAST(h AS BIGINT) AS h,
         |  CAST(w * h * ((doc_id * 5 + fi * 11) % 256) AS BIGINT) AS sum_gray
         |FROM f ORDER BY doc_id, frame_idx""".stripMargin)) { (s, d) =>
-      val docsDf = Tables.load(s, d, "documents").select(col("doc_id"))
+      val docsDf = docIds(s, d, spread = false)
       val enc = org.apache.spark.sql.Encoders.row(StructType(Seq(
         StructField("doc_id", LongType), StructField("frame_idx", LongType),
         StructField("n_frames", LongType), StructField("w", LongType),
@@ -535,7 +552,7 @@ object MultimodalQueries {
         |SELECT doc_id, CAST(fi AS BIGINT) AS frame_idx,
         |  CAST(w * h * ((doc_id * 7 + fi * 13) % 256) AS BIGINT) AS sum_gray
         |FROM f WHERE fi % 2 = 0 ORDER BY doc_id, frame_idx""".stripMargin)) { (s, d) =>
-      val docsDf = Tables.load(s, d, "documents").select(col("doc_id"))
+      val docsDf = docIds(s, d, spread = false)
       val enc = org.apache.spark.sql.Encoders.row(StructType(Seq(
         StructField("doc_id", LongType), StructField("frame_idx", LongType),
         StructField("sum_gray", LongType))))
@@ -562,7 +579,7 @@ object MultimodalQueries {
     // each constant-gray frame's mean within JPEG DC-quantization of
     // the source (GateCheck: max |mean - source| <= 2 gray levels).
     QueryDef("mm_video_mjpeg", None) { (s, d) =>
-      val docsDf = Tables.load(s, d, "documents").select(col("doc_id"))
+      val docsDf = docIds(s, d)
       val enc = org.apache.spark.sql.Encoders.row(StructType(Seq(
         StructField("doc_id", LongType), StructField("n_frames", LongType),
         StructField("nf_expected", LongType), StructField("w", LongType),
@@ -616,7 +633,7 @@ object MultimodalQueries {
         |  CAST(SUM(b) AS BIGINT) AS sum_b,
         |  CAST(255 * w * h AS BIGINT) AS sum_a
         |FROM v GROUP BY doc_id, w, h ORDER BY doc_id""".stripMargin)) { (s, d) =>
-      val docsDf = Tables.load(s, d, "documents").select(col("doc_id"))
+      val docsDf = docIds(s, d)
       val enc = org.apache.spark.sql.Encoders.row(StructType(Seq(
         StructField("doc_id", LongType), StructField("w", LongType),
         StructField("h", LongType), StructField("sum_r", LongType),
@@ -669,7 +686,7 @@ object MultimodalQueries {
         |    ELSE 33 END) AS BIGINT) AS sum_b,
         |  CAST(SUM(CASE k WHEN 3 THEN 128 ELSE 255 END) AS BIGINT) AS sum_a
         |FROM v GROUP BY doc_id, w, h ORDER BY doc_id""".stripMargin)) { (s, d) =>
-      val docsDf = Tables.load(s, d, "documents").select(col("doc_id"))
+      val docsDf = docIds(s, d)
       val enc = org.apache.spark.sql.Encoders.row(StructType(Seq(
         StructField("doc_id", LongType), StructField("w", LongType),
         StructField("h", LongType), StructField("sum_r", LongType),

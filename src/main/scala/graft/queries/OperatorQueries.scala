@@ -1055,9 +1055,14 @@ object OperatorQueries {
         .join(Tables.load(s, d, "lineitem")
           .select(col("l_orderkey"), col("l_suppkey")),
           col("l_orderkey") === col("o_orderkey"))
-        .select(concat(lit("c"), col("o_custkey")).as("c"),
-          concat(lit("s"), col("l_suppkey")).as("sp"))
+        // distinct on the two LONG keys, concat AFTER: the dedup exchange
+        // carries 16 bytes/row instead of two strings, and the hash-agg
+        // compares longs (the prefixed concat is injective, so
+        // distinct-then-concat ≡ concat-then-distinct)
+        .select(col("o_custkey").as("ck"), col("l_suppkey").as("sk"))
         .distinct()
+        .select(concat(lit("c"), col("ck")).as("c"),
+          concat(lit("s"), col("sk")).as("sp"))
       val g = GraphIterate.prepare(s,
         pairs.select(col("c").as("src"), col("sp").as("dst"))
           .unionByName(pairs.select(col("sp").as("src"), col("c").as("dst"))),
@@ -1233,9 +1238,14 @@ object OperatorQueries {
         .join(Tables.load(s, d, "lineitem")
           .select(col("l_orderkey"), col("l_suppkey")),
           col("l_orderkey") === col("o_orderkey"))
-        .select(concat(lit("c"), col("o_custkey")).as("c"),
-          concat(lit("s"), col("l_suppkey")).as("sp"))
+        // distinct on the two LONG keys, concat AFTER: the dedup exchange
+        // carries 16 bytes/row instead of two strings, and the hash-agg
+        // compares longs (the prefixed concat is injective, so
+        // distinct-then-concat ≡ concat-then-distinct)
+        .select(col("o_custkey").as("ck"), col("l_suppkey").as("sk"))
         .distinct()
+        .select(concat(lit("c"), col("ck")).as("c"),
+          concat(lit("s"), col("sk")).as("sp"))
       val g = GraphIterate.prepare(s,
         pairs.select(col("c").as("src"), col("sp").as("dst"))
           .unionByName(pairs.select(col("sp").as("src"), col("c").as("dst"))),

@@ -445,7 +445,13 @@ object SearchQueries {
     * and NEVER the corpus. Values are bit-identical to the corpus-scan
     * build: every input to the shared ranking tree is an exact integer
     * (or an exact-integer ratio) reconstructed from the same counts. */
-  private[queries] def bm25PostingsScore(post: DataFrame): DataFrame = {
+  private[queries] def bm25PostingsScore(postRaw: DataFrame): DataFrame = {
+    // the postings store is consumed FOUR times below (corpus stats, dl
+    // reconstruction, one filter per query term) — against a segmented
+    // on-disk store that meant four full scans of many small segment
+    // files (profiled at ~86 task-seconds per scan on the compaction
+    // store); one localCheckpoint pays the scan once (guide §5)
+    val post = postRaw.localCheckpoint(true)
     val stats = post.agg(
       countDistinct(col("doc_id")).as("n_docs"),
       (sum(col("tf")).cast(DoubleType) / countDistinct(col("doc_id"))).as("avgdl") +:

@@ -123,7 +123,9 @@ private[graft] object Ivf {
   def compactSegments(s: SparkSession, segRoot: String, listRoot: String): Unit =
     s.read.parquet(segRoot)
       .select(col("vec_id"), col("embedding"), col("cl"))
-      .repartition(col("cl"))
+      // explicit width: keyed-only repartition AQE-coalesces small inputs
+      // to one task writing every cl= dir serially
+      .repartition(s.sparkContext.defaultParallelism, col("cl"))
       .write.partitionBy("cl").mode("overwrite").parquet(listRoot)
 
   /** The maintenance POLICY around [[compactSegments]] — what a live
@@ -157,7 +159,7 @@ private[graft] object Ivf {
         case None => segFrames
       }
       val target = s"$storeRoot/lists_upto_$upto"
-      input.repartition(col("cl"))
+      input.repartition(s.sparkContext.defaultParallelism, col("cl"))
         .write.partitionBy("cl").mode("overwrite").parquet(target)
       (segs.map(_._2) ++ prev.map(_._2)).foreach(d =>
         org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(d)))
@@ -924,8 +926,14 @@ object SimilarityQueries {
         .select(col("vec_id"), col("embedding"),
           dot_product(col("embedding"), col("embedding")).as("nsq"))
         .filter(col("nsq") > 0)
+      // the fixture parquet is one row group → one scan partition, which
+      // would run the whole |A|×|B| cosine pass as a single task; spread
+      // the streamed side across the executor slots (scale-adaptive:
+      // defaultParallelism, not a constant) so the broadcast-NL join's
+      // per-pair work parallelizes (guide §2.6 — idle capacity)
       val a = e.filter(col("vec_id") % 2 === 0)
         .select(col("vec_id").as("va"), col("embedding").as("ea"), col("nsq").as("na"))
+        .repartition(s.sparkContext.defaultParallelism)
       val b = e.filter(col("vec_id") % 2 === 1)
         .select(col("vec_id").as("vb"), col("embedding").as("eb"), col("nsq").as("nb"))
       val p = a.join(b, col("va") =!= col("vb"))
@@ -1025,17 +1033,25 @@ private[queries] object Bitext {
   import graft.functions.topk_min
 
   def align(p: DataFrame, k: Int): DataFrame = {
+    // The pair frame is consumed FOUR times downstream (ka, kb, and the
+    // margin frame feeding both argmax passes) — without a cut each
+    // consumer re-ran the full pair cosine scan, which profiling showed
+    // as 4 serial repeats of the single most expensive job in the query
+    // (guide §5: localCheckpoint to stop recomputing a reused
+    // intermediate). The pair frame is |A|·|candidates| rows of three
+    // scalars — output-sized, in-model to hold.
+    val pm = p.localCheckpoint(true)
     // neighborhood sum: fold the heap's sorted (cos DESC, id ASC) order —
     // the exact order the oracle's list(...)[1:k] slice sums in
     val sumTk = (tk: Column) =>
       aggregate(tk, lit(0.0), (acc, x) => acc + (-x.getField("nc")))
-    val ka = p.groupBy(col("va"))
+    val ka = pm.groupBy(col("va"))
       .agg(topk_min(struct((-col("cos")).as("nc"), col("vb").as("id")), k).as("tk"))
       .select(col("va"), sumTk(col("tk")).as("sa"))
-    val kb = p.groupBy(col("vb"))
+    val kb = pm.groupBy(col("vb"))
       .agg(topk_min(struct((-col("cos")).as("nc"), col("va").as("id")), k).as("tk"))
       .select(col("vb"), sumTk(col("tk")).as("sb"))
-    val m = p.join(broadcast(ka), Seq("va")).join(broadcast(kb), Seq("vb"))
+    val m = pm.join(broadcast(ka), Seq("va")).join(broadcast(kb), Seq("vb"))
       .select(col("va"), col("vb"), col("cos"),
         ((col("sa") + col("sb")) / lit(2.0 * k)).as("denom"))
       .filter(col("denom") > 0)

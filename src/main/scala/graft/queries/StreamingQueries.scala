@@ -47,8 +47,7 @@ object StreamingQueries {
       // itself is fully distributed stateful streaming.
       val rows = Tables.load(s, d, "events")
         .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"))
-        .orderBy(col("us"), col("event_id"))
-        .harnessFeed()
+        .harnessFeed("us", "event_id")
         .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
       val (lo, hi) = (rows.head._3, rows.last._3)
       // each slice pair is one stateful micro-batch round; 4 rounds already
@@ -115,9 +114,13 @@ object StreamingQueries {
     // that eviction machinery: drained streaming result == batch LEFT
     // JOIN, row-for-row including the null rows. Two far-future sentinel
     // rows (non-joinable users -1/-2, filtered from the sink) push the
-    // watermark past every click's eviction bound so the drain is total;
-    // no-data micro-batches stay ENABLED here because outer-join null
-    // emission happens in exactly those watermark-advance batches.
+    // watermark past every click's eviction bound so the drain is total.
+    // No-data micro-batches are DISABLED: null emission needs a batch to
+    // run after the watermark advance, and the SECOND sentinel's data
+    // batch is exactly that batch — the extra watermark-only batches
+    // bought nothing but a full state-eviction scan per slice (profiled
+    // as ~half this query's micro-batch jobs; the emitted row SET is
+    // identical, DifferentialSpec/oracle-gated).
     QueryDef("ss_join_outer", Some(
       """SELECT c.event_id AS cid, v.event_id AS vid, c.user_id AS cuser
         |FROM (SELECT * FROM events WHERE event_id % 2 = 0) c
@@ -130,8 +133,7 @@ object StreamingQueries {
       implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
       val rows = Tables.load(s, d, "events")
         .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"))
-        .orderBy(col("us"), col("event_id"))
-        .harnessFeed()
+        .harnessFeed("us", "event_id")
         .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
       val (lo, hi) = (rows.head._3, rows.last._3)
       val nSlices = s.conf.get("spark.graft.ssjoin.slices", "4").toInt
@@ -158,7 +160,7 @@ object StreamingQueries {
         s.conf.get("spark.sql.streaming.noDataMicroBatches.enabled", "true")
       s.conf.set("spark.sql.shuffle.partitions",
         s.conf.get("spark.graft.ssjoin.parts", "4"))
-      s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "true")
+      s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
       val q =
         try joined.writeStream.format("memory").queryName(sink)
           .outputMode("append").start()
@@ -216,8 +218,7 @@ object StreamingQueries {
       implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
       val rows = Tables.load(s, d, "events")
         .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"))
-        .orderBy(col("us"), col("event_id"))
-        .harnessFeed()
+        .harnessFeed("us", "event_id")
         .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
       val (lo, hi) = (rows.head._3, rows.last._3)
       val nSlices = s.conf.get("spark.graft.ssjoin.slices", "4").toInt
@@ -237,12 +238,22 @@ object StreamingQueries {
 
       val sink = uniqueSink(s, "ss_sessionize_sink")
       val savedParts = s.conf.get("spark.sql.shuffle.partitions")
+      val savedNoData =
+        s.conf.get("spark.sql.streaming.noDataMicroBatches.enabled", "true")
       s.conf.set("spark.sql.shuffle.partitions",
         s.conf.get("spark.graft.ssjoin.parts", "4"))
+      // session finalization needs a batch to run after the watermark
+      // advance — the SECOND sentinel's data batch provides it; the
+      // watermark-only batches after every slice only re-scanned session
+      // state (identical drained set, oracle-gated)
+      s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
       val q =
         try sessions.writeStream.format("memory").queryName(sink)
           .outputMode("append").start()
-        finally s.conf.set("spark.sql.shuffle.partitions", savedParts)
+        finally {
+          s.conf.set("spark.sql.shuffle.partitions", savedParts)
+          s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", savedNoData)
+        }
       try {
         (0 until nSlices).foreach { k =>
           val (from, until) = (lo + k * sliceUs, lo + (k + 1) * sliceUs)
@@ -282,8 +293,7 @@ object StreamingQueries {
       val rows = Tables.load(s, d, "events")
         .select(col("event_id"), col("user_id"), col("event_type"),
           unix_micros(col("ts")).as("us"))
-        .orderBy(col("us"), col("event_id"))
-        .harnessFeed()
+        .harnessFeed("us", "event_id")
         .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
       val (lo, hi) = (rows.head._4, rows.last._4)
       val nSlices = s.conf.get("spark.graft.ssjoin.slices", "4").toInt
@@ -346,8 +356,7 @@ object StreamingQueries {
       val rows = Tables.load(s, d, "events")
         .select(col("event_id"), col("user_id"), col("event_type"),
           unix_micros(col("ts")).as("us"))
-        .orderBy(col("us"), col("event_id"))
-        .harnessFeed()
+        .harnessFeed("us", "event_id")
         .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
       val (lo, hi) = (rows.head._4, rows.last._4)
       val nSlices = s.conf.get("spark.graft.ssjoin.slices", "4").toInt
@@ -365,12 +374,22 @@ object StreamingQueries {
 
       val sink = uniqueSink(s, "ss_window_agg_sink")
       val savedParts = s.conf.get("spark.sql.shuffle.partitions")
+      val savedNoData =
+        s.conf.get("spark.sql.streaming.noDataMicroBatches.enabled", "true")
       s.conf.set("spark.sql.shuffle.partitions",
         s.conf.get("spark.graft.ssjoin.parts", "4"))
+      // window finalization needs a batch after the watermark advance —
+      // the SECOND sentinel's data batch is that batch; the per-slice
+      // watermark-only batches only re-scanned window state (identical
+      // drained set, oracle-gated)
+      s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
       val q =
         try winAgg.writeStream.format("memory").queryName(sink)
           .outputMode("append").start()
-        finally s.conf.set("spark.sql.shuffle.partitions", savedParts)
+        finally {
+          s.conf.set("spark.sql.shuffle.partitions", savedParts)
+          s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", savedNoData)
+        }
       try {
         (0 until nSlices).foreach { k =>
           val (from, until) = (lo + k * sliceUs, lo + (k + 1) * sliceUs)
@@ -414,8 +433,7 @@ object StreamingQueries {
       val rows = Tables.load(s, d, "events")
         .select(col("event_id"), col("user_id"), col("event_type"),
           col("value"), unix_micros(col("ts")).as("us"))
-        .orderBy(col("us"), col("event_id"))
-        .harnessFeed()
+        .harnessFeed("us", "event_id")
         .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3), r.getLong(4)))
       val (lo, hi) = (rows.head._5, rows.last._5)
       val nSlices = s.conf.get("spark.graft.ssjoin.slices", "4").toInt
@@ -471,8 +489,7 @@ object StreamingQueries {
       implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
       val rows = Tables.load(s, d, "events")
         .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"))
-        .orderBy(col("us"), col("event_id"))
-        .harnessFeed()
+        .harnessFeed("us", "event_id")
         .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
       val (lo, hi) = (rows.head._3, rows.last._3)
       val nSlices = s.conf.get("spark.graft.ssjoin.slices", "4").toInt
@@ -533,7 +550,7 @@ object StreamingQueries {
         Ivf.train(e, kClusters, iters, trainSample))
       val cents = graft.operators.IndexStore.loadIvf(s, idxPath)
 
-      val rows = e.orderBy(col("vec_id")).harnessFeed()
+      val rows = e.harnessFeed("vec_id")
         .map(r => (r.getLong(0), r.getSeq[Float](1)))
       val nSlices = s.conf.get("spark.graft.ssjoin.slices", "4").toInt
       val per = rows.length / nSlices + 1
@@ -585,7 +602,7 @@ object StreamingQueries {
       val capN = s.conf.get("spark.graft.groupCap", "5").toInt
       val rows = Tables.load(s, d, "documents")
         .select(col("doc_id"), col("source"), col("n_chars"))
-        .orderBy(col("doc_id")).harnessFeed()
+        .harnessFeed("doc_id")
         .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
       val nSlices = s.conf.get("spark.graft.ssjoin.slices", "4").toInt
       val per = rows.length / nSlices + 1
@@ -639,7 +656,7 @@ object StreamingQueries {
       implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
       val rows = Tables.load(s, d, "documents")
         .select(col("doc_id"), col("lang"), col("n_chars"))
-        .orderBy(col("doc_id")).harnessFeed()
+        .harnessFeed("doc_id")
         .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
       val nSlices = s.conf.get("spark.graft.ssjoin.slices", "4").toInt
       val per = rows.length / nSlices + 1
@@ -704,8 +721,7 @@ object StreamingQueries {
           .otherwise(0L)
 
       val rows = base.filter(col("source") =!= evalSource)
-        .select(col("doc_id"), col("fph")).orderBy(col("doc_id"))
-        .harnessFeed().map(r => (r.getLong(0), r.getLong(1)))
+        .select(col("doc_id"), col("fph")).harnessFeed("doc_id").map(r => (r.getLong(0), r.getLong(1)))
       val nSlices = s.conf.get("spark.graft.ssjoin.slices", "4").toInt
       val per = math.max(1, (rows.length + nSlices - 1) / nSlices)
 
@@ -752,8 +768,7 @@ object StreamingQueries {
       val storeSigs = storeSigs0.select(col("corpus_id"), col("sig").as("sig_c")).persist()
       val srcN = expr("try_cast(substring(source, 4, 10) AS INT)")
       val rows = Tables.load(s, d, "documents").filter(srcN >= 15)
-        .select(col("doc_id"), col("text")).orderBy(col("doc_id"))
-        .harnessFeed().map(r => (r.getLong(0), r.getString(1)))
+        .select(col("doc_id"), col("text")).harnessFeed("doc_id").map(r => (r.getLong(0), r.getString(1)))
       val nSlices = s.conf.get("spark.graft.ssjoin.slices", "4").toInt
       val per = math.max(1, (rows.length + nSlices - 1) / nSlices)
 
@@ -821,8 +836,7 @@ object StreamingQueries {
       val rows = Tables.load(s, d, "lineitem")
         .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
           col("l_extendedprice"), col("l_discount"), col("l_returnflag"))
-        .orderBy(col("l_orderkey"), col("l_linenumber"))
-        .harnessFeed()
+        .harnessFeed("l_orderkey", "l_linenumber")
         .map(r => (r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getString(5)))
       val nSlices = s.conf.get("spark.graft.ssjoin.slices", "4").toInt
       val per = math.max(1, (rows.length + nSlices - 1) / nSlices)
@@ -833,8 +847,16 @@ object StreamingQueries {
         .agg(count(lit(1)).as("n_rows"),
           rules.map { case (n, p) => count(when(p, 1)).as(s"v_$n") }: _*)
       val sink = uniqueSink(s, "ss_dq_alerts_sink")
-      val q = wide.writeStream.format("memory").queryName(sink)
-        .outputMode("complete").start()
+      // stream-side shuffle partitions drop to ssjoin.parts (the shared
+      // replay-harness idiom): the keyless agg holds ONE state row, so 32
+      // state-store partitions paid 32 commits per batch for it
+      val savedParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions",
+        s.conf.get("spark.graft.ssjoin.parts", "4"))
+      val q =
+        try wide.writeStream.format("memory").queryName(sink)
+          .outputMode("complete").start()
+        finally s.conf.set("spark.sql.shuffle.partitions", savedParts)
       try {
         rows.grouped(per).foreach { slice =>
           feed.addData(slice.toSeq)
@@ -895,8 +917,7 @@ object StreamingQueries {
       val rows = Tables.load(s, d, "documents")
         .filter(col("source").isin("src0", "src1"))
         .select(col("doc_id"), col("lang"), col("text"))
-        .orderBy(col("doc_id"))
-        .harnessFeed().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+        .harnessFeed("doc_id").map(r => (r.getLong(0), r.getString(1), r.getString(2)))
       val nSlices = s.conf.get("spark.graft.ssjoin.slices", "4").toInt
       val per = math.max(1, (rows.length + nSlices - 1) / nSlices)
 
@@ -944,8 +965,7 @@ object StreamingQueries {
       import s.implicits._
       implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
       val rows = Tables.load(s, d, "documents")
-        .select(col("doc_id"), col("text")).orderBy(col("doc_id"))
-        .harnessFeed().map(r => (r.getLong(0), r.getString(1)))
+        .select(col("doc_id"), col("text")).harnessFeed("doc_id").map(r => (r.getLong(0), r.getString(1)))
       val nSlices = s.conf.get("spark.graft.ssjoin.slices", "4").toInt
       val per = math.max(1, (rows.length + nSlices - 1) / nSlices)
 
@@ -993,7 +1013,7 @@ object StreamingQueries {
       implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
       val rows = Tables.load(s, d, "events")
         .select(col("user_id"), col("value"), unix_micros(col("ts")).as("us"))
-        .orderBy(col("us")).harnessFeed()
+        .harnessFeed("us")
         .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
       val sentinelUs = rows.last._3 + 3L * 24 * 3600 * 1000000
       val base = java.nio.file.Files
@@ -1027,13 +1047,23 @@ object StreamingQueries {
       // 32 state-store partitions paid 32 commits + 32 sink files per
       // batch for single-digit live keys
       val savedParts = s.conf.get("spark.sql.shuffle.partitions")
+      val savedNoData =
+        s.conf.get("spark.sql.streaming.noDataMicroBatches.enabled", "true")
       s.conf.set("spark.sql.shuffle.partitions",
         s.conf.get("spark.graft.ssjoin.parts", "4"))
+      // day rows append when a batch runs after the watermark advance —
+      // the SECOND sentinel's data batch; watermark-only batches after
+      // each slice only re-scanned day state and re-committed the file
+      // sink log (identical final store, oracle-gated)
+      s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
       val q =
         try partials.writeStream.format("parquet")
           .option("path", storeDays).option("checkpointLocation", ckpt)
           .outputMode("append").start()
-        finally s.conf.set("spark.sql.shuffle.partitions", savedParts)
+        finally {
+          s.conf.set("spark.sql.shuffle.partitions", savedParts)
+          s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", savedNoData)
+        }
       try {
         val nSlices = s.conf.get("spark.graft.ssjoin.slices", "4").toInt
         val per = math.max(1, (rows.length + nSlices - 1) / nSlices)
@@ -1197,8 +1227,7 @@ object StreamingQueries {
       val rows = Tables.load(s, d, "documents")
         .select(col("lang"), col("doc_id"), col("n_chars"),
           size(array_distinct(split(col("text"), " "))).cast("long").as("nd"))
-        .orderBy(col("doc_id"))
-        .harnessFeed()
+        .harnessFeed("doc_id")
         .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
       val nSlices = s.conf.get("spark.graft.ssjoin.slices", "4").toInt
       val per = math.max(1, (rows.length + nSlices - 1) / nSlices)
@@ -1244,8 +1273,7 @@ object StreamingQueries {
       val rows = Tables.load(s, d, "events")
         .filter(col("event_type").isin("view", "click", "purchase"))
         .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
-        .orderBy(col("us"), col("user_id"))
-        .harnessFeed()
+        .harnessFeed("us", "user_id")
         .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
       val nSlices = s.conf.get("spark.graft.ssjoin.slices", "4").toInt
       val per = math.max(1, (rows.length + nSlices - 1) / nSlices)
@@ -1288,8 +1316,7 @@ object StreamingQueries {
       val rows = Tables.load(s, d, "events")
         .select(col("user_id"), unix_micros(col("ts")).as("us"),
           col("event_id"), col("event_type"))
-        .orderBy(col("us"), col("event_id"))
-        .harnessFeed()
+        .harnessFeed("us", "event_id")
         .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
       val nSlices = s.conf.get("spark.graft.ssjoin.slices", "4").toInt
       val per = math.max(1, (rows.length + nSlices - 1) / nSlices)
@@ -1333,8 +1360,7 @@ object StreamingQueries {
       val rows = Tables.load(s, d, "events")
         .select(col("user_id"), unix_micros(col("ts")).as("us"),
           col("event_id"), col("event_type"))
-        .orderBy(col("us"), col("event_id"))
-        .harnessFeed()
+        .harnessFeed("us", "event_id")
         .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
       val nSlices = s.conf.get("spark.graft.ssjoin.slices", "4").toInt
       val per = math.max(1, (rows.length + nSlices - 1) / nSlices)
@@ -1385,8 +1411,7 @@ object StreamingQueries {
         .select(col("user_id"),
           datediff(to_date(col("ts")), lit("1970-01-01")).as("eday"),
           unix_micros(col("ts")).as("us"))
-        .orderBy(col("us"), col("user_id"))
-        .harnessFeed()
+        .harnessFeed("us", "user_id")
         .map(r => (r.getLong(0), r.getInt(1)))
       val nSlices = s.conf.get("spark.graft.ssjoin.slices", "4").toInt
       val per = math.max(1, (rows.length + nSlices - 1) / nSlices)
@@ -1442,8 +1467,7 @@ object StreamingQueries {
       val rows = Tables.load(s, d, "events")
         .select(col("user_id"), unix_micros(col("ts")).as("us"), col("event_id"),
           when(col("event_type") =!= "scroll", col("value")).as("v"))
-        .orderBy(col("us"), col("event_id"))
-        .harnessFeed()
+        .harnessFeed("us", "event_id")
         .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
           if (r.isNullAt(3)) None else Some(r.getDouble(3))))
       val nSlices = s.conf.get("spark.graft.ssjoin.slices", "4").toInt
@@ -1497,8 +1521,7 @@ object StreamingQueries {
       val rows = Tables.load(s, d, "events")
         .select(col("user_id"), unix_micros(col("ts")).as("us"), col("event_id"),
           col("event_type"), round(col("value") * 100, 0).cast("long").as("cents"))
-        .orderBy(col("us"), col("event_id"))
-        .harnessFeed()
+        .harnessFeed("us", "event_id")
         .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3), r.getLong(4)))
       val nSlices = s.conf.get("spark.graft.ssjoin.slices", "4").toInt
       val per = math.max(1, (rows.length + nSlices - 1) / nSlices)
@@ -1565,8 +1588,7 @@ object StreamingQueries {
       val rows = Tables.load(s, d, "events")
         .select(col("user_id"), unix_micros(col("ts")).as("us"),
           col("event_id"), col("event_type"))
-        .orderBy(col("us"), col("event_id"))
-        .harnessFeed()
+        .harnessFeed("us", "event_id")
         .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
       val nSlices = s.conf.get("spark.graft.ssjoin.slices", "4").toInt
       val per = math.max(1, (rows.length + nSlices - 1) / nSlices)
@@ -1647,8 +1669,7 @@ object StreamingQueries {
           col("l_shipdate").isNull.as("shipnull"),
           col("l_quantity").cast("long").as("qty"),
           col("l_linenumber"))
-        .orderBy(col("l_orderkey"), col("l_linenumber"))
-        .harnessFeed()
+        .harnessFeed("l_orderkey", "l_linenumber")
         .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getString(3),
           r.getBoolean(4), r.getLong(5)))
       val nSlices = s.conf.get("spark.graft.ssjoin.slices", "4").toInt
@@ -1708,8 +1729,7 @@ object StreamingQueries {
           floor(col("l_extendedprice") * 100 + 0.5).cast("long").as("y"),
           floor(col("l_discount") * 100 + 0.5).cast("long").as("z"),
           col("l_orderkey"), col("l_linenumber"))
-        .orderBy(col("l_orderkey"), col("l_linenumber"))
-        .harnessFeed()
+        .harnessFeed("l_orderkey", "l_linenumber")
         .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
       val nSlices = s.conf.get("spark.graft.ssjoin.slices", "4").toInt
       val per = math.max(1, (rows.length + nSlices - 1) / nSlices)
@@ -1775,8 +1795,7 @@ object StreamingQueries {
       val rows = Tables.load(s, d, "events")
         .select(col("user_id"), unix_micros(col("ts")).as("us"), col("event_id"),
           col("event_type"), (col("event_type") === "error").as("req"))
-        .orderBy(col("us"), col("event_id"))
-        .harnessFeed()
+        .harnessFeed("us", "event_id")
         .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3),
           r.getBoolean(4)))
       val nSlices = s.conf.get("spark.graft.ssjoin.slices", "4").toInt
@@ -1828,8 +1847,7 @@ object StreamingQueries {
       val base = invocationStore(s, "lmstore", d)
       val rows = Tables.load(s, d, "documents")
         .select(col("doc_id"), col("text"))
-        .orderBy(col("doc_id"))
-        .harnessFeed()
+        .harnessFeed("doc_id")
         .map(r => (r.getLong(0), r.getString(1)))
       val nSlices = s.conf.get("spark.graft.ssjoin.slices", "4").toInt
       val per = math.max(1, (rows.length + nSlices - 1) / nSlices)
@@ -1940,8 +1958,7 @@ object StreamingQueries {
       val store = invocationStore(s, "bm25post", d)
       val rows = Tables.load(s, d, "documents")
         .select(col("doc_id"), col("text"))
-        .orderBy(col("doc_id"))
-        .harnessFeed()
+        .harnessFeed("doc_id")
         .map(r => (r.getLong(0), r.getString(1)))
       val nSlices = s.conf.get("spark.graft.ssjoin.slices", "4").toInt
       val per = math.max(1, (rows.length + nSlices - 1) / nSlices)
@@ -1965,12 +1982,16 @@ object StreamingQueries {
           ()
         }
         .start()
-      try {
-        rows.grouped(per).foreach { slice =>
-          feed.addData(slice.toSeq)
-          q.processAllAvailable()
-        }
-      } finally q.stop()
+      // fold-sized shuffles: each segment write is a per-batch delta; at
+      // session width it paid 32 tasks and wrote 32 files per segment
+      withFoldParts(s) {
+        try {
+          rows.grouped(per).foreach { slice =>
+            feed.addData(slice.toSeq)
+            q.processAllAvailable()
+          }
+        } finally q.stop()
+      }
       SearchQueries.bm25PostingsScore(
         s.read.parquet(store).select(col("h"), col("doc_id"), col("tf")))
     },
@@ -2009,7 +2030,7 @@ object StreamingQueries {
       val kClusters = Ivf.intConf(s, "spark.graft.ivf.k", 16)
       val cents = Ivf.train(e, kClusters, iters = 3,
         trainSample = Ivf.intConf(s, "spark.graft.ivf.trainSample", 2000))
-      val rows = e.orderBy(col("vec_id")).harnessFeed()
+      val rows = e.harnessFeed("vec_id")
         .map(r => (r.getLong(0), r.getSeq[Float](1)))
       val nSlices = s.conf.get("spark.graft.ssjoin.slices", "4").toInt
       val per = math.max(1, (rows.length + nSlices - 1) / nSlices)
@@ -2064,7 +2085,7 @@ object StreamingQueries {
       val srcN = expr("try_cast(substring(source, 4, 10) AS INT)")
       val rows = Tables.load(s, d, "documents").filter(srcN < 15)
         .select(col("doc_id"), col("text"))
-        .orderBy(col("doc_id")).harnessFeed()
+        .harnessFeed("doc_id")
         .map(r => (r.getLong(0), r.getString(1)))
       val nSlices = s.conf.get("spark.graft.ssjoin.slices", "4").toInt
       val per = math.max(1, (rows.length + nSlices - 1) / nSlices)
@@ -2147,10 +2168,22 @@ object StreamingQueries {
   private[queries] def withFoldParts[A](
       s: org.apache.spark.sql.SparkSession)(body: => A): A = {
     val saved = s.conf.get("spark.sql.shuffle.partitions")
+    val savedCoalesce =
+      s.conf.get("spark.sql.adaptive.coalescePartitions.enabled", "true")
     s.conf.set("spark.sql.shuffle.partitions",
       s.conf.get("spark.graft.ivm.parts", "4"))
+    // the foreachBatch bodies are BATCH queries, so AQE coalescing
+    // applies to them — and at per-batch delta sizes it collapsed every
+    // fold shuffle to ONE task (profiled: 2-4 s single-task jobs per
+    // micro-batch), serializing the dedupe/anti-join/fold chain. The
+    // drain already sizes its shuffles explicitly via ivm.parts, so
+    // coalescing below that buys nothing but lost parallelism.
+    s.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
     try body
-    finally s.conf.set("spark.sql.shuffle.partitions", saved)
+    finally {
+      s.conf.set("spark.sql.shuffle.partitions", saved)
+      s.conf.set("spark.sql.adaptive.coalescePartitions.enabled", savedCoalesce)
+    }
   }
 
   private[queries] def invocationStore(
@@ -2250,8 +2283,7 @@ object StreamingQueries {
         col("l_orderkey") === col("o_orderkey"))
       .select(col("o_orderkey").as("k"), col("o_custkey").as("c"),
         col("l_suppkey").as("sp"))
-      .orderBy(col("k"), col("c"), col("sp"))
-      .harnessFeed().map(r => (r.getLong(1), r.getLong(2)))
+      .harnessFeed("k", "c", "sp").map(r => (r.getLong(1), r.getLong(2)))
     val nSlices = s.conf.get("spark.graft.ssjoin.slices", "4").toInt
     val per = math.max(1, (rows.length + nSlices - 1) / nSlices)
 
