@@ -82,6 +82,19 @@ final class BucketedStore(
     df.select(bucketExpr.as("__bkt")).distinct()
       .collect().map(_.getInt(0)).toSet
 
+  /** Driver-side twin of [[bucketExpr]] for a single LONG bucket column:
+    * a feeder that already holds the delta rows on the driver (the
+    * MemoryStream replay harness does, by construction) can compute the
+    * touched-bucket set without paying a Spark job per micro-batch.
+    * Must stay bit-equal to `pmod(xxhash64(col), nBuckets)` —
+    * IvmBucketedSpec pins the equality on random longs. */
+  def bucketOfLong(v: Long): Int = {
+    require(bucketCols.size == 1,
+      "bucketOfLong is the single-long-bucket-column twin of bucketExpr")
+    val h = org.apache.spark.sql.catalyst.expressions.XXH64.hashLong(v, 42L)
+    (((h % nBuckets) + nBuckets) % nBuckets).toInt
+  }
+
   private def emptyWithBkt: DataFrame =
     template.withColumn("__bkt", lit(0).cast("int")).where(lit(false))
 
@@ -143,9 +156,13 @@ final class BucketedStore(
   private def appendSegment(delta: DataFrame): Unit = {
     val dir = s"$root/fold_$gen"
     gen += 1
-    delta.withColumn("__bkt", bucketExpr)
+    // label the fold job (guide §1.5) — thread-local, so it tags exactly
+    // this fold even when foldPar runs two stores' folds concurrently
+    spark.sparkContext.setJobDescription(s"ivm fold append: $root")
+    try delta.withColumn("__bkt", bucketExpr)
       .repartition(col("__bkt"))
       .write.partitionBy("__bkt").mode("overwrite").parquet(dir)
+    finally spark.sparkContext.setJobDescription(null)
     val touched = Option(new java.io.File(dir).listFiles())
       .getOrElse(Array.empty[java.io.File])
       .filter(f => f.isDirectory && f.getName.startsWith("__bkt="))

@@ -2301,14 +2301,21 @@ object StreamingQueries {
         Seq("sa", "sb"), Seq("sa", "sb"), nB, compactAfter = cAfter,
         valueCol = Some("n"))
       val feed = MemoryStream[(Long, Long)]
+      // the feeder holds each slice on the driver already, so the batch's
+      // touched-bucket set is computed THERE (BucketedStore.bucketOfLong,
+      // the bit-equal driver twin of bucketExpr) instead of paying a
+      // dedupe+distinct+collect Spark job per micro-batch — on a real
+      // ingest the source would ship the same partition metadata.
+      val sliceBuckets =
+        new java.util.concurrent.atomic.AtomicReference[Set[Int]](Set.empty)
       val q = feed.toDF().toDF("c", "s").writeStream
         .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
           val bc = b.dropDuplicates("c", "s").persist()
           // the batch's seen slice is scanned twice (anti-join dedupe +
           // the postings join) — cache it so the segment union + merge
           // is paid once per batch
-          val seen = seenStore.readBuckets(seenStore.bucketsOf(
-            bc.select(col("c")))).drop("__bkt").persist()
+          val seen = seenStore.readBuckets(sliceBuckets.get())
+            .drop("__bkt").persist()
           val newPairs = bc.join(seen, Seq("c", "s"), "left_anti").persist()
           val incCross = broadcast(newPairs)
             .join(seen.withColumnRenamed("s", "s_old"), Seq("c"))
@@ -2335,6 +2342,8 @@ object StreamingQueries {
       withFoldParts(s) {
         try {
           rows.grouped(per).foreach { slice =>
+            sliceBuckets.set(
+              slice.iterator.map(t => seenStore.bucketOfLong(t._1)).toSet)
             feed.addData(slice.toSeq)
             q.processAllAvailable()
           }

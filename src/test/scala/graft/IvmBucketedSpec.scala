@@ -53,6 +53,26 @@ class IvmBucketedSpec extends AnyFunSuite {
       .map(c => dirSize(c.getPath)).sum
   }
 
+  test("bucketOfLong is the bit-equal driver twin of bucketExpr") {
+    // the cooccur feeder computes each micro-batch's touched-bucket set
+    // on the driver (no Spark job); a drift from the executor-side
+    // bucketExpr would silently read the wrong buckets
+    import spark.implicits._
+    for (nB <- Seq(3, 16, 64)) {
+      val store = new BucketedStore(scratch(),
+        Seq.empty[(Long, Long)].toDF("c", "s"), Seq("c", "s"), Seq("c"), nB)
+      val rng = new scala.util.Random(7)
+      val vals = Seq.fill(200)(rng.nextLong()) ++
+        Seq(0L, 1L, -1L, Long.MaxValue, Long.MinValue)
+      val sparkSide = vals.toDF("c").select(col("c"), store.bucketExpr.as("b"))
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      vals.foreach { v =>
+        assert(store.bucketOfLong(v) == sparkSide(v),
+          s"bucketOfLong($v) diverged from bucketExpr at nBuckets=$nB")
+      }
+    }
+  }
+
   test("bucketed ss_lm_maintain and ss_cooccur_maintain are bit-identical to the full fold") {
     for (name <- Seq("ss_lm_maintain", "ss_cooccur_maintain")) {
       val full = withConf("spark.graft.ivm.bucketed" -> "false")(rowsOf(name))
