@@ -98,6 +98,23 @@ final class BucketedStore(
   private def emptyWithBkt: DataFrame =
     template.withColumn("__bkt", lit(0).cast("int")).where(lit(false))
 
+  /** Store reads pass explicit leaf-bucket dirs — at most nBuckets ·
+    * compactAfter paths, each holding ONE file. Past 32 paths Spark
+    * launches a DISTRIBUTED listing job per read
+    * (`spark.sql.sources.parallelPartitionDiscovery.threshold`): a
+    * per-micro-batch Spark job whose task overhead dwarfs the driver's
+    * sequential stat of a bounded path list. Scoped raise around the
+    * EAGER listing at `read.parquet()` time, restored immediately;
+    * the JVM-global lock keeps concurrent compactions of independent
+    * stores (foldPar) from racing the set/restore. */
+  private def withDriverListing[A](body: => A): A =
+    BucketedStore.listingLock.synchronized {
+      val key = "spark.sql.sources.parallelPartitionDiscovery.threshold"
+      val saved = spark.conf.get(key, "32")
+      spark.conf.set(key, "1000000")
+      try body finally spark.conf.set(key, saved)
+    }
+
   /** Rows currently stored in the given buckets, `__bkt` column included
     * and segment merge applied (counts summed per key / set segments
     * unioned). One multi-path scan over the requested `__bkt=<b>`
@@ -112,8 +129,9 @@ final class BucketedStore(
       .filter(p => new java.io.File(p).exists())
     if (paths.isEmpty) emptyWithBkt
     else {
-      val raw = spark.read.schema(template.schema).parquet(paths: _*)
-        .withColumn("__bkt", bucketExpr)
+      val raw = withDriverListing {
+        spark.read.schema(template.schema).parquet(paths: _*)
+      }.withColumn("__bkt", bucketExpr)
       valueCol match {
         case Some(v) if held.exists(_._2.size > 1) =>
           raw.groupBy((keyCols :+ "__bkt").map(col): _*)
@@ -201,4 +219,10 @@ final class BucketedStore(
     * exactly its bucket and leaves every other bucket's segment list —
     * and thus its files — unchanged). */
   private[graft] def liveDirs: Map[Int, Vector[String]] = live.toMap
+}
+
+object BucketedStore {
+  /** Serializes the scoped listing-threshold set/restore across stores
+    * (concurrent foldPar compactions share one session conf). */
+  private val listingLock = new Object
 }

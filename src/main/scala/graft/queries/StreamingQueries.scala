@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.execution.streaming.runtime.GraftParallelFeed.FastFeedOps
 import graft.streaming.HarnessFeed.HarnessFeedOps
 import org.apache.spark.sql.functions._
 
@@ -97,8 +98,8 @@ object StreamingQueries {
         (0 until nSlices).foreach { k =>
           val (from, until) = (lo + k * sliceUs, lo + (k + 1) * sliceUs)
           val slice = rows.filter(r => r._3 >= from && r._3 < until)
-          views.addData(slice.filter(_._1 % 2 == 1).toSeq)
-          clicks.addData(slice.filter(_._1 % 2 == 0).toSeq)
+          views.addFast(slice.filter(_._1 % 2 == 1).toSeq)
+          clicks.addFast(slice.filter(_._1 % 2 == 0).toSeq)
           q.processAllAvailable()
         }
       } finally q.stop()
@@ -172,8 +173,8 @@ object StreamingQueries {
         (0 until nSlices).foreach { k =>
           val (from, until) = (lo + k * sliceUs, lo + (k + 1) * sliceUs)
           val slice = rows.filter(r => r._3 >= from && r._3 < until)
-          views.addData(slice.filter(_._1 % 2 == 1).toSeq)
-          clicks.addData(slice.filter(_._1 % 2 == 0).toSeq)
+          views.addFast(slice.filter(_._1 % 2 == 1).toSeq)
+          clicks.addFast(slice.filter(_._1 % 2 == 0).toSeq)
           q.processAllAvailable()
         }
         // two sentinel rounds: the first advances the watermark past every
@@ -257,7 +258,7 @@ object StreamingQueries {
       try {
         (0 until nSlices).foreach { k =>
           val (from, until) = (lo + k * sliceUs, lo + (k + 1) * sliceUs)
-          feed.addData(rows.filter(r => r._3 >= from && r._3 < until).toSeq)
+          feed.addFast(rows.filter(r => r._3 >= from && r._3 < until).toSeq)
           q.processAllAvailable()
         }
         // sentinel user -1 pushes the watermark past every session's
@@ -328,7 +329,7 @@ object StreamingQueries {
       try {
         (0 until nSlices).foreach { k =>
           val (from, until) = (lo + k * sliceUs, lo + (k + 1) * sliceUs)
-          feed.addData(rows.filter(r => r._4 >= from && r._4 < until).toSeq)
+          feed.addFast(rows.filter(r => r._4 >= from && r._4 < until).toSeq)
           q.processAllAvailable()
         }
       } finally q.stop()
@@ -393,7 +394,7 @@ object StreamingQueries {
       try {
         (0 until nSlices).foreach { k =>
           val (from, until) = (lo + k * sliceUs, lo + (k + 1) * sliceUs)
-          feed.addData(rows.filter(r => r._4 >= from && r._4 < until).toSeq)
+          feed.addFast(rows.filter(r => r._4 >= from && r._4 < until).toSeq)
           q.processAllAvailable()
         }
         // sentinel pushes the watermark past the last window's end so
@@ -463,7 +464,7 @@ object StreamingQueries {
       try {
         (0 until nSlices).foreach { k =>
           val (from, until) = (lo + k * sliceUs, lo + (k + 1) * sliceUs)
-          feed.addData(rows.filter(r => r._5 >= from && r._5 < until).toSeq)
+          feed.addFast(rows.filter(r => r._5 >= from && r._5 < until).toSeq)
           q.processAllAvailable()
         }
       } finally q.stop()
@@ -514,7 +515,7 @@ object StreamingQueries {
       try {
         (0 until nSlices).foreach { k =>
           val (from, until) = (lo + k * sliceUs, lo + (k + 1) * sliceUs)
-          feed.addData(rows.filter(r => r._3 >= from && r._3 < until).toSeq)
+          feed.addFast(rows.filter(r => r._3 >= from && r._3 < until).toSeq)
           q.processAllAvailable()
         }
       } finally q.stop()
@@ -569,7 +570,7 @@ object StreamingQueries {
         finally s.conf.set("spark.sql.shuffle.partitions", savedParts)
       try {
         rows.grouped(per).foreach { slice =>
-          feed.addData(slice.toSeq)
+          feed.addFast(slice.toSeq)
           q.processAllAvailable()
         }
       } finally q.stop()
@@ -626,7 +627,7 @@ object StreamingQueries {
         finally s.conf.set("spark.sql.shuffle.partitions", savedParts)
       try {
         rows.grouped(per).foreach { slice =>
-          feed.addData(slice.toSeq)
+          feed.addFast(slice.toSeq)
           q.processAllAvailable()
         }
       } finally q.stop()
@@ -682,7 +683,7 @@ object StreamingQueries {
         finally s.conf.set("spark.sql.shuffle.partitions", savedParts)
       try {
         rows.grouped(per).foreach { slice =>
-          feed.addData(slice.toSeq)
+          feed.addFast(slice.toSeq)
           q.processAllAvailable()
         }
       } finally q.stop()
@@ -733,7 +734,7 @@ object StreamingQueries {
         .outputMode("append").start()
       try {
         rows.grouped(per).foreach { slice =>
-          feed.addData(slice.toSeq)
+          feed.addFast(slice.toSeq)
           q.processAllAvailable()
         }
       } finally q.stop()
@@ -793,7 +794,7 @@ object StreamingQueries {
         .outputMode("append").start()
       try {
         rows.grouped(per).foreach { slice =>
-          feed.addData(slice.toSeq)
+          feed.addFast(slice.toSeq)
           q.processAllAvailable()
         }
       } finally {
@@ -859,7 +860,7 @@ object StreamingQueries {
         finally s.conf.set("spark.sql.shuffle.partitions", savedParts)
       try {
         rows.grouped(per).foreach { slice =>
-          feed.addData(slice.toSeq)
+          feed.addFast(slice.toSeq)
           q.processAllAvailable()
         }
       } finally q.stop()
@@ -934,7 +935,7 @@ object StreamingQueries {
         .outputMode("append").start()
       try {
         rows.grouped(per).foreach { slice =>
-          feed.addData(slice.toSeq)
+          feed.addFast(slice.toSeq)
           q.processAllAvailable()
         }
       } finally q.stop()
@@ -982,7 +983,7 @@ object StreamingQueries {
         .outputMode("append").start()
       try {
         rows.grouped(per).foreach { slice =>
-          feed.addData(slice.toSeq)
+          feed.addFast(slice.toSeq)
           q.processAllAvailable()
         }
       } finally q.stop()
@@ -1068,7 +1069,7 @@ object StreamingQueries {
         val nSlices = s.conf.get("spark.graft.ssjoin.slices", "4").toInt
         val per = math.max(1, (rows.length + nSlices - 1) / nSlices)
         rows.grouped(per).foreach { slice =>
-          feed.addData(slice.toSeq)
+          feed.addFast(slice.toSeq)
           q.processAllAvailable()
         }
         // two sentinel rounds: the first advances the watermark past day
@@ -1200,7 +1201,7 @@ object StreamingQueries {
         finally s.conf.set("spark.sql.shuffle.partitions", savedParts)
       try {
         dense.grouped(per).foreach { chunk =>
-          feed.addData(chunk.flatten)
+          feed.addFast(chunk.flatten)
           q.processAllAvailable()
         }
       } finally q.stop()
@@ -1244,7 +1245,7 @@ object StreamingQueries {
         finally s.conf.set("spark.sql.shuffle.partitions", savedParts)
       try {
         rows.grouped(per).foreach { slice =>
-          feed.addData(slice.toSeq)
+          feed.addFast(slice.toSeq)
           q.processAllAvailable()
         }
       } finally q.stop()
@@ -1290,7 +1291,7 @@ object StreamingQueries {
         finally s.conf.set("spark.sql.shuffle.partitions", savedParts)
       try {
         rows.grouped(per).foreach { slice =>
-          feed.addData(slice.toSeq)
+          feed.addFast(slice.toSeq)
           q.processAllAvailable()
         }
       } finally q.stop()
@@ -1334,7 +1335,7 @@ object StreamingQueries {
         finally s.conf.set("spark.sql.shuffle.partitions", savedParts)
       try {
         rows.grouped(per).foreach { slice =>
-          feed.addData(slice.toSeq)
+          feed.addFast(slice.toSeq)
           q.processAllAvailable()
         }
       } finally q.stop()
@@ -1377,7 +1378,7 @@ object StreamingQueries {
         finally s.conf.set("spark.sql.shuffle.partitions", savedParts)
       try {
         rows.grouped(per).foreach { slice =>
-          feed.addData(slice.toSeq)
+          feed.addFast(slice.toSeq)
           q.processAllAvailable()
         }
       } finally q.stop()
@@ -1428,7 +1429,7 @@ object StreamingQueries {
         finally s.conf.set("spark.sql.shuffle.partitions", savedParts)
       try {
         rows.grouped(per).foreach { slice =>
-          feed.addData(slice.toSeq)
+          feed.addFast(slice.toSeq)
           q.processAllAvailable()
         }
       } finally q.stop()
@@ -1485,7 +1486,7 @@ object StreamingQueries {
         finally s.conf.set("spark.sql.shuffle.partitions", savedParts)
       try {
         rows.grouped(per).foreach { slice =>
-          feed.addData(slice.toSeq)
+          feed.addFast(slice.toSeq)
           q.processAllAvailable()
         }
       } finally q.stop()
@@ -1543,7 +1544,7 @@ object StreamingQueries {
         finally s.conf.set("spark.sql.shuffle.partitions", savedParts)
       try {
         rows.grouped(per).foreach { slice =>
-          feed.addData(slice.toSeq)
+          feed.addFast(slice.toSeq)
           q.processAllAvailable()
         }
         if (latenessSec > 0 && rows.nonEmpty) {
@@ -1606,7 +1607,7 @@ object StreamingQueries {
         finally s.conf.set("spark.sql.shuffle.partitions", savedParts)
       try {
         rows.grouped(per).foreach { slice =>
-          feed.addData(slice.toSeq)
+          feed.addFast(slice.toSeq)
           q.processAllAvailable()
         }
       } finally q.stop()
@@ -1689,7 +1690,7 @@ object StreamingQueries {
         finally s.conf.set("spark.sql.shuffle.partitions", savedParts)
       try {
         rows.grouped(per).foreach { slice =>
-          feed.addData(slice.toSeq)
+          feed.addFast(slice.toSeq)
           q.processAllAvailable()
         }
       } finally q.stop()
@@ -1746,7 +1747,7 @@ object StreamingQueries {
         finally s.conf.set("spark.sql.shuffle.partitions", savedParts)
       try {
         rows.grouped(per).foreach { slice =>
-          feed.addData(slice.toSeq)
+          feed.addFast(slice.toSeq)
           q.processAllAvailable()
         }
       } finally q.stop()
@@ -1813,7 +1814,7 @@ object StreamingQueries {
         finally s.conf.set("spark.sql.shuffle.partitions", savedParts)
       try {
         rows.grouped(per).foreach { slice =>
-          feed.addData(slice.toSeq)
+          feed.addFast(slice.toSeq)
           q.processAllAvailable()
         }
       } finally q.stop()
@@ -1878,20 +1879,23 @@ object StreamingQueries {
           Seq.empty[(Long, Long)].toDF("hb", "cb"), Seq("hb"), Seq("hb"), nB,
           compactAfter = cAfter, valueCol = Some("cb"))
         val feed = MemoryStream[(Long, String)]
-        val q = feed.toDF().toDF("doc_id", "text").writeStream
-          .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
-            // independent stores → the two append-segment jobs run
-            // concurrently; each re-scans the cheap in-memory batch
-            foldPar(
-              () => uniStore.foldCounts(dUniOf(b), "du", "cu"),
-              () => biStore.foldCounts(dBiOf(b), "db", "cb"))
-            ()
-          }
-          .start()
+        // the stream CLONES the session conf at start(), so the fold
+        // width/AQE settings must be in place BEFORE the query starts —
+        // withFoldParts wraps the start, not just the feeding loop
         withFoldParts(s) {
+          val q = feed.toDF().toDF("doc_id", "text").writeStream
+            .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+              // independent stores → the two append-segment jobs run
+              // concurrently; each re-scans the cheap in-memory batch
+              foldPar(
+                () => uniStore.foldCounts(dUniOf(b), "du", "cu"),
+                () => biStore.foldCounts(dBiOf(b), "db", "cb"))
+              ()
+            }
+            .start()
           try {
             rows.grouped(per).foreach { slice =>
-              feed.addData(slice.toSeq)
+              feed.addFast(slice.toSeq)
               q.processAllAvailable()
             }
           } finally q.stop()
@@ -1926,7 +1930,7 @@ object StreamingQueries {
           .start()
         try {
           rows.grouped(per).foreach { slice =>
-            feed.addData(slice.toSeq)
+            feed.addFast(slice.toSeq)
             q.processAllAvailable()
           }
         } finally q.stop()
@@ -1972,22 +1976,24 @@ object StreamingQueries {
       // under replays. Text is coalesced to '' (the srch_bm25 tokenizer's
       // rule) so a null-text doc still enters the store with dl = 1 and
       // n_docs/avgdl reconstruct identically in both paths.
-      val q = feed.toDF().toDF("doc_id", "text").writeStream
-        .foreachBatch { (b: org.apache.spark.sql.DataFrame, batchId: Long) =>
-          b.select(col("doc_id"),
-              explode(split(coalesce(col("text"), lit("")), " ")).as("t"))
-            .groupBy(xxhash64(col("t")).as("h"), col("doc_id"))
-            .agg(count(lit(1)).as("tf"))
-            .write.mode("overwrite").parquet(s"$store/batch=$batchId")
-          ()
-        }
-        .start()
       // fold-sized shuffles: each segment write is a per-batch delta; at
-      // session width it paid 32 tasks and wrote 32 files per segment
+      // session width it paid 32 tasks and wrote 32 files per segment.
+      // Started INSIDE the fold scope — the stream clones the session
+      // conf at start(), so the settings must precede it.
       withFoldParts(s) {
+        val q = feed.toDF().toDF("doc_id", "text").writeStream
+          .foreachBatch { (b: org.apache.spark.sql.DataFrame, batchId: Long) =>
+            b.select(col("doc_id"),
+                explode(split(coalesce(col("text"), lit("")), " ")).as("t"))
+              .groupBy(xxhash64(col("t")).as("h"), col("doc_id"))
+              .agg(count(lit(1)).as("tf"))
+              .write.mode("overwrite").parquet(s"$store/batch=$batchId")
+            ()
+          }
+          .start()
         try {
           rows.grouped(per).foreach { slice =>
-            feed.addData(slice.toSeq)
+            feed.addFast(slice.toSeq)
             q.processAllAvailable()
           }
         } finally q.stop()
@@ -2047,7 +2053,7 @@ object StreamingQueries {
         .start()
       try {
         rows.grouped(per).foreach { slice =>
-          feed.addData(slice.toSeq)
+          feed.addFast(slice.toSeq)
           q.processAllAvailable()
         }
       } finally q.stop()
@@ -2096,19 +2102,21 @@ object StreamingQueries {
         valueCol = Some("n"))
 
       val feed = MemoryStream[(Long, String)]
-      val q = feed.toDF().toDF("doc_id", "text").writeStream
-        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
-          store.foldCounts(
-            b.select(Fingerprints.tokenSetFp(split(col("text"), " ")).as("fp"))
-              .groupBy(col("fp")).agg(count(lit(1)).as("dn")),
-            "dn", "n")
-          ()
-        }
-        .start()
+      // started INSIDE the fold scope — the stream clones the session
+      // conf at start(), so the settings must precede it
       withFoldParts(s) {
+        val q = feed.toDF().toDF("doc_id", "text").writeStream
+          .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+            store.foldCounts(
+              b.select(Fingerprints.tokenSetFp(split(col("text"), " ")).as("fp"))
+                .groupBy(col("fp")).agg(count(lit(1)).as("dn")),
+              "dn", "n")
+            ()
+          }
+          .start()
         try {
           rows.grouped(per).foreach { slice =>
-            feed.addData(slice.toSeq)
+            feed.addFast(slice.toSeq)
             q.processAllAvailable()
           }
         } finally q.stop()
@@ -2160,29 +2168,34 @@ object StreamingQueries {
     else folds.foreach(_())
   }
 
-  /** Drain a maintenance stream with fold-sized shuffles: per-batch
-    * deltas are a fraction of a corpus scan, so the session-wide 32
-    * shuffle partitions buy only scheduling overhead inside the fold
-    * jobs (`spark.graft.ivm.parts`, default 8). Restored before the
-    * serving read, which runs at the session width. */
+  /** Scope for draining a maintenance stream. MUST wrap the stream's
+    * `.start()`, not just the feeding loop: Structured Streaming clones
+    * the session (and its SQLConf) at start, so any width/AQE setting
+    * applied after start never reaches the foreachBatch fold chains —
+    * this round's profiling showed the round-14 "fold-sized shuffles"
+    * conf had silently never applied.
+    *
+    * Measured matrix on the fold drains (sf0.1, min-of-3, idle host —
+    * ss_cooccur/ss_bm25): AQE ON at session width 10.5/2.05 s; AQE off
+    * at width 4 ~12/— s (the per-batch pair expansion serialized onto 4
+    * cores); AQE off at width 32 11.2/3.19 s (32 tasks AND 32 files per
+    * tiny segment write). AQE's per-stage adaptivity is exactly right
+    * for a fold chain whose stages differ by orders of magnitude —
+    * coalesce the small fold-write shuffles (few output files), keep
+    * the expansion stages wide — at the price of per-stage scheduling
+    * (~15 jobs/batch, ~20 ms each), which measurement shows is the
+    * smaller cost. So the drain runs at session settings by default;
+    * `spark.graft.ivm.parts` remains as an explicit override seam for
+    * deployments whose per-batch deltas need a pinned width. */
   private[queries] def withFoldParts[A](
       s: org.apache.spark.sql.SparkSession)(body: => A): A = {
-    val saved = s.conf.get("spark.sql.shuffle.partitions")
-    val savedCoalesce =
-      s.conf.get("spark.sql.adaptive.coalescePartitions.enabled", "true")
-    s.conf.set("spark.sql.shuffle.partitions",
-      s.conf.get("spark.graft.ivm.parts", "4"))
-    // the foreachBatch bodies are BATCH queries, so AQE coalescing
-    // applies to them — and at per-batch delta sizes it collapsed every
-    // fold shuffle to ONE task (profiled: 2-4 s single-task jobs per
-    // micro-batch), serializing the dedupe/anti-join/fold chain. The
-    // drain already sizes its shuffles explicitly via ivm.parts, so
-    // coalescing below that buys nothing but lost parallelism.
-    s.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
-    try body
-    finally {
-      s.conf.set("spark.sql.shuffle.partitions", saved)
-      s.conf.set("spark.sql.adaptive.coalescePartitions.enabled", savedCoalesce)
+    s.conf.getOption("spark.graft.ivm.parts") match {
+      case None => body
+      case Some(parts) =>
+        val saved = s.conf.get("spark.sql.shuffle.partitions")
+        s.conf.set("spark.sql.shuffle.partitions", parts)
+        try body
+        finally s.conf.set("spark.sql.shuffle.partitions", saved)
     }
   }
 
@@ -2308,43 +2321,45 @@ object StreamingQueries {
       // ingest the source would ship the same partition metadata.
       val sliceBuckets =
         new java.util.concurrent.atomic.AtomicReference[Set[Int]](Set.empty)
-      val q = feed.toDF().toDF("c", "s").writeStream
-        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
-          val bc = b.dropDuplicates("c", "s").persist()
-          // the batch's seen slice is scanned twice (anti-join dedupe +
-          // the postings join) — cache it so the segment union + merge
-          // is paid once per batch
-          val seen = seenStore.readBuckets(sliceBuckets.get())
-            .drop("__bkt").persist()
-          val newPairs = bc.join(seen, Seq("c", "s"), "left_anti").persist()
-          val incCross = broadcast(newPairs)
-            .join(seen.withColumnRenamed("s", "s_old"), Seq("c"))
-            .select(least(col("s"), col("s_old")).as("sa"),
-              greatest(col("s"), col("s_old")).as("sb"))
-          val incNew = newPairs
-            .join(newPairs.select(col("c"), col("s").as("s2")), Seq("c"))
-            .filter(col("s") < col("s2"))
-            .select(col("s").as("sa"), col("s2").as("sb"))
-          val inc = incCross.unionByName(incNew)
-            .groupBy(col("sa"), col("sb")).agg(count(lit(1)).as("dn"))
-          // the two stores are independent — their append-segment write
-          // jobs run CONCURRENTLY (newPairs is persisted; the block
-          // manager serializes the one cache fill)
-          foldPar(
-            () => countsStore.foldCounts(inc, "dn", "n"),
-            () => seenStore.foldSet(newPairs.select(col("c"), col("s"))))
-          newPairs.unpersist(false)
-          seen.unpersist(false)
-          bc.unpersist(false)
-          ()
-        }
-        .start()
+      // started INSIDE the fold scope — the stream clones the session
+      // conf at start(), so the fold width/AQE-off must precede it
       withFoldParts(s) {
+        val q = feed.toDF().toDF("c", "s").writeStream
+          .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+            val bc = b.dropDuplicates("c", "s").persist()
+            // the batch's seen slice is scanned twice (anti-join dedupe +
+            // the postings join) — cache it so the segment union + merge
+            // is paid once per batch
+            val seen = seenStore.readBuckets(sliceBuckets.get())
+              .drop("__bkt").persist()
+            val newPairs = bc.join(seen, Seq("c", "s"), "left_anti").persist()
+            val incCross = broadcast(newPairs)
+              .join(seen.withColumnRenamed("s", "s_old"), Seq("c"))
+              .select(least(col("s"), col("s_old")).as("sa"),
+                greatest(col("s"), col("s_old")).as("sb"))
+            val incNew = newPairs
+              .join(newPairs.select(col("c"), col("s").as("s2")), Seq("c"))
+              .filter(col("s") < col("s2"))
+              .select(col("s").as("sa"), col("s2").as("sb"))
+            val inc = incCross.unionByName(incNew)
+              .groupBy(col("sa"), col("sb")).agg(count(lit(1)).as("dn"))
+            // the two stores are independent — their append-segment write
+            // jobs run CONCURRENTLY (newPairs is persisted; the block
+            // manager serializes the one cache fill)
+            foldPar(
+              () => countsStore.foldCounts(inc, "dn", "n"),
+              () => seenStore.foldSet(newPairs.select(col("c"), col("s"))))
+            newPairs.unpersist(false)
+            seen.unpersist(false)
+            bc.unpersist(false)
+            ()
+          }
+          .start()
         try {
           rows.grouped(per).foreach { slice =>
             sliceBuckets.set(
               slice.iterator.map(t => seenStore.bucketOfLong(t._1)).toSet)
-            feed.addData(slice.toSeq)
+            feed.addFast(slice.toSeq)
             q.processAllAvailable()
           }
         } finally q.stop()
@@ -2388,7 +2403,7 @@ object StreamingQueries {
       .start()
     try {
       rows.grouped(per).foreach { slice =>
-        feed.addData(slice.toSeq)
+        feed.addFast(slice.toSeq)
         q.processAllAvailable()
       }
     } finally q.stop()

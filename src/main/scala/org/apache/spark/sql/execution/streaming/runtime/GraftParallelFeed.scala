@@ -1,0 +1,76 @@
+package org.apache.spark.sql.execution.streaming.runtime
+
+import org.apache.spark.sql.catalyst.expressions.UnsafeRow
+
+/** Driver-parallel twin of [[MemoryStreamBase.addData]] for the `ss_*`
+  * replay harness (graft.streaming.HarnessFeed scaladoc: the feeder is
+  * the TEST HARNESS, never the operator — a deployment reads a
+  * distributed source and no driver encode exists at all).
+  *
+  * `addData` serializes every row to an [[UnsafeRow]] on the calling
+  * thread before appending the batch: at fixture scale that is ~600 k
+  * tuple encodes on ONE core per replayed query while 31 sit idle
+  * (guide §2.6 — idle capacity; profiled 1-2 s per lineitem-fed
+  * `ss_*` query, pure driver time between Spark jobs). This twin
+  * performs the same encode across a bounded thread pool — one
+  * serializer per worker, since `ExpressionEncoder.Serializer` is
+  * stateful (it reuses an UnsafeProjection result buffer) and must not
+  * be shared — and then appends the completed batch under the stream's
+  * monitor exactly as `addData` does, preserving row order and the
+  * one-offset-per-call contract (each call remains one replay slice =
+  * one micro-batch; commit/offset bookkeeping is untouched).
+  *
+  * Lives in Spark's own package purely for access to the
+  * `private[streaming]`-scoped `batches` / `currentOffset` members —
+  * the same technique as the repo's existing
+  * `org.apache.spark.graftshim.MetricsBridge` (and the reference's
+  * BulletSparkMetricsSource). ParallelFeedSpec pins drain-equality with
+  * the stock `addData` path; the conf kill-switch
+  * `spark.graft.harness.parfeed=false` restores stock `addData`.
+  */
+object GraftParallelFeed {
+
+  /** Below this many rows the pool costs more than the encode. */
+  private val MinRowsForPool = 32768
+
+  def addData[A](ms: MemoryStream[A], data: Seq[A]): Unit = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    val n = data.length
+    val maxThreads = spark.sparkContext.defaultParallelism
+    val par = math.min(maxThreads, n / (MinRowsForPool / 2))
+    if (par <= 1 ||
+        !spark.conf.get("spark.graft.harness.parfeed", "true").toBoolean) {
+      ms.addData(data)
+      return
+    }
+    val rows = data.toIndexedSeq
+    val out = new Array[UnsafeRow](n)
+    val chunk = (n + par - 1) / par
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(par)
+    try {
+      val futures = (0 until par).map { t =>
+        pool.submit(new Runnable {
+          override def run(): Unit = {
+            val ser = ms.encoder.createSerializer()
+            var i = t * chunk
+            val end = math.min(n, i + chunk)
+            while (i < end) {
+              out(i) = ser(rows(i)).copy().asInstanceOf[UnsafeRow]
+              i += 1
+            }
+          }
+        })
+      }
+      futures.foreach(_.get()) // propagates any encode failure
+    } finally pool.shutdown()
+    // the exact append protocol of MemoryStream.addData (via the Java
+    // same-package accessor — the members are Scala-protected)
+    GraftMemoryStreamAccess.append(ms, out)
+  }
+
+  /** `feed.addFast(slice)` sugar for the replay call sites. */
+  implicit class FastFeedOps[A](private val ms: MemoryStream[A])
+      extends AnyVal {
+    def addFast(data: Seq[A]): Unit = GraftParallelFeed.addData(ms, data)
+  }
+}
