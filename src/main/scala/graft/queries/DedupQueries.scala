@@ -26,6 +26,22 @@ object DedupQueries {
 
   private val toks: Column = split(col("text"), " ")
 
+  /** Shingle-hash base `(doc_id, hs)` for the exact pair-graph family.
+    * The ngram-hash pass is the scan-side CPU hog and it feeds THREE
+    * consumers (the postings explode plus the two broadcast nsh sides) —
+    * on the single-row-group fixture that meant up to three serial
+    * single-task hash passes (profiled: 0.9 s + 0.3 s single-task jobs).
+    * Spread the scan to the session's cores first (scale-adaptive; a
+    * real corpus has many row groups and skips straight to wide). The
+    * consumers still re-evaluate the hashes, but each pass is now
+    * core-wide; an eager localCheckpoint was A/B-tested and REGRESSED
+    * the pair-graph consumers 1.3-1.5x (the ~100 MB array
+    * materialization costs more than the parallel re-evals save). */
+  private def shingleHashBase(s: SparkSession, df: DataFrame): DataFrame =
+    df.select(col("doc_id"), col("text"))
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(col("doc_id"), ngram_hashes(toks, 3).as("hs"))
+
   /** Exact near-dup PAIR GRAPH (Jaccard ≥ 0.5 over 3-token shingles) —
     * the ground-truth pair source shared by clustering and canonical-
     * corpus materialization. Postings-list expansion: one shuffle on the
@@ -33,6 +49,9 @@ object DedupQueries {
     * rejoined via two broadcasts (bounded by the quadratic guard — the
     * minhash path of [[pairGraph]] joins instead). */
   private def exactPairGraph(s: SparkSession, d: String, name: String): DataFrame = {
+    // NOTE: deliberately NOT shingleHashBase — the cluster-family
+    // consumers A/B-regressed 1.2-1.3x with the spread exchange (their
+    // downstream work dominates; the extra shuffle is pure cost here)
     val base = graft.operators.QuadraticGuard
       .check(docs(s, d), name, "spark.graft.dedup.pairSource=minhash")
       .select(col("doc_id"), ngram_hashes(toks, 3).as("hs"))
@@ -459,9 +478,8 @@ object DedupQueries {
       // broadcasts of the tiny (doc, nsh) side. Hash collisions:
       // ~(n_shingles)^2 / 2^64 — negligible, and the oracle gate would
       // catch one on the fixed fixtures.
-      val base = graft.operators.QuadraticGuard
-        .check(docs(s, d), "dd_ngram_jaccard", "dd_minhash_lsh")
-        .select(col("doc_id"), ngram_hashes(toks, 3).as("hs"))
+      val base = shingleHashBase(s, graft.operators.QuadraticGuard
+        .check(docs(s, d), "dd_ngram_jaccard", "dd_minhash_lsh"))
       val nsh = base.select(col("doc_id"), size(col("hs")).cast(LongType).as("nsh"))
       val sh = base.select(col("doc_id"), explode(col("hs")).as("h"))
       // postings-list pair expansion: ONE shuffle (group by shingle hash)
@@ -1071,9 +1089,8 @@ object DedupQueries {
         |GROUP BY 1, 2
         |HAVING count(*) * 10 >= least(any_value(a.nsh), any_value(b.nsh)) * 8
         |ORDER BY doc_a, doc_b""".stripMargin)) { (s, d) =>
-      val base = graft.operators.QuadraticGuard
-        .check(docs(s, d), "dd_containment", "dd_minhash_lsh")
-        .select(col("doc_id"), ngram_hashes(toks, 3).as("hs"))
+      val base = shingleHashBase(s, graft.operators.QuadraticGuard
+        .check(docs(s, d), "dd_containment", "dd_minhash_lsh"))
       val nsh = base.select(col("doc_id"), size(col("hs")).cast(LongType).as("nsh"))
       val sh = base.select(col("doc_id"), explode(col("hs")).as("h"))
       val postings = sh.groupBy(col("h")).agg(collect_list(col("doc_id")).as("ds"))

@@ -61,15 +61,26 @@ object ForgetStoreQueries {
   private[graft] def lmPurgedStores(s: SparkSession, d: String): (DataFrame, DataFrame) = {
     val base = StreamingQueries.invocationStore(s, "fglm", d)
     val all = docs(s, d)
-    def uniOf(df: DataFrame, cnt: String) =
-      df.select(explode(split(col("text"), " ")).as("t"))
+    def uniOf(df: DataFrame, cnt: String, spread: Boolean = false) = {
+      val in =
+        if (spread) df.select(col("text"))
+          .repartition(s.sparkContext.defaultParallelism)
+        else df
+      in.select(explode(split(col("text"), " ")).as("t"))
         .select(xxhash64(col("t")).as("hw"))
         .groupBy(col("hw")).agg(count(lit(1)).as(cnt))
-    def biOf(df: DataFrame, cnt: String) =
-      TextQueries.lmBigramPairs(df)
+    }
+    def biOf(df: DataFrame, cnt: String, spread: Boolean = false) =
+      TextQueries.lmBigramPairs(df, spread)
         .groupBy(col("hb")).agg(count(lit(1)).as(cnt))
-    uniOf(all, "cu").write.mode("overwrite").parquet(s"$base/uni")
-    biOf(all, "cb").write.mode("overwrite").parquet(s"$base/bi")
+    // the two corpus-pass store builds are independent — run their write
+    // jobs concurrently (guide §2.6), each with a core-wide tokenize
+    // (the single-row-group fixture scan is otherwise one task)
+    StreamingQueries.foldPar(
+      () => uniOf(all, "cu", spread = true)
+        .write.mode("overwrite").parquet(s"$base/uni"),
+      () => biOf(all, "cb", spread = true)
+        .write.mode("overwrite").parquet(s"$base/bi"))
     val gone = all.filter(ForgottenDoc)
     def subtract(store: DataFrame, delta: DataFrame,
         key: String, cnt: String, dCnt: String) =
@@ -296,7 +307,8 @@ object ForgetStoreQueries {
       purge(TextQueries.lmSurprisalSql, "documents", "doc_id % 97 <> 0"))) { (s, d) =>
       val (uni, bi) = lmPurgedStores(s, d)
       TextQueries.lmScore(
-        TextQueries.lmBigramPairs(docs(s, d).filter(!ForgottenDoc)), uni, bi)
+        TextQueries.lmBigramPairs(
+          docs(s, d).filter(!ForgottenDoc), spread = true), uni, bi)
     },
 
     // Tombstone + segment compaction on the postings store, then the

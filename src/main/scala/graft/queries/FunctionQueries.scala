@@ -179,7 +179,13 @@ object FunctionQueries {
       val t = split(col("text"), " ")
       val uniq = array_distinct(t)
       val tf = map_from_arrays(uniq, transform(uniq, x => size(filter(t, y => y === x))))
+      // the per-doc tf map is the scan-side CPU hog and the fixture scan
+      // is ONE task (single row group) — spread to the session's cores
+      // before the expensive projection (profiled: two ~0.9 s single-task
+      // jobs, the orderBy's range-sampling pass evaluates it twice)
       Tables.load(s, d, "documents")
+        .select(col("doc_id"), col("text"))
+        .repartition(s.sparkContext.defaultParallelism)
         .select(col("doc_id"), tf.as("tf"))
         .select(col("doc_id"),
           size(col("tf")).as("n_distinct"),

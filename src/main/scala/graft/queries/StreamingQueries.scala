@@ -1682,6 +1682,10 @@ object StreamingQueries {
           graft.streaming.StatefulOps.DefaultProfileLgk.toString).toInt)
       val sink = uniqueSink(s, "ss_profile_sink")
       val savedParts = s.conf.get("spark.sql.shuffle.partitions")
+      // stateful width stays at the drain default: an A/B at width
+      // min(nBuckets=16, cores) measured 1.9-2.5x WORSE (5.08->9.70 s)
+      // — the per-partition state-store commit/provider overhead per
+      // micro-batch dwarfs the extra parallelism of the 16 bucket groups
       s.conf.set("spark.sql.shuffle.partitions",
         s.conf.get("spark.graft.ssjoin.parts", "4"))
       val q =
@@ -1739,6 +1743,8 @@ object StreamingQueries {
       val mom = graft.streaming.StatefulOps.corrMaintain(feed.toDS())
       val sink = uniqueSink(s, "ss_corr_sink")
       val savedParts = s.conf.get("spark.sql.shuffle.partitions")
+      // stateful width stays at the drain default — see the A/B note on
+      // ss_profile_maintain (width 16 measured 2.5x worse here)
       s.conf.set("spark.sql.shuffle.partitions",
         s.conf.get("spark.graft.ssjoin.parts", "4"))
       val q =
@@ -1879,17 +1885,31 @@ object StreamingQueries {
           Seq.empty[(Long, Long)].toDF("hb", "cb"), Seq("hb"), Seq("hb"), nB,
           compactAfter = cAfter, valueCol = Some("cb"))
         val feed = MemoryStream[(Long, String)]
+        // neither count store is read before the serving pass, so the
+        // WHOLE fold runs on a worker thread, overlapping the next
+        // slice's feed (guide §2.6). The batch is pinned in cache and
+        // materialized BEFORE the micro-batch commits — a committed
+        // batch's rows are trimmed from the MemoryStream, so the async
+        // fold must read the cache, never the lineage. One submitting
+        // thread keeps each store single-writer; folds are awaited
+        // before the serving read.
+        val foldExec = foldExecutor()
+        val foldErr = new java.util.concurrent.atomic.AtomicReference[Throwable]
         // the stream CLONES the session conf at start(), so the fold
         // width/AQE settings must be in place BEFORE the query starts —
         // withFoldParts wraps the start, not just the feeding loop
         withFoldParts(s) {
           val q = feed.toDF().toDF("doc_id", "text").writeStream
             .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+              val cached = b.persist()
+              cached.count()
               // independent stores → the two append-segment jobs run
-              // concurrently; each re-scans the cheap in-memory batch
-              foldPar(
-                () => uniStore.foldCounts(dUniOf(b), "du", "cu"),
-                () => biStore.foldCounts(dBiOf(b), "db", "cb"))
+              // concurrently within this batch's turn
+              submitFold(foldExec, foldErr) {
+                foldPar(
+                  () => uniStore.foldCounts(dUniOf(cached), "du", "cu"),
+                  () => biStore.foldCounts(dBiOf(cached), "db", "cb"))
+              }(cached.unpersist(false))
               ()
             }
             .start()
@@ -1900,8 +1920,9 @@ object StreamingQueries {
             }
           } finally q.stop()
         }
+        awaitFolds(foldExec, foldErr)
         TextQueries.lmScore(
-          TextQueries.lmBigramPairs(Tables.load(s, d, "documents")),
+          TextQueries.lmBigramPairs(Tables.load(s, d, "documents"), spread = true),
           uniStore.readAll().drop("__bkt"),
           biStore.readAll().drop("__bkt"))
       } else {
@@ -1936,7 +1957,7 @@ object StreamingQueries {
         } finally q.stop()
         pruneStore(base, Set(s"uni_v$version", s"bi_v$version"))
         TextQueries.lmScore(
-          TextQueries.lmBigramPairs(Tables.load(s, d, "documents")),
+          TextQueries.lmBigramPairs(Tables.load(s, d, "documents"), spread = true),
           s.read.parquet(s"$base/uni_v$version"),
           s.read.parquet(s"$base/bi_v$version"))
       }
@@ -1976,18 +1997,29 @@ object StreamingQueries {
       // under replays. Text is coalesced to '' (the srch_bm25 tokenizer's
       // rule) so a null-text doc still enters the store with dl = 1 and
       // n_docs/avgdl reconstruct identically in both paths.
-      // fold-sized shuffles: each segment write is a per-batch delta; at
-      // session width it paid 32 tasks and wrote 32 files per segment.
-      // Started INSIDE the fold scope — the stream clones the session
-      // conf at start(), so the settings must precede it.
+      // The postings store is only read by the serving pass, so each
+      // batch's tokenize+tf+segment-write runs on a worker thread,
+      // overlapping the next slice's feed (guide §2.6); the batch is
+      // pinned in cache and materialized before commit (committed
+      // batches are trimmed from the MemoryStream). The batch-id-keyed
+      // segment overwrite is unchanged — exactly-once under replays
+      // holds regardless of WHEN the write lands. Awaited before
+      // serving. Started INSIDE the fold scope — the stream clones the
+      // session conf at start(), so any explicit width must precede it.
+      val foldExec = foldExecutor()
+      val foldErr = new java.util.concurrent.atomic.AtomicReference[Throwable]
       withFoldParts(s) {
         val q = feed.toDF().toDF("doc_id", "text").writeStream
           .foreachBatch { (b: org.apache.spark.sql.DataFrame, batchId: Long) =>
-            b.select(col("doc_id"),
-                explode(split(coalesce(col("text"), lit("")), " ")).as("t"))
-              .groupBy(xxhash64(col("t")).as("h"), col("doc_id"))
-              .agg(count(lit(1)).as("tf"))
-              .write.mode("overwrite").parquet(s"$store/batch=$batchId")
+            val cached = b.persist()
+            cached.count()
+            submitFold(foldExec, foldErr) {
+              cached.select(col("doc_id"),
+                  explode(split(coalesce(col("text"), lit("")), " ")).as("t"))
+                .groupBy(xxhash64(col("t")).as("h"), col("doc_id"))
+                .agg(count(lit(1)).as("tf"))
+                .write.mode("overwrite").parquet(s"$store/batch=$batchId")
+            }(cached.unpersist(false))
             ()
           }
           .start()
@@ -1998,6 +2030,7 @@ object StreamingQueries {
           }
         } finally q.stop()
       }
+      awaitFolds(foldExec, foldErr)
       SearchQueries.bm25PostingsScore(
         s.read.parquet(store).select(col("h"), col("doc_id"), col("tf")))
     },
@@ -2102,15 +2135,26 @@ object StreamingQueries {
         valueCol = Some("n"))
 
       val feed = MemoryStream[(Long, String)]
-      // started INSIDE the fold scope — the stream clones the session
-      // conf at start(), so the settings must precede it
+      // the refcount store is only read by the serving pass, so the
+      // fingerprint+fold runs on a worker thread overlapping the next
+      // slice's feed (guide §2.6); batch pinned+materialized before
+      // commit (the MemoryStream trims committed batches), awaited
+      // before serving. Started INSIDE the fold scope — the stream
+      // clones the session conf at start().
+      val foldExec = foldExecutor()
+      val foldErr = new java.util.concurrent.atomic.AtomicReference[Throwable]
       withFoldParts(s) {
         val q = feed.toDF().toDF("doc_id", "text").writeStream
           .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
-            store.foldCounts(
-              b.select(Fingerprints.tokenSetFp(split(col("text"), " ")).as("fp"))
-                .groupBy(col("fp")).agg(count(lit(1)).as("dn")),
-              "dn", "n")
+            val cached = b.persist()
+            cached.count()
+            submitFold(foldExec, foldErr) {
+              store.foldCounts(
+                cached.select(
+                    Fingerprints.tokenSetFp(split(col("text"), " ")).as("fp"))
+                  .groupBy(col("fp")).agg(count(lit(1)).as("dn")),
+                "dn", "n")
+            }(cached.unpersist(false))
             ()
           }
           .start()
@@ -2121,6 +2165,7 @@ object StreamingQueries {
           }
         } finally q.stop()
       }
+      awaitFolds(foldExec, foldErr)
       store.readAll().drop("__bkt").orderBy(col("fp"))
     }
   )
@@ -2157,6 +2202,51 @@ object StreamingQueries {
     * semantics unchanged). Shared cached inputs are safe: the block
     * manager serializes the first materialization of a persisted
     * partition across threads. */
+  /** Single-thread executor for ASYNC store folds, plus its submit
+    * wrapper. The worker thread is created EAGERLY on the calling
+    * (driver) thread: Spark's per-thread local properties (job group,
+    * description) are InheritableThreadLocals, so a worker lazily born
+    * on the streaming micro-batch thread inherits the STREAM's job
+    * group — and `q.stop()` then CANCELS any in-flight fold
+    * (oracle-caught: the maintain queries died with SPARK_JOB_CANCELLED
+    * on the drain's final batch). Each task additionally clears the
+    * group before running, so no future caller can reintroduce the
+    * inheritance. */
+  private[queries] def foldExecutor(): java.util.concurrent.ThreadPoolExecutor = {
+    val ex = new java.util.concurrent.ThreadPoolExecutor(1, 1, 0L,
+      java.util.concurrent.TimeUnit.MILLISECONDS,
+      new java.util.concurrent.LinkedBlockingQueue[Runnable]())
+    ex.prestartCoreThread()
+    ex
+  }
+
+  private[queries] def submitFold(
+      ex: java.util.concurrent.ExecutorService,
+      err: java.util.concurrent.atomic.AtomicReference[Throwable])(
+      body: => Unit)(cleanup: => Unit): Unit = {
+    ex.submit(new Runnable {
+      override def run(): Unit = {
+        val sc = org.apache.spark.sql.SparkSession.active.sparkContext
+        sc.setLocalProperty("spark.jobGroup.id", null)
+        sc.setLocalProperty("spark.job.interruptOnCancel", null)
+        try body
+        catch { case t: Throwable => err.compareAndSet(null, t) }
+        finally cleanup
+      }
+    })
+    ()
+  }
+
+  /** Await an async-fold executor and rethrow the first fold failure —
+    * every drain calls this BEFORE its serving read. */
+  private[queries] def awaitFolds(
+      ex: java.util.concurrent.ExecutorService,
+      err: java.util.concurrent.atomic.AtomicReference[Throwable]): Unit = {
+    ex.shutdown()
+    ex.awaitTermination(1, java.util.concurrent.TimeUnit.HOURS)
+    if (err.get() != null) throw err.get()
+  }
+
   private[queries] def foldPar(folds: (() => Unit)*): Unit = {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration.Duration
@@ -2305,10 +2395,15 @@ object StreamingQueries {
       val cAfter = s.conf.get("spark.graft.ivm.compactAfter", "8").toInt
       // seen postings keyed (c, s) but BUCKETED BY c: every read the
       // maintenance does is "rows for these customers", so the batch's
-      // customer set prunes both reads to its own buckets
+      // customer set prunes both reads to its own buckets.
+      // compactAfter >= nSlices + 1: each batch appends at most one
+      // segment per bucket, so auto-compaction can never fire mid-drain
+      // — the ASYNC counts fold below still holds lazy references to
+      // seen segment files, and a mid-drain compaction would delete
+      // them out from under it.
       val seenStore = new graft.operators.BucketedStore(s"$base/seen",
         Seq.empty[(Long, Long)].toDF("c", "s"), Seq("c", "s"), Seq("c"), nB,
-        compactAfter = cAfter)
+        compactAfter = math.max(cAfter, nSlices + 1))
       val countsStore = new graft.operators.BucketedStore(s"$base/counts",
         Seq.empty[(Long, Long, Long)].toDF("sa", "sb", "n"),
         Seq("sa", "sb"), Seq("sa", "sb"), nB, compactAfter = cAfter,
@@ -2321,8 +2416,24 @@ object StreamingQueries {
       // ingest the source would ship the same partition metadata.
       val sliceBuckets =
         new java.util.concurrent.atomic.AtomicReference[Set[Int]](Set.empty)
+      // The counts-store fold is the batch's expensive half (the
+      // C(n,2) pair expansion + aggregate + segment write) but NOTHING
+      // later in the drain reads the counts store — only the final
+      // serving read does. Only the SEEN store participates in the next
+      // batch's anti-join/postings reads. So the seen fold stays
+      // synchronous on the batch path and the counts fold runs on a
+      // dedicated single worker thread (guide §2.6 — overlap
+      // independent jobs): batch k's expansion overlaps batch k+1's
+      // feed, dedupe and anti-join. One thread keeps the counts store
+      // single-writer (its own compaction runs on that same thread);
+      // inputs stay persisted until the async fold finishes — the
+      // MemoryStream trims a committed batch's rows, so the fold must
+      // read the cache, never recompute the lineage. All folds are
+      // awaited before the serving read.
+      val foldExec = foldExecutor()
+      val foldErr = new java.util.concurrent.atomic.AtomicReference[Throwable]
       // started INSIDE the fold scope — the stream clones the session
-      // conf at start(), so the fold width/AQE-off must precede it
+      // conf at start(), so any explicit fold width must precede it
       withFoldParts(s) {
         val q = feed.toDF().toDF("c", "s").writeStream
           .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
@@ -2343,15 +2454,16 @@ object StreamingQueries {
               .select(col("s").as("sa"), col("s2").as("sb"))
             val inc = incCross.unionByName(incNew)
               .groupBy(col("sa"), col("sb")).agg(count(lit(1)).as("dn"))
-            // the two stores are independent — their append-segment write
-            // jobs run CONCURRENTLY (newPairs is persisted; the block
-            // manager serializes the one cache fill)
-            foldPar(
-              () => countsStore.foldCounts(inc, "dn", "n"),
-              () => seenStore.foldSet(newPairs.select(col("c"), col("s"))))
-            newPairs.unpersist(false)
-            seen.unpersist(false)
-            bc.unpersist(false)
+            // synchronous: materializes newPairs (and bc/seen caches) —
+            // the next batch's anti-join depends on this store
+            seenStore.foldSet(newPairs.select(col("c"), col("s")))
+            submitFold(foldExec, foldErr) {
+              countsStore.foldCounts(inc, "dn", "n")
+            } {
+              newPairs.unpersist(false)
+              seen.unpersist(false)
+              bc.unpersist(false)
+            }
             ()
           }
           .start()
@@ -2364,6 +2476,7 @@ object StreamingQueries {
           }
         } finally q.stop()
       }
+      awaitFolds(foldExec, foldErr)
       return countsStore.readAll().drop("__bkt")
     }
 

@@ -430,7 +430,7 @@ object TextQueries {
     // rides in broadcast. milli_bits_per_bigram is exact integer
     // division — the resolution a filter thresholds on.
     QueryDef("tx_lm_surprisal", Some(lmSurprisalSql)) { (s, d) =>
-      val bg = lmBigramPairs(docs(s, d))
+      val bg = lmBigramPairs(docs(s, d), spread = true)
       val uni = docs(s, d).select(explode(toks).as("t"))
         .select(xxhash64(col("t")).as("hw"))
         .groupBy(col("hw")).agg(count(lit(1)).as("cu"))
@@ -1020,13 +1020,22 @@ object TextQueries {
     * token (`hw`, the conditioning unigram) and the bigram (`hb`) —
     * shared by tx_lm_surprisal and ss_lm_maintain so the scoring pass
     * and the model keys cannot drift. */
-  private[graft] def lmBigramPairs(docsDf: DataFrame): DataFrame = {
+  private[graft] def lmBigramPairs(
+      docsDf: DataFrame, spread: Boolean = false): DataFrame = {
+    // spread=true for CORPUS-scale inputs: the tokenize+hash explode is
+    // scan-side CPU and the fixture scan is one task (single row group)
+    // — one text exchange buys a core-wide pass. Left false for the
+    // per-micro-batch fold inputs (already in-memory, AQE-sized).
+    val wide =
+      if (spread) docsDf.select(col("doc_id"), col("text"))
+        .repartition(docsDf.sparkSession.sparkContext.defaultParallelism)
+      else docsDf
     val t = toks
     val pairs = filter(
       zip_with(t, slice(t, lit(2), size(t)),
         (a, b) => struct(a.as("w1"), concat(a, lit(" "), b).as("b"))),
       x => x.getField("b").isNotNull)
-    docsDf
+    wide
       .select(col("doc_id"), explode(pairs).as("p"))
       .select(col("doc_id"), xxhash64(col("p.w1")).as("hw"),
         xxhash64(col("p.b")).as("hb"))
