@@ -49,6 +49,30 @@ object QueryProfile {
     }
   }
 
+  /** Aggregates StreamingQueryProgress durationMs across every trigger
+    * of every stream started while profiling one query — decomposes the
+    * `ss_*` drains' NON-job driver time (incremental planning, offset/
+    * commit WAL, state commit) that the JobLog cannot see. */
+  private final class TriggerLog
+      extends org.apache.spark.sql.streaming.StreamingQueryListener {
+    import org.apache.spark.sql.streaming.StreamingQueryListener._
+    val totals = mutable.LinkedHashMap[String, Long]()
+    var triggers = 0
+    override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+    override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+    override def onQueryProgress(e: QueryProgressEvent): Unit = synchronized {
+      triggers += 1
+      e.progress.durationMs.forEach((k, v) =>
+        totals(k) = totals.getOrElse(k, 0L) + v)
+    }
+    def clear(): Unit = synchronized { totals.clear(); triggers = 0 }
+    def report(): String = synchronized {
+      if (triggers == 0) ""
+      else s"  triggers=$triggers  " + totals.map { case (k, v) =>
+        f"$k=${v / 1000.0}%.2fs" }.mkString(" ")
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -59,6 +83,8 @@ object QueryProfile {
     spark.sparkContext.setLogLevel("WARN")
     val log = new JobLog
     spark.sparkContext.addSparkListener(log)
+    val trig = new TriggerLog
+    spark.streams.addListener(trig)
     def exec(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
     args.foreach { name =>
@@ -66,6 +92,7 @@ object QueryProfile {
       try exec(SparkEntry.queries(name)(spark, sfDir))
       catch { case t: Throwable => println(s"$name WARMUP FAILED: $t") }
       log.clear()
+      trig.clear()
       val t0 = System.nanoTime()
       try exec(SparkEntry.queries(name)(spark, sfDir))
       catch { case t: Throwable => println(s"$name FAILED: $t") }
@@ -73,6 +100,8 @@ object QueryProfile {
       // listener bus is async — give it a moment to drain before reading
       Thread.sleep(500)
       println(f"== $name wall=$wall%.2fs")
+      val tr = trig.report()
+      if (tr.nonEmpty) println(tr)
       println(log.report())
     }
     spark.stop()

@@ -72,7 +72,11 @@ object HarnessFeed {
         0
       }
     }
-    java.util.Arrays.sort(rows, cmp) // stable timsort
+    // stable merge sort across the driver's cores — parallelSort and
+    // sort are both stable, so with the same comparator the output
+    // permutation is identical; only the wall time changes (~0.2-0.3 s
+    // per 600 k-row feed, paid by every keyed ss_* feeder)
+    java.util.Arrays.parallelSort(rows, cmp)
     rows
   }
 
