@@ -94,6 +94,20 @@ object Bench {
         json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       catch { case _: Throwable => () } // an unwritable cwd must not fail the bench
     println(json)
+    // The driver keeps only the last ~2000 stdout chars: at 254 queries the
+    // full line above is ~10 KB, so its head (and the "queries" map) has
+    // been truncated out of every round's BENCH_rNN.json capture and the
+    // driver's parse has returned null since round 1 (PERF per_query empty).
+    // A COMPACT summary line is therefore printed LAST — totals + the
+    // baseline subset + counts, small enough to always survive the tail
+    // window — while the full per-query map stays in the line above and in
+    // BENCH_FULL.json. Nothing is removed or renamed: the contract line is
+    // unchanged and still printed first.
+    val compact = s"""{"metric":"total","value":$total,"unit":"sec",""" +
+      s""""n":${results.size},"baseline_subset_sec":$subtotal,""" +
+      s""""baseline_subset_n":${baselineSubset.size},"cpus":$cpus,""" +
+      s""""queries_file":"BENCH_FULL.json","sf":"$sfDir"}"""
+    println(compact)
     spark.stop()
   }
 }

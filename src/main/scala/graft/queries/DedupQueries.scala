@@ -31,15 +31,14 @@ object DedupQueries {
     * consumers (the postings explode plus the two broadcast nsh sides) —
     * on the single-row-group fixture that meant up to three serial
     * single-task hash passes (profiled: 0.9 s + 0.3 s single-task jobs).
-    * Spread the scan to the session's cores first (scale-adaptive; a
-    * real corpus has many row groups and skips straight to wide). The
+    * Spread the scan to the session's cores first (guarded: a real
+    * corpus has many row groups and skips the exchange entirely). The
     * consumers still re-evaluate the hashes, but each pass is now
     * core-wide; an eager localCheckpoint was A/B-tested and REGRESSED
     * the pair-graph consumers 1.3-1.5x (the ~100 MB array
     * materialization costs more than the parallel re-evals save). */
   private def shingleHashBase(s: SparkSession, df: DataFrame): DataFrame =
-    df.select(col("doc_id"), col("text"))
-      .repartition(s.sparkContext.defaultParallelism)
+    graft.operators.Spread.toCores(df.select(col("doc_id"), col("text")))
       .select(col("doc_id"), ngram_hashes(toks, 3).as("hs"))
 
   /** Exact near-dup PAIR GRAPH (Jaccard ≥ 0.5 over 3-token shingles) —
@@ -757,8 +756,8 @@ object DedupQueries {
       // cosine pass in a single task; spread the streamed side over the
       // executor slots (scale-adaptive defaultParallelism) so the
       // broadcast-NL join parallelizes
-      val a = e.select(col("vec_id").as("vec_a"), col("embedding").as("ea"), col("nsq").as("na"))
-        .repartition(s.sparkContext.defaultParallelism)
+      val a = graft.operators.Spread.toCores(
+        e.select(col("vec_id").as("vec_a"), col("embedding").as("ea"), col("nsq").as("na")))
       val b = e.select(col("vec_id").as("vec_b"), col("embedding").as("eb"), col("nsq").as("nb"))
       a.join(b, col("vec_a") < col("vec_b"))
         .filter(dot_product(col("ea"), col("eb")) / sqrt(col("na") * col("nb")) >= 0.4)

@@ -63,8 +63,7 @@ object ForgetStoreQueries {
     val all = docs(s, d)
     def uniOf(df: DataFrame, cnt: String, spread: Boolean = false) = {
       val in =
-        if (spread) df.select(col("text"))
-          .repartition(s.sparkContext.defaultParallelism)
+        if (spread) graft.operators.Spread.toCores(df.select(col("text")))
         else df
       in.select(explode(split(col("text"), " ")).as("t"))
         .select(xxhash64(col("t")).as("hw"))

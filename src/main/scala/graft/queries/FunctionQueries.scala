@@ -183,9 +183,8 @@ object FunctionQueries {
       // is ONE task (single row group) — spread to the session's cores
       // before the expensive projection (profiled: two ~0.9 s single-task
       // jobs, the orderBy's range-sampling pass evaluates it twice)
-      Tables.load(s, d, "documents")
-        .select(col("doc_id"), col("text"))
-        .repartition(s.sparkContext.defaultParallelism)
+      graft.operators.Spread.toCores(Tables.load(s, d, "documents")
+          .select(col("doc_id"), col("text")))
         .select(col("doc_id"), tf.as("tf"))
         .select(col("doc_id"),
           size(col("tf")).as("n_distinct"),

@@ -18,9 +18,10 @@ object MultimodalQueries {
     * a single row group → ONE scan partition, which ran every
     * per-partition codec pass (PPM/PNG/GIF/AVI/VP8L encode+decode) as a
     * single task — profiling showed these queries serial on one core.
-    * The repartition carries 8-byte ids only and is scale-adaptive
-    * (defaultParallelism), so on a real cluster with many input splits it
-    * stays a cheap rebalance, never a constant tuned to local[32]. */
+    * The spread is GUARDED ([[graft.operators.Spread]]): it fires only
+    * when the scan is actually narrower than the session's parallelism,
+    * so a corpus-scale input that is already thousands of splits wide
+    * never pays the exchange at all. */
   private def docIds(s: org.apache.spark.sql.SparkSession, d: String,
       spread: Boolean = true) = {
     val ids = Tables.load(s, d, "documents").select(col("doc_id"))
@@ -28,7 +29,7 @@ object MultimodalQueries {
     // pHash) win 1.5-9x from the spread; the sub-second paths (PPM, WAV,
     // raw AVI frame walks) lose to the extra stage + per-task overhead,
     // so they keep the single-partition scan.
-    if (spread) ids.repartition(s.sparkContext.defaultParallelism) else ids
+    if (spread) graft.operators.Spread.toCores(ids) else ids
   }
 
   /** Deterministic two-tone PPM (P6) fixture shared by the decode and

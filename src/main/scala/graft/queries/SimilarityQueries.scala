@@ -931,9 +931,8 @@ object SimilarityQueries {
       // the streamed side across the executor slots (scale-adaptive:
       // defaultParallelism, not a constant) so the broadcast-NL join's
       // per-pair work parallelizes (guide §2.6 — idle capacity)
-      val a = e.filter(col("vec_id") % 2 === 0)
-        .select(col("vec_id").as("va"), col("embedding").as("ea"), col("nsq").as("na"))
-        .repartition(s.sparkContext.defaultParallelism)
+      val a = graft.operators.Spread.toCores(e.filter(col("vec_id") % 2 === 0)
+        .select(col("vec_id").as("va"), col("embedding").as("ea"), col("nsq").as("na")))
       val b = e.filter(col("vec_id") % 2 === 1)
         .select(col("vec_id").as("vb"), col("embedding").as("eb"), col("nsq").as("nb"))
       val p = a.join(b, col("va") =!= col("vb"))
@@ -1012,8 +1011,8 @@ object SimilarityQueries {
       // (profiled: two ~0.65 s single-task jobs — the orderBy's range
       // sampling evaluates the embed projection a second time)
       val out = graft.operators.BatchInfer.embed(
-        Tables.load(s, d, "documents").select(col("doc_id"), col("text"))
-          .repartition(s.sparkContext.defaultParallelism),
+        graft.operators.Spread.toCores(
+          Tables.load(s, d, "documents").select(col("doc_id"), col("text"))),
         "text", "emb")
       out.select(col("doc_id"),
           size(col("emb")).as("dim"),

@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.execution.streaming.runtime.GraftParallelFeed.FastFeedOps
+import graft.streaming.HarnessFeed
 import graft.streaming.HarnessFeed.HarnessFeedOps
 import org.apache.spark.sql.functions._
 
@@ -1663,18 +1664,19 @@ object StreamingQueries {
       import s.implicits._
       implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
       val nBuckets = s.conf.get("spark.graft.profile.buckets", "16").toInt
-      val rows = Tables.load(s, d, "lineitem")
-        .select(pmod(xxhash64(col("l_orderkey"), col("l_linenumber")),
-            lit(nBuckets)).cast("int").as("bucket"),
-          col("l_orderkey"), col("l_partkey"), col("l_returnflag"),
-          col("l_shipdate").isNull.as("shipnull"),
-          col("l_quantity").cast("long").as("qty"),
-          col("l_linenumber"))
-        .harnessFeed("l_orderkey", "l_linenumber")
-        .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getString(3),
-          r.getBoolean(4), r.getLong(5)))
+      val raw = HarnessFeed.collectRawSorted(
+        Tables.load(s, d, "lineitem")
+          .select(pmod(xxhash64(col("l_orderkey"), col("l_linenumber")),
+              lit(nBuckets)).cast("int").as("bucket"),
+            col("l_orderkey"), col("l_partkey"), col("l_returnflag"),
+            col("l_shipdate").isNull.as("shipnull"),
+            col("l_quantity").cast("long").as("qty"),
+            col("l_linenumber")),
+        keys = Seq("l_orderkey", "l_linenumber"),
+        feedCols = Seq("bucket", "l_orderkey", "l_partkey", "l_returnflag",
+          "shipnull", "qty"))
       val nSlices = s.conf.get("spark.graft.ssjoin.slices", "4").toInt
-      val per = math.max(1, (rows.length + nSlices - 1) / nSlices)
+      val per = math.max(1, (raw.length + nSlices - 1) / nSlices)
 
       val feed = MemoryStream[(Int, Long, Long, String, Boolean, Long)]
       val prof = graft.streaming.StatefulOps.profileMaintain(feed.toDS(),
@@ -1693,8 +1695,8 @@ object StreamingQueries {
           .outputMode("append").start()
         finally s.conf.set("spark.sql.shuffle.partitions", savedParts)
       try {
-        rows.grouped(per).foreach { slice =>
-          feed.addFast(slice.toSeq)
+        raw.rows.grouped(per).foreach { slice =>
+          feed.addRaw(slice, raw.schema)
           q.processAllAvailable()
         }
       } finally q.stop()
@@ -1727,17 +1729,18 @@ object StreamingQueries {
       import s.implicits._
       implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
       val nBuckets = s.conf.get("spark.graft.profile.buckets", "16").toInt
-      val rows = Tables.load(s, d, "lineitem")
-        .select(pmod(xxhash64(col("l_orderkey"), col("l_linenumber")),
-            lit(nBuckets)).cast("int").as("bucket"),
-          col("l_quantity").cast("long").as("x"),
-          floor(col("l_extendedprice") * 100 + 0.5).cast("long").as("y"),
-          floor(col("l_discount") * 100 + 0.5).cast("long").as("z"),
-          col("l_orderkey"), col("l_linenumber"))
-        .harnessFeed("l_orderkey", "l_linenumber")
-        .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      val raw = HarnessFeed.collectRawSorted(
+        Tables.load(s, d, "lineitem")
+          .select(pmod(xxhash64(col("l_orderkey"), col("l_linenumber")),
+              lit(nBuckets)).cast("int").as("bucket"),
+            col("l_quantity").cast("long").as("x"),
+            floor(col("l_extendedprice") * 100 + 0.5).cast("long").as("y"),
+            floor(col("l_discount") * 100 + 0.5).cast("long").as("z"),
+            col("l_orderkey"), col("l_linenumber")),
+        keys = Seq("l_orderkey", "l_linenumber"),
+        feedCols = Seq("bucket", "x", "y", "z"))
       val nSlices = s.conf.get("spark.graft.ssjoin.slices", "4").toInt
-      val per = math.max(1, (rows.length + nSlices - 1) / nSlices)
+      val per = math.max(1, (raw.length + nSlices - 1) / nSlices)
 
       val feed = MemoryStream[(Int, Long, Long, Long)]
       val mom = graft.streaming.StatefulOps.corrMaintain(feed.toDS())
@@ -1752,8 +1755,8 @@ object StreamingQueries {
           .outputMode("append").start()
         finally s.conf.set("spark.sql.shuffle.partitions", savedParts)
       try {
-        rows.grouped(per).foreach { slice =>
-          feed.addFast(slice.toSeq)
+        raw.rows.grouped(per).foreach { slice =>
+          feed.addRaw(slice, raw.schema)
           q.processAllAvailable()
         }
       } finally q.stop()
@@ -2379,16 +2382,20 @@ object StreamingQueries {
     val base = invocationStore(s, tag, d)
     // interaction stream in orderkey arrival order (raw rows, with the
     // duplicate (c, s) re-interactions real feeds carry)
-    val rows = Tables.load(s, d, "orders")
-      .select(col("o_orderkey"), col("o_custkey"))
-      .join(Tables.load(s, d, "lineitem")
-        .select(col("l_orderkey"), col("l_suppkey")),
-        col("l_orderkey") === col("o_orderkey"))
-      .select(col("o_orderkey").as("k"), col("o_custkey").as("c"),
-        col("l_suppkey").as("sp"))
-      .harnessFeed("k", "c", "sp").map(r => (r.getLong(1), r.getLong(2)))
+    // raw-collected feed: the (c, sp) UnsafeRows go straight from the
+    // collect into the MemoryStream (no Row decode / tuple re-encode);
+    // the orderkey is a sort-only column dropped by the projection
+    val raw = HarnessFeed.collectRawSorted(
+      Tables.load(s, d, "orders")
+        .select(col("o_orderkey"), col("o_custkey"))
+        .join(Tables.load(s, d, "lineitem")
+          .select(col("l_orderkey"), col("l_suppkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_orderkey").as("k"), col("o_custkey").as("c"),
+          col("l_suppkey").as("sp")),
+      keys = Seq("k", "c", "sp"), feedCols = Seq("c", "sp"))
     val nSlices = s.conf.get("spark.graft.ssjoin.slices", "4").toInt
-    val per = math.max(1, (rows.length + nSlices - 1) / nSlices)
+    val per = math.max(1, (raw.length + nSlices - 1) / nSlices)
 
     if (s.conf.get("spark.graft.ivm.bucketed", "true").toBoolean) {
       val nB = s.conf.get("spark.graft.ivm.buckets", "16").toInt
@@ -2468,10 +2475,10 @@ object StreamingQueries {
           }
           .start()
         try {
-          rows.grouped(per).foreach { slice =>
+          raw.rows.grouped(per).foreach { slice =>
             sliceBuckets.set(
-              slice.iterator.map(t => seenStore.bucketOfLong(t._1)).toSet)
-            feed.addFast(slice.toSeq)
+              slice.iterator.map(r => seenStore.bucketOfLong(r.getLong(0))).toSet)
+            feed.addRaw(slice, raw.schema)
             q.processAllAvailable()
           }
         } finally q.stop()
@@ -2515,8 +2522,8 @@ object StreamingQueries {
       }
       .start()
     try {
-      rows.grouped(per).foreach { slice =>
-        feed.addFast(slice.toSeq)
+      raw.rows.grouped(per).foreach { slice =>
+        feed.addRaw(slice, raw.schema)
         q.processAllAvailable()
       }
     } finally q.stop()

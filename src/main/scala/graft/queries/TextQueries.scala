@@ -1027,8 +1027,8 @@ object TextQueries {
     // — one text exchange buys a core-wide pass. Left false for the
     // per-micro-batch fold inputs (already in-memory, AQE-sized).
     val wide =
-      if (spread) docsDf.select(col("doc_id"), col("text"))
-        .repartition(docsDf.sparkSession.sparkContext.defaultParallelism)
+      if (spread)
+        graft.operators.Spread.toCores(docsDf.select(col("doc_id"), col("text")))
       else docsDf
     val t = toks
     val pairs = filter(

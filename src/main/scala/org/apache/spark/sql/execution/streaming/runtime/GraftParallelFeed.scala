@@ -68,9 +68,39 @@ object GraftParallelFeed {
     GraftMemoryStreamAccess.append(ms, out)
   }
 
+  /** Appends a slice of PRE-ENCODED rows as one micro-batch — the zero
+    * per-row twin of [[addData]] for feeders that collected the fixture
+    * with `HarnessFeed.collectRawSorted` and so already hold the exact
+    * UnsafeRows the stream would have produced. The only cost is a
+    * schema-compatibility check: the rows' field count and types must
+    * match the stream's encoder schema (names and nullability do not
+    * affect the UnsafeRow binary layout; a non-null contract violation
+    * would have thrown in the old Row→tuple map too). Same append
+    * protocol as addData: one offset bump per call, one replay slice =
+    * one micro-batch. */
+  def addRaw[A](ms: MemoryStream[A], slice: Array[UnsafeRow],
+      schema: org.apache.spark.sql.types.StructType): Unit = {
+    val streamFields = ms.encoder.schema.fields
+    require(schema.fields.length == streamFields.length &&
+      schema.fields.zip(streamFields).forall { case (a, b) =>
+        org.apache.spark.sql.types.DataType
+          .equalsIgnoreCompatibleNullability(a.dataType, b.dataType) ||
+        org.apache.spark.sql.types.DataType
+          .equalsIgnoreCompatibleNullability(b.dataType, a.dataType)
+      },
+      s"raw feed schema ${schema.simpleString} is not layout-compatible " +
+        s"with the stream's ${ms.encoder.schema.simpleString}")
+    GraftMemoryStreamAccess.append(ms, slice)
+  }
+
   /** `feed.addFast(slice)` sugar for the replay call sites. */
   implicit class FastFeedOps[A](private val ms: MemoryStream[A])
       extends AnyVal {
     def addFast(data: Seq[A]): Unit = GraftParallelFeed.addData(ms, data)
+
+    /** `feed.addRaw(raw.rows slice, raw.schema)` for raw-collected feeds. */
+    def addRaw(slice: Array[UnsafeRow],
+        schema: org.apache.spark.sql.types.StructType): Unit =
+      GraftParallelFeed.addRaw(ms, slice, schema)
   }
 }
