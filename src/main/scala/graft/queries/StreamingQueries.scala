@@ -2223,10 +2223,15 @@ object StreamingQueries {
     ex
   }
 
+  /** Returns the task's Future so a drain can FENCE on one fold (the
+    * cooccur pipeline awaits batch k-1's seen fold before batch k's seen
+    * read — the store's segment map is only safe to read through that
+    * happens-before edge). Fold failures still land in `err` and are
+    * rethrown by awaitFolds; the Future itself never throws. */
   private[queries] def submitFold(
       ex: java.util.concurrent.ExecutorService,
       err: java.util.concurrent.atomic.AtomicReference[Throwable])(
-      body: => Unit)(cleanup: => Unit): Unit = {
+      body: => Unit)(cleanup: => Unit): java.util.concurrent.Future[_] = {
     ex.submit(new Runnable {
       override def run(): Unit = {
         val sc = org.apache.spark.sql.SparkSession.active.sparkContext
@@ -2237,7 +2242,6 @@ object StreamingQueries {
         finally cleanup
       }
     })
-    ()
   }
 
   /** Await an async-fold executor and rethrow the first fold failure —
@@ -2279,10 +2283,19 @@ object StreamingQueries {
     * (~15 jobs/batch, ~20 ms each), which measurement shows is the
     * smaller cost. So the drain runs at session settings by default;
     * `spark.graft.ivm.parts` remains as an explicit override seam for
-    * deployments whose per-batch deltas need a pinned width. */
+    * deployments whose per-batch deltas need a pinned width.
+    *
+    * `defaultParts` lets ONE drain pin its own width without arming the
+    * global seam: the round-16 interleaved A/B found the cooccur drain
+    * 0.85x at width 8 WITH AQE on (r15's matrix only tried fixed widths
+    * with AQE off) while bm25 regressed 1.17x at the same width — the
+    * width is a per-drain property of the delta size, so it is passed
+    * by the caller, and `spark.graft.ivm.parts` still overrides. */
   private[queries] def withFoldParts[A](
-      s: org.apache.spark.sql.SparkSession)(body: => A): A = {
-    s.conf.getOption("spark.graft.ivm.parts") match {
+      s: org.apache.spark.sql.SparkSession,
+      defaultParts: Option[Int] = None)(body: => A): A = {
+    s.conf.getOption("spark.graft.ivm.parts")
+        .orElse(defaultParts.map(_.toString)) match {
       case None => body
       case Some(parts) =>
         val saved = s.conf.get("spark.sql.shuffle.partitions")
@@ -2345,6 +2358,21 @@ object StreamingQueries {
       try s.catalog.dropTempView(prev) catch { case _: Throwable => () }
     name
   }
+
+  /** A MemoryStream whose micro-batch scan width is sized for the replay
+    * slice instead of the core count: the no-arg MemoryStream plans
+    * `defaultParallelism` input partitions per batch (32 here), so EVERY
+    * per-batch stage downstream of the batch scan ran 32 tasks over a
+    * few-MB slice — profiling the ivm drains showed ~25-30 s of taskTime
+    * per batch that was almost entirely per-task constants (guide §2.2:
+    * size partitions by data, not core count; a few-MB delta is a
+    * handful of partitions). `spark.graft.harness.feedparts` is the
+    * deployment seam — a real ingest's source carries its own
+    * partitioning, so this only shapes the replay harness's batches. */
+  private def memStreamSized[A: org.apache.spark.sql.Encoder](
+      s: org.apache.spark.sql.SparkSession): MemoryStream[A] =
+    MemoryStream[A](s,
+      s.conf.get("spark.graft.harness.feedparts", "4").toInt)
 
   /** Incremental view maintenance of the (supplier, supplier)
     * co-occurrence counts from a stream of (customer, supplier)
@@ -2415,7 +2443,7 @@ object StreamingQueries {
         Seq.empty[(Long, Long, Long)].toDF("sa", "sb", "n"),
         Seq("sa", "sb"), Seq("sa", "sb"), nB, compactAfter = cAfter,
         valueCol = Some("n"))
-      val feed = MemoryStream[(Long, Long)]
+      val feed = memStreamSized[(Long, Long)](s)
       // the feeder holds each slice on the driver already, so the batch's
       // touched-bucket set is computed THERE (BucketedStore.bucketOfLong,
       // the bit-equal driver twin of bucketExpr) instead of paying a
@@ -2423,54 +2451,85 @@ object StreamingQueries {
       // ingest the source would ship the same partition metadata.
       val sliceBuckets =
         new java.util.concurrent.atomic.AtomicReference[Set[Int]](Set.empty)
-      // The counts-store fold is the batch's expensive half (the
-      // C(n,2) pair expansion + aggregate + segment write) but NOTHING
-      // later in the drain reads the counts store — only the final
-      // serving read does. Only the SEEN store participates in the next
-      // batch's anti-join/postings reads. So the seen fold stays
-      // synchronous on the batch path and the counts fold runs on a
-      // dedicated single worker thread (guide §2.6 — overlap
-      // independent jobs): batch k's expansion overlaps batch k+1's
-      // feed, dedupe and anti-join. One thread keeps the counts store
-      // single-writer (its own compaction runs on that same thread);
-      // inputs stay persisted until the async fold finishes — the
-      // MemoryStream trims a committed batch's rows, so the fold must
-      // read the cache, never recompute the lineage. All folds are
-      // awaited before the serving read.
-      val foldExec = foldExecutor()
+      // THREE-STAGE PIPELINE (guide §2.6 — overlap independent jobs).
+      // Per batch the only job left on the stream thread is pinning the
+      // deduped batch in cache (the MemoryStream trims committed
+      // batches, so this must precede the trigger commit). The seen
+      // fold (anti-join + segment write) runs on its own single worker,
+      // and the counts fold (the C(n,2) expansion — the expensive half,
+      // which nothing later in the DRAIN reads) is CHAINED onto a
+      // second worker from inside the seen fold, so in steady state
+      // batch k+1's trigger, batch k's seen fold and batch k-1's counts
+      // expansion are all in flight at once. Each store keeps exactly
+      // one writer thread (compactions run on that same thread); batch
+      // k+1's seen READ fences on batch k's seen fold — the store's
+      // segment map is only safe to read through that happens-before
+      // edge. Inputs stay persisted until the counts fold finishes (the
+      // fold must read the cache, never recompute trimmed lineage); all
+      // folds are awaited before the serving read.
+      val seenExec = foldExecutor()
+      val countsExec = foldExecutor()
+      val lastSeenFold =
+        new java.util.concurrent.atomic.AtomicReference[java.util.concurrent.Future[_]]
       val foldErr = new java.util.concurrent.atomic.AtomicReference[Throwable]
       // started INSIDE the fold scope — the stream clones the session
-      // conf at start(), so any explicit fold width must precede it
-      withFoldParts(s) {
+      // conf at start(), so any explicit fold width must precede it.
+      // Width 8 (AQE on): the per-batch delta is a few MB — guide §2.2
+      // partition sizing by data, not core count; the value is a
+      // per-drain conf (a deployment with fatter per-batch deltas
+      // raises it), and the 0.85x win was measured interleaved-A/B
+      // against session width on this drain specifically.
+      withFoldParts(s, Some(s.conf.get(
+          "spark.graft.ivm.cooccur.parts", "8").toInt)) {
         val q = feed.toDF().toDF("c", "s").writeStream
           .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+            // pin the deduped batch BEFORE the commit trims its rows —
+            // the one synchronous job per trigger
             val bc = b.dropDuplicates("c", "s").persist()
+            bc.count()
+            // fence: previous batch's seen fold must have appended its
+            // segment before this batch's seen read plans the listing
+            val fence = lastSeenFold.get()
+            if (fence != null) fence.get()
             // the batch's seen slice is scanned twice (anti-join dedupe +
             // the postings join) — cache it so the segment union + merge
             // is paid once per batch
             val seen = seenStore.readBuckets(sliceBuckets.get())
               .drop("__bkt").persist()
             val newPairs = bc.join(seen, Seq("c", "s"), "left_anti").persist()
-            val incCross = broadcast(newPairs)
-              .join(seen.withColumnRenamed("s", "s_old"), Seq("c"))
-              .select(least(col("s"), col("s_old")).as("sa"),
-                greatest(col("s"), col("s_old")).as("sb"))
-            val incNew = newPairs
-              .join(newPairs.select(col("c"), col("s").as("s2")), Seq("c"))
-              .filter(col("s") < col("s2"))
-              .select(col("s").as("sa"), col("s2").as("sb"))
-            val inc = incCross.unionByName(incNew)
+            // ONE expansion join per batch instead of two joins + union:
+            // tag already-seen vs same-batch partners and join the new
+            // pairs against both at once. An already-seen partner always
+            // pairs (the anti-join guarantees s != s_old there); a
+            // same-batch partner pairs only from the lower side
+            // (s < s2), counting each new-new pair exactly once —
+            // bit-equal to the old incCross ∪ incNew (the legacy
+            // full-fold path below keeps the two-join form as the
+            // IvmBucketedSpec bit-identity reference).
+            val partners = seen.select(col("c"), col("s").as("s2"),
+                lit(false).as("isnew"))
+              .unionByName(newPairs.select(col("c"), col("s").as("s2"),
+                lit(true).as("isnew")))
+            val inc = broadcast(newPairs)
+              .join(partners, Seq("c"))
+              .filter(!col("isnew") || col("s") < col("s2"))
+              .select(least(col("s"), col("s2")).as("sa"),
+                greatest(col("s"), col("s2")).as("sb"))
               .groupBy(col("sa"), col("sb")).agg(count(lit(1)).as("dn"))
-            // synchronous: materializes newPairs (and bc/seen caches) —
-            // the next batch's anti-join depends on this store
-            seenStore.foldSet(newPairs.select(col("c"), col("s")))
-            submitFold(foldExec, foldErr) {
-              countsStore.foldCounts(inc, "dn", "n")
-            } {
-              newPairs.unpersist(false)
-              seen.unpersist(false)
-              bc.unpersist(false)
-            }
+            // seen fold off the stream thread; the counts fold is
+            // chained after it (it reads the newPairs/seen caches the
+            // seen fold just materialized) on the second worker
+            lastSeenFold.set(submitFold(seenExec, foldErr) {
+              seenStore.foldSet(newPairs.select(col("c"), col("s")))
+              submitFold(countsExec, foldErr) {
+                countsStore.foldCounts(inc, "dn", "n")
+              } {
+                newPairs.unpersist(false)
+                seen.unpersist(false)
+                bc.unpersist(false)
+              }
+              ()
+            } {})
             ()
           }
           .start()
@@ -2483,8 +2542,17 @@ object StreamingQueries {
           }
         } finally q.stop()
       }
-      awaitFolds(foldExec, foldErr)
-      return countsStore.readAll().drop("__bkt")
+      // seen folds first (their completion submits the counts folds),
+      // then the counts executor; the finally keeps the second worker
+      // from leaking if the first await rethrows a fold failure
+      try awaitFolds(seenExec, foldErr)
+      finally awaitFolds(countsExec, foldErr)
+      // both consumers (the cooccur top-5 report and the triangle
+      // closure) read the counts frame TWICE (sym = counts ∪ swapped),
+      // and each read re-pays the segment scan + merge-sum shuffle over
+      // every bucket's fan-in — one eager localCheckpoint materializes
+      // the merged store once and the two sym branches scan blocks
+      return countsStore.readAll().drop("__bkt").localCheckpoint(true)
     }
 
     Seq.empty[(Long, Long)].toDF("c", "s")
