@@ -152,18 +152,37 @@ object ForgetStoreQueries {
         .select(col("l_orderkey"), col("l_suppkey").as("sp")),
         col("l_orderkey") === col("o_orderkey"))
       .select(col("c"), col("sp").as("s")).distinct()
-    def pairCounts(p: DataFrame, cnt: String) =
-      p.join(p.select(col("c"), col("s").as("s2")), Seq("c"))
-        .filter(col("s") < col("s2"))
-        .select(col("s").as("sa"), col("s2").as("sb"))
-        .groupBy(col("sa"), col("sb")).agg(count(lit(1)).as(cnt))
-    pairCounts(pairs, "n").write.mode("overwrite").parquet(s"$base/counts")
-    val goneBaskets = pairs.filter(col("c") % 97 === 0)
-    s.read.parquet(s"$base/counts")
-      .join(broadcast(pairCounts(goneBaskets, "dn")), Seq("sa", "sb"), "left_outer")
+    // ONE expansion pass yields both the full store counts and the
+    // forgotten customers' delta: an increment (sa, sb) contributed by
+    // customer c is "gone" iff c is in the forget request, so count(*)
+    // and count_if(gone) over the same C(basket,2) expansion reproduce
+    // the old pairCounts(pairs) / pairCounts(goneBaskets) exactly
+    // (goneBaskets ⊆ pairs — each gone increment is counted in both).
+    // The previous shape re-built the orders⋈lineitem distinct AND ran
+    // a second expansion just for the delta (profiled as its own
+    // broadcast-build job); the fused aggregate is cached once, the
+    // persisted store keeps its (sa, sb, n) schema, and the subtract
+    // still reads the store and broadcasts the request-bounded delta.
+    val expanded = pairs
+      .join(pairs.select(col("c"), col("s").as("s2")), Seq("c"))
+      .filter(col("s") < col("s2"))
+      .select(col("s").as("sa"), col("s2").as("sb"),
+        (col("c") % 97 === 0).as("gone"))
+      .groupBy(col("sa"), col("sb"))
+      .agg(count(lit(1)).as("n"), count_if(col("gone")).as("dn"))
+      .persist()
+    expanded.select(col("sa"), col("sb"), col("n"))
+      .write.mode("overwrite").parquet(s"$base/counts")
+    val delta = expanded.filter(col("dn") > 0)
+      .select(col("sa"), col("sb"), col("dn"))
+    val out = s.read.parquet(s"$base/counts")
+      .join(broadcast(delta), Seq("sa", "sb"), "left_outer")
       .select(col("sa"), col("sb"),
         (col("n") - coalesce(col("dn"), lit(0L))).as("n"))
       .filter(col("n") > 0)
+      .localCheckpoint(true)
+    expanded.unpersist(false)
+    out
   }
 
   // ---- sketch warehouse: re-derive touched days only -------------------
